@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column builders for the text-analysis / dedup surface of a training-data
+  * pipeline: tokenization, shingling, portable hashing, rolling-hash
+  * fingerprints, language-ID marker scoring, quality ratios.
+  *
+  * Portability contract: every hash used for cross-engine-checked dedup is
+  * derived from md5 hex (identical in any engine) — never from engine-native
+  * `hash()` functions. All integer arithmetic stays within Long range.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text (reference F7 string ops family). */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single
+    * punctuation — a deterministic stand-in for a real BPE vocab.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Low 32 bits of md5 as a non-negative Long — the portable hash primitive
+    * (same value via `CAST('0x'||substr(md5(s),25,8) AS BIGINT)` in DuckDB).
+    */
+  def md5Low32(s: Column): Column =
+    conv(substring(md5(s), 25, 8), 16, 10).cast("long")
+
+  /** Low 60 bits of md5 (15 hex chars → always fits a positive Long). */
+  def md5Low60(s: Column): Column =
+    conv(substring(md5(s), 18, 15), 16, 10).cast("long")
+
+  /** Distinct character n-gram shingles. Short texts (< n chars) yield the
+    * whole text as the single shingle — mirrored exactly by the oracle.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val count = greatest(length(text) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(0), count - 1), i => text.substr(i + 1, lit(n))))
+  }
+
+  /** Distinct word n-grams over the whitespace tokens. */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    val toks  = wsTokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(0), count - 1),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash prime (smallest prime > 2^32). */
+  val MinHashP = 4294967311L
+
+  /** k-th universal hash over a pre-hashed shingle value:
+    * h_k(x) = ((2k+1)·x + 1000000007·k + 17) mod P. Coefficients are small
+    * enough that (2k+1)·x stays far below Long overflow for k < 2^29.
+    */
+  def minhashAt(hashes: Column, k: Int): Column =
+    array_min(transform(hashes,
+      x => (x * lit(2L * k + 1) + lit(1000000007L * k + 17L)) % lit(MinHashP)))
+
+  /** Full MinHash signature (array of `h` minima) over distinct shingles. */
+  def minhashSignature(shingles: Column, h: Int): Column = {
+    val hashes = transform(shingles, s => md5Low32(s))
+    array((0 until h).map(k => minhashAt(hashes, k)): _*)
+  }
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`,
+    * each group joined into one string key.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws(":", (1 to rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r)): _*)
+    }: _*)
+
+  /** 60-bit SimHash over the (non-distinct) token multiset: bit j is set iff
+    * the signed count of tokens with md5-bit j set is positive.
+    * Built as a SQL-lambda expression because shifts by a *column* amount
+    * have no Scala-API form; the SQL text is Catalyst all the same.
+    */
+  def simhash(tokensExprSql: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 59), j ->
+       |    IF(aggregate(
+       |         transform($tokensExprSql, t -> conv(substring(md5(t), 18, 15), 16, 10)),
+       |         0L,
+       |         (acc, h) -> acc + IF((shiftright(cast(h as long), j) & 1L) = 1L, 1L, -1L)) > 0,
+       |       shiftleft(1L, j), 0L)),
+       |  0L, (a, x) -> a + x)""".stripMargin)
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling polynomial fingerprint over characters:
+    * fold(acc·31 + codepoint) mod 1e9+7 — document identity that survives
+    * storage layout, computable identically in any SQL engine.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
+
+  /** Count of tokens contained in a fixed marker/stopword set. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(markers.toArray), t)))
+
+  /** Language marker sets for the heuristic n-gram language-ID. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Ratio of non-alphanumeric-non-space chars to total length. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") / length(text)
+}

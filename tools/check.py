@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local dev mirror of the driver's correctness gate.
+
+Runs each oracle SQL from `oracle_sql.json` in DuckDB over the sf parquet
+tables and compares against the Spark result parquet written by
+`graft.Verify` — columns sorted by name, values compared exactly (floats
+bit-exact, mirroring a hash compare).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
+        try:
+            oracle = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        oracle = oracle[sorted(oracle.columns)]
+        got = got[sorted(got.columns)]
+        if list(oracle.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != oracle {list(oracle.columns)}")
+            n_fail += 1; continue
+        if len(oracle) != len(got):
+            print(f"FAIL {name}: rows {len(got)} != oracle {len(oracle)}")
+            n_fail += 1; continue
+        ok = True
+        for c in oracle.columns:
+            a, b = oracle[c].tolist(), got[c].tolist()
+            if a != b:
+                bad = next(i for i in range(len(a)) if a[i] != b[i])
+                print(f"FAIL {name}: col {c} row {bad}: oracle={a[bad]!r} got={b[bad]!r}")
+                ok = False; break
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
