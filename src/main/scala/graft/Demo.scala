@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.multimodal.Multimodal
+import graft.operators.Knn
+import graft.store.VectorStore
+import graft.streaming.WalStream
+
+/** End-to-end drive of the engine's library surface: keyed vector store
+  * (put/overwrite/delete/compact/recover/search), the WAL as a live stream
+  * (streaming LWW), and multimodal ingest → features. Prints observable
+  * state at each step; used as the runnable example of the full write path.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("graft-demo-").toString
+    println(s"== store at $dir")
+    val store = new VectorStore(spark, dir, dim = 4)
+
+    val b1 = Seq(
+      ("cat", Array(1f, 0f, 0f, 0f), Map("tag" -> "animal"), 100L),
+      ("dog", Array(0f, 1f, 0f, 0f), Map("tag" -> "animal"), 100L),
+      ("car", Array(0f, 0f, 1f, 0f), Map("tag" -> "thing"), 100L),
+      ("bad", Array(1f, 2f), Map.empty[String, String], 100L) // wrong dim
+    ).toDF("key", "vector", "metadata", "ts")
+    val (ok, rej) = store.put(b1)
+    println(s"== put batch1: accepted=$ok rejected=$rej (dim validation)")
+
+    store.put(Seq(("cat", Array(0.9f, 0.1f, 0f, 0f), Map("tag" -> "animal"), 200L))
+      .toDF("key", "vector", "metadata", "ts"))
+    store.delete(Seq("car"), ts = 300L)
+    println("== after overwrite cat + delete car:")
+    store.scan.orderBy("key").show(false)
+
+    println("== knn search q=[1,0,0,0] filter tag=animal:")
+    store.search(Knn.SearchRequest(Array(1.0, 0.0, 0.0, 0.0), topK = 2,
+      filter = Map("tag" -> "animal"))).show(false)
+
+    store.compact()
+    println(s"== compacted; snapshots: " +
+      Files.list(Paths.get(dir)).toArray.map(_.toString.split('/').last).sorted.mkString(", "))
+
+    store.put(Seq(("eel", Array(0f, 0f, 0f, 1f), Map("tag" -> "animal"), 400L))
+      .toDF("key", "vector", "metadata", "ts"))
+    val reopened = new VectorStore(spark, dir, dim = 4)
+    println("== cold reopen (snapshot + incremental WAL replay):")
+    reopened.scan.orderBy("key").show(false)
+
+    println("== streaming LWW over the same WAL dir:")
+    val q = WalStream.lwwUpdates(WalStream.source(spark, s"$dir/wal"))
+      .writeStream.format("memory").queryName("lww")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/stream_ckpt").start()
+    q.awaitTermination(60000)
+    spark.table("lww").orderBy("key", "timestamp").show(false)
+
+    println("== multimodal: binaryFile ingest -> stub features")
+    val mdir = Files.createTempDirectory("graft-demo-media-")
+    Files.write(mdir.resolve("photo1.jpg"), Array.tabulate[Byte](64)(_.toByte))
+    Files.write(mdir.resolve("photo2.png"), Array.tabulate[Byte](80)(i => (i * 3).toByte))
+    Files.write(mdir.resolve("readme.txt"), "not media".getBytes)
+    val media = Multimodal.readMediaDir(spark, mdir.toString)
+      .as[Multimodal.MediaRecord]
+    Multimodal.extractFeatures(media, dim = 4).show(false)
+
+    spark.stop()
+  }
+}

@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Local smoke runner for SparkEntry.entry (the driver's rows>0 check). */
 object SmokeEntry {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

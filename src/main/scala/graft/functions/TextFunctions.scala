@@ -73,18 +73,17 @@ object TextFunctions {
       concat_ws(":", (1 to rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r)): _*)
     }: _*)
 
-  /** 60-bit SimHash over the (non-distinct) token multiset: bit j is set iff
-    * the signed count of tokens with md5-bit j set is positive.
-    * Built as a SQL-lambda expression because shifts by a *column* amount
-    * have no Scala-API form; the SQL text is Catalyst all the same.
+  /** 60-bit SimHash from a pre-hashed token array column (array<long>,
+    * e.g. md5Low60 of each token): bit j is set iff the signed count of
+    * tokens with bit j set is positive. Built as a SQL-lambda expression
+    * because shifts by a *column* amount have no Scala-API form; the SQL
+    * text is Catalyst all the same.
     */
-  def simhash(tokensExprSql: String): Column = expr(
+  def simhashFromHashes(hashesCol: String): Column = expr(
     s"""aggregate(
        |  transform(sequence(0, 59), j ->
-       |    IF(aggregate(
-       |         transform($tokensExprSql, t -> conv(substring(md5(t), 18, 15), 16, 10)),
-       |         0L,
-       |         (acc, h) -> acc + IF((shiftright(cast(h as long), j) & 1L) = 1L, 1L, -1L)) > 0,
+       |    IF(aggregate($hashesCol, 0L,
+       |         (acc, h) -> acc + IF((shiftright(h, j) & 1L) = 1L, 1L, -1L)) > 0,
        |       shiftleft(1L, j), 0L)),
        |  0L, (a, x) -> a + x)""".stripMargin)
 

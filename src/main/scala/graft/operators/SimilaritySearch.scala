@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers, mirroring how the reference's HNSW index would be
+  * re-expressed on Spark:
+  *   - brute force (the oracle): score every row, TakeOrderedAndProject —
+  *     one scan, no shuffle of vectors, k rows per partition move;
+  *   - IVF: assign rows to the nearest of K centroids once (a broadcast
+  *     cross join — centroids are tiny), then probe only the query's
+  *     cluster(s). At 100 TB the assignment is the write-side cost and the
+  *     cluster id becomes a partition column, so a probe is partition
+  *     pruning, not a scan;
+  *   - random-hyperplane LSH: bucket = sign bits of dot(v, plane_j); probe
+  *     the query's bucket then exact re-rank. Bucket id is again a
+  *     partition-prunable column at scale.
+  */
+object SimilaritySearch {
+
+  /** Brute-force cosine top-k (descending similarity, tie-break id asc). */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int): DataFrame =
+    df.select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Rows → nearest-centroid assignment (IVF "train+assign" step).
+    * `centroids` must be small (broadcast); ties break on centroid id.
+    * Output: (idCol, emb, cid).
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("d").asc, col("cid").asc)
+    df.select(col(idCol), toDoubleArray(col(vecCol)).as("emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", l2Sq(col("emb"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("emb"), col("cid"))
+  }
+
+  /** IVF search with nprobe=1: top-k (squared L2) within the query row's
+    * own cluster. Centroids = rows satisfying `centroidPred` (deterministic
+    * "training" — at scale, replace with persisted k-means centroids).
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column, queryId: Long, k: Int): DataFrame = {
+    val centroids = df.where(centroidPred)
+      .select(col(idCol).as("cid"), toDoubleArray(col(vecCol)).as("ce"))
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+    val q = assigned.where(col(idCol) === queryId)
+      .select(col("emb").as("qe"), col("cid").as("qcid"))
+    assigned.join(broadcast(q), col("cid") === col("qcid"))
+      .select(col(idCol), l2Sq(col("emb"), col("qe")).as("score"))
+      .orderBy(col("score").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Bucket each row by random-hyperplane signs. Planes = rows satisfying
+    * `planePred`, whose ids MUST be contiguous 1..P (bit j comes from plane
+    * id j+1). Output: (idCol, emb, bucket).
+    */
+  def rpLshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      planePred: Column): DataFrame = {
+    val planes = df.where(planePred)
+      .select(col(idCol).as("pid"), toDoubleArray(col(vecCol)).as("pe"))
+    df.select(col(idCol), toDoubleArray(col(vecCol)).as("emb"))
+      .crossJoin(broadcast(planes))
+      .groupBy(col(idCol), col("emb"))
+      .agg(sum(when(dot(col("emb"), col("pe")) > 0,
+          expr("shiftleft(1L, cast(pid - 1 as int))")).otherwise(lit(0L))).as("bucket"))
+  }
+
+  /** RP-LSH search: candidates share the query's bucket; exact squared-L2
+    * re-rank of the candidates, top-k.
+    */
+  def rpLshTopK(df: DataFrame, idCol: String, vecCol: String,
+      planePred: Column, queryId: Long, k: Int): DataFrame = {
+    val bucketed = rpLshBuckets(df, idCol, vecCol, planePred)
+    val q = bucketed.where(col(idCol) === queryId)
+      .select(col("emb").as("qe"), col("bucket").as("qb"))
+    bucketed.join(broadcast(q), col("bucket") === col("qb"))
+      .select(col(idCol), l2Sq(col("emb"), col("qe")).as("score"))
+      .orderBy(col("score").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

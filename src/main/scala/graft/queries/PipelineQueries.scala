@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Training-data-pipeline operators as oracle-checked queries (q17–q26):
+  * near-dup detection (MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine), text analysis (language-ID, quality, token stats, rolling-hash
+  * fingerprint), and approximate similarity search (IVF, RP-LSH).
+  *
+  * Every hash is md5-derived so the DuckDB oracle reproduces it exactly
+  * (see TextFunctions); every float path folds in index order in Double.
+  */
+object PipelineQueries {
+
+  /** Shared DuckDB fragments, kept in lockstep with TextFunctions. */
+  private val duckShingles =
+    "list_distinct(list_transform(range(0, greatest(length(text)-4, 1)), i -> substr(text, CAST(i+1 AS INT), 5)))"
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private def duckMarker(words: Seq[String]) =
+    s"CAST(length(list_filter(toks, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x))) AS INT)"
+  private val duckDotZip =
+    "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+  private val duckL2Zip =
+    "list_sum(list_transform(list_zip(%s, %s), x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))*(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // MinHash+LSH near-dup: shingle(5) → 16 minhashes → 4 bands → bucket
+    // join → exact Jaccard on candidates; 10 closest candidate pairs.
+    QueryDef("q17_minhash_lsh_dedup",
+      (s, d) => Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("jac").desc, col("a").asc, col("b").asc)
+        .limit(10),
+      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS shingles FROM documents),
+        |hv AS (SELECT doc_id, shingles, list_transform(shingles, s -> CAST('0x'||substr(md5(s),25,8) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(range(0,16), k -> list_min(list_transform(hs, x -> (x*(2*k+1) + (1000000007*k+17)) % 4294967311))) AS sg FROM hv),
+        |bands AS (SELECT doc_id, j AS band_idx,
+        |  CAST(sg[4*CAST(j AS INT)+1] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+2] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+3] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+4] AS VARCHAR) AS band_key
+        |  FROM sig, range(0,4) t(j)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+        |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT c.a, c.b,
+        |  CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |    (length(sa.shingles) + length(sb.shingles) - length(list_intersect(sa.shingles, sb.shingles))) AS jac
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
+        |SELECT a, b, jac FROM pairs ORDER BY jac DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
+    // SimHash near-dup: 60-bit simhash of token md5s; 10 pairs with the
+    // smallest hamming distance.
+    QueryDef("q18_simhash_dedup",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 60)
+        .orderBy(col("ham").asc, col("a").asc, col("b").asc)
+        .limit(10),
+      Some(s"""WITH hv AS (SELECT doc_id, list_transform($duckToks, t -> CAST('0x'||substr(md5(t),18,15) AS BIGINT)) AS hv FROM documents),
+        |sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,60), j ->
+        |  CASE WHEN CAST(list_sum(list_transform(hv, h -> CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+        |  THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)) AS BIGINT) AS sh FROM hv)
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS ham
+        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |ORDER BY ham ASC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
+    // Word-3-gram Jaccard similarity join (exact quadratic baseline for the
+    // LSH path above); 10 most-similar pairs.
+    QueryDef("q19_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .orderBy(col("jac").desc, col("a").asc, col("b").asc)
+        .limit(10),
+      Some("""WITH g AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(0, greatest(length(regexp_split_to_array(trim(text), '\s+'))-2, 1)),
+        |  i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), CAST(i+1 AS INT), CAST(i+3 AS INT)), ' '))) AS grams
+        |  FROM documents)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(length(list_intersect(x.grams, y.grams)) AS DOUBLE) /
+        |    (length(x.grams) + length(y.grams) - length(list_intersect(x.grams, y.grams))) AS jac
+        |FROM g x JOIN g y ON x.doc_id < y.doc_id
+        |ORDER BY jac DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
+    // Embedding near-dup: each row's single most-similar other row by
+    // cosine; first 30 ids (bounded deterministic output).
+    QueryDef("q20_embedding_neardup",
+      (s, d) => Dedup.nearestNeighborPerRow(Tables.embeddings(s, d), "vec_id", "embedding")
+        .where(col("vec_id") < 30)
+        .orderBy(col("vec_id").asc),
+      Some(s"""WITH v AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM embeddings),
+        |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+        |  ${duckDotZip.format("x.embedding", "y.embedding")} / (x.nrm*y.nrm) AS cos_sim
+        |  FROM v x JOIN v y ON x.vec_id <> y.vec_id)
+        |SELECT a AS vec_id, b AS nn_id, cos_sim FROM p
+        |WHERE a < 30
+        |QUALIFY row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b ASC) = 1
+        |ORDER BY vec_id ASC""".stripMargin)),
+
+    // Heuristic language-ID: marker-word counts per language, argmax with
+    // fixed priority (en > de > es > fr > zh) on ties.
+    QueryDef("q21_langid",
+      (s, d) => {
+        val toks = wsTokens(col("text"))
+        val counts = LangMarkers.map { case (lang, words) =>
+          markerCount(toks, words).as(s"c_$lang")
+        }
+        val df = Tables.documents(s, d).select(col("doc_id") +: counts: _*)
+        val pred = when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
+            col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
+          .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
+            col("c_de") >= col("c_zh"), "de")
+          .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_zh"), "es")
+          .when(col("c_fr") >= col("c_zh"), "fr")
+          .otherwise("zh")
+        df.select(col("doc_id"), pred.as("pred_lang"),
+            col("c_en"), col("c_de"), col("c_es"), col("c_fr"), col("c_zh"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  ${duckMarker(Seq("the", "a", "is", "of", "and"))} AS c_en,
+        |  ${duckMarker(Seq("der", "die", "und", "ist", "das"))} AS c_de,
+        |  ${duckMarker(Seq("el", "la", "de", "los", "que"))} AS c_es,
+        |  ${duckMarker(Seq("le", "les", "des", "et", "une"))} AS c_fr,
+        |  ${duckMarker(Seq("的", "是", "在", "了", "和"))} AS c_zh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_fr >= c_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  c_en, c_de, c_es, c_fr, c_zh
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: stopword ratio, punctuation ratio, length factor.
+    QueryDef("q22_quality_score",
+      (s, d) => {
+        val toks  = wsTokens(col("text"))
+        val nTok  = size(toks)
+        val cStop = markerCount(toks, LangMarkers.head._2).cast("double")
+        val punct = punctRatio(col("text"))
+        val quality = lit(0.5) * (cStop / nTok) +
+          lit(0.3) * (lit(1.0) - punct) +
+          lit(0.2) * least(nTok.cast("double") / lit(100.0), lit(1.0))
+        Tables.documents(s, d)
+          .select(col("doc_id"), nTok.as("n_tok"), quality.as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(length(toks) AS INT) AS n_tok,
+        |  CAST(${duckMarker(Seq("the", "a", "is", "of", "and"))} AS DOUBLE) AS c_stop,
+        |  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tok,
+        |  CAST(0.5 AS DOUBLE) * (c_stop / n_tok) +
+        |  CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio) +
+        |  CAST(0.2 AS DOUBLE) * least(CAST(n_tok AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Token counting per language: whitespace tokens + BPE-ish subwords.
+    QueryDef("q23_token_stats",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum(size(wsTokens(col("text")))).as("ws_tokens"),
+          sum(size(bpeishTokens(col("text")))).as("bpeish_tokens"))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS cnt,
+        |CAST(SUM(length($duckToks)) AS BIGINT) AS ws_tokens,
+        |CAST(SUM(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpeish_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Document fingerprinting: rolling polynomial hash over characters.
+    QueryDef("q24_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |  (acc, c) -> (acc*31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // IVF ANN: 8 deterministic centroids (vec_id < 8), nprobe=1, top-5
+    // within the query's cluster.
+    QueryDef("q25_ann_ivf",
+      (s, d) => SimilaritySearch.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        centroidPred = col("vec_id") < 8, queryId = 0L, k = 5),
+      Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |a AS (SELECT e.vec_id, e.embedding, c.cid, ${duckL2Zip.format("e.embedding", "c.ce")} AS d FROM embeddings e, c),
+        |asg AS (SELECT vec_id, embedding, cid FROM a
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) = 1),
+        |q AS (SELECT embedding AS qe, cid AS qcid FROM asg WHERE vec_id = 0)
+        |SELECT s.vec_id, ${duckL2Zip.format("s.embedding", "q.qe")} AS score
+        |FROM asg s, q WHERE s.cid = q.qcid
+        |ORDER BY score ASC, s.vec_id ASC LIMIT 5""".stripMargin)),
+
+    // RP-LSH ANN: 6 hyperplanes (vec_id 1..6 as planes), bucket by sign
+    // bits, exact re-rank within the query's bucket, top-5.
+    QueryDef("q26_ann_lsh_rp",
+      (s, d) => SimilaritySearch.rpLshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        planePred = col("vec_id").between(1, 6), queryId = 0L, k = 5),
+      Some(s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id BETWEEN 1 AND 6),
+        |bk AS (SELECT e.vec_id, e.embedding, CAST(SUM(CASE WHEN ${duckDotZip.format("e.embedding", "p.pe")} > 0
+        |  THEN (CAST(1 AS BIGINT) << CAST(p.pid - 1 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, p GROUP BY e.vec_id, e.embedding),
+        |q AS (SELECT embedding AS qe, bucket AS qb FROM bk WHERE vec_id = 0)
+        |SELECT b.vec_id, ${duckL2Zip.format("b.embedding", "q.qe")} AS score
+        |FROM bk b, q WHERE b.bucket = q.qb
+        |ORDER BY score ASC, b.vec_id ASC LIMIT 5""".stripMargin))
+  )
+}

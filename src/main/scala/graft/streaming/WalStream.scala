@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Schemas
+
+/** The WAL as a live change stream — Structured Streaming over the same
+  * JSON-lines dir the batch store appends to (SURVEY §1.5: the WAL *is* an
+  * event stream; `readStream.json` replaces hand-rolled tail-and-replay,
+  * and `checkpointLocation` replaces `wal_pos.txt`, reference
+  * `src/utils/wal_manager.py:185-246`).
+  */
+object WalStream {
+
+  case class KeyState(key: String, opType: String, timestamp: Long, batchSeq: Long)
+
+  /** Streaming source over a WAL dir (batch store's `put`/`delete` output). */
+  def source(spark: SparkSession, walDir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.wal.add("batch_seq", "long"))
+      .option("mode", "PERMISSIVE")
+      .json(walDir)
+      .where(col("op_type").isNotNull && col("key").isNotNull)
+
+  /** Streaming last-writer-wins: per key, keep the op with the max
+    * (timestamp, batch_seq) and emit a change row whenever the winner
+    * changes — `flatMapGroupsWithState`, the streaming form of the batch
+    * LWW window (R16). State is one small record per key; at unbounded key
+    * cardinality, pair with snapshot-compaction cadence like the
+    * reference's per-2k-puts checkpoint (`datanode/handler.py:316-317`).
+    */
+  def lwwUpdates(ops: DataFrame): Dataset[KeyState] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops.select("key", "op_type", "timestamp", "batch_seq")
+      .as[(String, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KeyState, KeyState](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[KeyState]) =>
+          val incoming = rows.toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            import scala.math.Ordering.Implicits._
+            val best = incoming.maxBy(r => (r._3, r._4))
+            val cur  = state.getOption
+            if (cur.forall(c => (best._3, best._4) > ((c.timestamp, c.batchSeq)))) {
+              val ks = KeyState(key, best._2, best._3, best._4)
+              state.update(ks)
+              Iterator.single(ks)
+            } else Iterator.empty
+          }
+      }
+  }
+
+  /** Watermarked sliding-window op counts over the stream — the streaming
+    * analog of the ingest tally (R17) with late-data bounds.
+    * `tsCol` must be an event-time timestamp column.
+    */
+  def windowedOpCounts(ops: DataFrame, windowDur: String, slideDur: String,
+      watermark: String): DataFrame =
+    ops.withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur, slideDur), col("op_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("op_type"), col("n"))
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),       // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),       // near dup of 1
+    (4L, "completely different words about spark and shuffles"),
+    (5L, "  The Quick Brown Fox Jumps Over The Lazy Dog  ")    // case/space dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by normalized text, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // 1,2,5 collapse (lower+trim); 3 and 4 singletons
+    assert(got === Array((1L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds exact dup pair with jaccard 1.0") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) === 1.0)
+  }
+
+  test("minhash LSH candidate pairs never include self or reversed pairs") {
+    val got = Dedup.minhashPairs(docs, "doc_id", "text").collect()
+    got.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated docs far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 60)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs((3L, 4L)) > 10) // unrelated
+    assert(pairs((1L, 3L)) < pairs((3L, 4L))) // near dup closer than unrelated
+  }
+
+  test("ngram jaccard ranks near-dup above unrelated") {
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac((1L, 2L)) === 1.0)
+    assert(jac((1L, 3L)) > jac((1L, 4L)))
+  }
+
+  test("nearest neighbor per row on real embeddings is symmetric-sane") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+    val nn = Dedup.nearestNeighborPerRow(emb, "vec_id", "embedding")
+    assert(nn.count() === 50)
+    // no row is its own neighbor
+    assert(nn.where($"vec_id" === $"nn_id").count() === 0)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilaritySearch
+import graft.queries.CoreQueries
+
+class SimilaritySearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private lazy val q   = CoreQueries.queryVec(spark, sf0001)
+
+  test("cosine top-k: the query row itself ranks first with cos 1.0") {
+    val got = SimilaritySearch.cosineTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(got.head.getLong(0) === 0L)
+    assert(math.abs(got.head.getDouble(1) - 1.0) < 1e-12)
+    val sims = got.map(_.getDouble(1))
+    assert(sims.sliding(2).forall(p => p(0) >= p(1))) // descending
+  }
+
+  test("IVF: query's own row first at score 0; results within one cluster") {
+    val got = SimilaritySearch.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 8, queryId = 0L, k = 5).collect()
+    assert(got.head.getLong(0) === 0L && got.head.getDouble(1) === 0.0)
+    assert(got.length === 5)
+  }
+
+  test("RP-LSH: candidates share the query bucket; exact re-rank ascending") {
+    val got = SimilaritySearch.rpLshTopK(emb, "vec_id", "embedding",
+      col("vec_id").between(1, 6), queryId = 0L, k = 5).collect()
+    assert(got.head.getLong(0) === 0L && got.head.getDouble(1) === 0.0)
+    val scores = got.map(_.getDouble(1))
+    assert(scores.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("ANN quality: report recall@5 of RP-LSH vs exact (not hash-matched)") {
+    val exact = graft.operators.Knn.search(emb, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSet
+    val approx = SimilaritySearch.rpLshTopK(emb, "vec_id", "embedding",
+      col("vec_id").between(1, 6), queryId = 0L, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"recall@5 of RP-LSH vs exact: $recall%.2f")
+    assert(recall >= 0.2) // query row itself always recalls
+  }
+}

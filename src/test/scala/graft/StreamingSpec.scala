@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.store.VectorStore
+import graft.streaming.WalStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeWal(): String = {
+    val dir = Files.createTempDirectory("graft-stream-").toString
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(Seq(
+      ("a", Array(1f, 1f), Map.empty[String, String], 10L),
+      ("b", Array(2f, 2f), Map.empty[String, String], 11L)
+    ).toDF("key", "vector", "metadata", "ts"))
+    store.put(Seq(
+      ("a", Array(9f, 9f), Map.empty[String, String], 20L)
+    ).toDF("key", "vector", "metadata", "ts"))
+    store.delete(Seq("b"), ts = 30L)
+    dir
+  }
+
+  test("streaming LWW over the WAL emits final winners per key") {
+    val dir = writeWal()
+    val updates = WalStream.lwwUpdates(WalStream.source(spark, s"$dir/wal"))
+    val q = updates.writeStream
+      .format("memory").queryName("lww_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination(60000)
+    val state = spark.table("lww_out")
+      .orderBy($"key", $"timestamp")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.last }
+    // final winner for a is the ts=20 PUT; for b the ts=30 DELETE
+    assert(state("a")._2 === "PUT" && state("a")._3 === 20L)
+    assert(state("b")._2 === "DELETE" && state("b")._3 === 30L)
+  }
+
+  test("watermarked windowed op counts run on the stream") {
+    val dir = writeWal()
+    val counts = WalStream.windowedOpCounts(
+      WalStream.source(spark, s"$dir/wal"),
+      windowDur = "1 minute", slideDur = "1 minute", watermark = "1 minute")
+    val q = counts.writeStream
+      .format("memory").queryName("win_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val byOp = spark.table("win_out")
+      .groupBy("op_type").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp("PUT") === 3L && byOp("DELETE") === 1L)
+  }
+}

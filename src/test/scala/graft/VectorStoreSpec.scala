@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Knn
+import graft.store.VectorStore
+
+class VectorStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-store-").toString
+
+  private def rec(key: String, v: Array[Float], ts: Long, tag: String = "t") =
+    (key, v, Map("tag" -> tag), ts)
+
+  private def batch(rows: (String, Array[Float], Map[String, String], Long)*) =
+    rows.toDF("key", "vector", "metadata", "ts")
+
+  test("put then get round-trips; dim validation rejects bad rows") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    val (ok, rejected) = store.put(batch(
+      rec("a", Array(1f, 2f), 10),
+      rec("bad", Array(1f), 20))) // wrong dim
+    assert(ok === 1 && rejected === 1)
+    val got = store.get("a").collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Seq[Double]]("vector") === Seq(1.0, 2.0))
+    assert(store.get("bad").count() === 0)
+  }
+
+  test("last writer wins on key overwrite (R1)") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(rec("k", Array(1f, 1f), 10)))
+    store.put(batch(rec("k", Array(9f, 9f), 20)))
+    val got = store.scan.collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Seq[Double]]("vector") === Seq(9.0, 9.0))
+  }
+
+  test("delete tombstones a key; error-free re-put revives it (R2)") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(rec("k", Array(1f, 1f), 10), rec("m", Array(2f, 2f), 10)))
+    store.delete(Seq("k"), ts = 20)
+    assert(store.scan.select("key").collect().map(_.getString(0)).toSeq === Seq("m"))
+    store.put(batch(rec("k", Array(3f, 3f), 30)))
+    assert(store.scan.count() === 2)
+  }
+
+  test("compaction snapshot + incremental replay == full replay (S6≡S7)") {
+    val dir = tmpDir()
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(batch(rec("a", Array(1f, 1f), 10), rec("b", Array(2f, 2f), 10)))
+    store.delete(Seq("a"), ts = 20)
+    store.compact() // snapshot covers everything so far
+    store.put(batch(rec("c", Array(3f, 3f), 30), rec("b", Array(4f, 4f), 40)))
+    val got = store.scan.orderBy("key").collect()
+      .map(r => (r.getString(0), r.getAs[Seq[Double]]("vector")))
+    assert(got === Array(("b", Seq(4.0, 4.0)), ("c", Seq(3.0, 3.0))))
+    // fresh store object over the same dir recovers identically
+    val store2 = new VectorStore(spark, dir, dim = 2)
+    assert(store2.scan.orderBy("key").collect()
+      .map(r => (r.getString(0), r.getAs[Seq[Double]]("vector"))) === got)
+  }
+
+  test("corrupt WAL lines are skipped, valid ops survive (PERMISSIVE)") {
+    val dir = tmpDir()
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(batch(rec("a", Array(1f, 1f), 10)))
+    // a torn/corrupt WAL file: one valid op line, one garbage line
+    // (a separate file — appending to a Spark-written one would only trip
+    // the Hadoop CRC checksum, a different failure than corrupt JSON)
+    val valid = """{"op_type":"PUT","key":"b","vector":[2.0,2.0],""" +
+      s""""metadata":{},"timestamp":15,"node_id":"n1","batch_seq":${Long.MaxValue - 1}}"""
+    Files.write(Paths.get(s"$dir/wal/torn-manual.json"),
+      (valid + "\n{this is not json\n").getBytes)
+    assert(store.scan.count() === 2) // a + b survive, garbage skipped
+  }
+
+  test("search over the live store honors filter + threshold") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(
+      rec("near", Array(0f, 1f), 10, tag = "keep"),
+      rec("far", Array(9f, 9f), 10, tag = "keep"),
+      rec("other", Array(0f, 0.5f), 10, tag = "drop")))
+    val got = store.search(Knn.SearchRequest(Array(0.0, 0.0), topK = 5,
+      filter = Map("tag" -> "keep"), threshold = Some(5.0)))
+      .collect().map(_.getString(0))
+    assert(got === Array("near"))
+  }
+}
