@@ -20,12 +20,26 @@ object VectorFunctions {
   private def foldSum(terms: Column): Column =
     aggregate(terms, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product a·b (Double left fold). */
+  /** Dot product a·b — whole-stage-codegen expression; bit-identical to
+    * [[dotFold]] (same Double left fold in index order), no per-row array
+    * allocation, fuses into the surrounding codegen span.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorDistance.dot(a, b)
+
+  /** Squared L2 distance — reference metric (`src/datanode/handler.py:46`).
+    * Codegen expression; bit-identical to [[l2SqFold]].
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorDistance.l2Sq(a, b)
+
+  /** Declarative fold forms — the executable spec the codegen expression is
+    * cross-checked against (and the shape mirrored by the DuckDB oracle).
+    */
+  def dotFold(a: Column, b: Column): Column =
     foldSum(zip_with(toDoubleArray(a), toDoubleArray(b), (x, y) => x * y))
 
-  /** Squared L2 distance — reference metric (`src/datanode/handler.py:46`). */
-  def l2Sq(a: Column, b: Column): Column =
+  def l2SqFold(a: Column, b: Column): Column =
     foldSum(zip_with(toDoubleArray(a), toDoubleArray(b), (x, y) => (x - y) * (x - y)))
 
   /** Euclidean norm ‖a‖₂. */

@@ -1,0 +1,157 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Codegen MinHash signature over pre-hashed shingle values (array<long>):
+  * element k of the output = min over inputs x of ((2k+1)·x + (1e9+7)·k + 17) mod P,
+  * P = 4294967311 (smallest prime > 2^32) — exactly
+  * `TextFunctions.minhashSignature`, whose interpreted
+  * `array_min(transform(...))` per hash function costs H×n lambda
+  * invocations per row; this is one native H×n loop. Null elements are
+  * skipped (array_min ignore-null semantics); an all-null/empty input
+  * yields null signature slots.
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint>, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val sig = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      val ak = 2L * k + 1
+      val bk = 1000000007L * k + 17L
+      var best = Long.MaxValue
+      var has = false
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val v = (a.getLong(i) * ak + bk) % 4294967311L
+          if (v < best) best = v
+          has = true
+        }
+        i += 1
+      }
+      sig(k) = if (has) best else null
+      k += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val sig = ctx.freshName("sig"); val best = ctx.freshName("best")
+      val has = ctx.freshName("has"); val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |Object[] $sig = new Object[$numHashes];
+         |for (int $k = 0; $k < $numHashes; $k++) {
+         |  long $best = Long.MAX_VALUE; boolean $has = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      long $v = ($a.getLong($i) * (2L * $k + 1) + (1000000007L * $k + 17L)) % 4294967311L;
+         |      if ($v < $best) $best = $v;
+         |      $has = true;
+         |    }
+         |  }
+         |  $sig[$k] = $has ? (Object) Long.valueOf($best) : null;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** Codegen 60-bit SimHash over pre-hashed token values (array<long>): bit j
+  * of the output is set iff Σ over inputs of (bit j set ? +1 : -1) > 0 —
+  * exactly `TextFunctions.simhashFromHashes`, whose interpreted SQL-lambda
+  * costs 60×n nested lambda invocations per row. Null elements are skipped.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<bigint>, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val h = a.getLong(i)
+        var j = 0
+        while (j < 60) {
+          counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 60) { if (counts(j) > 0) sh |= (1L << j); j += 1 }
+    sh
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val counts = ctx.freshName("counts"); val h = ctx.freshName("h")
+      val sh = ctx.freshName("sh")
+      s"""
+         |final int $n = $a.numElements();
+         |int[] $counts = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = $a.getLong($i);
+         |    for (int $j = 0; $j < 60; $j++) {
+         |      $counts[$j] += (((($h >>> $j) & 1L) == 1L) ? 1 : -1);
+         |    }
+         |  }
+         |}
+         |long $sh = 0L;
+         |for (int $j = 0; $j < 60; $j++) { if ($counts[$j] > 0) $sh |= (1L << $j); }
+         |${ev.value} = $sh;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object TextHashExpressions {
+  def minhashSig(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
+
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+}

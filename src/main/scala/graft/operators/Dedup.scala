@@ -29,14 +29,18 @@ object Dedup {
       .select(col(idCol), col("norm_text"), col("group_size"))
 
   /** MinHash signatures + LSH band keys for each row.
-    * Output: (id, shingles, sig, bands).
+    * Output: (id, shingles, sig, bands). The signature is the codegen
+    * [[graft.functions.expressions.MinHashSig]] — bit-identical to the
+    * declarative `minhashSignature` fold (cross-checked in tests) at a
+    * native H×n loop instead of H×n interpreted lambdas.
     */
   def minhashed(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val r = numHashes / bands
     df.select(col(idCol), charShingles(col(textCol), shingleN).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("sig", graft.functions.expressions.TextHashExpressions
+        .minhashSig(transform(col("shingles"), s => md5Low32(s)), numHashes))
       .withColumn("bands", bandKeys(col("sig"), bands, r))
   }
 
@@ -66,11 +70,14 @@ object Dedup {
         (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("jac"))
   }
 
-  /** SimHash values per row (60-bit, from whitespace-token md5s). */
+  /** SimHash values per row (60-bit, from whitespace-token md5s). Codegen
+    * [[graft.functions.expressions.SimHash64]] — bit-identical to the
+    * declarative `simhashFromHashes` SQL-lambda (cross-checked in tests).
+    */
   def simhashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-      expr(s"transform(split(trim($textCol), '\\\\s+'), t -> cast(conv(substring(md5(t), 18, 15), 16, 10) as long))").as("hv"))
-      .withColumn("sh", simhashFromHashes("hv"))
+      transform(wsTokens(col(textCol)), t => md5Low60(t)).as("hv"))
+      .withColumn("sh", graft.functions.expressions.TextHashExpressions.simhash64(col("hv")))
       .drop("hv")
 
   /** SimHash near-dup pairs with hamming(a,b) <= maxHamming, a < b.
@@ -87,19 +94,29 @@ object Dedup {
       .where(col("ham") <= maxHamming)
   }
 
-  /** Word n-gram Jaccard similarity over all pairs (exact quadratic
-    * baseline — use minhashPairs as the candidate generator at scale).
-    * Output: (a, b, jac).
+  /** Word n-gram Jaccard similarity join via an inverted index: explode
+    * distinct grams, self-join on the gram (only co-occurring pairs ever
+    * materialize), count shared grams per pair — |A∩B| by construction —
+    * then Jaccard from the per-doc set sizes. Pairs sharing NO gram (jac
+    * 0) are never emitted, which is what a dedup caller wants and turns
+    * the O(n²)·|set| cross product into a shuffle proportional to real
+    * overlap. At 100 TB, cap the gram doc-frequency (drop boilerplate
+    * grams) to bound the hottest posting lists.
+    * Output: (a, b, jac), jac > 0 only.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val g = df.select(col(idCol), tokenNgrams(col(textCol), n).as("grams"))
-    val a = g.select(col(idCol).as("a"), col("grams").as("ga"))
-    val b = g.select(col(idCol).as("b"), col("grams").as("gb"))
-    val inter = size(array_intersect(col("ga"), col("gb")))
-    a.join(b, col("a") < col("b"))
+      .withColumn("sz", size(col("grams")))
+    val e = g.select(col(idCol), col("sz"), explode(col("grams")).as("gram"))
+    val a = e.select(col(idCol).as("a"), col("sz").as("sa"), col("gram"))
+    val b = e.select(col(idCol).as("b"), col("sz").as("sb"), col("gram"))
+    a.join(b, Seq("gram"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("a"), col("b"),
-        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("jac"))
+        (col("inter").cast("double") / (col("sa") + col("sb") - col("inter"))).as("jac"))
   }
 
   /** For every row, its single most-similar other row by cosine (embedding
@@ -108,7 +125,7 @@ object Dedup {
     * Output: (id, nn_id, cos_sim).
     */
   def nearestNeighborPerRow(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = df.select(col(idCol), toDoubleArray(col(vecCol)).as("emb"))
+    val v = df.select(col(idCol), col(vecCol).as("emb"))
       .withColumn("nrm", norm(col("emb")))
     val a = v.select(col(idCol).as("a"), col("emb").as("ea"), col("nrm").as("na"))
     val b = v.select(col(idCol).as("b"), col("emb").as("eb"), col("nrm").as("nb"))

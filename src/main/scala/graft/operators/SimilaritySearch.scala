@@ -37,7 +37,7 @@ object SimilaritySearch {
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("d").asc, col("cid").asc)
-    df.select(col(idCol), toDoubleArray(col(vecCol)).as("emb"))
+    df.select(col(idCol), col(vecCol).as("emb"))
       .crossJoin(broadcast(centroids))
       .withColumn("d", l2Sq(col("emb"), col("ce")))
       .withColumn("rn", row_number().over(w))
@@ -52,7 +52,7 @@ object SimilaritySearch {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       centroidPred: Column, queryId: Long, k: Int): DataFrame = {
     val centroids = df.where(centroidPred)
-      .select(col(idCol).as("cid"), toDoubleArray(col(vecCol)).as("ce"))
+      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
     val assigned = ivfAssign(df, idCol, vecCol, centroids)
     val q = assigned.where(col(idCol) === queryId)
       .select(col("emb").as("qe"), col("cid").as("qcid"))
@@ -69,8 +69,8 @@ object SimilaritySearch {
   def rpLshBuckets(df: DataFrame, idCol: String, vecCol: String,
       planePred: Column): DataFrame = {
     val planes = df.where(planePred)
-      .select(col(idCol).as("pid"), toDoubleArray(col(vecCol)).as("pe"))
-    df.select(col(idCol), toDoubleArray(col(vecCol)).as("emb"))
+      .select(col(idCol).as("pid"), col(vecCol).as("pe"))
+    df.select(col(idCol), col(vecCol).as("emb"))
       .crossJoin(broadcast(planes))
       .groupBy(col(idCol), col("emb"))
       .agg(sum(when(dot(col("emb"), col("pe")) > 0,

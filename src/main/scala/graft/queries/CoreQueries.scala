@@ -191,8 +191,10 @@ object CoreQueries {
     // pairs (a < b). Norms computed once per row before the pair join.
     QueryDef("q16_cosine_simjoin",
       (s, d) => {
+        // float arrays flow through the pair join (half the bytes of a
+        // double cast); the codegen distance widens per element instead.
         val v = Tables.embeddings(s, d)
-          .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
+          .select(col("vec_id"), col("embedding").as("emb"))
           .withColumn("nrm", norm(col("emb")))
         val a = v.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
         val b = v.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))

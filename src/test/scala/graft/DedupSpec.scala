@@ -43,11 +43,12 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 3L)) < pairs((3L, 4L))) // near dup closer than unrelated
   }
 
-  test("ngram jaccard ranks near-dup above unrelated") {
+  test("ngram jaccard: exact dup at 1.0, near-dup partial, disjoint absent") {
     val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(jac((1L, 2L)) === 1.0)
-    assert(jac((1L, 3L)) > jac((1L, 4L)))
+    assert(jac((1L, 3L)) > 0.0 && jac((1L, 3L)) < 1.0)
+    assert(!jac.contains((1L, 4L))) // zero-overlap pairs never materialize
   }
 
   test("nearest neighbor per row on real embeddings is symmetric-sane") {

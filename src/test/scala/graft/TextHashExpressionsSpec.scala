@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.expressions.TextHashExpressions._
+
+/** The codegen text-hash expressions must be bit-identical to the
+  * declarative fold forms they replace (which the DuckDB oracle mirrors).
+  */
+class TextHashExpressionsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("MinHashSig == declarative minhashSignature on real documents") {
+    val shingles = charShingles(col("text"), 5)
+    val diff = docs.select(
+        minhashSig(transform(shingles, s => md5Low32(s)), 16).as("native"),
+        minhashSignature(shingles, 16).as("fold"))
+      .where(to_json(col("native")) =!= to_json(col("fold")))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("SimHash64 == declarative simhashFromHashes on real documents") {
+    val diff = docs
+      .select(transform(wsTokens(col("text")), t => md5Low60(t)).as("hv"))
+      .select(simhash64(col("hv")).as("native"),
+        simhashFromHashes("hv").as("fold"))
+      .where(col("native") =!= col("fold"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("RollingHash == declarative fingerprintFold on real documents") {
+    val diff = docs.select(
+        fingerprint(col("text")).as("native"),
+        fingerprintFold(col("text")).as("fold"))
+      .where(col("native") =!= col("fold"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("empty and null-element inputs behave like the fold forms") {
+    val df = spark.sql(
+      "SELECT cast(array() as array<bigint>) empty, cast(array(5, null) as array<bigint>) holed")
+    val mh = df.select(
+      minhashSig(col("empty"), 4).as("m_empty"),
+      minhashSig(col("holed"), 4).as("m_holed"),
+      simhash64(col("empty")).as("s_empty"))
+    val r = mh.head()
+    assert(r.getSeq[Any](0) === Seq(null, null, null, null)) // no values -> null mins
+    assert(r.getSeq[Any](1).forall(_ != null))               // null skipped
+    assert(r.getLong(2) === 0L)                              // empty -> all bits 0
+  }
+}
