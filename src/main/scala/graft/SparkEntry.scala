@@ -8,7 +8,8 @@ import graft.queries.CoreQueries
 object SparkEntry {
 
   private def registry: Seq[graft.queries.QueryDef] =
-    CoreQueries.all ++ graft.queries.PipelineQueries.all
+    CoreQueries.all ++ graft.queries.PipelineQueries.all ++
+      graft.queries.ExtendedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * DQ2: exact top-5 KNN by squared L2 — the reference's entire query path

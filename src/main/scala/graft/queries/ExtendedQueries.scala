@@ -1,0 +1,102 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+import graft.store.VectorStore
+
+/** q27–q30: the storage engine exercised end-to-end as an oracle-checked
+  * query, plus analytics breadth (normalization, sessionization, grouped
+  * top-n) on the same parity rules as CoreQueries.
+  */
+object ExtendedQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // The full write path as a query: events become PUT/DELETE ops against
+    // a fresh VectorStore (WAL JSON append -> LWW compaction view), final
+    // state read back through scan. Oracle = the same event-time LWW in
+    // SQL. Timestamps compare in µs (DuckDB truncates parquet ns to µs;
+    // (user_id, µs) is collision-free in the fixtures).
+    QueryDef("q27_store_lifecycle",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-q27-").toString
+        val store = new VectorStore(s, dir, dim = 1)
+        val ev = Tables.events(s, d)
+        store.put(ev.where(col("event_type") =!= "delete").select(
+          col("user_id").cast("string").as("key"),
+          array(col("value")).as("vector"),
+          map(lit("event_type"), col("event_type")).as("metadata"),
+          col("ts")))
+        store.delete(ev.where(col("event_type") === "delete")
+          .select(col("user_id").cast("string").as("key"), col("ts")))
+        store.scan.select(col("key"),
+            col("vector").getItem(0).as("value"),
+            expr("ts div 1000").as("ts_us"))
+          .orderBy("key")
+      },
+      Some("""SELECT CAST(user_id AS VARCHAR) AS key, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |FROM (SELECT user_id, event_type, value, ts,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'delete' ORDER BY key""".stripMargin)),
+
+    // F1 normalize as an oracle-checked query (unit vectors, zero-guarded).
+    QueryDef("q28_normalize",
+      (s, d) => Tables.embeddings(s, d)
+        .where(col("vec_id") < 20)
+        .select(col("vec_id"), normalize(col("embedding")).as("unit"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+        |  CASE WHEN nrm = CAST(0 AS DOUBLE) THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS unit
+        |FROM (SELECT vec_id, embedding,
+        |      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |      FROM embeddings)
+        |WHERE vec_id < 20 ORDER BY vec_id""".stripMargin)),
+
+    // Sessionization: 30-minute-gap sessions per user (lag + running flag —
+    // the batch analog of streaming session windows). ts is int64 nanos on
+    // the Spark side; 1800e9 ns == INTERVAL 30 MINUTE.
+    QueryDef("q29_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+        Tables.events(s, d)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev").isNull || col("ts") - col("prev") > lit(1800000000000L), 1L)
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM (SELECT user_id,
+        |      CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |      FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS prev
+        |            FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Grouped top-n: 2 biggest orders per customer (WindowGroupLimit
+    // pushdown keeps the per-group sort partial).
+    QueryDef("q30_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .where(col("o_custkey") < 50)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders WHERE o_custkey < 50)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin))
+  )
+}

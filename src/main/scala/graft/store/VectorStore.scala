@@ -73,6 +73,21 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     (accepted, bad - accepted)
   }
 
+  /** Append DELETE tombstones with per-row timestamps: `ops` must carry
+    * (key STRING, ts LONG). Event-time LWW then interleaves deletes and
+    * puts correctly regardless of batch arrival order.
+    */
+  def delete(ops: DataFrame): Unit = {
+    val seq = nextSeq()
+    ops.select(
+        lit("DELETE").as("op_type"), col("key"),
+        lit(null).cast("array<double>").as("vector"),
+        lit(null).cast("map<string,string>").as("metadata"),
+        col("ts").as("timestamp"),
+        lit("spark").as("node_id"), lit(seq).as("batch_seq"))
+      .write.mode("append").json(walDir)
+  }
+
   /** Append DELETE tombstones (null vector/metadata, reference WAL shape). */
   def delete(keys: Seq[String], ts: Long): Unit = {
     val seq = nextSeq()

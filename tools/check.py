@@ -43,9 +43,16 @@ def main(sf_dir, out_dir):
         if len(oracle) != len(got):
             print(f"FAIL {name}: rows {len(got)} != oracle {len(oracle)}")
             n_fail += 1; continue
+        def norm(v):
+            if hasattr(v, "tolist"):  # numpy array/scalar cells (list columns)
+                return norm(v.tolist())
+            if isinstance(v, list):
+                return [norm(x) for x in v]
+            return v
         ok = True
         for c in oracle.columns:
-            a, b = oracle[c].tolist(), got[c].tolist()
+            a = [norm(x) for x in oracle[c].tolist()]
+            b = [norm(x) for x in got[c].tolist()]
             if a != b:
                 bad = next(i for i in range(len(a)) if a[i] != b[i])
                 print(f"FAIL {name}: col {c} row {bad}: oracle={a[bad]!r} got={b[bad]!r}")
