@@ -66,6 +66,22 @@ object Demo {
     q.awaitTermination(60000)
     spark.table("lww").orderBy("key", "timestamp").show(false)
 
+    println("== ANN tiers on real embeddings (exact | IVF | RP-LSH | MLlib LSH):")
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qv = graft.queries.CoreQueries.queryVec(spark, sf)
+    val exact = graft.operators.Knn.search(emb, "vec_id", "embedding", qv, 5)
+    val mllib = graft.operators.SimilaritySearch.mllibLshTopK(
+      emb, "vec_id", "embedding", queryId = 0L, k = 5)
+    val ivf = graft.operators.SimilaritySearch.ivfTopK(
+      emb, "vec_id", "embedding", org.apache.spark.sql.functions.col("vec_id") < 8, 0L, 5)
+    println("-- exact:");  exact.show(false)
+    println("-- mllib lsh (2k over-fetch, exact re-rank):"); mllib.show(false)
+    println("-- ivf nprobe=1:"); ivf.show(false)
+    val exactIds  = exact.collect().map(_.getLong(0)).toSet
+    val mllibIds  = mllib.collect().map(_.getLong(0)).toSet
+    println(f"-- recall@5 mllib-vs-exact: ${(exactIds intersect mllibIds).size / 5.0}%.2f")
+
     println("== multimodal: binaryFile ingest -> stub features")
     val mdir = Files.createTempDirectory("graft-demo-media-")
     Files.write(mdir.resolve("photo1.jpg"), Array.tabulate[Byte](64)(_.toByte))

@@ -90,4 +90,32 @@ object SimilaritySearch {
       .orderBy(col("score").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** MLlib `BucketedRandomProjectionLSH` as the approximate index (SURVEY
+    * §7 step 8): fit with a fixed seed, over-fetch 2k candidates mirroring
+    * the reference's candidate multiplier (`src/datanode/handler.py:364`),
+    * then exact squared-L2 re-rank and truncate to k. Quality is measured
+    * as recall against the exact path (a reported metric, not an oracle —
+    * ANN results are model-dependent by nature, like HNSW's).
+    */
+  def mllibLshTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int,
+      bucketLength: Double = 1.0, numTables: Int = 3): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = df.select(col(idCol),
+      col(vecCol).as("raw"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(data)
+    val qRow = data.where(col(idCol) === queryId).select("features").head()
+    val qKey = qRow.getAs[org.apache.spark.ml.linalg.Vector](0)
+    val qArr = qKey.toArray
+    model.approxNearestNeighbors(data, qKey, 2 * k)
+      .select(col(idCol), l2Sq(col("raw"), typedLit(qArr)).as("score"))
+      .orderBy(col("score").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -34,6 +34,17 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(scores.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("MLlib BucketedRandomProjectionLSH path: query first, recall reported") {
+    val got = SimilaritySearch.mllibLshTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 5).collect()
+    assert(got.head.getLong(0) === 0L && got.head.getDouble(1) === 0.0)
+    val exact = graft.operators.Knn.search(emb, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect got.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    info(f"recall@5 of MLlib LSH (2k over-fetch) vs exact: $recall%.2f")
+    assert(recall >= 0.2)
+  }
+
   test("ANN quality: report recall@5 of RP-LSH vs exact (not hash-matched)") {
     val exact = graft.operators.Knn.search(emb, "vec_id", "embedding", q, 5)
       .collect().map(_.getLong(0)).toSet
