@@ -40,13 +40,23 @@ object TextFunctions {
     array_distinct(transform(sequence(lit(0), count - 1), i => text.substr(i + 1, lit(n))))
   }
 
-  /** Distinct word n-grams over the whitespace tokens. */
-  def tokenNgrams(text: Column, n: Int): Column = {
-    val toks  = wsTokens(text)
+  /** Distinct word n-grams from an ALREADY-MATERIALIZED tokens column.
+    * Pass an attribute (a projected column), not `wsTokens(text)` inline:
+    * expressions referenced inside a higher-order-function lambda re-evaluate
+    * per element, so an inline split would tokenize the row once per n-gram
+    * position (measured 6.7s of pure re-splitting at sf0.1).
+    */
+  def ngramsOfTokens(toks: Column, n: Int): Column = {
     val count = greatest(size(toks) - (n - 1), lit(1))
     array_distinct(transform(sequence(lit(0), count - 1),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  /** Convenience single-expression form — fine for small data / tests; hot
+    * paths should project `wsTokens` first and use [[ngramsOfTokens]].
+    */
+  def tokenNgrams(text: Column, n: Int): Column =
+    ngramsOfTokens(wsTokens(text), n)
 
   /** MinHash prime (smallest prime > 2^32). */
   val MinHashP = 4294967311L

@@ -106,9 +106,13 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val g = df.select(col(idCol), tokenNgrams(col(textCol), n).as("grams"))
+    val g = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+      .select(col(idCol), ngramsOfTokens(col("toks"), n).as("grams"))
       .withColumn("sz", size(col("grams")))
+    // persisted: both legs of the self-join read it; without this the
+    // tokenize+shingle pipeline runs twice (Spark has no cross-leg CSE)
     val e = g.select(col(idCol), col("sz"), explode(col("grams")).as("gram"))
+      .persist()
     val a = e.select(col(idCol).as("a"), col("sz").as("sa"), col("gram"))
     val b = e.select(col(idCol).as("b"), col("sz").as("sb"), col("gram"))
     a.join(b, Seq("gram"))

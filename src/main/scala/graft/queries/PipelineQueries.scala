@@ -100,11 +100,14 @@ object PipelineQueries {
     // fixed priority (en > de > es > fr > zh) on ties.
     QueryDef("q21_langid",
       (s, d) => {
-        val toks = wsTokens(col("text"))
+        // project tokens once: marker lambdas re-evaluate any inline
+        // expression per element, so tokenization must be materialized
+        val toked = Tables.documents(s, d)
+          .select(col("doc_id"), wsTokens(col("text")).as("toks"))
         val counts = LangMarkers.map { case (lang, words) =>
-          markerCount(toks, words).as(s"c_$lang")
+          markerCount(col("toks"), words).as(s"c_$lang")
         }
-        val df = Tables.documents(s, d).select(col("doc_id") +: counts: _*)
+        val df = toked.select(col("doc_id") +: counts: _*)
         val pred = when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
             col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
           .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
@@ -136,14 +139,14 @@ object PipelineQueries {
     // Quality scoring: stopword ratio, punctuation ratio, length factor.
     QueryDef("q22_quality_score",
       (s, d) => {
-        val toks  = wsTokens(col("text"))
-        val nTok  = size(toks)
-        val cStop = markerCount(toks, LangMarkers.head._2).cast("double")
+        val nTok  = size(col("toks"))
+        val cStop = markerCount(col("toks"), LangMarkers.head._2).cast("double")
         val punct = punctRatio(col("text"))
         val quality = lit(0.5) * (cStop / nTok) +
           lit(0.3) * (lit(1.0) - punct) +
           lit(0.2) * least(nTok.cast("double") / lit(100.0), lit(1.0))
         Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), wsTokens(col("text")).as("toks"))
           .select(col("doc_id"), nTok.as("n_tok"), quality.as("quality"))
           .orderBy("doc_id")
       },
