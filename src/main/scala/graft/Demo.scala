@@ -19,11 +19,17 @@ object Demo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+
+    println("== SQL surface via GraftExtensions:")
+    spark.sql(
+      """SELECT vec_l2sq(array(0.0d, 3.0d), array(4.0d, 0.0d)) AS l2sq,
+        |       rolling_hash('ab') AS fp""".stripMargin).show(false)
 
     val dir = Files.createTempDirectory("graft-demo-").toString
     println(s"== store at $dir")

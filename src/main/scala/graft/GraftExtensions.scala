@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.{MinHashSig, RollingHash, SimHash64, VectorDistance}
+
+/** Session extension registering the engine's codegen expressions as SQL
+  * functions — `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) makes
+  * `SELECT vec_l2sq(a, b)` etc. available to pure-SQL users.
+  *
+  * Functions: vec_l2sq, vec_dot, minhash_sig(hashes, h), simhash64,
+  * rolling_hash.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("vec_l2sq"),
+      info("vec_l2sq", "vec_l2sq(a, b) - squared L2 distance of two numeric arrays"),
+      (exprs: Seq[Expression]) => VectorDistance(exprs(0), exprs(1), squared = true)))
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
+      (exprs: Seq[Expression]) => VectorDistance(exprs(0), exprs(1), squared = false)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(hashes, h) - h-element MinHash signature over array<bigint>"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(hashes) - 60-bit SimHash over array<bigint>"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(text) - polynomial fingerprint mod 1e9+7"),
+      (exprs: Seq[Expression]) => RollingHash(exprs(0))))
+  }
+}

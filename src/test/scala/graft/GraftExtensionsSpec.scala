@@ -1,0 +1,35 @@
+package graft
+
+/** SQL users get the codegen functions through SparkSessionExtensions
+  * (`spark.sql.extensions=graft.GraftExtensions`, set by SparkSpec).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("vec_l2sq / vec_dot resolve in pure SQL") {
+    val r = spark.sql(
+      """SELECT vec_l2sq(array(0.0d, 3.0d), array(4.0d, 0.0d)) AS l2,
+        |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin).head()
+    assert(r.getDouble(0) === 25.0 && r.getDouble(1) === 11.0)
+  }
+
+  test("minhash_sig / simhash64 / rolling_hash resolve in pure SQL") {
+    val r = spark.sql(
+      """SELECT size(minhash_sig(array(1L, 2L, 3L), 8)) AS n,
+        |       simhash64(array(1L)) AS sh,
+        |       rolling_hash('ab') AS fp""".stripMargin).head()
+    assert(r.getInt(0) === 8)
+    assert(r.getLong(1) === 1L) // single hash 0b1: bit 0 wins, others -1
+    assert(r.getLong(2) === 3105L)
+  }
+
+  test("SQL KNN end-to-end with extension functions on real data") {
+    spark.read.parquet(s"$sf0001/embeddings.parquet").createOrReplaceTempView("emb")
+    val rows = spark.sql(
+      """WITH q AS (SELECT embedding AS qe FROM emb WHERE vec_id = 0)
+        |SELECT e.vec_id, vec_l2sq(e.embedding, q.qe) AS score
+        |FROM emb e CROSS JOIN q
+        |ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin).collect()
+    assert(rows.head.getLong(0) === 0L && rows.head.getDouble(1) === 0.0)
+    assert(rows.length === 5)
+  }
+}
