@@ -80,6 +80,26 @@ object ExtendedQueries {
         |            FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Grouped KNN (many query vectors at once) through the typed heap
+    // aggregator — map-side partial top-k, the scalable similarity-join
+    // primitive. Oracle = the equivalent window form in SQL.
+    QueryDef("q31_grouped_knn",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.TopK.knnJoin(emb, emb.where(col("vec_id") < 5),
+            "vec_id", "embedding", "vec_id", "embedding", k = 3)
+          .orderBy(col("qid"), col("score"), col("id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.qid, e.vec_id AS id,
+        |  list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |    x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))*(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)))) AS score
+        |  FROM embeddings e, q)
+        |SELECT qid, id, score FROM (
+        |  SELECT qid, id, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score ASC, id ASC) AS rn FROM s)
+        |WHERE rn <= 3 ORDER BY qid, score, id""".stripMargin)),
+
     // Grouped top-n: 2 biggest orders per customer (WindowGroupLimit
     // pushdown keeps the per-group sort partial).
     QueryDef("q30_topn_per_group",
