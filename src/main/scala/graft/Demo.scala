@@ -22,6 +22,7 @@ object Demo {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -87,6 +88,16 @@ object Demo {
     val exactIds  = exact.collect().map(_.getLong(0)).toSet
     val mllibIds  = mllib.collect().map(_.getLong(0)).toSet
     println(f"-- recall@5 mllib-vs-exact: ${(exactIds intersect mllibIds).size / 5.0}%.2f")
+
+    println("== skew-salted two-phase aggregation vs direct groupBy:")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    graft.operators.Skew.saltedCountSum(ev, "event_type", "value",
+      org.apache.spark.sql.functions.col("event_id"), salts = 8)
+      .orderBy("event_type").show(false)
+    println("-- salts=1 degenerate case (single bucket, same totals):")
+    graft.operators.Skew.saltedCountSum(ev, "event_type", "value",
+      org.apache.spark.sql.functions.col("event_id"), salts = 1)
+      .orderBy("event_type").show(false)
 
     println("== multimodal: binaryFile ingest -> stub features")
     val mdir = Files.createTempDirectory("graft-demo-media-")

@@ -17,6 +17,17 @@ object ExtendedQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Hierarchical aggregation: ROLLUP(lang, source) — subtotal rows carry
+    // nulls; both engines order nulls first explicitly (defaults differ).
+    QueryDef("q32_rollup",
+      (s, d) => Tables.documents(s, d)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first),
+      Some("""SELECT lang, source, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)),
+
     // The full write path as a query: events become PUT/DELETE ops against
     // a fresh VectorStore (WAL JSON append -> LWW compaction view), final
     // state read back through scan. Oracle = the same event-time LWW in
