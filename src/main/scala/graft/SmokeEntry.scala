@@ -3,12 +3,7 @@ import org.apache.spark.sql.SparkSession
 /** Local smoke runner for SparkEntry.entry (the driver's rows>0 check). */
 object SmokeEntry {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = graft.core.GraftSession.local(4)
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)
     println("ENTRY ROWS=" + df.count())

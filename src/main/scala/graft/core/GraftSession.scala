@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** The one place engine sessions are configured. Every main and test uses
+  * this builder so the load-bearing confs can't drift between entry
+  * points (the nanosAsLong one already bit a drifted session once):
+  *
+  *  - `nanosAsLong`: events.parquet is TIMESTAMP(NANOS); without this the
+  *    read throws; with it, `ts` is int64 nanos (oracle-parity-friendly)
+  *  - extensions: SQL users get vec_l2sq / minhash_sig / etc.
+  *  - UTC + shuffle partitions sized to the worker count, AQE on
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** local[n] with shuffle partitions = n — the engine's standard shape. */
+  def local(cores: Int): SparkSession =
+    builder(s"local[$cores]", cores).getOrCreate()
+
+  /** Worker count from the harness env (driver target: local[32]). */
+  def fromEnv(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    local(cpus)
+  }
+}

@@ -148,9 +148,91 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** md5-low-32 of raw UTF-8 bytes without a hex-string detour: digest bytes
+  * 12..15 as an unsigned int == `conv(substring(md5(s),25,8),16,10)`.
+  */
+object Md5Low32Util {
+  private val digests = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      override def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+
+  def hash(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(12) & 0xffL) << 24) | ((d(13) & 0xffL) << 16) |
+      ((d(14) & 0xffL) << 8) | (d(15) & 0xffL)
+  }
+}
+
+/** MinHash signature DIRECTLY from an array<string> shingle column: one
+  * native loop doing md5-low-32 per shingle plus all `numHashes` minima —
+  * replaces `transform(shingles, md5Low32)` + [[MinHashSig]], whose
+  * interpreted md5 lambda dominated q17 (2.7M lambda calls ≈ 3.5s at
+  * sf0.1). Bit-identical to the declarative pipeline (tested).
+  */
+case class MinHashSigFromStrings(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_str expects array<string>, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigFromStrings.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.MinHashSigFromStrings.compute($a, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig_str"
+}
+
+object MinHashSigFromStrings {
+  /** Shared by interpreted + generated code. Null elements skipped
+    * (array_min ignore-null semantics); empty/all-null → null slots.
+    */
+  def compute(a: ArrayData, numHashes: Int): GenericArrayData = {
+    val n = a.numElements()
+    val best = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = Md5Low32Util.hash(a.getUTF8String(i).getBytes)
+        any = true
+        var k = 0
+        while (k < numHashes) {
+          val v = (x * (2L * k + 1) + (1000000007L * k + 17L)) % 4294967311L
+          if (v < best(k)) best(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) { out(k) = if (any) best(k) else null; k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object TextHashExpressions {
   def minhashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
+
+  def minhashSigFromStrings(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigFromStrings(ColumnBridge.expression(shingles), numHashes))
 
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))

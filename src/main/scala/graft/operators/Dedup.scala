@@ -40,7 +40,7 @@ object Dedup {
     val r = numHashes / bands
     df.select(col(idCol), charShingles(col(textCol), shingleN).as("shingles"))
       .withColumn("sig", graft.functions.expressions.TextHashExpressions
-        .minhashSig(transform(col("shingles"), s => md5Low32(s)), numHashes))
+        .minhashSigFromStrings(col("shingles"), numHashes))
       .withColumn("bands", bandKeys(col("sig"), bands, r))
   }
 

@@ -22,6 +22,16 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("MinHashSigFromStrings == declarative pipeline on real documents") {
+    val shingles = charShingles(col("text"), 5)
+    val diff = docs.select(
+        minhashSigFromStrings(shingles, 16).as("native"),
+        minhashSignature(shingles, 16).as("fold"))
+      .where(to_json(col("native")) =!= to_json(col("fold")))
+      .count()
+    assert(diff === 0)
+  }
+
   test("SimHash64 == declarative simhashFromHashes on real documents") {
     val diff = docs
       .select(transform(wsTokens(col("text")), t => md5Low60(t)).as("hv"))
