@@ -12,6 +12,12 @@ import org.apache.spark.sql.SparkSession
   *  - UTC + shuffle partitions sized to the worker count, AQE on
   */
 object GraftSession {
+  // per-process warehouse: the in-memory catalog dies with the JVM, so a
+  // shared location would leave LOCATION_ALREADY_EXISTS landmines for the
+  // next run's saveAsTable
+  private lazy val warehouseDir =
+    java.nio.file.Files.createTempDirectory("graft-warehouse-").toString
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -21,6 +27,7 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", warehouseDir)
 
   /** local[n] with shuffle partitions = n — the engine's standard shape. */
   def local(cores: Int): SparkSession =
