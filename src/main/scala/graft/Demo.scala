@@ -83,6 +83,23 @@ object Demo {
     val mllibIds  = mllib.collect().map(_.getLong(0)).toSet
     println(f"-- recall@5 mllib-vs-exact: ${(exactIds intersect mllibIds).size / 5.0}%.2f")
 
+    println("== continuous KNN serving: stream of query vectors -> top-3 each:")
+    val qtmp = Files.createTempDirectory("graft-demo-qserve-").toString
+    emb.where(org.apache.spark.sql.functions.col("vec_id").isin(0L, 42L))
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+        org.apache.spark.sql.functions.col("embedding").as("qvec"))
+      .write.parquet(s"$qtmp/queries")
+    val qstream = spark.readStream
+      .schema(spark.read.parquet(s"$qtmp/queries").schema)
+      .parquet(s"$qtmp/queries")
+    val served = graft.streaming.QueryStream.serve(
+      qstream, emb, "vec_id", "embedding", k = 3) { (answers, epoch) =>
+        println(s"-- micro-batch $epoch answers:")
+        answers.orderBy("qid", "score", "id").show(false)
+      }
+    val sq = served.option("checkpointLocation", s"$qtmp/ckpt").start()
+    sq.awaitTermination(60000)
+
     println("== skew-salted two-phase aggregation vs direct groupBy:")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     graft.operators.Skew.saltedCountSum(ev, "event_type", "value",
