@@ -38,7 +38,8 @@ object Dedup {
       shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val r = numHashes / bands
-    df.select(col(idCol), charShingles(col(textCol), shingleN).as("shingles"))
+    df.select(col(idCol),
+        graft.functions.expressions.CharShinglesExpr(col(textCol), shingleN).as("shingles"))
       .withColumn("sig", graft.functions.expressions.TextHashExpressions
         .minhashSigFromStrings(col("shingles"), numHashes))
       .withColumn("bands", bandKeys(col("sig"), bands, r))

@@ -9,6 +9,7 @@ import graft.functions.expressions.TextHashExpressions._
   * declarative fold forms they replace (which the DuckDB oracle mirrors).
   */
 class TextHashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
 
@@ -20,6 +21,25 @@ class TextHashExpressionsSpec extends SparkSpec {
       .where(to_json(col("native")) =!= to_json(col("fold")))
       .count()
     assert(diff === 0)
+  }
+
+  test("CharShinglesExpr == declarative charShingles on real documents") {
+    val diff = docs.select(
+        graft.functions.expressions.CharShinglesExpr(col("text"), 5).as("native"),
+        charShingles(col("text"), 5).as("fold"))
+      .where(to_json(col("native")) =!= to_json(col("fold")))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("CharShinglesExpr: short-text fallback and unicode code points") {
+    val df = Seq("ab", "aaaa", "日本語テキスト").toDF("text")
+    val native = df.select(graft.functions.expressions.CharShinglesExpr(col("text"), 3))
+      .collect().map(_.getSeq[String](0))
+    val fold = df.select(charShingles(col("text"), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(native.toSeq.map(_.toList) === fold.toSeq.map(_.toList))
+    assert(native(0) === Seq("ab"))
   }
 
   test("MinHashSigFromStrings == declarative pipeline on real documents") {
