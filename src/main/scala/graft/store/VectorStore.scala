@@ -69,7 +69,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
         col("vector").cast("array<double>").as("vector"),
         col("metadata"), col("ts").as("timestamp"),
         lit("spark").as("node_id"), lit(seq).as("batch_seq"))
-      .write.mode("append").json(walDir)
+      .write.partitionBy("batch_seq").mode("append").json(walDir)
     (accepted, bad - accepted)
   }
 
@@ -85,7 +85,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
         lit(null).cast("map<string,string>").as("metadata"),
         col("ts").as("timestamp"),
         lit("spark").as("node_id"), lit(seq).as("batch_seq"))
-      .write.mode("append").json(walDir)
+      .write.partitionBy("batch_seq").mode("append").json(walDir)
   }
 
   /** Append DELETE tombstones (null vector/metadata, reference WAL shape). */
@@ -98,7 +98,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
         lit(null).cast("map<string,string>").as("metadata"),
         lit(ts).as("timestamp"),
         lit("spark").as("node_id"), lit(seq).as("batch_seq"))
-      .write.mode("append").json(walDir)
+      .write.partitionBy("batch_seq").mode("append").json(walDir)
   }
 
   private def walSchema = Schemas.wal.add("batch_seq", "long")
@@ -106,14 +106,20 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
   /** All WAL ops newer than the snapshot position. PERMISSIVE mode skips
     * corrupt lines — the reference's replay semantics
     * (`wal_manager.py:142-146`).
+    *
+    * The WAL dir is PARTITIONED by `batch_seq` (one dir per append), so
+    * the `batch_seq > afterSeq` predicate is partition pruning: an
+    * incremental replay never opens pre-checkpoint files — the
+    * reference's file-name-timestamp pruning (`wal_manager.py:189-195`)
+    * at the storage layer, not a row filter.
     */
   def walOps(afterSeq: Long = readPos()): DataFrame = {
     val p = Paths.get(walDir)
     if (!Files.exists(p)) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], walSchema)
     else spark.read.schema(walSchema).option("mode", "PERMISSIVE").json(walDir)
-      .where(col("op_type").isNotNull && col("key").isNotNull)
       .where(col("batch_seq") > afterSeq)
+      .where(col("op_type").isNotNull && col("key").isNotNull)
   }
 
   private def latestSnapshot: Option[String] = {

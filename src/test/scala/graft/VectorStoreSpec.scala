@@ -69,14 +69,32 @@ class VectorStoreSpec extends SparkSpec {
     val dir = tmpDir()
     val store = new VectorStore(spark, dir, dim = 2)
     store.put(batch(rec("a", Array(1f, 1f), 10)))
-    // a torn/corrupt WAL file: one valid op line, one garbage line
-    // (a separate file — appending to a Spark-written one would only trip
-    // the Hadoop CRC checksum, a different failure than corrupt JSON)
+    // a torn/corrupt WAL file inside its own batch partition dir: one
+    // valid op line, one garbage line (a separate file — appending to a
+    // Spark-written one would only trip the Hadoop CRC checksum, a
+    // different failure than corrupt JSON)
     val valid = """{"op_type":"PUT","key":"b","vector":[2.0,2.0],""" +
-      s""""metadata":{},"timestamp":15,"node_id":"n1","batch_seq":${Long.MaxValue - 1}}"""
-    Files.write(Paths.get(s"$dir/wal/torn-manual.json"),
+      s""""metadata":{},"timestamp":15,"node_id":"n1"}"""
+    val tornDir = Paths.get(s"$dir/wal/batch_seq=${Long.MaxValue - 1}")
+    Files.createDirectories(tornDir)
+    Files.write(tornDir.resolve("torn-manual.json"),
       (valid + "\n{this is not json\n").getBytes)
     assert(store.scan.count() === 2) // a + b survive, garbage skipped
+  }
+
+  test("incremental replay prunes WAL partitions (S8 file-level pruning)") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(rec("a", Array(1f, 1f), 10)))
+    store.put(batch(rec("b", Array(2f, 2f), 20)))
+    store.compact()
+    store.put(batch(rec("c", Array(3f, 3f), 30)))
+    val delta = store.walOps()
+    // only the post-checkpoint batch survives...
+    assert(delta.select("key").collect().map(_.getString(0)).toSeq === Seq("c"))
+    // ...and it does so via partition pruning, not a row filter
+    val plan = delta.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("batch_seq"),
+      s"expected batch_seq partition pruning in:\n$plan")
   }
 
   test("search over the live store honors filter + threshold") {
