@@ -50,8 +50,10 @@ object Demo {
       filter = Map("tag" -> "animal"))).show(false)
 
     store.compact()
-    println(s"== compacted; snapshots: " +
-      Files.list(Paths.get(dir)).toArray.map(_.toString.split('/').last).sorted.mkString(", "))
+    val listing = Files.list(Paths.get(dir))
+    try println(s"== compacted; snapshots: " +
+      listing.toArray.map(_.toString.split('/').last).sorted.mkString(", "))
+    finally listing.close()
 
     store.put(Seq(("eel", Array(0f, 0f, 0f, 1f), Map("tag" -> "animal"), 400L))
       .toDF("key", "vector", "metadata", "ts"))
@@ -93,7 +95,8 @@ object Demo {
       .schema(spark.read.parquet(s"$qtmp/queries").schema)
       .parquet(s"$qtmp/queries")
     val served = graft.streaming.QueryStream.serve(
-      qstream, emb, "vec_id", "embedding", k = 3) { (answers, epoch) =>
+      qstream, emb, "vec_id", "embedding", k = 3,
+      trigger = Trigger.AvailableNow()) { (answers, epoch) =>
         println(s"-- micro-batch $epoch answers:")
         answers.orderBy("qid", "score", "id").show(false)
       }

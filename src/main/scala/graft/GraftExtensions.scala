@@ -28,8 +28,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => VectorDistance(exprs(0), exprs(1), squared = false)))
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(hashes, h) - h-element MinHash signature over array<bigint>"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => {
+        // h must be a positive integer literal — validate here so misuse
+        // fails with a clear analysis message, not an internal exception
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"minhash_sig expects exactly 2 arguments (hashes, numHashes), got ${exprs.length}")
+        val h = exprs(1) match {
+          case e2 if e2.foldable => e2.eval(null) match {
+            case n: Number if n.intValue() > 0 => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig numHashes must be a positive integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "minhash_sig numHashes must be a literal, not a column")
+        }
+        MinHashSig(exprs(0), h)
+      }))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 60-bit SimHash over array<bigint>"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))

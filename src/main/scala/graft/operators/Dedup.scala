@@ -49,11 +49,17 @@ object Dedup {
     * Only rows sharing a band key are ever paired; the distinct() collapses
     * pairs that collide in several bands. Output: (a, b, jac) with the
     * *exact* Jaccard of the distinct shingle sets, a < b.
+    *
+    * `persistIntermediates`: the signature relation feeds four plan legs
+    * (two band-join sides, two shingle-verify sides); persisting computes
+    * it once but the cached blocks live until the caller clears the cache
+    * (long-lived sessions should pass false or manage `spark.catalog`).
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val mh = minhashed(df, idCol, textCol, shingleN, numHashes, bands)
-      .persist()
+      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      persistIntermediates: Boolean = true): DataFrame = {
+    val mh0 = minhashed(df, idCol, textCol, shingleN, numHashes, bands)
+    val mh = if (persistIntermediates) mh0.persist() else mh0
     val banded = mh.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val cand = banded.as("x").join(banded.as("y"),
@@ -106,14 +112,15 @@ object Dedup {
     * Output: (a, b, jac), jac > 0 only.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, persistIntermediates: Boolean = true): DataFrame = {
     val g = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
       .select(col(idCol), ngramsOfTokens(col("toks"), n).as("grams"))
       .withColumn("sz", size(col("grams")))
-    // persisted: both legs of the self-join read it; without this the
-    // tokenize+shingle pipeline runs twice (Spark has no cross-leg CSE)
-    val e = g.select(col(idCol), col("sz"), explode(col("grams")).as("gram"))
-      .persist()
+    // persisted by default: both legs of the self-join read it; without
+    // this the tokenize+shingle pipeline runs twice (no cross-leg CSE).
+    // Cached blocks live until the caller clears the cache.
+    val e0 = g.select(col(idCol), col("sz"), explode(col("grams")).as("gram"))
+    val e = if (persistIntermediates) e0.persist() else e0
     val a = e.select(col(idCol).as("a"), col("sz").as("sa"), col("gram"))
     val b = e.select(col(idCol).as("b"), col("sz").as("sb"), col("gram"))
     a.join(b, Seq("gram"))

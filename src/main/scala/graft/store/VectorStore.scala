@@ -61,8 +61,11 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     */
   def put(batch: DataFrame): (Long, Long) = {
     val seq = nextSeq()
-    val ok  = batch.where(VectorFunctions.dimOk(col("vector"), dim))
-    val bad = batch.count() // total; rejected = total - accepted
+    // single evaluation of the (possibly non-deterministic) input: cache,
+    // count once, write the same rows that were counted
+    val cached = batch.persist()
+    val total = cached.count()
+    val ok = cached.where(VectorFunctions.dimOk(col("vector"), dim))
     val accepted = ok.count()
     ok.select(
         lit("PUT").as("op_type"), col("key"),
@@ -70,7 +73,8 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
         col("metadata"), col("ts").as("timestamp"),
         lit("spark").as("node_id"), lit(seq).as("batch_seq"))
       .write.partitionBy("batch_seq").mode("append").json(walDir)
-    (accepted, bad - accepted)
+    cached.unpersist()
+    (accepted, total - accepted)
   }
 
   /** Append DELETE tombstones with per-row timestamps: `ops` must carry
@@ -125,26 +129,51 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
   private def latestSnapshot: Option[String] = {
     val base = Paths.get(baseDir)
     if (!Files.exists(base)) return None
-    val snaps = Files.list(base).toArray.map(_.toString)
-      .filter(_.matches(".*/snapshot_\\d+$")).sorted
-    snaps.lastOption
+    val stream = Files.list(base)
+    try {
+      val snaps = stream.toArray.map(_.toString)
+        .filter(_.matches(".*/snapshot_\\d+$"))
+      // numeric order, not lexicographic — digit-count differences between
+      // seq values must not pick a stale snapshot
+      if (snaps.isEmpty) None
+      else Some(snaps.maxBy(_.split('_').last.toLong))
+    } finally stream.close()
   }
 
-  /** The live table: snapshot ∪ newer WAL, last-writer-wins by
-    * (timestamp, batch_seq), tombstones dropped. One shuffle on `key`.
+  /** Deterministic LWW winner per key over snapshot ∪ delta — the ONE
+    * definition both the live view and compaction materialize from.
+    * Order: (timestamp, batch_seq, row content hash) so equal-ts
+    * duplicates inside a single batch still resolve identically run to
+    * run. Tombstone winners are KEPT here (op_type = DELETE rows): a
+    * snapshot must remember deletions or a late-arriving PUT with an
+    * older event-time would resurrect the key (S6 ≡ S7 would break).
+    * Tombstone GC is a retention policy (reference: 7 days,
+    * `wal_manager.py:23`), not a compaction side effect.
     */
-  def compacted: DataFrame = {
-    val snap = latestSnapshot.map(spark.read.parquet(_)).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(walSchema.filter(_.name != "node_id"))))
-    val delta = walOps().drop("node_id")
+  private def lwwWinners(snap: DataFrame, delta: DataFrame): DataFrame = {
+    val contentTie = xxhash64(to_json(struct(col("op_type"), col("vector"), col("metadata"))))
     val w = Window.partitionBy(col("key"))
-      .orderBy(col("timestamp").desc, col("batch_seq").desc)
+      .orderBy(col("timestamp").desc, col("batch_seq").desc, contentTie.desc)
     snap.unionByName(delta)
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1 && col("op_type") === "PUT")
-      .select(col("key"), col("vector"), col("metadata"), col("timestamp").as("ts"))
+      .where(col("rn") === 1)
+      .drop("rn")
   }
+
+  private def emptyOps: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(walSchema.filter(_.name != "node_id")))
+
+  private def snapshotOps: DataFrame =
+    latestSnapshot.map(spark.read.parquet(_)).getOrElse(emptyOps)
+
+  /** The live table: snapshot ∪ newer WAL, last-writer-wins, tombstone
+    * winners filtered at read time. One shuffle on `key`.
+    */
+  def compacted: DataFrame =
+    lwwWinners(snapshotOps, walOps().drop("node_id"))
+      .where(col("op_type") === "PUT")
+      .select(col("key"), col("vector"), col("metadata"), col("timestamp").as("ts"))
 
   /** Point lookup (S1): pushes the key predicate into the scans. */
   def get(key: String): DataFrame = compacted.where(col("key") === key)
@@ -170,17 +199,10 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
         case l: Long    => l
         case other      => other.toString.toLong
       })
-    val snapDf = {
-      val w = Window.partitionBy(col("key"))
-        .orderBy(col("timestamp").desc, col("batch_seq").desc)
-      val snap = latestSnapshot.map(spark.read.parquet(_)).getOrElse(
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(walSchema.filter(_.name != "node_id"))))
-      snap.unionByName(walOps().drop("node_id"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1 && col("op_type") === "PUT")
-        .drop("rn")
-    }
+    if (tip <= readPos()) return // idempotent: nothing new since the last
+                                 // snapshot; rewriting the dir a plan may
+                                 // be reading from would corrupt it
+    val snapDf = lwwWinners(snapshotOps, walOps().drop("node_id"))
     snapDf.write.mode("overwrite").parquet(s"${snapDirBase}_$tip")
     writePos(tip)
   }

@@ -21,14 +21,18 @@ object QueryStream {
 
   /** Wire a query stream (qid, qvec) to a sink fn; each micro-batch runs
     * the grouped-KNN join (map-side top-k heaps) against `corpus`.
+    * Default trigger is continuous micro-batching (as-fast-as-possible);
+    * pass `Trigger.AvailableNow()` to drain a backlog and stop.
     */
   def serve(
       queries: DataFrame,       // streaming: (qid LONG, qvec ARRAY<numeric>)
       corpus: DataFrame,        // static: (idCol, vecCol)
       corpusId: String, corpusVec: String,
-      k: Int)(sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+      k: Int,
+      trigger: Trigger = Trigger.ProcessingTime(0L))(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
           val answers = TopK.knnJoin(corpus, batch,

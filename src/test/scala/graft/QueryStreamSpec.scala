@@ -24,7 +24,8 @@ class QueryStreamSpec extends SparkSpec {
       .parquet(qdir)
 
     val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-    val writer = QueryStream.serve(qstream, emb, "vec_id", "embedding", k = 3) {
+    val writer = QueryStream.serve(qstream, emb, "vec_id", "embedding", k = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()) {
       (answers, _) =>
         collected ++= answers.collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getDouble(2)))

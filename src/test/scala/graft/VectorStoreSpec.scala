@@ -82,6 +82,34 @@ class VectorStoreSpec extends SparkSpec {
     assert(store.scan.count() === 2) // a + b survive, garbage skipped
   }
 
+  test("compact() is idempotent; snapshot remembers tombstones (no resurrection)") {
+    val dir = tmpDir()
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(batch(rec("k", Array(1f, 1f), 100)))
+    store.delete(Seq("k"), ts = 200)
+    store.compact()
+    store.compact() // second call with no new ops must be a clean no-op
+    assert(store.scan.count() === 0)
+    // a late backfill PUT with an OLDER event time must stay dead: the
+    // snapshot keeps the ts=200 tombstone even though wal_pos passed it
+    store.put(batch(rec("k", Array(9f, 9f), 150)))
+    assert(store.scan.count() === 0, "older-ts backfill resurrected a deleted key")
+    // and a genuinely newer PUT revives it
+    store.put(batch(rec("k", Array(5f, 5f), 300)))
+    assert(store.scan.collect().map(_.getString(0)).toSeq === Seq("k"))
+  }
+
+  test("same-batch equal-ts duplicate keys resolve deterministically") {
+    def winner(): Seq[Double] = {
+      val store = new VectorStore(spark, tmpDir(), dim = 2)
+      store.put(batch(
+        rec("k", Array(1f, 0f), 100),
+        rec("k", Array(0f, 1f), 100))) // same key, same ts, same batch
+      store.scan.select("vector").head().getSeq[Double](0).toList
+    }
+    assert(winner() === winner()) // content-hash tie-break, not partition luck
+  }
+
   test("incremental replay prunes WAL partitions (S8 file-level pruning)") {
     val store = new VectorStore(spark, tmpDir(), dim = 2)
     store.put(batch(rec("a", Array(1f, 1f), 10)))
