@@ -110,8 +110,9 @@ object SimilaritySearch {
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42L)
       .setInputCol("features").setOutputCol("hashes")
       .fit(data)
-    val qRow = data.where(col(idCol) === queryId).select("features").head()
-    val qKey = qRow.getAs[org.apache.spark.ml.linalg.Vector](0)
+    val qRows = data.where(col(idCol) === queryId).select("features").take(1)
+    require(qRows.nonEmpty, s"mllibLshTopK: no row with $idCol = $queryId")
+    val qKey = qRows.head.getAs[org.apache.spark.ml.linalg.Vector](0)
     val qArr = qKey.toArray
     model.approxNearestNeighbors(data, qKey, 2 * k)
       .select(col(idCol), l2Sq(col("raw"), typedLit(qArr)).as("score"))
