@@ -2,8 +2,10 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -20,7 +22,6 @@ import org.apache.spark.sql.types._
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
@@ -28,53 +29,30 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
       s"minhash_sig expects array<bigint>, got ${child.dataType.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    val sig = new Array[Any](numHashes)
-    var k = 0
-    while (k < numHashes) {
-      val ak = 2L * k + 1
-      val bk = 1000000007L * k + 17L
-      var best = Long.MaxValue
-      var has = false
-      var i = 0
-      while (i < n) {
-        if (!a.isNullAt(i)) {
-          val v = (a.getLong(i) * ak + bk) % 4294967311L
-          if (v < best) best = v
-          has = true
-        }
-        i += 1
-      }
-      sig(k) = if (has) best else null
-      k += 1
-    }
-    new GenericArrayData(sig)
+  // Null INPUT yields an array of null slots (never a null array) — the
+  // exact shape of the declarative form, where transform(null) gives null
+  // hashes and each array_min(null) slot is null. Hence nullable = false
+  // and custom eval/genCode instead of the default null propagation.
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinHashSigUtil.nullSig(numHashes)
+    else MinHashSigUtil.computeFromHashes(v.asInstanceOf[ArrayData], numHashes)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val k = ctx.freshName("k")
-      val sig = ctx.freshName("sig"); val best = ctx.freshName("best")
-      val has = ctx.freshName("has"); val v = ctx.freshName("v")
-      s"""
-         |final int $n = $a.numElements();
-         |Object[] $sig = new Object[$numHashes];
-         |for (int $k = 0; $k < $numHashes; $k++) {
-         |  long $best = Long.MAX_VALUE; boolean $has = false;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if (!$a.isNullAt($i)) {
-         |      long $v = ($a.getLong($i) * (2L * $k + 1) + (1000000007L * $k + 17L)) % 4294967311L;
-         |      if ($v < $best) $best = $v;
-         |      $has = true;
-         |    }
-         |  }
-         |  $sig[$k] = $has ? (Object) Long.valueOf($best) : null;
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
-       """.stripMargin
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
+          ${childGen.isNull}
+            ? graft.functions.expressions.MinHashSigUtil.nullSig($numHashes)
+            : graft.functions.expressions.MinHashSigUtil.computeFromHashes(${childGen.value}, $numHashes);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -177,7 +155,6 @@ case class MinHashSigFromStrings(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
@@ -185,17 +162,66 @@ case class MinHashSigFromStrings(child: Expression, numHashes: Int)
       s"minhash_sig_str expects array<string>, got ${child.dataType.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    MinHashSigFromStrings.compute(input.asInstanceOf[ArrayData], numHashes)
+  // see MinHashSig: null input -> array of null slots, matching the
+  // declarative pipeline; never a null array
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.expressions.MinHashSigFromStrings.compute($a, $numHashes);")
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinHashSigUtil.nullSig(numHashes)
+    else MinHashSigFromStrings.compute(v.asInstanceOf[ArrayData], numHashes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
+          ${childGen.isNull}
+            ? graft.functions.expressions.MinHashSigUtil.nullSig($numHashes)
+            : graft.functions.expressions.MinHashSigFromStrings.compute(${childGen.value}, $numHashes);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
   override def prettyName: String = "minhash_sig_str"
+}
+
+object MinHashSigUtil {
+  /** The fold-form shape for a null input: h null slots. */
+  def nullSig(numHashes: Int): GenericArrayData =
+    new GenericArrayData(new Array[Any](numHashes))
+
+  /** Minima over pre-hashed values; null elements skipped (array_min
+    * ignore-null), empty/all-null input -> null slots.
+    */
+  def computeFromHashes(a: ArrayData, numHashes: Int): GenericArrayData = {
+    val n = a.numElements()
+    val sig = new Array[Any](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      val ak = 2L * k + 1
+      val bk = 1000000007L * k + 17L
+      var best = Long.MaxValue
+      var has = false
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val v = (a.getLong(i) * ak + bk) % 4294967311L
+          if (v < best) best = v
+          has = true
+        }
+        i += 1
+      }
+      sig(k) = if (has) best else null
+      k += 1
+    }
+    new GenericArrayData(sig)
+  }
 }
 
 object MinHashSigFromStrings {

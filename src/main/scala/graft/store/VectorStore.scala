@@ -62,8 +62,11 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
   def put(batch: DataFrame): (Long, Long) = {
     val seq = nextSeq()
     // single evaluation of the (possibly non-deterministic) input: cache,
-    // count once, write the same rows that were counted
-    val cached = batch.persist()
+    // count once, write the same rows that were counted. If the CALLER
+    // already persisted the batch, respect their cache (and don't
+    // unpersist it out from under them).
+    val callerCached = batch.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerCached) batch else batch.persist()
     val total = cached.count()
     val ok = cached.where(VectorFunctions.dimOk(col("vector"), dim))
     val accepted = ok.count()
@@ -73,7 +76,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
         col("metadata"), col("ts").as("timestamp"),
         lit("spark").as("node_id"), lit(seq).as("batch_seq"))
       .write.partitionBy("batch_seq").mode("append").json(walDir)
-    cached.unpersist()
+    if (!callerCached) cached.unpersist()
     (accepted, total - accepted)
   }
 
@@ -126,18 +129,17 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
       .where(col("op_type").isNotNull && col("key").isNotNull)
   }
 
+  /** The snapshot `wal_pos.txt` points at — NOT the newest-looking dir:
+    * pos is advanced only after a snapshot write completes, so
+    * `snapshot_<pos>` is complete by construction, while a crash mid-
+    * compact can leave a torn `snapshot_<tip>` that must never be read
+    * (reading it would silently lose keys that walOps(pos) excludes).
+    */
   private def latestSnapshot: Option[String] = {
-    val base = Paths.get(baseDir)
-    if (!Files.exists(base)) return None
-    val stream = Files.list(base)
-    try {
-      val snaps = stream.toArray.map(_.toString)
-        .filter(_.matches(".*/snapshot_\\d+$"))
-      // numeric order, not lexicographic — digit-count differences between
-      // seq values must not pick a stale snapshot
-      if (snaps.isEmpty) None
-      else Some(snaps.maxBy(_.split('_').last.toLong))
-    } finally stream.close()
+    val pos = readPos()
+    if (pos < 0) return None
+    val dir = s"${snapDirBase}_$pos"
+    if (Files.exists(Paths.get(dir))) Some(dir) else None
   }
 
   /** Deterministic LWW winner per key over snapshot ∪ delta — the ONE
@@ -192,13 +194,22 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * deployment would GC them by retention (reference: 7 days,
     * `wal_manager.py:23`).
     */
+  /** Max batch_seq from the WAL partition-directory NAMES — no file
+    * contents are opened (the whole point of the partitioned layout).
+    */
+  private def walTip(): Long = {
+    val p = Paths.get(walDir)
+    if (!Files.exists(p)) return -1L
+    val stream = Files.list(p)
+    try stream.toArray.map(_.toString.split('/').last)
+      .filter(_.startsWith("batch_seq="))
+      .map(_.stripPrefix("batch_seq=").toLong)
+      .foldLeft(-1L)(math.max)
+    finally stream.close()
+  }
+
   def compact(): Unit = {
-    val tip = lastSeq.max(
-      walOps(-1L).agg(max(col("batch_seq"))).head().getAs[Any](0) match {
-        case null       => -1L
-        case l: Long    => l
-        case other      => other.toString.toLong
-      })
+    val tip = lastSeq.max(walTip())
     if (tip <= readPos()) return // idempotent: nothing new since the last
                                  // snapshot; rewriting the dir a plan may
                                  // be reading from would corrupt it

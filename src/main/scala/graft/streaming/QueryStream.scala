@@ -25,10 +25,11 @@ object QueryStream {
     * pass `Trigger.AvailableNow()` to drain a backlog and stop.
     */
   def serve(
-      queries: DataFrame,       // streaming: (qid LONG, qvec ARRAY<numeric>)
-      corpus: DataFrame,        // static: (idCol, vecCol)
+      queries: DataFrame,       // streaming: (queryId LONG, queryVec ARRAY<numeric>)
+      corpus: DataFrame,        // static: (corpusId, corpusVec)
       corpusId: String, corpusVec: String,
       k: Int,
+      queryId: String = "qid", queryVec: String = "qvec",
       trigger: Trigger = Trigger.ProcessingTime(0L))(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream
@@ -36,7 +37,7 @@ object QueryStream {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
           val answers = TopK.knnJoin(corpus, batch,
-            corpusId, corpusVec, "qid", "qvec", k)
+            corpusId, corpusVec, queryId, queryVec, k)
           sink(answers, epochId)
         }
       }

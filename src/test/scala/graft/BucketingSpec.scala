@@ -30,14 +30,19 @@ class BucketingSpec extends SparkSpec {
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }.size
 
-  test("join of co-bucketed tables plans no shuffle exchange") {
+  /** shared fixture so each test can run standalone */
+  private lazy val bucketedTables: Unit = {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     spark.sql("DROP TABLE IF EXISTS emb_a")
     spark.sql("DROP TABLE IF EXISTS emb_b")
     emb.write.mode("overwrite").bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable("emb_a")
     emb.select(col("vec_id"), col("label").as("label_b"))
       .write.mode("overwrite").bucketBy(8, "vec_id").saveAsTable("emb_b")
+  }
 
+  test("join of co-bucketed tables plans no shuffle exchange") {
+    bucketedTables
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     withSmjPlan {
       val joined = spark.table("emb_a").join(spark.table("emb_b"), "vec_id")
       assert(joined.count() === 500)
@@ -52,6 +57,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("aggregation on the bucket key avoids the shuffle") {
+    bucketedTables
     withSmjPlan {
       val agg = spark.table("emb_a").groupBy("vec_id").agg(count(lit(1)))
       assert(agg.count() === 500)

@@ -71,6 +71,24 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("null input yields the fold-form shape: h null slots, not a null array") {
+    val df = spark.sql("SELECT cast(null as array<string>) ns, cast(null as array<bigint>) nh")
+    val r = df.select(
+      minhashSigFromStrings(col("ns"), 4).as("a"),
+      minhashSig(col("nh"), 4).as("b")).head()
+    assert(!r.isNullAt(0) && r.getSeq[Any](0) === Seq(null, null, null, null))
+    assert(!r.isNullAt(1) && r.getSeq[Any](1) === Seq(null, null, null, null))
+    // and parity with the declarative pipeline holds on a null-text row
+    val docsWithNull = Seq((1L, "hello world there"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val diff = docsWithNull.select(
+        minhashSigFromStrings(charShingles(col("text"), 5), 4).as("native"),
+        minhashSignature(charShingles(col("text"), 5), 4).as("fold"))
+      .where(to_json(struct(col("native").as("x"))) =!= to_json(struct(col("fold").as("x"))))
+      .count()
+    assert(diff === 0)
+  }
+
   test("empty and null-element inputs behave like the fold forms") {
     val df = spark.sql(
       "SELECT cast(array() as array<bigint>) empty, cast(array(5, null) as array<bigint>) holed")
