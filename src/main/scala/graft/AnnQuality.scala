@@ -42,6 +42,12 @@ object AnnQuality {
       recallOf("ivf (8 centroids, nprobe=1)", qid =>
         SimilaritySearch.ivfTopK(emb, "vec_id", "embedding",
           col("vec_id") < 8, qid, k).collect().map(_.getLong(0))),
+      recallOf("ivf (8 centroids, nprobe=2)", qid =>
+        SimilaritySearch.ivfTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 8, qid, k, nprobe = 2).collect().map(_.getLong(0))),
+      recallOf("ivf (8 centroids, nprobe=4)", qid =>
+        SimilaritySearch.ivfTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 8, qid, k, nprobe = 4).collect().map(_.getLong(0))),
       recallOf("rp-lsh (6 planes, 1 probe)", qid =>
         SimilaritySearch.rpLshTopK(emb, "vec_id", "embedding",
           col("vec_id").between(1, 6), qid, k).collect().map(_.getLong(0))),

@@ -45,18 +45,27 @@ object SimilaritySearch {
       .select(col(idCol), col("emb"), col("cid"))
   }
 
-  /** IVF search with nprobe=1: top-k (squared L2) within the query row's
-    * own cluster. Centroids = rows satisfying `centroidPred` (deterministic
+  /** IVF search: top-k (squared L2) within the query's `nprobe` nearest
+    * clusters. Centroids = rows satisfying `centroidPred` (deterministic
     * "training" — at scale, replace with persisted k-means centroids).
+    * `nprobe` is the recall/reads dial — the IVF analog of the
+    * reference's candidate over-fetch (`src/datanode/handler.py:360-364`):
+    * each extra probe reads one more cluster (1/K of the corpus).
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      centroidPred: Column, queryId: Long, k: Int): DataFrame = {
+      centroidPred: Column, queryId: Long, k: Int, nprobe: Int = 1): DataFrame = {
     val centroids = df.where(centroidPred)
       .select(col(idCol).as("cid"), col(vecCol).as("ce"))
     val assigned = ivfAssign(df, idCol, vecCol, centroids)
-    val q = assigned.where(col(idCol) === queryId)
-      .select(col("emb").as("qe"), col("cid").as("qcid"))
-    assigned.join(broadcast(q), col("cid") === col("qcid"))
+    val qEmb = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qe"))
+    // the query's nprobe nearest centroids (centroids are tiny: broadcast)
+    val probeCids = centroids.crossJoin(broadcast(qEmb))
+      .select(col("cid"), col("qe"), l2Sq(col("ce"), col("qe")).as("d"))
+      .orderBy(col("d").asc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("qcid"), col("qe"))
+    assigned.join(broadcast(probeCids), col("cid") === col("qcid"))
       .select(col(idCol), l2Sq(col("emb"), col("qe")).as("score"))
       .orderBy(col("score").asc, col(idCol).asc)
       .limit(k)

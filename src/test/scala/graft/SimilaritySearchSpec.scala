@@ -26,6 +26,16 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got.length === 5)
   }
 
+  test("IVF nprobe widens the candidate set monotonically") {
+    def ids(nprobe: Int) = SimilaritySearch.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 8, queryId = 0L, k = 10, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val one = ids(1); val four = ids(4)
+    assert(one.head._1 === 0L && four.head._1 === 0L)
+    // more probes can only improve (lower or equal) the k-th best score
+    assert(four.last._2 <= one.last._2)
+  }
+
   test("RP-LSH: candidates share the query bucket; exact re-rank ascending") {
     val got = SimilaritySearch.rpLshTopK(emb, "vec_id", "embedding",
       col("vec_id").between(1, 6), queryId = 0L, k = 5).collect()
