@@ -56,18 +56,25 @@ object ExtendedQueries {
         |WHERE rn = 1 AND event_type <> 'delete' ORDER BY key""".stripMargin)),
 
     // F1 normalize as an oracle-checked query (unit vectors, zero-guarded).
+    // Output is exploded to scalar (vec_id, i, u) rows: the driver harness
+    // hashes cell values and cannot sort/hash an array column.
     QueryDef("q28_normalize",
       (s, d) => Tables.embeddings(s, d)
         .where(col("vec_id") < 20)
-        .select(col("vec_id"), normalize(col("embedding")).as("unit"))
-        .orderBy("vec_id"),
-      Some("""SELECT vec_id,
-        |  CASE WHEN nrm = CAST(0 AS DOUBLE) THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
-        |       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS unit
-        |FROM (SELECT vec_id, embedding,
-        |      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
-        |      FROM embeddings)
-        |WHERE vec_id < 20 ORDER BY vec_id""".stripMargin)),
+        .select(col("vec_id"), posexplode(normalize(col("embedding"))).as(Seq("i", "u")))
+        .orderBy("vec_id", "i"),
+      Some("""SELECT vec_id, i, u FROM (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(unit, 1) - 1 AS INT) AS i,
+        |    unnest(unit) AS u
+        |  FROM (SELECT vec_id,
+        |         CASE WHEN nrm = CAST(0 AS DOUBLE) THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS unit
+        |        FROM (SELECT vec_id, embedding,
+        |              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |              FROM embeddings)
+        |        WHERE vec_id < 20))
+        |ORDER BY vec_id, i""".stripMargin)),
 
     // Sessionization: 30-minute-gap sessions per user (lag + running flag —
     // the batch analog of streaming session windows). ts is int64 nanos on

@@ -45,14 +45,27 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
 
   private def nextSeq(): Long = { lastSeq = (now() * 1000).max(lastSeq + 1); lastSeq }
 
+  /** Empty/garbled pos (crash mid-write of a non-atomic filesystem) falls
+    * back to -1: WAL partitions are never deleted, so full replay rebuilds
+    * the exact same state — losing the pointer costs time, never data.
+    */
   private def readPos(): Long =
-    if (Files.exists(posFile)) new String(Files.readAllBytes(posFile)).trim.toLong else -1L
+    if (!Files.exists(posFile)) -1L
+    else scala.util.Try(new String(Files.readAllBytes(posFile)).trim.toLong).getOrElse(-1L)
 
+  /** Atomic pointer advance: write to a temp file, then rename over the
+    * old pos — the temp-file+rename discipline of the reference's WAL
+    * writer (`wal_manager.py` write_log); a crash leaves either the old
+    * pos or the new one, never a torn file.
+    */
   private def writePos(seq: Long): Unit = {
     Files.createDirectories(posFile.getParent)
-    Files.write(posFile, seq.toString.getBytes,
+    val tmp = posFile.resolveSibling(posFile.getFileName.toString + ".tmp")
+    Files.write(tmp, seq.toString.getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, posFile, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Append PUT ops. Rows failing dim validation are rejected (returned),

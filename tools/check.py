@@ -48,6 +48,10 @@ def main(sf_dir, out_dir):
                 return norm(v.tolist())
             if isinstance(v, list):
                 return [norm(x) for x in v]
+            # NaN != NaN under ==; map to a sentinel so a legitimately-NaN
+            # cell (e.g. 0/0 ratios) agrees when both engines emit NaN
+            if isinstance(v, float) and v != v:
+                return "__nan__"
             return v
         ok = True
         for c in oracle.columns:
