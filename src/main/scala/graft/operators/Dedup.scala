@@ -87,9 +87,10 @@ object Dedup {
       .withColumn("sh", graft.functions.expressions.TextHashExpressions.simhash64(col("hv")))
       .drop("hv")
 
-  /** SimHash near-dup pairs with hamming(a,b) <= maxHamming, a < b.
-    * Quadratic baseline; the scale path buckets on bit-chunks of the
-    * simhash (pigeonhole: d <= k ⇒ some chunk of k+1 is identical).
+  /** SimHash near-dup pairs with hamming(a,b) <= maxHamming, a < b —
+    * quadratic all-pairs form. Exact but O(n²): kept as the small-data
+    * oracle / test cross-check for [[simhashPairsBucketed]], which is the
+    * path to use at scale.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
@@ -97,6 +98,55 @@ object Dedup {
     val a = sh.select(col(idCol).as("a"), col("sh").as("sha"))
     val b = sh.select(col(idCol).as("b"), col("sh").as("shb"))
     a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("sha"), col("shb")).cast("int").as("ham"))
+      .where(col("ham") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs via pigeonhole bit-chunk bucketing — the scale
+    * path, same output set as [[simhashPairs]] (lossless): split the 60-bit
+    * simhash into maxHamming+1 disjoint chunks; hamming(a,b) <= maxHamming
+    * means at most maxHamming bits differ, so by pigeonhole at least one
+    * chunk is bit-identical — an EQUI-join on (chunk_idx, chunk_key) finds
+    * every qualifying pair, and the exact hamming re-check inside buckets
+    * removes false candidates. Shuffle is proportional to chunk collisions
+    * (near-dups + random 60/(d+1)-bit coincidences), never O(n²).
+    *
+    * At 100 TB: a degenerate chunk value (millions of boilerplate docs
+    * sharing a chunk) is the skew risk — `maxBucketSize` drops buckets
+    * bigger than the cap before the self-join (pairs inside an over-cap
+    * bucket can still be found through their other d chunks; truly
+    * identical docs belong in exact dedup first).
+    */
+  def simhashPairsBucketed(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, maxBucketSize: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60, "maxHamming must be in [0, 60)")
+    val nChunks = maxHamming + 1
+    val sh = simhashed(df, idCol, textCol)
+    // chunk j covers bits [60j/n, 60(j+1)/n) — disjoint, exhaustive
+    val chunks = (0 until nChunks).map { j =>
+      val lo = 60 * j / nChunks
+      val width = 60 * (j + 1) / nChunks - lo
+      struct(lit(j).as("cidx"),
+        (shiftright(col("sh"), lo).bitwiseAND(lit((1L << width) - 1))).as("ckey"))
+    }
+    val exploded = sh
+      .select(col(idCol), col("sh"), explode(array(chunks: _*)).as("c"))
+      .select(col(idCol), col("sh"), col("c.cidx").as("cidx"), col("c.ckey").as("ckey"))
+    val bucketed = maxBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("cidx"), col("ckey"))
+        exploded.withColumn("bsz", count(lit(1)).over(w))
+          .where(col("bsz") <= cap).drop("bsz")
+      case None => exploded
+    }
+    val a = bucketed.select(col(idCol).as("a"), col("sh").as("sha"),
+      col("cidx"), col("ckey"))
+    val b = bucketed.select(col(idCol).as("b"), col("sh").as("shb"),
+      col("cidx"), col("ckey"))
+    a.join(b, Seq("cidx", "ckey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb"))
+      .distinct() // a pair may collide in several chunks
       .select(col("a"), col("b"), hamming(col("sha"), col("shb")).cast("int").as("ham"))
       .where(col("ham") <= maxHamming)
   }

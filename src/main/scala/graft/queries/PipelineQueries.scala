@@ -64,6 +64,24 @@ object PipelineQueries {
         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
         |ORDER BY ham ASC, a ASC, b ASC LIMIT 10""".stripMargin)),
 
+    // SimHash near-dup, SCALE path: pigeonhole bit-chunk bucketing (5
+    // disjoint 12-bit chunks for d=4; equi-join on chunk, exact hamming
+    // re-check). Lossless vs the quadratic form, so the oracle is the
+    // simple all-pairs SQL — passing proves the bucketed path finds EVERY
+    // pair the cross product does, without ever building the cross product.
+    QueryDef("q33_simhash_bucketed",
+      (s, d) => Dedup.simhashPairsBucketed(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 4)
+        .orderBy(col("ham").asc, col("a").asc, col("b").asc),
+      Some(s"""WITH hv AS (SELECT doc_id, list_transform($duckToks, t -> CAST('0x'||substr(md5(t),18,15) AS BIGINT)) AS hv FROM documents),
+        |sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,60), j ->
+        |  CASE WHEN CAST(list_sum(list_transform(hv, h -> CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+        |  THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)) AS BIGINT) AS sh FROM hv)
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS ham
+        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sh, y.sh)) <= 4
+        |ORDER BY ham ASC, a ASC, b ASC""".stripMargin)),
+
     // Word-3-gram Jaccard similarity join (exact quadratic baseline for the
     // LSH path above); 10 most-similar pairs.
     QueryDef("q19_ngram_jaccard",

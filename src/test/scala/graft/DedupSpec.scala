@@ -43,6 +43,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 3L)) < pairs((3L, 4L))) // near dup closer than unrelated
   }
 
+  test("simhash bucketed == quadratic (pigeonhole losslessness, real docs)") {
+    val real = spark.read.parquet(s"$sf0001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (d <- Seq(0, 2, 4, 7)) {
+      val quad = key(Dedup.simhashPairs(real, "doc_id", "text", maxHamming = d))
+      val buck = key(Dedup.simhashPairsBucketed(real, "doc_id", "text", maxHamming = d))
+      assert(buck === quad, s"bucketed != quadratic at maxHamming=$d")
+    }
+  }
+
+  test("simhash bucketed plan is equi-join only — no nested-loop/cartesian") {
+    val real = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = Dedup.simhashPairsBucketed(real, "doc_id", "text", maxHamming = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("simhash bucketed maxBucketSize drops degenerate buckets, keeps normal pairs") {
+    import spark.implicits._
+    // 40 identical boilerplate docs = one degenerate bucket per chunk
+    val boiler = (100L until 140L).map(i => (i, "identical boilerplate row that floods every bucket"))
+    val mixed = docs.union(boiler.toDF("doc_id", "text"))
+    val uncapped = Dedup.simhashPairsBucketed(mixed, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashPairsBucketed(mixed, "doc_id", "text", maxHamming = 4,
+        maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val boilerPairs = uncapped.filter { case (a, b) => a >= 100L && b >= 100L }
+    assert(boilerPairs.size === 40 * 39 / 2)          // uncapped pays the quadratic bucket
+    assert(capped.intersect(boilerPairs).isEmpty)      // capped never materializes it
+    assert(capped.contains((1L, 2L)))                  // normal dup pair survives the cap
+    // away from the degenerate bucket, capped == uncapped
+    assert(uncapped -- boilerPairs === capped)
+  }
+
   test("ngram jaccard: exact dup at 1.0, near-dup partial, disjoint absent") {
     val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
