@@ -182,9 +182,9 @@ object Dedup {
   }
 
   /** For every row, its single most-similar other row by cosine (embedding
-    * near-dup detection). Quadratic baseline with per-key top-1 via window;
-    * the scale path feeds candidates from SimilaritySearch.lshBuckets.
-    * Output: (id, nn_id, cos_sim).
+    * near-dup detection). Quadratic all-pairs baseline — the small-data
+    * oracle / recall ground truth for [[nearestNeighborPerRowLsh]], which
+    * is the path to use at scale. Output: (id, nn_id, cos_sim).
     */
   def nearestNeighborPerRow(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = df.select(col(idCol), col(vecCol).as("emb"))
@@ -196,6 +196,82 @@ object Dedup {
       .select(col("a"), col("b"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("a").as(idCol), col("b").as("nn_id"), col("cos_sim"))
+  }
+
+  /** Embedding near-dup at scale: candidates from random-hyperplane LSH
+    * buckets (sign-bit buckets are literally the angular/cosine LSH family,
+    * so near-dup vectors land in near-identical buckets), multi-probed —
+    * each row probes every bucket within `numFlips` sign-bit flips of its
+    * own — then EXACT cosine re-rank inside the candidate set. The join is
+    * an equi-join on bucket id: shuffle ∝ (probes+1)·n + collisions, never
+    * O(n²). Recall vs [[nearestNeighborPerRow]] is a reported metric
+    * (ANN_QUALITY.md), tunable via planes/flips — the same recall/reads
+    * dial as IVF nprobe.
+    *
+    * `planePred` selects the hyperplane rows (ids must be contiguous 1..P,
+    * as in [[SimilaritySearch.rpLshBuckets]]); `numPlanes` = P.
+    * Output: (id, nn_id, cos_sim) — rows whose probes found no non-self
+    * candidate are absent (at sane plane counts this means an empty
+    * neighborhood, which a dedup caller treats as "no near-dup").
+    */
+  def nearestNeighborPerRowLsh(df: DataFrame, idCol: String, vecCol: String,
+      planePred: Column, numPlanes: Int, numFlips: Int = 1): DataFrame = {
+    require(numPlanes > 0 && numPlanes < 63, "numPlanes must be in (0, 63)")
+    // all XOR masks with popcount <= numFlips (1 + P + P(P-1)/2 + ... keys),
+    // generated combinatorially — never enumerates the 2^P bucket space
+    val masks: Seq[Long] = (0 to numFlips).flatMap(k =>
+      (0 until numPlanes).combinations(k)
+        .map(_.foldLeft(0L)((acc, j) => acc | (1L << j))).toSeq)
+    val bucketed = SimilaritySearch.rpLshBuckets(df, idCol, vecCol, planePred)
+      .withColumn("nrm", norm(col("emb")))
+    val probes = bucketed.select(col(idCol).as("a"), col("emb").as("ea"),
+      col("nrm").as("na"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("pb"))
+    val cands = probes.join(
+        bucketed.select(col(idCol).as("b"), col("emb").as("eb"),
+          col("nrm").as("nb"), col("bucket").as("pb")),
+        Seq("pb"))
+      .where(col("a") =!= col("b"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos_sim").desc, col("b").asc)
+    cands
+      .select(col("a"), col("b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .distinct() // a candidate can arrive through several probe masks
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("a").as(idCol), col("b").as("nn_id"), col("cos_sim"))
+  }
+
+  /** Embedding near-dup at scale via IVF cells: every row probes its
+    * `nprobe` nearest (trained, broadcast) centroids and re-ranks exactly
+    * against only the rows ASSIGNED to those cells — an equi-join on cell
+    * id, shuffle ∝ n·nprobe/K of the corpus, never O(n²). nprobe/K is the
+    * recall/reads dial; candidates come from [[SimilaritySearch.ivfAssign]]
+    * so at cluster scale the cell id is the partition column and each
+    * probe is partition pruning. Recall vs [[nearestNeighborPerRow]] is
+    * reported in ANN_QUALITY.md.
+    * Output: (id, nn_id, cos_sim).
+    */
+  def nearestNeighborPerRowIvf(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
+    val assigned = SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids)
+      .select(col(idCol).as("b"), col("emb").as("eb"),
+        norm(col("emb")).as("nb"), col("cid"))
+    val wProbe = Window.partitionBy(col("a")).orderBy(col("d").asc, col("cid").asc)
+    val probes = df.select(col(idCol).as("a"), col(vecCol).as("ea"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", l2Sq(col("ea"), col("ce")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nprobe)
+      .select(col("a"), col("ea"), norm(col("ea")).as("na"), col("cid"))
+    val wTop = Window.partitionBy(col("a")).orderBy(col("cos_sim").desc, col("b").asc)
+    probes.join(assigned, Seq("cid")) // cells are disjoint: no dup candidates
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
       .where(col("rn") === 1)
       .select(col("a").as(idCol), col("b").as("nn_id"), col("cos_sim"))
   }

@@ -30,6 +30,35 @@ object SimilaritySearch {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
 
+  /** Train `k` IVF centroids with MLlib KMeans (fixed seed → deterministic
+    * given the data). Output: (cid LONG, ce ARRAY<DOUBLE>) — tiny, meant to
+    * be persisted next to the snapshot ([[saveCentroids]]) and broadcast at
+    * query time, the Spark analog of the reference's self-organizing index
+    * build (`src/datanode/handler.py:86-120`): train once on write/compact,
+    * reuse across queries.
+    */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cid")
+      .fit(data)
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+    df.sparkSession.createDataFrame(centers).toDF("cid", "ce")
+  }
+
+  /** Persist / reload trained centroids (the index artifact — same
+    * lifecycle as a VectorStore snapshot).
+    */
+  def saveCentroids(centroids: DataFrame, path: String): Unit =
+    centroids.write.mode("overwrite").parquet(path)
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Rows → nearest-centroid assignment (IVF "train+assign" step).
     * `centroids` must be small (broadcast); ties break on centroid id.
     * Output: (idCol, emb, cid).
@@ -53,10 +82,23 @@ object SimilaritySearch {
     * each extra probe reads one more cluster (1/K of the corpus).
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      centroidPred: Column, queryId: Long, k: Int, nprobe: Int = 1): DataFrame = {
-    val centroids = df.where(centroidPred)
-      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
-    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+      centroidPred: Column, queryId: Long, k: Int, nprobe: Int = 1): DataFrame =
+    ivfSearch(df, idCol, vecCol,
+      df.where(centroidPred).select(col(idCol).as("cid"), col(vecCol).as("ce")),
+      queryId, k, nprobe)
+
+  /** IVF search against an explicit (trained, persisted) centroid table,
+    * honoring the reference's full `SearchRequest` surface
+    * (`src/vector_db.thrift:23-28`): `filter` restricts the CANDIDATE
+    * corpus pre-rank (the query row is still resolved from the full
+    * table); `threshold` bounds the squared-L2 score post-rank, pre-limit
+    * — exactly [[Knn.search]]'s semantics, on the approximate tier.
+    */
+  def ivfSearch(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryId: Long, k: Int, nprobe: Int = 1,
+      filter: Option[Column] = None, threshold: Option[Double] = None): DataFrame = {
+    val corpus = filter.map(df.where).getOrElse(df)
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
     val qEmb = df.where(col(idCol) === queryId)
       .select(col(vecCol).as("qe"))
     // the query's nprobe nearest centroids (centroids are tiny: broadcast)
@@ -65,8 +107,30 @@ object SimilaritySearch {
       .orderBy(col("d").asc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid").as("qcid"), col("qe"))
-    assigned.join(broadcast(probeCids), col("cid") === col("qcid"))
+    val scored = assigned.join(broadcast(probeCids), col("cid") === col("qcid"))
       .select(col(idCol), l2Sq(col("emb"), col("qe")).as("score"))
+    threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
+      .orderBy(col("score").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF search by query VECTOR (no query row in the table) — the store-
+    * serving form: assignment on the (possibly pre-filtered) corpus, probe
+    * cids from the literal query against the broadcast centroids, exact
+    * re-rank inside the probed cells.
+    */
+  def ivfSearchVec(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, query: Array[Double], k: Int, nprobe: Int = 1,
+      threshold: Option[Double] = None): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+    val probeCids = centroids
+      .select(col("cid"), l2Sq(col("ce"), typedLit(query)).as("d"))
+      .orderBy(col("d").asc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("qcid"))
+    val scored = assigned.join(broadcast(probeCids), col("cid") === col("qcid"))
+      .select(col(idCol), l2Sq(col("emb"), typedLit(query)).as("score"))
+    threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
       .orderBy(col("score").asc, col(idCol).asc)
       .limit(k)
   }
@@ -87,15 +151,21 @@ object SimilaritySearch {
   }
 
   /** RP-LSH search: candidates share the query's bucket; exact squared-L2
-    * re-rank of the candidates, top-k.
+    * re-rank of the candidates, top-k. `filter`/`threshold` as in
+    * [[ivfSearch]] (SearchRequest surface): filter prunes candidates
+    * pre-rank — the query's own bucket still comes from the full table —
+    * threshold bounds the score.
     */
   def rpLshTopK(df: DataFrame, idCol: String, vecCol: String,
-      planePred: Column, queryId: Long, k: Int): DataFrame = {
+      planePred: Column, queryId: Long, k: Int,
+      filter: Option[Column] = None, threshold: Option[Double] = None): DataFrame = {
     val bucketed = rpLshBuckets(df, idCol, vecCol, planePred)
     val q = bucketed.where(col(idCol) === queryId)
       .select(col("emb").as("qe"), col("bucket").as("qb"))
-    bucketed.join(broadcast(q), col("bucket") === col("qb"))
+    val cands = filter.map(bucketed.where).getOrElse(bucketed)
+    val scored = cands.join(broadcast(q), col("bucket") === col("qb"))
       .select(col(idCol), l2Sq(col("emb"), col("qe")).as("score"))
+    threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
       .orderBy(col("score").asc, col(idCol).asc)
       .limit(k)
   }
@@ -109,7 +179,8 @@ object SimilaritySearch {
     */
   def mllibLshTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int,
-      bucketLength: Double = 1.0, numTables: Int = 3): DataFrame = {
+      bucketLength: Double = 1.0, numTables: Int = 3,
+      filter: Option[Column] = None, threshold: Option[Double] = None): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.functions.array_to_vector
     val data = df.select(col(idCol),
@@ -123,8 +194,12 @@ object SimilaritySearch {
     require(qRows.nonEmpty, s"mllibLshTopK: no row with $idCol = $queryId")
     val qKey = qRows.head.getAs[org.apache.spark.ml.linalg.Vector](0)
     val qArr = qKey.toArray
-    model.approxNearestNeighbors(data, qKey, 2 * k)
+    // filter pre-rank (SearchRequest surface): prune the candidate corpus
+    // before the index probe; the query key was already resolved above
+    val corpus = filter.map(data.where).getOrElse(data)
+    val scored = model.approxNearestNeighbors(corpus, qKey, 2 * k)
       .select(col(idCol), l2Sq(col("raw"), typedLit(qArr)).as("score"))
+    threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
       .orderBy(col("score").asc, col(idCol).asc)
       .limit(k)
   }

@@ -216,6 +216,46 @@ object PipelineQueries {
         |FROM asg s, q WHERE s.cid = q.qcid
         |ORDER BY score ASC, s.vec_id ASC LIMIT 5""".stripMargin)),
 
+    // IVF ANN with the FULL SearchRequest surface (vector_db.thrift:23-28):
+    // metadata filter applied pre-rank (corpus = even vec_ids only),
+    // threshold post-score (squared L2 <= 1.45 — binding: it cuts the
+    // k=8 fetch down), nprobe=2. Deterministic centroids keep it
+    // oracle-checkable.
+    QueryDef("q34_ann_ivf_filtered",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        SimilaritySearch.ivfSearch(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("ce")),
+          queryId = 0L, k = 8, nprobe = 2,
+          filter = Some(col("vec_id") % 2 === 0), threshold = Some(1.45))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |a AS (SELECT e.vec_id, e.embedding, c.cid, ${duckL2Zip.format("e.embedding", "c.ce")} AS d FROM corp e, c),
+        |asg AS (SELECT vec_id, embedding, cid FROM a
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) = 1),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |probe AS (SELECT cid AS qcid, qe FROM (SELECT c.cid, q.qe, ${duckL2Zip.format("c.ce", "q.qe")} AS d FROM c, q ORDER BY d ASC, cid ASC LIMIT 2))
+        |SELECT vec_id, score FROM (
+        |  SELECT s.vec_id, ${duckL2Zip.format("s.embedding", "p.qe")} AS score
+        |  FROM asg s JOIN probe p ON s.cid = p.qcid)
+        |WHERE score <= CAST(1.45 AS DOUBLE)
+        |ORDER BY score ASC, vec_id ASC LIMIT 8""".stripMargin)),
+
+    // IVF ANN over KMEANS-TRAINED centroids (fixed seed) — the production
+    // index-build path (recall curve in ANN_QUALITY.md). Training is
+    // model-dependent (like the reference's HNSW), so this is a rows-only
+    // check, not hash-matched; the deterministic-centroid variant above
+    // carries the oracle.
+    QueryDef("q35_ann_ivf_trained",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = SimilaritySearch.trainCentroids(emb, "embedding", k = 8)
+        SimilaritySearch.ivfSearch(emb, "vec_id", "embedding", centroids,
+          queryId = 0L, k = 5, nprobe = 2)
+      },
+      None),
+
     // RP-LSH ANN: 6 hyperplanes (vec_id 1..6 as planes), bucket by sign
     // bits, exact re-rank within the query's bucket, top-5.
     QueryDef("q26_ann_lsh_rp",

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Constants, Schemas}
 import graft.functions.VectorFunctions
-import graft.operators.Knn
+import graft.operators.{Knn, SimilaritySearch}
 
 /** Parquet/JSON-backed keyed vector table — the reference's whole datanode
   * storage engine (`src/datanode/handler.py:20-428` + WAL
@@ -200,6 +200,28 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
 
   /** KNN over the live table with the full SearchRequest surface. */
   def search(req: Knn.SearchRequest): DataFrame = Knn.searchStore(compacted, req)
+
+  private val ivfDir = s"$baseDir/ivf_centroids"
+
+  /** Train + persist the IVF index artifact over the live table — the
+    * index build the reference runs at checkpoint time
+    * (`_rebuild_hnsw_index`, `datanode/handler.py:91-120`): train once on
+    * write, broadcast at query time. Same lifecycle as a snapshot.
+    */
+  def buildIvfIndex(k: Int = 8, seed: Long = 42L): Unit =
+    SimilaritySearch.saveCentroids(
+      SimilaritySearch.trainCentroids(compacted, "vector", k, seed), ivfDir)
+
+  /** ANN search over the live table through the persisted IVF index,
+    * honoring the full SearchRequest surface: metadata filter pre-rank,
+    * threshold post-score, `nprobe` as the recall/reads dial.
+    */
+  def searchIvf(req: Knn.SearchRequest, nprobe: Int = 1): DataFrame = {
+    val centroids = SimilaritySearch.loadCentroids(spark, ivfDir)
+    val corpus = Knn.metadataFilter(compacted, "metadata", req.filter)
+    SimilaritySearch.ivfSearchVec(corpus, "key", "vector", centroids,
+      req.queryVector, req.topK, nprobe, req.threshold)
+  }
 
   /** Materialize the compaction (checkpoint, S5): write a new snapshot
     * covering everything up to the current WAL tip, then advance

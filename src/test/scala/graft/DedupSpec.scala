@@ -95,4 +95,44 @@ class DedupSpec extends SparkSpec {
     // no row is its own neighbor
     assert(nn.where($"vec_id" === $"nn_id").count() === 0)
   }
+
+  test("LSH and IVF candidate near-dup paths both find a planted duplicate") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val asDouble = transform($"embedding", x => x.cast("double"))
+    // vec_id 9000 = copy of vec_id 7, element 0 perturbed 1% (cos ~0.9999)
+    val planted = emb.where($"vec_id" === 7)
+      .select(lit(9000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, x.cast("double") * 1.01).otherwise(x.cast("double")))
+          .as("embedding"))
+    val data = emb.select($"vec_id", asDouble.as("embedding")).unionByName(planted)
+
+    val lsh = Dedup.nearestNeighborPerRowLsh(data, "vec_id", "embedding",
+        $"vec_id".between(1, 6), numPlanes = 6, numFlips = 1)
+      .where($"vec_id" === 9000L).collect()
+    assert(lsh.length === 1 && lsh.head.getLong(1) === 7L)
+    assert(lsh.head.getDouble(2) > 0.999)
+
+    val cent = graft.operators.SimilaritySearch.trainCentroids(data, "embedding", k = 4)
+    val ivf = Dedup.nearestNeighborPerRowIvf(data, "vec_id", "embedding",
+        cent, nprobe = 1)
+      .where($"vec_id" === 9000L).collect()
+    assert(ivf.length === 1 && ivf.head.getLong(1) === 7L)
+    assert(ivf.head.getDouble(2) > 0.999)
+  }
+
+  test("candidate near-dup paths: the pair join is an equi-join, not a cross product") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cent = graft.operators.SimilaritySearch.trainCentroids(emb, "embedding", k = 4)
+    // the only nested-loop allowed is the broadcast of the tiny centroid /
+    // plane table; the candidate self-join must never be a cross product
+    // of the corpus with itself — CartesianProduct is the smoking gun
+    val ivfPlan = Dedup.nearestNeighborPerRowIvf(emb, "vec_id", "embedding", cent, 2)
+      .queryExecution.executedPlan.toString
+    assert(!ivfPlan.contains("CartesianProduct"), ivfPlan.take(2000))
+    val lshPlan = Dedup.nearestNeighborPerRowLsh(emb, "vec_id", "embedding",
+        $"vec_id".between(1, 6), numPlanes = 6)
+      .queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("CartesianProduct"), lshPlan.take(2000))
+  }
 }

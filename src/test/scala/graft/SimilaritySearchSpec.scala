@@ -55,6 +55,77 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.2)
   }
 
+  test("trainCentroids is deterministic and save/load roundtrips") {
+    val a = SimilaritySearch.trainCentroids(emb, "embedding", k = 4)
+      .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val b = SimilaritySearch.trainCentroids(emb, "embedding", k = 4)
+      .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(a.zip(b).forall { case ((i1, c1), (i2, c2)) => i1 == i2 && c1 == c2 })
+    val dir = java.nio.file.Files.createTempDirectory("graft-cent-").toString
+    SimilaritySearch.saveCentroids(
+      SimilaritySearch.trainCentroids(emb, "embedding", k = 4), dir)
+    val loaded = SimilaritySearch.loadCentroids(spark, dir)
+      .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.zip(loaded).forall { case ((i1, c1), (i2, c2)) => i1 == i2 && c1 == c2 })
+  }
+
+  test("ivfSearch with trained centroids: query row first; nprobe=K == exact") {
+    val cent = SimilaritySearch.trainCentroids(emb, "embedding", k = 4)
+    val got = SimilaritySearch.ivfSearch(emb, "vec_id", "embedding", cent,
+      queryId = 0L, k = 5, nprobe = 1).collect()
+    assert(got.head.getLong(0) === 0L && got.head.getDouble(1) === 0.0)
+    // probing every cell degenerates to the exact scan
+    val all = SimilaritySearch.ivfSearch(emb, "vec_id", "embedding", cent,
+      queryId = 0L, k = 5, nprobe = 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = graft.operators.Knn.search(emb, "vec_id", "embedding", q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(all.toSeq === exact.toSeq)
+  }
+
+  test("ivfSearch filter prunes pre-rank; threshold bounds the score") {
+    val cent = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val filtered = SimilaritySearch.ivfSearch(emb, "vec_id", "embedding", cent,
+      queryId = 0L, k = 10, nprobe = 2,
+      filter = Some($"vec_id" % 2 === 0), threshold = Some(1.45)).collect()
+    assert(filtered.nonEmpty)
+    filtered.foreach { r =>
+      assert(r.getLong(0) % 2 === 0L, "filter must hold on every result")
+      assert(r.getDouble(1) <= 1.45, "threshold must bound every score")
+    }
+    // filtered results are a subset of the unfiltered candidate set
+    val unfiltered = SimilaritySearch.ivfSearch(emb, "vec_id", "embedding", cent,
+      queryId = 0L, k = 100, nprobe = 2).collect().map(_.getLong(0)).toSet
+    assert(filtered.map(_.getLong(0)).toSet.subsetOf(unfiltered))
+  }
+
+  test("ivfSearchVec by literal query vector matches ivfSearch by row id") {
+    val cent = SimilaritySearch.trainCentroids(emb, "embedding", k = 4)
+    val byId = SimilaritySearch.ivfSearch(emb, "vec_id", "embedding", cent,
+      queryId = 0L, k = 5, nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val byVec = SimilaritySearch.ivfSearchVec(emb, "vec_id", "embedding", cent,
+      q, k = 5, nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(byId.toSeq === byVec.toSeq)
+  }
+
+  test("rpLsh and mllibLsh honor filter and threshold") {
+    val lsh = SimilaritySearch.rpLshTopK(emb, "vec_id", "embedding",
+      $"vec_id".between(1, 6), queryId = 0L, k = 10,
+      filter = Some($"vec_id" % 2 === 0), threshold = Some(2.0)).collect()
+    lsh.foreach { r =>
+      assert(r.getLong(0) % 2 === 0L)
+      assert(r.getDouble(1) <= 2.0)
+    }
+    val ml = SimilaritySearch.mllibLshTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10,
+      filter = Some($"vec_id" % 2 === 0), threshold = Some(2.0)).collect()
+    ml.foreach { r =>
+      assert(r.getLong(0) % 2 === 0L)
+      assert(r.getDouble(1) <= 2.0)
+    }
+  }
+
   test("ANN quality: report recall@5 of RP-LSH vs exact (not hash-matched)") {
     val exact = graft.operators.Knn.search(emb, "vec_id", "embedding", q, 5)
       .collect().map(_.getLong(0)).toSet

@@ -136,4 +136,32 @@ class VectorStoreSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(got === Array("near"))
   }
+
+  test("garbled wal_pos falls back to full replay, losing nothing") {
+    val dir = tmpDir()
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(batch(rec("a", Array(1f, 1f), 10)))
+    store.compact()
+    store.put(batch(rec("b", Array(2f, 2f), 20)))
+    // simulate a crash that tore the pointer file mid-write
+    Files.write(Paths.get(s"$dir/wal_pos.txt"), Array.emptyByteArray)
+    val reopened = new VectorStore(spark, dir, dim = 2)
+    assert(reopened.scan.select("key").orderBy("key")
+      .collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+  }
+
+  test("IVF index artifact: built over the live table, served with the full request") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(
+      rec("near", Array(0f, 1f), 10, tag = "keep"),
+      rec("mid", Array(0f, 3f), 10, tag = "keep"),
+      rec("far", Array(9f, 9f), 10, tag = "keep"),
+      rec("dropme", Array(0f, 0.5f), 10, tag = "drop")))
+    store.buildIvfIndex(k = 2)
+    // probing every cell == exact search, so the exact ordering must hold
+    val got = store.searchIvf(Knn.SearchRequest(Array(0.0, 0.0), topK = 3,
+        filter = Map("tag" -> "keep"), threshold = Some(10.0)), nprobe = 2)
+      .collect().map(_.getString(0))
+    assert(got === Array("near", "mid"))
+  }
 }
