@@ -80,6 +80,63 @@ class DedupSpec extends SparkSpec {
     assert(uncapped -- boilerPairs === capped)
   }
 
+  test("minhash maxBucketSize drops degenerate band buckets, keeps normal pairs") {
+    import spark.implicits._
+    val boiler = (100L until 140L).map(i => (i, "same boilerplate text in every single row here"))
+    val mixed = docs.union(boiler.toDF("doc_id", "text"))
+    def pairsOf(cap: Option[Int]) =
+      Dedup.minhashPairs(mixed, "doc_id", "text", persistIntermediates = false,
+          maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsOf(None)
+    val capped = pairsOf(Some(10))
+    val boilerPairs = uncapped.filter { case (a, b) => a >= 100L && b >= 100L }
+    assert(boilerPairs.size === 40 * 39 / 2)
+    assert(capped.intersect(boilerPairs).isEmpty)
+    assert(capped.contains((1L, 2L)))
+    assert(uncapped -- boilerPairs === capped)
+  }
+
+  test("ngram maxDocFreq drops stop-grams; normal-data output is unchanged") {
+    import spark.implicits._
+    val boiler = (100L until 140L).map(i => (i, "same boilerplate text in every single row here"))
+    val mixed = docs.union(boiler.toDF("doc_id", "text"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame, cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+          persistIntermediates = false, maxDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pathological fixture: the 40-doc boilerplate grams exceed the cap,
+    // so no pair materializes through them — bounded join, no quadratic
+    val capped = pairsOf(mixed, Some(10))
+    assert(capped.count { case (a, b) => a >= 100L && b >= 100L } === 0)
+    assert(capped.contains((1L, 2L)))
+    // normal data: no gram reaches the cap -> capped == uncapped, with
+    // identical Jaccard values (cap affects the index, not set sizes)
+    val normalCapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        persistIntermediates = false, maxDocFreq = Some(100))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val normalUncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        persistIntermediates = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(normalCapped === normalUncapped)
+  }
+
+  test("withMinhashPairs / withNgramJaccardPairs leave no cached blocks behind") {
+    // earlier tests in this suite use the unscoped form (which leaks by
+    // design); start from a clean slate so the delta is this test's own
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val n1 = Dedup.withMinhashPairs(docs, "doc_id", "text") { pairs =>
+      val c = pairs.count() // materializes the pinned cache
+      assert(spark.sparkContext.getPersistentRDDs.size > before)
+      c
+    }
+    assert(n1 > 0)
+    val n2 = Dedup.withNgramJaccardPairs(docs, "doc_id", "text") { _.count() }
+    assert(n2 > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
+
   test("ngram jaccard: exact dup at 1.0, near-dup partial, disjoint absent") {
     val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
