@@ -1,20 +1,25 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque binary with typed
-  * metadata, plus the per-partition batch plumbing a real decoder/featurizer
-  * plugs into.
+  * metadata, plus per-partition batch feature extraction.
   *
   * The reference's media path is a CLIP embedder over an image directory
-  * (`clip/embedding.py:39-68`, `clip/db_operation.py:87-121`). No
-  * image/audio libraries exist in this container, so `decodeStub` is a
-  * clearly-marked deterministic fake; everything around it — the binary
-  * schema, `binaryFile` ingest, partition-batched execution with one
-  * "model init" per partition (the JVM analog of mapInPandas batch shape),
-  * feature schema — is real and tested, and is what survives a swap to a
-  * real ONNX/JNI decoder.
+  * (`clip/embedding.py:39-68`, `clip/db_operation.py:87-121`). No model
+  * runtime exists in this container, so instead of CLIP the image
+  * featurizer is a REAL pixel pipeline: `javax.imageio` decode →
+  * grid-pooled mean-RGB patch features → L2 normalize (the normalize
+  * mirrors `embedding.py:66-67`). It is a genuine, deterministic
+  * image→vector function — just not a semantic one; swapping in an
+  * ONNX/JNI CLIP keeps every signature, batch shape, and schema below
+  * identical. Audio/video payloads (no JVM decoder) fall back to a
+  * clearly-marked byte-hash featurizer.
   */
 object Multimodal {
 
@@ -27,10 +32,16 @@ object Multimodal {
       bytes: Array[Byte],
       meta: Map[String, String])
 
+  /** Extracted features. `width`/`height` are the REAL decoded pixel
+    * dimensions for images (-1 when the payload wasn't decodable and the
+    * byte-hash fallback produced the vector).
+    */
   case class MediaFeatures(
       key: String,
       mediaType: String,
       nBytes: Long,
+      width: Int,
+      height: Int,
       features: Array[Float])
 
   /** Ingest a directory of media files as binary columns — reference S9
@@ -50,44 +61,137 @@ object Multimodal {
         map(lit("file_path"), col("path"),
             lit("length"), col("length").cast("string")).as("meta"))
 
-  /** STUB decoder ??? — stands in for a real image/audio decode. Emits a
-    * deterministic `dim`-length feature vector from the payload bytes
-    * (rolling-hash folds), so tests exercise exact shapes end-to-end.
-    * A real implementation would decode pixels/samples here; signature,
-    * batching, and schema stay identical.
+  /** Real image decode + pooled patch features: decode pixels with
+    * `javax.imageio`, mean-pool R/G/B over a g×g grid of the image
+    * (g = ceil(sqrt(dim/3)), row-major (cell, channel) order), truncate
+    * to `dim`, L2-normalize. Returns the decoded (width, height) with
+    * the vector; None when ImageIO has no reader for the payload.
     */
-  private[multimodal] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+  private[multimodal] def imageFeatures(bytes: Array[Byte],
+      dim: Int): Option[(Int, Int, Array[Float])] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val g = math.max(1, math.ceil(math.sqrt(dim / 3.0)).toInt)
+    val sums = new Array[Double](g * g * 3)
+    val counts = new Array[Long](g * g)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val gy = math.min(g - 1, y * g / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(g - 1, x * g / w)
+        val cell = gy * g + gx
+        val rgb = row(x)
+        sums(cell * 3)     += ((rgb >> 16) & 0xff) / 255.0
+        sums(cell * 3 + 1) += ((rgb >> 8) & 0xff) / 255.0
+        sums(cell * 3 + 2) += (rgb & 0xff) / 255.0
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val full = new Array[Double](g * g * 3)
+    var c = 0
+    while (c < g * g) {
+      if (counts(c) > 0) {
+        full(c * 3)     = sums(c * 3) / counts(c)
+        full(c * 3 + 1) = sums(c * 3 + 1) / counts(c)
+        full(c * 3 + 2) = sums(c * 3 + 2) / counts(c)
+      }
+      c += 1
+    }
+    Some((w, h, normalized(full.take(dim))))
+  }
+
+  /** FALLBACK featurizer for payloads with no JVM decoder (audio/video,
+    * corrupt images): a deterministic byte-hash fold — a real function of
+    * the bytes, but NOT a semantic embedding; a production deployment
+    * plugs a decoder in where [[imageFeatures]] sits.
+    */
+  private[multimodal] def byteHashFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val acc0 = new Array[Double](dim)
     var acc = 1469598103934665603L // FNV offset basis — any fixed seed works
     var i = 0
     while (i < bytes.length) {
       acc = (acc ^ (bytes(i) & 0xffL)) * 1099511628211L
-      out(i % dim) += ((acc >>> 33) % 1000L) / 1000.0f
+      acc0(i % dim) += ((acc >>> 33) % 1000L) / 1000.0
+      i += 1
+    }
+    normalized(acc0)
+  }
+
+  /** L2 normalize in Double (CLIP's post-embed normalize,
+    * `clip/embedding.py:66-67`), zero-vector guarded like
+    * [[graft.functions.VectorFunctions.normalize]].
+    */
+  private def normalized(v: Array[Double]): Array[Float] = {
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(ss)
+    val out = new Array[Float](v.length)
+    i = 0
+    while (i < v.length) {
+      out(i) = (if (nrm == 0.0) v(i) else v(i) / nrm).toFloat
       i += 1
     }
     out
   }
 
-  /** Feature extraction over media rows: per-partition "model" init + batch
-    * loop. `mapPartitions` is deliberate here (SURVEY guide rule (d)) —
-    * a decoder is genuine per-partition imperative logic with expensive
-    * one-time init, exactly the case the escape hatch exists for.
+  /** Text→vector via feature hashing (the engine-side analog of the
+    * reference's text path, `clip/embedding.py:70-93`): whitespace-token
+    * unigrams + bigrams FNV-hashed into `dim` buckets, counted,
+    * L2-normalized. A real, deterministic text→vector function — not a
+    * semantic model; a CLIP text encoder swaps in with the same signature.
     */
-  def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeatures] = {
+  def textFeatures(text: String, dim: Int = 48): Array[Float] = {
+    val acc = new Array[Double](dim)
+    def add(s: String): Unit = {
+      var h = 1469598103934665603L
+      var i = 0
+      while (i < s.length) { h = (h ^ s.charAt(i)) * 1099511628211L; i += 1 }
+      acc((((h % dim) + dim) % dim).toInt) += 1.0
+    }
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    toks.foreach(add)
+    toks.sliding(2).withFilter(_.length == 2).foreach(bg => add(bg.mkString(" ")))
+    normalized(acc)
+  }
+
+  /** Feature extraction over media rows: per-partition batch loop with the
+    * decode inside (`mapPartitions` is deliberate — SURVEY guide rule (d):
+    * a decoder is genuine per-partition imperative logic; a model-backed
+    * implementation loads its weights once per partition right here).
+    * Images get the real pixel pipeline; everything else the byte-hash
+    * fallback, flagged by width/height = -1.
+    */
+  def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 48): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { rows =>
-      // one-time per-partition init goes here (real decoder: load model)
+      // one-time per-partition init goes here (real model: load weights)
       rows.map { r =>
-        MediaFeatures(r.key, r.mediaType, r.bytes.length.toLong,
-          decodeStub(r.bytes, dim))
+        val decoded = if (r.mediaType == "image") imageFeatures(r.bytes, dim) else None
+        decoded match {
+          case Some((w, h, f)) =>
+            MediaFeatures(r.key, r.mediaType, r.bytes.length.toLong, w, h, f)
+          case None =>
+            MediaFeatures(r.key, r.mediaType, r.bytes.length.toLong, -1, -1,
+              byteHashFeatures(r.bytes, dim))
+        }
       }
     }
   }
 
   /** Frame sampling STUB ??? — picks `n` deterministic byte-slices as stand-in
-    * "frames"; a real impl would demux the container and decode keyframes.
-    * Output: one row per (key, frame_idx, frame_bytes).
+    * "frames"; a real impl would demux the container and decode keyframes
+    * (no video demuxer exists in the JVM/container). Output: one row per
+    * (key, frame_idx, frame_bytes).
     */
   def sampleFrames(ds: Dataset[MediaRecord], n: Int): DataFrame = {
     val spark = ds.sparkSession

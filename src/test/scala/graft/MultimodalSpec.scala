@@ -19,6 +19,52 @@ class MultimodalSpec extends SparkSpec {
     assert(feats("img1").features.toSeq === feats("img3").features.toSeq) // same bytes
     assert(feats("img1").features.toSeq !== feats("img2").features.toSeq) // diff bytes
     assert(feats("img2").nBytes === 300L)
+    // non-decodable payloads are flagged: the byte-hash fallback produced these
+    assert(feats.values.forall(f => f.width === -1 && f.height === -1))
+  }
+
+  test("real JPEG decode: pooled pixel features with true decoded dimensions") {
+    val refDir = java.nio.file.Paths.get("/root/reference/test_data")
+    val expected = Map( // true pixel sizes of the reference's sample images
+      "__1Mu7EZXOM" -> ((640, 800)),
+      "__CmMNKO4nw" -> ((640, 960)),
+      "__G2yFuW7jQ" -> ((640, 593)),
+      "__I-gX-cnd8" -> ((640, 960)),
+      "__LjxJzd0MA" -> ((640, 1137)),
+      "__or0r9kLQw" -> ((640, 427)))
+    val recs = expected.keys.toSeq.sorted.map { name =>
+      MediaRecord(name, "image",
+        java.nio.file.Files.readAllBytes(refDir.resolve(name + ".jpg")), Map.empty)
+    }
+    val got = Multimodal.extractFeatures(recs.toDS(), dim = 48).collect()
+      .map(f => f.key -> f).toMap
+    expected.foreach { case (k, (w, h)) =>
+      val f = got(k)
+      assert((f.width, f.height) === ((w, h)), s"decoded dims of $k")
+      assert(f.features.length === 48)
+      val nrm = math.sqrt(f.features.map(x => x.toDouble * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-5, s"unit norm of $k")
+    }
+    // six distinct images -> six distinct pooled vectors
+    assert(got.values.map(_.features.toSeq).toSet.size === 6)
+    // determinism across runs
+    val again = Multimodal.extractFeatures(recs.toDS(), dim = 48).collect()
+      .map(f => f.key -> f.features.toSeq).toMap
+    assert(got.view.mapValues(_.features.toSeq).toMap === again)
+  }
+
+  test("end-to-end: binaryFile ingest of real JPEGs decodes through the pipeline") {
+    // Spark's file index skips '_'-prefixed names; stage copies under
+    // clean names (the production ingest would never use hidden names)
+    val dir = java.nio.file.Files.createTempDirectory("graft-jpg-")
+    Seq("__1Mu7EZXOM.jpg" -> "a.jpg", "__G2yFuW7jQ.jpg" -> "b.jpg").foreach {
+      case (src, dst) => java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/reference/test_data", src), dir.resolve(dst))
+    }
+    val mediaDf = Multimodal.readMediaDir(spark, dir.toString).as[MediaRecord]
+    val feats = Multimodal.extractFeatures(mediaDf).collect().map(f => f.key -> f).toMap
+    assert(feats("a").width === 640 && feats("a").height === 800)
+    assert(feats("b").width === 640 && feats("b").height === 593)
   }
 
   test("feature extraction distributes over partitions unchanged") {
@@ -27,6 +73,17 @@ class MultimodalSpec extends SparkSpec {
     val single = Multimodal.extractFeatures(media.coalesce(1), dim = 8)
       .collect().map(f => f.key -> f.features.toSeq).toMap
     assert(repart === single)
+  }
+
+  test("textFeatures: deterministic unit vectors, token-order sensitive") {
+    val a = Multimodal.textFeatures("the quick brown fox", dim = 32)
+    val b = Multimodal.textFeatures("the quick brown fox", dim = 32)
+    val c = Multimodal.textFeatures("fox brown quick the", dim = 32)
+    assert(a.toSeq === b.toSeq)
+    assert(a.toSeq !== c.toSeq) // bigrams make order matter
+    assert(a.length === 32)
+    assert(math.abs(math.sqrt(a.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    assert(Multimodal.textFeatures("", dim = 8).toSeq === Seq.fill(8)(0f))
   }
 
   test("frame sampling yields n frames per record with coverage") {
