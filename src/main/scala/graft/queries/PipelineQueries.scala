@@ -98,6 +98,27 @@ object PipelineQueries {
         |FROM g x JOIN g y ON x.doc_id < y.doc_id
         |ORDER BY jac DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
 
+    // n-gram Jaccard with the maxDocFreq stop-gram cap ACTIVE (df<=4 drops
+    // the ~150 hottest grams at sf0.01) — proves the capped index computes
+    // exactly the declared semantics: DuckDB mirrors the cap, outputs
+    // hash-match. The cap is the 100-TB posting-list bound (SCALE.md).
+    QueryDef("q36_ngram_jaccard_capped",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, maxDocFreq = Some(4))
+        .orderBy(col("jac").desc, col("a").asc, col("b").asc)
+        .limit(10),
+      Some("""WITH g AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(0, greatest(length(regexp_split_to_array(trim(text), '\s+'))-2, 1)),
+        |  i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), CAST(i+1 AS INT), CAST(i+3 AS INT)), ' '))) AS grams
+        |  FROM documents),
+        |e AS (SELECT doc_id, CAST(length(grams) AS INT) AS sz, unnest(grams) AS gram FROM g),
+        |capped AS (SELECT doc_id, sz, gram FROM e QUALIFY count(*) OVER (PARTITION BY gram) <= 4),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb, count(*) AS inter
+        |      FROM capped x JOIN capped y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT a, b, CAST(inter AS DOUBLE)/(sa+sb-inter) AS jac FROM p
+        |ORDER BY jac DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
     // Embedding near-dup: each row's single most-similar other row by
     // cosine; first 30 ids (bounded deterministic output).
     QueryDef("q20_embedding_neardup",

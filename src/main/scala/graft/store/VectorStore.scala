@@ -163,7 +163,8 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * snapshot must remember deletions or a late-arriving PUT with an
     * older event-time would resurrect the key (S6 ≡ S7 would break).
     * Tombstone GC is a retention policy (reference: 7 days,
-    * `wal_manager.py:23`), not a compaction side effect.
+    * `wal_manager.py:23`), applied explicitly via
+    * `compact(gcTombstonesBefore = ...)`, never implicitly.
     */
   private def lwwWinners(snap: DataFrame, delta: DataFrame): DataFrame = {
     val contentTie = xxhash64(to_json(struct(col("op_type"), col("vector"), col("metadata"))))
@@ -243,12 +244,25 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     finally stream.close()
   }
 
-  def compact(): Unit = {
+  /** `gcTombstonesBefore`: tombstone RETENTION horizon (event-time) — the
+    * reference's 7-day WAL retention (`wal_manager.py:23`) as an explicit
+    * policy. DELETE winners with timestamp < horizon are dropped from the
+    * new snapshot; the caller thereby asserts no write with an OLDER
+    * event-time will ever arrive (watermark semantics — a put older than
+    * the horizon arriving later WOULD resurrect the key, which is exactly
+    * the trade every retention policy makes). None = keep all tombstones.
+    */
+  def compact(gcTombstonesBefore: Option[Long] = None): Unit = {
     val tip = lastSeq.max(walTip())
     if (tip <= readPos()) return // idempotent: nothing new since the last
                                  // snapshot; rewriting the dir a plan may
                                  // be reading from would corrupt it
-    val snapDf = lwwWinners(snapshotOps, walOps().drop("node_id"))
+    val winners = lwwWinners(snapshotOps, walOps().drop("node_id"))
+    val snapDf = gcTombstonesBefore match {
+      case Some(horizon) => winners.where(
+        !(col("op_type") === "DELETE" && col("timestamp") < lit(horizon)))
+      case None => winners
+    }
     snapDf.write.mode("overwrite").parquet(s"${snapDirBase}_$tip")
     writePos(tip)
   }

@@ -137,6 +137,28 @@ class VectorStoreSpec extends SparkSpec {
     assert(got === Array("near"))
   }
 
+  test("tombstone GC: horizon drops old tombstones; retained ones still block late puts") {
+    val dir = tmpDir()
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(batch(rec("gone", Array(1f, 1f), 10), rec("kept", Array(2f, 2f), 10)))
+    store.delete(Seq("gone"), ts = 20)
+    store.delete(Seq("kept"), ts = 90)
+    // horizon 50: the ts=20 tombstone is GC'd, the ts=90 one survives
+    store.compact(gcTombstonesBefore = Some(50L))
+    val snap = spark.read.parquet(s"$dir/snapshot_${new String(
+      java.nio.file.Files.readAllBytes(Paths.get(s"$dir/wal_pos.txt"))).trim}")
+    val tombs = snap.where(col("op_type") === "DELETE")
+      .select("key").collect().map(_.getString(0)).toSeq
+    assert(tombs === Seq("kept"))
+    // the retained tombstone still wins over a late put with older ts
+    store.put(batch(rec("kept", Array(3f, 3f), 80)))
+    assert(store.scan.count() === 0)
+    // watermark trade, locked in: a put OLDER than the GC horizon for a
+    // GC'd key resurrects it — the caller's no-older-writes assertion
+    store.put(batch(rec("gone", Array(4f, 4f), 15)))
+    assert(store.scan.select("key").collect().map(_.getString(0)).toSeq === Seq("gone"))
+  }
+
   test("garbled wal_pos falls back to full replay, losing nothing") {
     val dir = tmpDir()
     val store = new VectorStore(spark, dir, dim = 2)
