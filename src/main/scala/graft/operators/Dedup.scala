@@ -307,6 +307,29 @@ object Dedup {
       .select(col("a").as(idCol), col("b").as("nn_id"), col("cos_sim"))
   }
 
+  /** Cosine similarity JOIN at scale: pairs are generated only WITHIN IVF
+    * cells (equi-join on the assigned cell id — shuffle ∝ Σ|cell|², never
+    * n² across the corpus), exact cosine inside. The blocked counterpart
+    * of the q16 cartesian simjoin: with deterministic centroids the output
+    * is fully deterministic (oracle-checkable); pairs straddling a cell
+    * boundary are missed by construction — that's the candidate-gen trade,
+    * measured in ANN_QUALITY.md for the same geometry.
+    * Output: (a, b, cos_sim), a < b, same cell only.
+    */
+  def cosinePairsInCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val assigned = SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids)
+      .withColumn("nrm", norm(col("emb")))
+    val a = assigned.select(col("cid"), col(idCol).as("a"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cid"), col(idCol).as("b"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cid"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+  }
+
   /** Embedding near-dup at scale via IVF cells: every row probes its
     * `nprobe` nearest (trained, broadcast) centroids and re-ranks exactly
     * against only the rows ASSIGNED to those cells — an equi-join on cell

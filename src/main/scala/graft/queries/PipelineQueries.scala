@@ -135,6 +135,29 @@ object PipelineQueries {
         |QUALIFY row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b ASC) = 1
         |ORDER BY vec_id ASC""".stripMargin)),
 
+    // Cosine similarity join, SCALE path for q16: pairs only within IVF
+    // cells (equi-join on cell id, never the corpus cross product), exact
+    // cosine re-rank inside, deterministic centroids so the oracle can
+    // mirror the blocking exactly. Top-20 co-cell pairs.
+    QueryDef("q37_cosine_simjoin_bucketed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Dedup.cosinePairsInCells(emb, "vec_id", "embedding",
+            emb.where(col("vec_id") < 8)
+              .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+          .orderBy(col("cos_sim").desc, col("a").asc, col("b").asc)
+          .limit(20)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, embedding, cid,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM (SELECT e.vec_id, e.embedding, c.cid, ${duckL2Zip.format("e.embedding", "c.ce")} AS d FROM embeddings e, c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) = 1)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |  ${duckDotZip.format("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos_sim
+        |FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |ORDER BY cos_sim DESC, a ASC, b ASC LIMIT 20""".stripMargin)),
+
     // Heuristic language-ID: marker-word counts per language, argmax with
     // fixed priority (en > de > es > fr > zh) on ties.
     QueryDef("q21_langid",

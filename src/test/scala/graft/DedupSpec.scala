@@ -178,6 +178,30 @@ class DedupSpec extends SparkSpec {
     assert(ivf.head.getDouble(2) > 0.999)
   }
 
+  test("cosinePairsInCells: co-cell pairs only, exact cosine, equi-join plan") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cent = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val pairs = Dedup.cosinePairsInCells(emb, "vec_id", "embedding", cent)
+    assert(!pairs.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val got = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.keys.foreach { case (a, b) => assert(a < b) }
+    // cosine inside a cell matches the exact all-pairs computation
+    val assigned = graft.operators.SimilaritySearch
+      .ivfAssign(emb, "vec_id", "embedding", cent)
+      .select($"vec_id", $"cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sample = got.take(20)
+    val v = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    sample.foreach { case ((a, b), cos) =>
+      assert(assigned(a) === assigned(b), "pairs must share a cell")
+      val (va, vb) = (v(a), v(b))
+      val dotp = va.indices.foldLeft(0.0)((s, i) => s + va(i) * vb(i))
+      val exact = dotp / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      assert(math.abs(cos - exact) < 1e-9)
+    }
+  }
+
   test("candidate near-dup paths: the pair join is an equi-join, not a cross product") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val cent = graft.operators.SimilaritySearch.trainCentroids(emb, "embedding", k = 4)
