@@ -64,11 +64,18 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   * of the output is set iff Σ over inputs of (bit j set ? +1 : -1) > 0 —
   * exactly `TextFunctions.simhashFromHashes`, whose interpreted SQL-lambda
   * costs 60×n nested lambda invocations per row. Null elements are skipped.
+  *
+  * Null INPUT yields 0L, never null — the fold form's shape (its inner
+  * `aggregate(null,...)` is null, `IF(null > 0,...)` takes the 0 branch,
+  * the outer sum of 60 zeros is 0) and the DuckDB oracle's (CASE on a null
+  * sum falls to ELSE 0). nullable = false also lets Catalyst drop inferred
+  * `isnotnull(simhash64(...))` join-key filters, which would otherwise
+  * recompute the whole tokenize+md5+simhash pipeline once more per row.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -76,8 +83,32 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"simhash64 expects array<bigint>, got ${child.dataType.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else SimHash64Util.compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        long ${ev.value} = ${childGen.isNull}
+          ? 0L
+          : graft.functions.expressions.SimHash64Util.compute(${childGen.value});
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+/** The SimHash64 kernel, shared by interpreted eval and generated code. */
+object SimHash64Util {
+  def compute(a: ArrayData): Long = {
     val n = a.numElements()
     val counts = new Array[Int](60)
     var i = 0
@@ -97,33 +128,6 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     while (j < 60) { if (counts(j) > 0) sh |= (1L << j); j += 1 }
     sh
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val counts = ctx.freshName("counts"); val h = ctx.freshName("h")
-      val sh = ctx.freshName("sh")
-      s"""
-         |final int $n = $a.numElements();
-         |int[] $counts = new int[60];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i)) {
-         |    long $h = $a.getLong($i);
-         |    for (int $j = 0; $j < 60; $j++) {
-         |      $counts[$j] += (((($h >>> $j) & 1L) == 1L) ? 1 : -1);
-         |    }
-         |  }
-         |}
-         |long $sh = 0L;
-         |for (int $j = 0; $j < 60; $j++) { if ($counts[$j] > 0) $sh |= (1L << $j); }
-         |${ev.value} = $sh;
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-
-  override def prettyName: String = "simhash64"
 }
 
 /** md5-low-32 of raw UTF-8 bytes without a hex-string detour: digest bytes

@@ -101,4 +101,12 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(r.getSeq[Any](1).forall(_ != null))               // null skipped
     assert(r.getLong(2) === 0L)                              // empty -> all bits 0
   }
+
+  test("simhash64 of a NULL array is 0, matching the fold form (nullable=false)") {
+    val df = spark.sql("SELECT cast(null as array<bigint>) nh")
+    val r = df.select(simhash64(col("nh")).as("a"),
+      graft.functions.TextFunctions.simhashFromHashes("nh").as("b")).head()
+    assert(!r.isNullAt(0) && r.getLong(0) === 0L)
+    assert(r.getLong(0) === r.getLong(1)) // codegen == declarative twin
+  }
 }
