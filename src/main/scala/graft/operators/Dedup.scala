@@ -19,6 +19,24 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
+  /** Keep only rows whose key-group has size in [2, cap]: a singleton
+    * group can never produce an (a, b) pair in the self-join that follows,
+    * and an over-cap group is the declared skew drop (boilerplate bucket /
+    * stop-gram). Group sizes come from a hash aggregate (map-side
+    * combinable — the shuffle carries one partial count per distinct key
+    * per task, not the full relation) + a semi-join back; the window form
+    * (`count().over(partitionBy(keys))`) shuffles AND sorts the entire
+    * relation for the same answer, which is why it lost its spot here.
+    */
+  private def sizeBounded(df: DataFrame, keys: Seq[String],
+      cap: Option[Int]): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("gsz"))
+      .where(col("gsz") >= 2)
+    val keep = cap.fold(counts)(c => counts.where(col("gsz") <= c))
+      .select(keys.map(col): _*)
+    df.join(keep, keys, "left_semi")
+  }
+
   /** Exact dedup by normalized text (hash-groupBy): one shuffle on the
     * group key; keeps the smallest id as the canonical representative.
     * Output: (id, norm_text, group_size) for every KEPT row of a dup group.
@@ -87,14 +105,14 @@ object Dedup {
     // skew cap: a degenerate band bucket (millions of boilerplate docs
     // sharing a band key) would cost |bucket|² in the self-join; drop
     // over-cap buckets entirely — truly identical docs belong to exact
-    // dedup, and genuine near-dups still collide in their other bands
-    val banded = maxBucketSize match {
-      case Some(cap) =>
-        val w = Window.partitionBy(col("band_idx"), col("band_key"))
-        banded0.withColumn("bsz", count(lit(1)).over(w))
-          .where(col("bsz") <= cap).drop("bsz")
-      case None => banded0
-    }
+    // dedup, and genuine near-dups still collide in their other bands.
+    // Singleton buckets drop whenever the bound runs (they pair with
+    // nothing); the bound itself runs when its input is cached (extra agg
+    // leg reads the `mh` cache) or when a cap was explicitly requested.
+    val banded =
+      if (persistIntermediates || maxBucketSize.isDefined)
+        sizeBounded(banded0, Seq("band_idx", "band_key"), maxBucketSize)
+      else banded0
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&
@@ -166,13 +184,7 @@ object Dedup {
     val exploded = sh
       .select(col(idCol), col("sh"), explode(array(chunks: _*)).as("c"))
       .select(col(idCol), col("sh"), col("c.cidx").as("cidx"), col("c.ckey").as("ckey"))
-    val bucketed = maxBucketSize match {
-      case Some(cap) =>
-        val w = Window.partitionBy(col("cidx"), col("ckey"))
-        exploded.withColumn("bsz", count(lit(1)).over(w))
-          .where(col("bsz") <= cap).drop("bsz")
-      case None => exploded
-    }
+    val bucketed = boundedOrAll(exploded, Seq("cidx", "ckey"), maxBucketSize)
     val a = bucketed.select(col(idCol).as("a"), col("sh").as("sha"),
       col("cidx"), col("ckey"))
     val b = bucketed.select(col(idCol).as("b"), col("sh").as("shb"),
@@ -211,27 +223,39 @@ object Dedup {
     try use(pairs) finally cached.foreach(_.unpersist())
   }
 
+  /** SimHash bucket self-join input with the size bound applied only when a
+    * cap was requested: unlike the minhash/ngram paths there is no cached
+    * upstream here, so the bound costs a second evaluation of the simhash
+    * pipeline — charged only when the caller asked for the 100-TB skew cap.
+    * Singleton buckets then also drop (free, same pass).
+    */
+  private def boundedOrAll(exploded: DataFrame, keys: Seq[String],
+      cap: Option[Int]): DataFrame = cap match {
+    case Some(_) => sizeBounded(exploded, keys, cap)
+    case None    => exploded
+  }
+
   private def ngramJaccardPairsImpl(df: DataFrame, idCol: String, textCol: String,
       n: Int, persistIntermediates: Boolean,
-      maxDocFreq: Option[Int]): (DataFrame, Option[DataFrame]) = {
-    val g = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+      maxDocFreq: Option[Int]): (DataFrame, Seq[DataFrame]) = {
+    val g0 = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
       .select(col(idCol), ngramsOfTokens(col("toks"), n).as("grams"))
       .withColumn("sz", size(col("grams")))
-    // persisted by default: both legs of the self-join read it; without
-    // this the tokenize+shingle pipeline runs twice (no cross-leg CSE).
+    // persisted by default: the regex tokenize + shingle pipeline feeds
+    // three plan legs (doc-frequency aggregate, semi-join probe, and the
+    // pair join via `e`) — without the cache it runs once per leg (no
+    // cross-leg CSE).
+    val g = if (persistIntermediates) g0.persist() else g0
     val e0 = g.select(col(idCol), col("sz"), explode(col("grams")).as("gram"))
     // skew cap: a stop-gram present in every doc makes its posting list
     // O(n) and the join on it O(n²); drop grams over the doc-frequency
     // cap from the index. Set sizes (sa/sb) stay UNCAPPED, so dropped
     // grams only shrink the measured intersection — Jaccard of affected
     // pairs is underestimated, never inflated (no false positives).
-    val indexed = maxDocFreq match {
-      case Some(cap) =>
-        val w = Window.partitionBy(col("gram"))
-        e0.withColumn("df", count(lit(1)).over(w))
-          .where(col("df") <= cap).drop("df")
-      case None => e0
-    }
+    // df=1 grams are dropped unconditionally — they join only with
+    // themselves (a < b kills the pair), so pruning them shrinks the
+    // posting index without touching the output.
+    val indexed = sizeBounded(e0, Seq("gram"), maxDocFreq)
     val e = if (persistIntermediates) indexed.persist() else indexed
     val a = e.select(col(idCol).as("a"), col("sz").as("sa"), col("gram"))
     val b = e.select(col(idCol).as("b"), col("sz").as("sb"), col("gram"))
@@ -241,7 +265,7 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sa") + col("sb") - col("inter"))).as("jac"))
-    (pairs, if (persistIntermediates) Some(e) else None)
+    (pairs, if (persistIntermediates) Seq(g, e) else Nil)
   }
 
   /** For every row, its single most-similar other row by cosine (embedding
