@@ -20,6 +20,10 @@ object TimeOne {
     args.drop(1).foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+        println(s"[timeone] ===== plan: $name =====")
+        fn(spark, sfDir).explain("formatted")
+      }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Dedup
+import graft.streaming.StreamDedup
+
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two "arrival waves" as separate files so the file source sees real
+  // incremental input; ts encodes arrival order
+  private def writeDocs(): String = {
+    val dir = Files.createTempDirectory("graft-sdedup-").toString
+    def put(name: String, rows: Seq[(Long, String, Long)], mtime: Long): Unit = {
+      val json = rows.map { case (id, text, ts) =>
+        s"""{"doc_id":$id,"text":"$text","ts":$ts}"""
+      }.mkString("", "\n", "\n")
+      val p = Paths.get(s"$dir/$name")
+      Files.write(p, json.getBytes)
+      // the file source orders batches by mtime — make wave order explicit
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    put("wave1.json", Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", 1000L),
+      (2L, "completely different content about spark structured streaming", 2000L)), mtime = t0)
+    put("wave2.json", Seq(
+      (3L, "The quick brown fox jumps over the lazy dog again and again", 3000L), // exact dup of 1 (case)
+      (4L, "the quick brown fox jumps over the lazy dog again and once", 4000L),  // near-dup of 1
+      (5L, "unrelated third topic entirely with no shared phrasing at all", 5000L)), mtime = t0 + 30000)
+    dir
+  }
+
+  private def docStream(dir: String) =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, ts LONG")
+      .option("maxFilesPerTrigger", "1") // one wave per micro-batch
+      .json(dir)
+
+  test("streaming exact dedup keeps only the first arrival of each normalized text") {
+    val dir = writeDocs()
+    val out = StreamDedup.exactKeepFirst(docStream(dir), "doc_id", "text",
+      tsCol = "ts", watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sd_exact")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt_exact").start()
+    q.awaitTermination(60000)
+    val kept = spark.table("sd_exact").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 3 normalizes to doc 1's text and arrived later -> dropped
+    assert(kept === Set(1L, 2L, 4L, 5L))
+  }
+
+  test("streaming LSH candidates find the planted near-dup pair with one-long-per-bucket state") {
+    val dir = writeDocs()
+    val cands = StreamDedup.minhashCandidates(docStream(dir), "doc_id", "text")
+    val q = cands.writeStream.format("memory").queryName("sd_cand")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt_cand").start()
+    q.awaitTermination(60000)
+    val pairs = spark.table("sd_cand").select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact dup (1,3) and the near-dup (1,4) must both surface
+    assert(pairs.contains((1L, 3L)), s"missing exact-dup candidate in $pairs")
+    assert(pairs.contains((1L, 4L)), s"missing near-dup candidate in $pairs")
+    // no candidate may pair two unrelated docs that the batch band join
+    // would not pair: streaming candidates ⊆ batch candidates ∪ rep-chains.
+    // Verify against batch pairs at jac>0 (candidate legitimacy, not recall).
+    val batchPairs = Dedup.minhashPairs(
+        spark.read.schema("doc_id LONG, text STRING, ts LONG").json(dir),
+        "doc_id", "text", persistIntermediates = false)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(batchPairs),
+      s"streaming emitted pairs the batch band join never generates: ${pairs -- batchPairs}")
+  }
+}
