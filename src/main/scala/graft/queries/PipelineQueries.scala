@@ -312,6 +312,51 @@ object PipelineQueries {
         |q AS (SELECT embedding AS qe, bucket AS qb FROM bk WHERE vec_id = 0)
         |SELECT b.vec_id, ${duckL2Zip.format("b.embedding", "q.qe")} AS score
         |FROM bk b, q WHERE b.bucket = q.qb
-        |ORDER BY score ASC, b.vec_id ASC LIMIT 5""".stripMargin))
+        |ORDER BY score ASC, b.vec_id ASC LIMIT 5""".stripMargin)),
+
+    // Vocabulary building: top-5 tokens per language by corpus frequency —
+    // the tokenizer-vocab / stopword-table pass of a training-data
+    // pipeline. Explode → hash-groupBy → per-group top-n (WindowGroupLimit
+    // pushes the rank filter below the sort at scale, like q30).
+    QueryDef("q38_vocab_topn",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), explode(wsTokens(col("text"))).as("tok"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok").asc)
+        toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some(s"""WITH t AS (SELECT lang, unnest($duckToks) AS tok FROM documents),
+        |c AS (SELECT lang, tok, COUNT(*) AS cnt FROM t GROUP BY lang, tok)
+        |SELECT lang, tok, cnt,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS INT) AS rank
+        |FROM c QUALIFY rank <= 5 ORDER BY lang, rank""".stripMargin)),
+
+    // Document-frequency table (the IDF / stopword-detection pass): per
+    // token, the number of docs containing it. Per-doc distinct BEFORE the
+    // explode keeps the aggregate's input at one row per (doc, token) —
+    // counts stay integer-exact; the ratio is a single IEEE division, so
+    // it hash-matches.
+    QueryDef("q39_token_df",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        docs.select(col("doc_id"),
+            explode(array_distinct(wsTokens(col("text")))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(total))
+          .select(col("tok"), col("df"),
+            (col("df").cast("double") / col("n_docs").cast("double")).as("df_ratio"))
+          .orderBy(col("df").desc, col("tok").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |d AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tok, df, CAST(df AS DOUBLE)/CAST(n_docs AS DOUBLE) AS df_ratio FROM d, n
+        |ORDER BY df DESC, tok ASC LIMIT 20""".stripMargin))
   )
 }
