@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Knn, SimilaritySearch}
+import graft.operators.{Dedup, Knn, Pq, SimilaritySearch}
 import graft.queries.CoreQueries
 
 /** ANN quality report (BASELINE.md: recall is REPORTED, not hash-matched —
@@ -76,7 +76,25 @@ object AnnQuality {
           col("vec_id").between(1, 6), qid, k).collect().map(_.getLong(0))),
       recallOf(s"mllib brp-lsh (3 tables, ${2 * k} over-fetch)", qid =>
         SimilaritySearch.mllibLshTopK(emb, "vec_id", "embedding",
-          qid, k).collect().map(_.getLong(0))))
+          qid, k).collect().map(_.getLong(0)))) ++ {
+      // PQ tiers: trained codebooks (8 subspaces × 16 words → 8 codes/row,
+      // a 32x footprint cut on this 64-float fixture); pure ADC vs
+      // ADC + exact re-rank of the top-4k candidates
+      def qv(qid: Long): Array[Double] =
+        emb.where(col("vec_id") === qid).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+      val pqCb = Pq.trainCodebooks(emb, "embedding", numSub = 8, numWords = 16)
+      Seq(
+        recallOf("pq-adc (8x16 KMEANS codebooks, no re-rank)", qid =>
+          Pq.adcTopK(emb, "vec_id", "embedding", pqCb, qv(qid), k)
+            .collect().map(_.getLong(0))),
+        recallOf(s"pq-adc + exact re-rank of top-${4 * k}", qid =>
+          Pq.adcTopK(emb, "vec_id", "embedding", pqCb, qv(qid), k,
+            rerankFrom = Some(4 * k)).collect().map(_.getLong(0))),
+        recallOf(s"pq-adc + exact re-rank of top-${10 * k} (~10% reads)", qid =>
+          Pq.adcTopK(emb, "vec_id", "embedding", pqCb, qv(qid), k,
+            rerankFrom = Some(10 * k)).collect().map(_.getLong(0))))
+    }
 
     // near-dup top-1 recall: LSH-candidate path vs the quadratic oracle,
     // over EVERY row (this is a dedup sweep, not a per-query search)

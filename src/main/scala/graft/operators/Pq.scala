@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Product quantization (PQ) — the memory-compression tier of similarity
+  * search at 100 TB. The reference holds full float vectors in its HNSW
+  * index (`src/datanode/handler.py:46,86`), which caps corpus size at
+  * node RAM; PQ splits each D-dim vector into M subvectors, k-means each
+  * subspace into K codewords, and stores each row as M small codes — for
+  * D=512 floats → M=8 codes that's a 256× footprint cut, the difference
+  * between "embeddings spill to disk" and "the whole corpus is a RAM-
+  * resident scan" on a 1000-executor cluster.
+  *
+  * Query-time scoring is the classic asymmetric-distance (ADC) lookup:
+  * the query precomputes an M×K table of subspace distances (driver-side,
+  * tiny), and each row's approximate distance is M table lookups + adds —
+  * no float vector is ever read. Everything here composes existing
+  * codegen pieces ([[graft.functions.expressions.VectorDistance]] for the
+  * subspace distances, native `element_at`/`slice` for the lookups), so
+  * the scan stays inside WholeStageCodegen; no UDFs.
+  *
+  * Encode/score are deterministic given the codebooks (argmin tie breaks
+  * to the lowest code via first-match `array_position`), so the
+  * deterministic-codebook variant is oracle-checkable; k-means training
+  * is model-dependent like every index build (same contract as
+  * [[SimilaritySearch.trainCentroids]]).
+  */
+object Pq {
+
+  /** The PQ index artifact: `words(m)(c)` = codeword `c` of subspace `m`,
+    * each of length `dim / m`. Tiny (M×K×(D/M) doubles) — persisted like
+    * a snapshot, broadcast into expressions at query time.
+    */
+  case class Codebooks(numSub: Int, numWords: Int, dim: Int,
+      words: Array[Array[Array[Double]]]) {
+    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+    def subDim: Int = dim / numSub
+  }
+
+  /** Deterministic codebooks for oracle-checked queries: subspace m's
+    * codewords are the m-th subvectors of the first `numWords` rows by
+    * `idCol` (ids 0..numWords-1). The `collect` reads numWords rows — an
+    * index-build artifact, not a corpus scan (same rationale as the
+    * reference seeding its index from the first inserts).
+    */
+  def deterministicCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      numSub: Int, numWords: Int): Codebooks = {
+    val rows = df.where(col(idCol) < numWords)
+      .orderBy(col(idCol).asc)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.length == numWords,
+      s"deterministicCodebooks: expected ids 0..${numWords - 1} present, got ${rows.length} rows")
+    val dim = rows.head.length
+    val sub = dim / numSub
+    val words = Array.tabulate(numSub, numWords) { (m, c) =>
+      rows(c).slice(m * sub, (m + 1) * sub)
+    }
+    Codebooks(numSub, numWords, dim, words)
+  }
+
+  /** K-means-trained codebooks (fixed seed): one MLlib fit per subspace
+    * over that subspace's slice of the corpus — the real index build.
+    */
+  def trainCodebooks(df: DataFrame, vecCol: String, numSub: Int,
+      numWords: Int, seed: Long = 42L): Codebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val first = df.select(size(col(vecCol))).head().getInt(0)
+    val sub = first / numSub
+    require(first % numSub == 0, s"dim $first not divisible into $numSub subspaces")
+    val words = (0 until numSub).map { m =>
+      val data = df.select(array_to_vector(
+        slice(col(vecCol).cast("array<double>"), m * sub + 1, sub)).as("features"))
+      new KMeans().setK(numWords).setSeed(seed + m).setMaxIter(20)
+        .setFeaturesCol("features").setPredictionCol("c")
+        .fit(data).clusterCenters.map(_.toArray)
+    }.toArray
+    Codebooks(numSub, numWords, first, words)
+  }
+
+  /** Persist / reload codebooks (parquet rows (m, c, word) — the same
+    * artifact lifecycle as [[SimilaritySearch.saveCentroids]]).
+    */
+  def saveCodebooks(spark: SparkSession, cb: Codebooks, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      m <- 0 until cb.numSub
+      c <- 0 until cb.numWords
+    } yield (m, c, cb.words(m)(c).toSeq)
+    rows.toDF("m", "c", "word").write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("m"), col("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val numSub = rows.map(_._1).max + 1
+    val numWords = rows.map(_._2).max + 1
+    val words = Array.tabulate(numSub, numWords) { (m, c) =>
+      rows(m * numWords + c)._3
+    }
+    Codebooks(numSub, numWords, numSub * words(0)(0).length, words)
+  }
+
+  /** Encode rows to PQ codes: `codes(m)` = argmin over codewords of the
+    * subspace squared-L2 (ties → lowest code, via first-match
+    * `array_position`). M×K codegen distance loops per row, all inside
+    * one projection — this is the write-side cost, paid once per row like
+    * IVF assignment. Output: (idCol, codes ARRAY<INT>).
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks): DataFrame = {
+    val codes = (0 until cb.numSub).map { m =>
+      val sl = slice(col(vecCol), m * cb.subDim + 1, cb.subDim)
+      val dists = array((0 until cb.numWords).map(c =>
+        l2Sq(sl, typedLit(cb.words(m)(c)))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    df.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** The query's M×K ADC table: `table(m)(c)` = l2sq(query subvector m,
+    * codeword (m,c)) — computed driver-side in plain Scala (M×K×subDim
+    * flops on one machine), folded in index order like every distance in
+    * the engine.
+    */
+  private[operators] def adcTable(cb: Codebooks, query: Array[Double]): Array[Array[Double]] = {
+    require(query.length == cb.dim, s"query dim ${query.length} != codebook dim ${cb.dim}")
+    Array.tabulate(cb.numSub, cb.numWords) { (m, c) =>
+      val q = query.slice(m * cb.subDim, (m + 1) * cb.subDim)
+      val w = cb.words(m)(c)
+      var acc = 0.0
+      var i = 0
+      while (i < q.length) { val d = q(i) - w(i); acc += d * d; i += 1 }
+      acc
+    }
+  }
+
+  /** ADC scores over an encoded table: per row, M literal-array lookups
+    * summed left-to-right (m = 0..M-1 — deterministic float order). The
+    * scan never touches a vector column. Output: (idCol, score).
+    */
+  def adcScores(encoded: DataFrame, idCol: String, cb: Codebooks,
+      query: Array[Double]): DataFrame = {
+    val table = adcTable(cb, query)
+    val score = (0 until cb.numSub)
+      .map(m => element_at(typedLit(table(m)), element_at(col("codes"), m + 1) + 1))
+      .reduceLeft(_ + _)
+    encoded.select(col(idCol), score.as("score"))
+  }
+
+  /** PQ top-k by ADC distance (ascending, tie-break id). `rerankFrom`:
+    * over-fetch that many ADC candidates, then EXACT squared-L2 re-rank
+    * against the full vectors of just those rows — the standard two-stage
+    * PQ search (ADC scan over codes → exact refine over R rows), the
+    * candidate-multiplier discipline of the reference's 2k over-fetch
+    * (`src/datanode/handler.py:364`).
+    */
+  def adcTopK(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks,
+      query: Array[Double], k: Int, rerankFrom: Option[Int] = None): DataFrame = {
+    val adc = adcScores(encode(df, idCol, vecCol, cb), idCol, cb, query)
+    rerankFrom match {
+      case Some(r) =>
+        require(r >= k, s"rerankFrom $r must be >= k $k")
+        val cand = adc.orderBy(col("score").asc, col(idCol).asc).limit(r)
+          .select(col(idCol))
+        df.join(cand, idCol)
+          .select(col(idCol), l2Sq(col(vecCol), typedLit(query)).as("score"))
+          .orderBy(col("score").asc, col(idCol).asc)
+          .limit(k)
+      case None =>
+        adc.orderBy(col("score").asc, col(idCol).asc).limit(k)
+    }
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Dedup, Pq, SimilaritySearch}
 
 /** Training-data-pipeline operators as oracle-checked queries (q17–q26):
   * near-dup detection (MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -357,6 +357,40 @@ object PipelineQueries {
         |d AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok),
         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
         |SELECT tok, df, CAST(df AS DOUBLE)/CAST(n_docs AS DOUBLE) AS df_ratio FROM d, n
-        |ORDER BY df DESC, tok ASC LIMIT 20""".stripMargin))
+        |ORDER BY df DESC, tok ASC LIMIT 20""".stripMargin)),
+
+    // Product-quantization ADC search (deterministic codebooks: subvectors
+    // of rows 0..3, M=2 subspaces, K=4 codewords): encode every row to 2
+    // codes, score = 2 table lookups — the memory-compression ANN tier
+    // (codes are ~128x smaller than the vectors; SCALE.md "PQ"). Encode
+    // argmin ties break to the lowest code on BOTH engines (first-match
+    // array_position / row_number over (d, c)); the trained-codebook form
+    // is Pq.trainCodebooks (recall rows in ANN_QUALITY.md).
+    QueryDef("q40_ann_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Pq.deterministicCodebooks(emb, "vec_id", "embedding",
+          numSub = 2, numWords = 4)
+        // the ADC table is built driver-side from the query vector by
+        // design (that IS the algorithm's query-time step); row 0 is Q
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        Pq.adcTopK(emb, "vec_id", "embedding", cb, q, k = 5)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding[1:32] AS s0, embedding[33:64] AS s1 FROM embeddings),
+        |cw AS (SELECT vec_id AS c, embedding[1:32] AS w0, embedding[33:64] AS w1 FROM embeddings WHERE vec_id < 4),
+        |qq AS (SELECT s0 AS q0, s1 AS q1 FROM e WHERE vec_id = 0),
+        |a0 AS (SELECT e.vec_id, cw.c, row_number() OVER (PARTITION BY e.vec_id
+        |  ORDER BY ${duckL2Zip.format("e.s0", "cw.w0")} ASC, cw.c ASC) AS rn FROM e, cw),
+        |a1 AS (SELECT e.vec_id, cw.c, row_number() OVER (PARTITION BY e.vec_id
+        |  ORDER BY ${duckL2Zip.format("e.s1", "cw.w1")} ASC, cw.c ASC) AS rn FROM e, cw),
+        |t0 AS (SELECT cw.c, ${duckL2Zip.format("qq.q0", "cw.w0")} AS d FROM cw, qq),
+        |t1 AS (SELECT cw.c, ${duckL2Zip.format("qq.q1", "cw.w1")} AS d FROM cw, qq),
+        |codes AS (SELECT a0.vec_id, a0.c AS c0, a1.c AS c1 FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
+        |  WHERE a0.rn = 1 AND a1.rn = 1)
+        |SELECT codes.vec_id, t0.d + t1.d AS score
+        |FROM codes JOIN t0 ON t0.c = codes.c0 JOIN t1 ON t1.c = codes.c1
+        |ORDER BY score ASC, codes.vec_id ASC LIMIT 5""".stripMargin))
   )
 }

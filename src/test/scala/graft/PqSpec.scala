@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Pq
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 rows of dim-4 vectors; ids 0..3 double as the deterministic codewords
+  private def corpus() = Seq(
+    (0L, Array(0.0, 0.0, 0.0, 0.0)),
+    (1L, Array(1.0, 1.0, 0.0, 0.0)),
+    (2L, Array(0.0, 0.0, 1.0, 1.0)),
+    (3L, Array(1.0, 1.0, 1.0, 1.0)),
+    (4L, Array(0.9, 1.1, 0.1, -0.1)),   // near codeword combo (1, 0)
+    (5L, Array(0.1, -0.1, 0.9, 1.1)),   // near (0, 1)
+    (6L, Array(1.1, 0.9, 1.1, 0.9)),    // near (1, 1)
+    (7L, Array(0.02, 0.01, 0.0, 0.03))  // near (0, 0)
+  ).toDF("vec_id", "embedding")
+
+  private def cb = Pq.deterministicCodebooks(corpus(), "vec_id", "embedding",
+    numSub = 2, numWords = 4)
+
+  test("encode picks the argmin codeword per subspace, ties to the lowest code") {
+    val codes = Pq.encode(corpus(), "vec_id", "embedding", cb)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    // codeword subvectors: sub0 -> {0:(0,0), 1:(1,1), 2:(0,0), 3:(1,1)},
+    // sub1 -> {0:(0,0), 1:(0,0), 2:(1,1), 3:(1,1)}; duplicate codewords
+    // (0≡2 in sub0, 0≡1 in sub1) must tie to the LOWEST code
+    assert(codes(0)._2 === Seq(0, 0))
+    assert(codes(3)._2 === Seq(1, 2))
+    assert(codes(4)._2 === Seq(1, 0))
+    assert(codes(5)._2 === Seq(0, 2))
+    assert(codes(6)._2 === Seq(1, 2))
+    assert(codes(7)._2 === Seq(0, 0))
+  }
+
+  test("ADC score equals exact distance when vectors sit exactly on codewords") {
+    val exactRows = corpus().where($"vec_id" <= 3)
+    val q = Array(0.25, 0.5, 0.75, 1.0)
+    val adc = Pq.adcScores(Pq.encode(exactRows, "vec_id", "embedding", cb),
+        "vec_id", cb, q)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = exactRows
+      .select($"vec_id", VectorFunctions.l2Sq($"embedding", typedLit(q)).as("s"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    adc.zip(exact).foreach { case ((_, a), (_, e)) => assert(a === e) }
+  }
+
+  test("ADC top-k with exact re-rank recovers the true nearest neighbors") {
+    val q = Array(1.0, 1.0, 1.0, 1.0)
+    val got = Pq.adcTopK(corpus(), "vec_id", "embedding", cb, q, k = 3,
+        rerankFrom = Some(6))
+      .collect().map(_.getLong(0)).toSeq
+    val truth = corpus()
+      .select($"vec_id", VectorFunctions.l2Sq($"embedding", typedLit(q)).as("s"))
+      .orderBy($"s".asc, $"vec_id".asc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === truth)
+  }
+
+  test("trained codebooks roundtrip through save/load and score identically") {
+    val trained = Pq.trainCodebooks(corpus(), "embedding", numSub = 2,
+      numWords = 2, seed = 7L)
+    val dir = Files.createTempDirectory("graft-pq-").toString
+    Pq.saveCodebooks(spark, trained, dir)
+    val loaded = Pq.loadCodebooks(spark, dir)
+    assert(loaded.numSub === trained.numSub)
+    assert(loaded.numWords === trained.numWords)
+    assert(loaded.dim === trained.dim)
+    val q = Array(0.5, 0.5, 0.5, 0.5)
+    val a = Pq.adcScores(Pq.encode(corpus(), "vec_id", "embedding", trained),
+      "vec_id", trained, q).orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+    val b = Pq.adcScores(Pq.encode(corpus(), "vec_id", "embedding", loaded),
+      "vec_id", loaded, q).orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+    assert(a === b)
+  }
+
+  test("float corpus encodes identically to its double cast (testdata shape)") {
+    val f = corpus().select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // float->double cast is exact for these values; encode must agree
+    val cf = Pq.encode(f, "vec_id", "embedding", cb)
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    val cd = Pq.encode(corpus(), "vec_id", "embedding", cb)
+      .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(cf.toSeq === cd.toSeq)
+  }
+}
