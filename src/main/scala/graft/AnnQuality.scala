@@ -93,7 +93,10 @@ object AnnQuality {
             rerankFrom = Some(4 * k)).collect().map(_.getLong(0))),
         recallOf(s"pq-adc + exact re-rank of top-${10 * k} (~10% reads)", qid =>
           Pq.adcTopK(emb, "vec_id", "embedding", pqCb, qv(qid), k,
-            rerankFrom = Some(10 * k)).collect().map(_.getLong(0))))
+            rerankFrom = Some(10 * k)).collect().map(_.getLong(0))),
+        recallOf(s"ivf-pq (8 KMEANS cells nprobe=4, 8x16 pq, re-rank top-${10 * k})", qid =>
+          Pq.ivfAdcTopK(emb, "vec_id", "embedding", trained, pqCb, qv(qid), k,
+            nprobe = 4, rerankFrom = Some(10 * k)).collect().map(_.getLong(0))))
     }
 
     // near-dup top-1 recall: LSH-candidate path vs the quadratic oracle,

@@ -178,4 +178,26 @@ object Pq {
         adc.orderBy(col("score").asc, col(idCol).asc).limit(k)
     }
   }
+
+  /** IVF-PQ (the FAISS serving composition): restrict the ADC scan to the
+    * query's `nprobe` nearest IVF cells, then exact re-rank. At 100 TB the
+    * corpus is stored partitioned by `cid` with codes precomputed at
+    * write time, so a query is partition pruning (read |corpus|·nprobe/K)
+    * × a code-only ADC scan (M lookups/row) × an exact re-rank over
+    * `rerankFrom` rows — the only full vectors read. `centroids` as in
+    * [[SimilaritySearch.ivfAssign]] (tiny, broadcast).
+    */
+  def ivfAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cb: Codebooks, query: Array[Double], k: Int,
+      nprobe: Int = 1, rerankFrom: Option[Int] = None): DataFrame = {
+    val assigned = SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids)
+    val probeCids = centroids
+      .select(col("cid"), l2Sq(col("ce"), typedLit(query)).as("d"))
+      .orderBy(col("d").asc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("qcid"))
+    val cell = assigned.join(broadcast(probeCids), col("cid") === col("qcid"))
+      .select(col(idCol), col("emb"))
+    adcTopK(cell, idCol, "emb", cb, query, k, rerankFrom)
+  }
 }

@@ -64,6 +64,20 @@ class PqSpec extends SparkSpec {
     assert(got === truth)
   }
 
+  test("IVF-PQ with all cells probed and full re-rank equals the exact top-k") {
+    val q = Array(1.0, 1.0, 0.5, 0.5)
+    val centroids = Seq((0L, Array(0.0, 0.0, 0.0, 0.0)), (1L, Array(1.0, 1.0, 1.0, 1.0)))
+      .toDF("cid", "ce")
+    val got = Pq.ivfAdcTopK(corpus(), "vec_id", "embedding", centroids, cb, q,
+        k = 3, nprobe = 2, rerankFrom = Some(8))
+      .collect().map(_.getLong(0)).toSeq
+    val truth = corpus()
+      .select($"vec_id", VectorFunctions.l2Sq($"embedding", typedLit(q)).as("s"))
+      .orderBy($"s".asc, $"vec_id".asc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === truth)
+  }
+
   test("trained codebooks roundtrip through save/load and score identically") {
     val trained = Pq.trainCodebooks(corpus(), "embedding", numSub = 2,
       numWords = 2, seed = 7L)
