@@ -133,4 +133,24 @@ object TextFunctions {
   /** Ratio of non-alphanumeric-non-space chars to total length. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") / length(text)
+
+  /** Deterministic uniform [0,1) from a key: md5 low 32 bits / 2^32 —
+    * the sampling coin of a reproducible curation pipeline (same rows
+    * survive on every run/engine; the md5-low-bits discipline of
+    * [[graft.functions.VectorFunctions.shardId]]). `salt` decorrelates
+    * independent decisions on the same key (sampling vs split
+    * assignment). Exact in double (a 32-bit integer over a power of two).
+    */
+  def md5Unit(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), key)), 25, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Deterministic bucket in [0, n) from a key (salted like [[md5Unit]]) —
+    * split assignment, shard routing, A/B cohorts. Exact for n dividing
+    * 2^32 or any n (mod of the low-32 value is deterministic parity with
+    * any engine computing the same low-32 md5 integer).
+    */
+  def md5Bucket(key: Column, n: Int, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(lit(salt), key)), 25, 8), 16, 10)
+      .cast("long"), lit(n.toLong))
 }

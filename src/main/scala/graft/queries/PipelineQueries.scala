@@ -391,6 +391,47 @@ object PipelineQueries {
         |  WHERE a0.rn = 1 AND a1.rn = 1)
         |SELECT codes.vec_id, t0.d + t1.d AS score
         |FROM codes JOIN t0 ON t0.c = codes.c0 JOIN t1 ON t1.c = codes.c1
-        |ORDER BY score ASC, codes.vec_id ASC LIMIT 5""".stripMargin))
+        |ORDER BY score ASC, codes.vec_id ASC LIMIT 5""".stripMargin)),
+
+    // Reproducible stratified sampling: per-language keep rates applied
+    // with a deterministic md5 coin — the curation downsample (cut
+    // over-represented languages) that must pick the SAME rows on every
+    // run and engine. No rand(): the coin is a pure function of doc_id.
+    QueryDef("q41_stratified_sample",
+      (s, d) => {
+        val rate = when(col("lang") === "en", lit(0.25))
+          .when(col("lang") === "de", lit(0.5))
+          .when(col("lang") === "es", lit(0.5))
+          .otherwise(lit(1.0))
+        Tables.documents(s, d)
+          .where(md5Unit(col("doc_id").cast("string")) < rate)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept"), min("doc_id").as("first_kept"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS kept, MIN(doc_id) AS first_kept FROM documents
+        |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT) AS DOUBLE) / 4294967296.0
+        |  < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5 ELSE 1.0 END
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Train/val/test split assignment: salted md5 bucket in [0,100) →
+    // 80/10/10, independent of the q41 sampling coin (different salt).
+    // Deterministic and engine-portable — the split a 100-TB corpus
+    // carries as a COLUMN, so downstream readers partition-prune their
+    // split instead of re-rolling it.
+    QueryDef("q42_split_assign",
+      (s, d) => {
+        val b = md5Bucket(col("doc_id").cast("string"), 100, salt = "split:")
+        val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        Tables.documents(s, d)
+          .groupBy(col("lang"), split.as("split"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH b AS (SELECT lang,
+        |  CAST(CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT) % 100 AS BIGINT) AS bk
+        |  FROM documents)
+        |SELECT lang, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS cnt FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
   )
 }
