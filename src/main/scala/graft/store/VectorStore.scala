@@ -270,4 +270,33 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     snapDf.write.mode("overwrite").parquet(s"${snapDirBase}_$tip")
     writePos(tip)
   }
+
+  /** WAL retention (the reference's 7-day file GC, `wal_manager.py:23,
+    * 67-77`, expressed as partition drops): delete WAL partition dirs with
+    * `batch_seq <= keepAfter` (default: everything the current snapshot
+    * covers). Purely physical — `compacted` never reads those partitions
+    * anyway (partition pruning on `batch_seq > pos`), so state is
+    * unchanged; what is given up is time travel / full replay before the
+    * horizon. Never GCs past the snapshot position: replay after the
+    * snapshot must stay complete.
+    */
+  def gcWal(keepAfter: Long = readPos()): Unit = {
+    val horizon = keepAfter.min(readPos()) // never drop un-snapshotted ops
+    val p = Paths.get(walDir)
+    if (!Files.exists(p) || horizon < 0) return
+    val stream = Files.list(p)
+    val victims =
+      try stream.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter { d =>
+          val n = d.getFileName.toString
+          n.startsWith("batch_seq=") && n.stripPrefix("batch_seq=").toLong <= horizon
+        }
+      finally stream.close()
+    victims.foreach { d =>
+      val files = Files.list(d)
+      try files.toArray.map(_.asInstanceOf[java.nio.file.Path]).foreach(Files.delete)
+      finally files.close()
+      Files.delete(d)
+    }
+  }
 }

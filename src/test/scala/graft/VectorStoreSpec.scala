@@ -159,6 +159,31 @@ class VectorStoreSpec extends SparkSpec {
     assert(store.scan.select("key").collect().map(_.getString(0)).toSeq === Seq("gone"))
   }
 
+  test("WAL GC drops covered partitions only; state and cold reopen unchanged") {
+    val dir = tmpDir()
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(batch(rec("a", Array(1f, 1f), 10), rec("b", Array(2f, 2f), 10)))
+    store.delete(Seq("b"), ts = 20)
+    store.compact()
+    store.put(batch(rec("c", Array(3f, 3f), 30))) // NOT covered by snapshot
+    val before = store.scan.orderBy("key").collect().map(_.getString(0)).toSeq
+
+    def parts() = Files.list(Paths.get(s"$dir/wal")).toArray.map(_.toString)
+      .filter(_.split('/').last.startsWith("batch_seq="))
+    store.gcWal() // drop everything the snapshot covers
+    assert(parts().length === 1,
+      s"un-snapshotted partition must survive: ${parts().toSeq}")
+
+    assert(store.scan.orderBy("key").collect().map(_.getString(0)).toSeq === before)
+    // cold reopen replays snapshot + surviving WAL to the same state
+    val reopened = new VectorStore(spark, dir, dim = 2)
+    assert(reopened.scan.orderBy("key").collect().map(_.getString(0)).toSeq === before)
+    // an explicit keepAfter beyond the snapshot pos must be clamped:
+    // the c partition is newer than the snapshot and must never be GCed
+    store.gcWal(keepAfter = Long.MaxValue)
+    assert(parts().length === 1)
+  }
+
   test("garbled wal_pos falls back to full replay, losing nothing") {
     val dir = tmpDir()
     val store = new VectorStore(spark, dir, dim = 2)
