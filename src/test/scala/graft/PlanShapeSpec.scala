@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions for the round-2 scale paths — SCALE.md's
+  * claims, pinned: the capped dedup indexes must prune via hash-aggregate +
+  * semi-join (never a windowed sort of the full index), and no dedup scale
+  * path may degrade to a nested-loop/cartesian pair join.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def executed(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, d)
+    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    try df.queryExecution.executedPlan.toString
+    finally spark.catalog.clearCache()
+  }
+
+  test("q36 capped ngram index prunes with a semi-join, not a window sort") {
+    val plan = executed("q36_ngram_jaccard_capped")
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(!plan.contains("RunningWindowFunction"), plan.take(3000))
+    // the only Window in this plan would be the old count().over(gram) cap
+    assert(!plan.contains("windowspecdefinition"), plan.take(3000))
+  }
+
+  test("q33 pigeonhole simhash never plans a nested-loop or cartesian join") {
+    val plan = executed("q33_simhash_bucketed")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+  }
+
+  test("q37 blocked cosine simjoin pairs via an equi-join on the cell id") {
+    val plan = executed("q37_cosine_simjoin_bucketed")
+    // the PAIR join must be keyed on cid — never an unkeyed nested loop.
+    // (The broadcast-centroid ASSIGNMENT cross join is intended: tiny
+    // build side, the ivfAssign shape.)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
+      !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), plan.take(3000))
+  }
+
+  test("q40 PQ ADC is one codegen scan pass with zero exchanges") {
+    val plan = executed("q40_ann_pq")
+    // encode + ADC scoring fuse into whole-stage codegen over the scan
+    // ("*(1)" marks the codegen stage in toString) and nothing shuffles:
+    // TakeOrderedAndProject merges per-partition heaps at the driver
+    assert(plan.contains("*(1) Project"), plan.take(3000))
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("q41/q42 curation coins stay scan-side (no join, no extra shuffle)") {
+    val p41 = executed("q41_stratified_sample")
+    assert(!p41.contains("Join"), p41.take(3000))
+    val p42 = executed("q42_split_assign")
+    assert(!p42.contains("Join"), p42.take(3000))
+  }
+}
