@@ -117,10 +117,11 @@ object Demo {
     val mdir = Files.createTempDirectory("graft-demo-media-")
     // stage the reference's sample images under non-hidden names (Spark's
     // file index skips '_'-prefixed files)
-    java.nio.file.Files.list(Paths.get("/root/reference/test_data")).forEach { p =>
+    val refMedia = java.nio.file.Files.list(Paths.get("/root/reference/test_data"))
+    try refMedia.forEach { p =>
       val clean = p.getFileName.toString.dropWhile(_ == '_')
       Files.copy(p, mdir.resolve(clean))
-    }
+    } finally refMedia.close()
     Files.write(mdir.resolve("readme.txt"), "not media".getBytes)
     val media = Multimodal.readMediaDir(spark, mdir.toString)
       .as[Multimodal.MediaRecord]

@@ -69,7 +69,13 @@ object Multimodal {
     */
   private[multimodal] def imageFeatures(bytes: Array[Byte],
       dim: Int): Option[(Int, Int, Array[Float])] = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    // ImageIO.read returns null for unrecognized formats but THROWS for a
+    // recognized header with a corrupt/truncated body ("Premature end of
+    // JPEG file") — both must fall back, or one bad crawl file among
+    // millions kills the whole extract job
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight

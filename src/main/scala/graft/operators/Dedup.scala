@@ -252,10 +252,15 @@ object Dedup {
     // cap from the index. Set sizes (sa/sb) stay UNCAPPED, so dropped
     // grams only shrink the measured intersection — Jaccard of affected
     // pairs is underestimated, never inflated (no false positives).
-    // df=1 grams are dropped unconditionally — they join only with
-    // themselves (a < b kills the pair), so pruning them shrinks the
-    // posting index without touching the output.
-    val indexed = sizeBounded(e0, Seq("gram"), maxDocFreq)
+    // df=1 grams join only with themselves (a < b kills the pair), so
+    // dropping them shrinks the posting index without touching the output
+    // — but the bound's extra aggregate+semi-join legs are only free when
+    // `g` is cached; uncached-and-uncapped callers keep the direct path
+    // (same gating as the minhash/simhash bounds).
+    val indexed =
+      if (persistIntermediates || maxDocFreq.isDefined)
+        sizeBounded(e0, Seq("gram"), maxDocFreq)
+      else e0
     val e = if (persistIntermediates) indexed.persist() else indexed
     val a = e.select(col(idCol).as("a"), col("sz").as("sa"), col("gram"))
     val b = e.select(col(idCol).as("b"), col("sz").as("sb"), col("gram"))

@@ -191,11 +191,7 @@ object Pq {
       centroids: DataFrame, cb: Codebooks, query: Array[Double], k: Int,
       nprobe: Int = 1, rerankFrom: Option[Int] = None): DataFrame = {
     val assigned = SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids)
-    val probeCids = centroids
-      .select(col("cid"), l2Sq(col("ce"), typedLit(query)).as("d"))
-      .orderBy(col("d").asc, col("cid").asc)
-      .limit(nprobe)
-      .select(col("cid").as("qcid"))
+    val probeCids = SimilaritySearch.probeCells(centroids, query, nprobe)
     val cell = assigned.join(broadcast(probeCids), col("cid") === col("qcid"))
       .select(col(idCol), col("emb"))
     adcTopK(cell, idCol, "emb", cb, query, k, rerankFrom)

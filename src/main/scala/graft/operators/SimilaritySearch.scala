@@ -114,6 +114,18 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** The `nprobe` cells a literal query vector probes — one (qcid) row per
+    * probed cell, tie-break (distance, cid). THE definition of probe
+    * order: [[ivfSearchVec]] and [[Pq.ivfAdcTopK]] must rank cells
+    * identically or the tiers drift.
+    */
+  def probeCells(centroids: DataFrame, query: Array[Double], nprobe: Int): DataFrame =
+    centroids
+      .select(col("cid"), l2Sq(col("ce"), typedLit(query)).as("d"))
+      .orderBy(col("d").asc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("qcid"))
+
   /** IVF search by query VECTOR (no query row in the table) — the store-
     * serving form: assignment on the (possibly pre-filtered) corpus, probe
     * cids from the literal query against the broadcast centroids, exact
@@ -123,11 +135,7 @@ object SimilaritySearch {
       centroids: DataFrame, query: Array[Double], k: Int, nprobe: Int = 1,
       threshold: Option[Double] = None): DataFrame = {
     val assigned = ivfAssign(df, idCol, vecCol, centroids)
-    val probeCids = centroids
-      .select(col("cid"), l2Sq(col("ce"), typedLit(query)).as("d"))
-      .orderBy(col("d").asc, col("cid").asc)
-      .limit(nprobe)
-      .select(col("cid").as("qcid"))
+    val probeCids = probeCells(centroids, query, nprobe)
     val scored = assigned.join(broadcast(probeCids), col("cid") === col("qcid"))
       .select(col(idCol), l2Sq(col("emb"), typedLit(query)).as("score"))
     threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)

@@ -53,6 +53,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got.view.mapValues(_.features.toSeq).toMap === again)
   }
 
+  test("truncated JPEG (valid header, corrupt body) falls back instead of crashing the job") {
+    val whole = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/test_data/__or0r9kLQw.jpg"))
+    // a recognized JPEG header with a cut-off body makes ImageIO THROW
+    // (not return null) — the fallback contract must still hold
+    val truncated = whole.take(200)
+    val got = Multimodal.extractFeatures(Seq(
+        MediaRecord("cut", "image", truncated, Map.empty),
+        MediaRecord("ok", "image", whole, Map.empty)).toDS(), dim = 12)
+      .collect().map(f => f.key -> f).toMap
+    assert(got("cut").width === -1 && got("cut").height === -1) // byte-hash fallback
+    assert(got("cut").features.length === 12)
+    assert(got("ok").width === 640) // the good row still decodes
+  }
+
   test("end-to-end: binaryFile ingest of real JPEGs decodes through the pipeline") {
     // Spark's file index skips '_'-prefixed names; stage copies under
     // clean names (the production ingest would never use hidden names)

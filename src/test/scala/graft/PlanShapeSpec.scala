@@ -11,9 +11,14 @@ class PlanShapeSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  /** The statically-compiled physical plan (pre-AQE, like the other plan
+    * specs): the asserted shapes are structural — join strategy/keys,
+    * exchange count, codegen stage — and AQE only upgrades them (e.g.
+    * SMJ→broadcast), never introduces a nested loop or a new shuffle.
+    * Asserting here keeps the tests cheap (no query execution).
+    */
   private def executed(name: String): String = {
     val df: DataFrame = SparkEntry.queries(name)(spark, d)
-    df.write.format("noop").mode("overwrite").save() // let AQE finalize
     try df.queryExecution.executedPlan.toString
     finally spark.catalog.clearCache()
   }

@@ -47,7 +47,8 @@ class StreamDedupSpec extends SparkSpec {
       tsCol = "ts", watermark = "10 seconds")
     val q = out.writeStream.format("memory").queryName("sd_exact")
       .outputMode("append").trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$dir/ckpt_exact").start()
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdedup-ckpt-").toString).start()
     q.awaitTermination(60000)
     val kept = spark.table("sd_exact").select("doc_id")
       .collect().map(_.getLong(0)).toSet
@@ -60,7 +61,8 @@ class StreamDedupSpec extends SparkSpec {
     val cands = StreamDedup.minhashCandidates(docStream(dir), "doc_id", "text")
     val q = cands.writeStream.format("memory").queryName("sd_cand")
       .outputMode("append").trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$dir/ckpt_cand").start()
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdedup-ckpt-").toString).start()
     q.awaitTermination(60000)
     val pairs = spark.table("sd_cand").select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
