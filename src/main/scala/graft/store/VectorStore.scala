@@ -206,26 +206,50 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
   /** KNN over the live table with the full SearchRequest surface. */
   def search(req: Knn.SearchRequest): DataFrame = Knn.searchStore(compacted, req)
 
-  private val ivfDir = s"$baseDir/ivf_centroids"
+  private val ivfDir     = s"$baseDir/ivf_centroids"
+  private val ivfDataDir = s"$baseDir/ivf_data"
 
-  /** Train + persist the IVF index artifact over the live table — the
-    * index build the reference runs at checkpoint time
-    * (`_rebuild_hnsw_index`, `datanode/handler.py:91-120`): train once on
-    * write, broadcast at query time. Same lifecycle as a snapshot.
+  /** Train + persist the IVF index over the live table — the index build
+    * the reference runs at checkpoint time (`_rebuild_hnsw_index`,
+    * `datanode/handler.py:91-120`): centroids as a broadcast-able
+    * artifact, AND the assigned corpus materialized PARTITIONED BY CELL
+    * (`ivf_data/cid=N/`) — the 100-TB layout where a probe is directory-
+    * level partition pruning, not a scan+filter. Assignment is the
+    * write-side cost, paid here once per build.
     */
-  def buildIvfIndex(k: Int = 8, seed: Long = 42L): Unit =
-    SimilaritySearch.saveCentroids(
-      SimilaritySearch.trainCentroids(compacted, "vector", k, seed), ivfDir)
+  def buildIvfIndex(k: Int = 8, seed: Long = 42L): Unit = {
+    val base = compacted.persist()
+    try {
+      val centroids = SimilaritySearch.trainCentroids(base, "vector", k, seed)
+      SimilaritySearch.saveCentroids(centroids, ivfDir)
+      SimilaritySearch.ivfAssign(base, "key", "vector", centroids)
+        .select(col("key"), col("cid"))
+        .join(base, "key")
+        .write.partitionBy("cid").mode("overwrite").parquet(ivfDataDir)
+    } finally base.unpersist()
+  }
 
-  /** ANN search over the live table through the persisted IVF index,
-    * honoring the full SearchRequest surface: metadata filter pre-rank,
-    * threshold post-score, `nprobe` as the recall/reads dial.
+  /** ANN search through the persisted IVF index, honoring the full
+    * SearchRequest surface: metadata filter pre-rank, threshold
+    * post-score, `nprobe` as the recall/reads dial. Probed cell ids are
+    * resolved driver-side (K tiny centroid rows) so the `cid` predicate
+    * hits the partitioned layout as PartitionFilters — only the probed
+    * cells' files are ever opened (plan-asserted in VectorStoreSpec).
+    * Reflects the table as of the last [[buildIvfIndex]] (an index serves
+    * its build snapshot — rebuild on compact, the reference's lifecycle).
     */
   def searchIvf(req: Knn.SearchRequest, nprobe: Int = 1): DataFrame = {
     val centroids = SimilaritySearch.loadCentroids(spark, ivfDir)
-    val corpus = Knn.metadataFilter(compacted, "metadata", req.filter)
-    SimilaritySearch.ivfSearchVec(corpus, "key", "vector", centroids,
-      req.queryVector, req.topK, nprobe, req.threshold)
+    val probes = SimilaritySearch.probeCells(centroids, req.queryVector, nprobe)
+      .collect().map(_.getLong(0))
+    val cells = spark.read.parquet(ivfDataDir)
+      .where(col("cid").isin(probes: _*))
+    val corpus = Knn.metadataFilter(cells, "metadata", req.filter)
+    val scored = corpus.select(col("key"),
+      VectorFunctions.l2Sq(col("vector"), typedLit(req.queryVector)).as("score"))
+    req.threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
+      .orderBy(col("score").asc, col("key").asc)
+      .limit(req.topK)
   }
 
   /** Materialize the compaction (checkpoint, S5): write a new snapshot

@@ -210,5 +210,13 @@ class VectorStoreSpec extends SparkSpec {
         filter = Map("tag" -> "keep"), threshold = Some(10.0)), nprobe = 2)
       .collect().map(_.getString(0))
     assert(got === Array("near", "mid"))
+    // a single-cell probe must hit the cid-partitioned layout as a
+    // PARTITION filter (directory pruning), not a row filter over a scan
+    val probe1 = store.searchIvf(Knn.SearchRequest(Array(0.0, 0.0), topK = 3),
+      nprobe = 1)
+    val plan = probe1.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^]]*cid".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+    assert(probe1.collect().nonEmpty)
   }
 }
