@@ -59,6 +59,44 @@ class PropertySpec extends SparkSpec {
     assert(got.select("key").distinct().count() === n)
   }
 
+  test("md5 curation coins: bounds, determinism, salt independence, split totality") {
+    import graft.functions.TextFunctions.{md5Bucket, md5Unit}
+    val keys = (0 until 500).map(i => s"key-$i").toDF("k")
+    val r = keys.select(
+        md5Unit(col("k")).as("u"),
+        md5Unit(col("k"), salt = "s1:").as("u1"),
+        md5Bucket(col("k"), 100).as("b"),
+        md5Bucket(col("k"), 100, salt = "split:").as("bs"))
+      .collect()
+    // bounds: u in [0,1), b in [0,100)
+    assert(r.forall(x => x.getDouble(0) >= 0.0 && x.getDouble(0) < 1.0))
+    assert(r.forall(x => x.getLong(2) >= 0L && x.getLong(2) < 100L))
+    // salting decorrelates: the salted coin must differ for most keys
+    assert(r.count(x => x.getDouble(0) != x.getDouble(1)) > 450)
+    assert(r.count(x => x.getLong(2) != x.getLong(3)) > 400)
+    // determinism: a second evaluation is bit-identical
+    val again = keys.select(md5Unit(col("k")).as("u")).collect().map(_.getDouble(0))
+    assert(r.map(_.getDouble(0)).toSeq === again.toSeq)
+    // rough uniformity: each decile of u gets 5-15% of 500 keys
+    val deciles = r.map(x => (x.getDouble(0) * 10).toInt).groupBy(identity)
+    assert(deciles.size === 10)
+    assert(deciles.values.forall(g => g.length > 25 && g.length < 75))
+  }
+
+  test("dedup pair operators are empty-safe and single-row-safe") {
+    import graft.operators.Dedup
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "just one document here")).toDF("doc_id", "text")
+    for (df <- Seq(empty, one)) {
+      assert(Dedup.minhashPairs(df, "doc_id", "text",
+        persistIntermediates = false).count() === 0)
+      assert(Dedup.simhashPairsBucketed(df, "doc_id", "text",
+        maxHamming = 4).count() === 0)
+      assert(Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        persistIntermediates = false).count() === 0)
+    }
+  }
+
   test("minhash similarity tracks jaccard on generated near-dups") {
     // pairs with controlled overlap: more shared words -> more equal minhashes
     val base = (0 until 40).map(i => s"w$i").mkString(" ")
