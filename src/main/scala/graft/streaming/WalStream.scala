@@ -55,6 +55,29 @@ object WalStream {
       }
   }
 
+  /** Stream-stream interval self-join: every DELETE matched to the PUT(s)
+    * it tombstones within `horizon` of event time — a live audit of the
+    * reference's tombstone set (`datanode/handler.py:43`) as a join
+    * instead of mutable state. Both sides carry watermarks and the join
+    * condition bounds event time in both directions, so Spark expires
+    * join state at the horizon — state is bounded by the horizon's
+    * arrival volume, not the stream's history.
+    * Output: (key, put_time, del_time) per tombstoned PUT.
+    */
+  def tombstoneAudit(ops: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val puts = ops.where(col("op_type") === "PUT")
+      .select(col("key"), timestamp_millis(col("timestamp")).as("put_time"))
+      .withWatermark("put_time", horizon)
+    val dels = ops.where(col("op_type") === "DELETE")
+      .select(col("key").as("dkey"), timestamp_millis(col("timestamp")).as("del_time"))
+      .withWatermark("del_time", horizon)
+    puts.join(dels,
+        col("key") === col("dkey") &&
+          col("del_time") >= col("put_time") &&
+          col("del_time") <= col("put_time") + expr(s"INTERVAL $horizon"))
+      .select(col("key"), col("put_time"), col("del_time"))
+  }
+
   /** Watermarked sliding-window op counts over the stream — the streaming
     * analog of the ingest tally (R17) with late-data bounds.
     * `tsCol` must be an event-time timestamp column.

@@ -60,4 +60,23 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byOp("PUT") === 3L && byOp("DELETE") === 1L)
   }
+
+  test("stream-stream interval join audits which PUTs a DELETE tombstones") {
+    val dir = writeWal()
+    val audit = WalStream.tombstoneAudit(WalStream.source(spark, s"$dir/wal"))
+    val q = audit.writeStream
+      .format("memory").queryName("audit_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-audit-ckpt-").toString)
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("audit_out")
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+    // only b was deleted (ts=30) and only its ts=11 PUT precedes the
+    // delete within the horizon; a's PUTs must not surface
+    assert(rows.toSeq === Seq(("b", 11L, 30L)))
+  }
 }
