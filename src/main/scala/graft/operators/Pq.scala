@@ -76,9 +76,16 @@ object Pq {
     val words = (0 until numSub).map { m =>
       val data = df.select(array_to_vector(
         slice(col(vecCol).cast("array<double>"), m * sub + 1, sub)).as("features"))
-      new KMeans().setK(numWords).setSeed(seed + m).setMaxIter(20)
+      val centers = new KMeans().setK(numWords).setSeed(seed + m).setMaxIter(20)
         .setFeaturesCol("features").setPredictionCol("c")
         .fit(data).clusterCenters.map(_.toArray)
+      // KMeans returns FEWER than k centers when the subspace has fewer
+      // distinct points; pad with duplicates — a duplicate codeword is
+      // never chosen (encode argmin ties to the lowest code), it only
+      // keeps the M×K shape rectangular
+      if (centers.length < numWords)
+        centers ++ Array.fill(numWords - centers.length)(centers.last)
+      else centers
     }.toArray
     Codebooks(numSub, numWords, first, words)
   }

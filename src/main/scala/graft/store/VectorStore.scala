@@ -252,6 +252,49 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
       .limit(req.topK)
   }
 
+  private val pqDir     = s"$baseDir/pq_codebooks"
+  private val pqDataDir = s"$baseDir/pq_data"
+
+  /** Train + persist the PQ index over the live table: codebooks as the
+    * artifact, and the corpus ENCODED to M small codes per key
+    * (`pq_data/`) — the RAM-resident representation a 1000-executor
+    * cluster scans while full vectors stay on disk for the re-rank only
+    * (SCALE.md "PQ / ADC"). Encode is the write-side cost, like IVF
+    * assignment.
+    */
+  def buildPqIndex(numSub: Int = 8, numWords: Int = 16, seed: Long = 42L): Unit = {
+    val base = compacted.persist()
+    try {
+      val cb = graft.operators.Pq.trainCodebooks(base, "vector", numSub, numWords, seed)
+      graft.operators.Pq.saveCodebooks(spark, cb, pqDir)
+      graft.operators.Pq.encode(base, "key", "vector", cb)
+        .write.mode("overwrite").parquet(pqDataDir)
+    } finally base.unpersist()
+  }
+
+  /** ANN search through the persisted PQ index: ADC lookup scan over the
+    * code table (never touches a vector), over-fetch `rerankFrom`
+    * candidates, exact squared-L2 re-rank against the live table's full
+    * vectors, honoring the SearchRequest surface (metadata filter
+    * pre-rank on the re-rank corpus, threshold post-score). Serves the
+    * table as of the last [[buildPqIndex]], like [[searchIvf]].
+    */
+  def searchPq(req: Knn.SearchRequest, rerankFrom: Int = 50): DataFrame = {
+    val cb = graft.operators.Pq.loadCodebooks(spark, pqDir)
+    val encoded = spark.read.parquet(pqDataDir)
+    val cand = graft.operators.Pq.adcScores(encoded, "key", cb, req.queryVector)
+      .orderBy(col("score").asc, col("key").asc)
+      .limit(rerankFrom.max(req.topK))
+      .select(col("key"))
+    val corpus = Knn.metadataFilter(compacted, "metadata", req.filter)
+    val scored = corpus.join(cand, "key")
+      .select(col("key"),
+        VectorFunctions.l2Sq(col("vector"), typedLit(req.queryVector)).as("score"))
+    req.threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
+      .orderBy(col("score").asc, col("key").asc)
+      .limit(req.topK)
+  }
+
   /** Materialize the compaction (checkpoint, S5): write a new snapshot
     * covering everything up to the current WAL tip, then advance
     * `wal_pos.txt`. Old snapshots/WAL files stay for time travel; a real

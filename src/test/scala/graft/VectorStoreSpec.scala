@@ -159,6 +159,23 @@ class VectorStoreSpec extends SparkSpec {
     assert(store.scan.select("key").collect().map(_.getString(0)).toSeq === Seq("gone"))
   }
 
+  test("PQ index artifact: ADC candidates re-ranked exactly, full request honored") {
+    val store = new VectorStore(spark, tmpDir(), dim = 4)
+    store.put(batch(
+      ("q", Array(0f, 0f, 0f, 0f), Map("tag" -> "keep"), 10L),
+      ("near", Array(0.1f, 0f, 0f, 0f), Map("tag" -> "keep"), 10L),
+      ("mid", Array(1f, 1f, 0f, 0f), Map("tag" -> "keep"), 10L),
+      ("far", Array(5f, 5f, 5f, 5f), Map("tag" -> "keep"), 10L),
+      ("dropme", Array(0.2f, 0f, 0f, 0f), Map("tag" -> "drop"), 10L)))
+    store.buildPqIndex(numSub = 2, numWords = 4)
+    // rerankFrom >= corpus size -> exact results; filter/threshold honored
+    val got = store.searchPq(Knn.SearchRequest(Array(0.0, 0.0, 0.0, 0.0),
+        topK = 3, filter = Map("tag" -> "keep"), threshold = Some(10.0)),
+      rerankFrom = 10)
+      .collect().map(_.getString(0))
+    assert(got === Array("q", "near", "mid"))
+  }
+
   test("WAL GC drops covered partitions only; state and cold reopen unchanged") {
     val dir = tmpDir()
     val store = new VectorStore(spark, dir, dim = 2)
