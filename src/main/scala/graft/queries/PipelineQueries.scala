@@ -432,6 +432,61 @@ object PipelineQueries {
         |  CAST(CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT) % 100 AS BIGINT) AS bk
         |  FROM documents)
         |SELECT lang, CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
-        |  COUNT(*) AS cnt FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
+        |  COUNT(*) AS cnt FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // Repetition scoring (the Gopher/C4 duplicate-n-gram quality rule):
+    // rep3 = 1 - distinct3grams/total3grams — boilerplate and degenerate
+    // generations score high and get filtered. Gram construction is the
+    // EXACT q19 shape on both engines (incl. the greatest(..,1) floor for
+    // tiny docs), so the ratio hash-matches.
+    QueryDef("q43_repetition_score",
+      (s, d) => {
+        val toked = Tables.documents(s, d)
+          .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+        toked.select(col("doc_id"),
+            size(col("toks")).as("n_toks"),
+            size(ngramsOfTokens(col("toks"), 3)).as("distinct3"),
+            greatest(size(col("toks")) - 2, lit(1)).as("total3"))
+          .select(col("doc_id"), col("n_toks"), col("distinct3"),
+            (lit(1.0) - col("distinct3").cast("double") / col("total3").cast("double"))
+              .as("rep3"))
+          .orderBy(col("rep3").desc, col("doc_id").asc)
+          .limit(15)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        |g AS (SELECT doc_id, length(toks) AS n_toks,
+        |  length(list_distinct(list_transform(range(0, greatest(length(toks)-2, 1)),
+        |    i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+3 AS INT)), ' ')))) AS distinct3,
+        |  greatest(length(toks)-2, 1) AS total3 FROM t)
+        |SELECT doc_id, n_toks, distinct3,
+        |  1 - CAST(distinct3 AS DOUBLE)/CAST(total3 AS DOUBLE) AS rep3
+        |FROM g ORDER BY rep3 DESC, doc_id ASC LIMIT 15""".stripMargin)),
+
+    // Sequence packing for pretraining batches: within each language,
+    // docs (in doc_id order) fill 512-token bins by exclusive running
+    // token count — the deterministic, shuffle-once packing a 100-TB
+    // pipeline runs before tokenizer sharding. 512 = 2^9, so the
+    // bin-division is exact in double on both engines.
+    QueryDef("q44_sequence_pack",
+      (s, d) => {
+        val toked = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            size(wsTokens(col("text"))).cast("long").as("n_tok"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        toked
+          .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("bin", floor(col("cum") / lit(512.0)).cast("long"))
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+          .orderBy("lang", "bin")
+      },
+      Some(s"""WITH t AS (SELECT lang, doc_id, CAST(length($duckToks) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT lang, doc_id, n_tok, COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
+        |SELECT lang, CAST(FLOOR(CAST(cum AS DOUBLE)/512.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin))
   )
 }
