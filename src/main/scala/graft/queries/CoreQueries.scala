@@ -211,6 +211,29 @@ object CoreQueries {
         |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / (a.nrm*b.nrm) AS cos_sim
         |FROM v a, v b WHERE a.vec_id < b.vec_id
-        |ORDER BY cos_sim DESC, a ASC, b ASC LIMIT 20""".stripMargin))
+        |ORDER BY cos_sim DESC, a ASC, b ASC LIMIT 20""".stripMargin)),
+
+    // Snowflake multi-join over the full dim chain (lineitem→supplier→
+    // nation→region): the Catalyst showcase — the region filter prunes
+    // before the joins, the three dim tables broadcast (AQE), and only
+    // the fact table streams. Aggregate stays integer-exact (quantity is
+    // integral-valued) so the oracle hash-matches despite the join
+    // topology being entirely up to the optimizer.
+    QueryDef("q45_dim_join",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 }

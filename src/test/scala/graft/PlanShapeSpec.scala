@@ -59,6 +59,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("q45 dim chain broadcasts every dim table and pushes the region filter") {
+    val plan = executed("q45_dim_join")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 3, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("EqualTo(r_name,ASIA)"), plan.take(3000)) // pushed to scan
+  }
+
   test("q41/q42 curation coins stay scan-side (no join, no extra shuffle)") {
     val p41 = executed("q41_stratified_sample")
     assert(!p41.contains("Join"), p41.take(3000))
