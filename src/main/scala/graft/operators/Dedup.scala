@@ -113,11 +113,14 @@ object Dedup {
       if (persistIntermediates || maxBucketSize.isDefined)
         sizeBounded(banded0, Seq("band_idx", "band_key"), maxBucketSize)
       else banded0
-    // SHUFFLE_HASH on the self-join build side: the join key is the band
-    // bucket, whose size the bound above caps, so per-partition hash maps
-    // stay small and the SMJ sort pass is pure overhead (~15% of q17).
-    // Advisory only — AQE still applies its skew handling.
-    val cand = banded.as("x").join(banded.hint("SHUFFLE_HASH").as("y"),
+    // SHUFFLE_HASH only when maxBucketSize actually bounds the buckets:
+    // a capped build side keeps per-partition hash maps small and skips
+    // the SMJ sort pass; UNCAPPED, a degenerate band bucket would build
+    // an unspillable hash map where SMJ spills to disk — so the uncapped
+    // form keeps the spill-safe default.
+    val bandedBuild =
+      if (maxBucketSize.isDefined) banded.hint("SHUFFLE_HASH") else banded
+    val cand = banded.as("x").join(bandedBuild.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
@@ -268,10 +271,12 @@ object Dedup {
     val e = if (persistIntermediates) indexed.persist() else indexed
     val a = e.select(col(idCol).as("a"), col("sz").as("sa"), col("gram"))
     val b = e.select(col(idCol).as("b"), col("sz").as("sb"), col("gram"))
-    // SHUFFLE_HASH: posting lists are bounded (df cap / singleton drop),
-    // so hash-joining the inverted index skips the SMJ sort of both legs
-    // (~30% of q19 at sf0.1); advisory, AQE skew handling still applies
-    val pairs = a.join(b.hint("SHUFFLE_HASH"), Seq("gram"))
+    // SHUFFLE_HASH only when maxDocFreq actually bounds the posting
+    // lists (~30-40% of the capped query's time is the skipped SMJ sort);
+    // uncapped, a stop-gram's posting list would build an unspillable
+    // hash map where SMJ spills — keep the spill-safe default there.
+    val bBuild = if (maxDocFreq.isDefined) b.hint("SHUFFLE_HASH") else b
+    val pairs = a.join(bBuild, Seq("gram"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("inter"))

@@ -59,20 +59,27 @@ object SimilaritySearch {
   def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Rows → nearest-centroid assignment (IVF "train+assign" step).
-    * `centroids` must be small (broadcast); ties break on centroid id.
-    * Output: (idCol, emb, cid).
+  /** Rows → nearest-centroid assignment, carrying EVERY input column
+    * through plus `cid` — the write-side form: an index build appends the
+    * cell id to the full record and writes it partitioned, with no
+    * re-join to recover the payload. `centroids` must be small
+    * (broadcast); ties break on centroid id.
     */
-  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("d").asc, col("cid").asc)
-    df.select(col(idCol), col(vecCol).as("emb"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d", l2Sq(col("emb"), col("ce")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col("emb"), col("cid"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d").asc, col("cid").asc)
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2Sq(col(vecCol), col("ce")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__d", "__rn", "ce")
   }
+
+  /** [[assignCells]] projected to the query-side shape (idCol, emb, cid). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    assignCells(df.select(col(idCol), col(vecCol).as("emb")), idCol, "emb",
+      centroids)
 
   /** IVF search: top-k (squared L2) within the query's `nprobe` nearest
     * clusters. Centroids = rows satisfying `centroidPred` (deterministic

@@ -222,9 +222,9 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     try {
       val centroids = SimilaritySearch.trainCentroids(base, "vector", k, seed)
       SimilaritySearch.saveCentroids(centroids, ivfDir)
-      SimilaritySearch.ivfAssign(base, "key", "vector", centroids)
-        .select(col("key"), col("cid"))
-        .join(base, "key")
+      // assignCells carries the full record through — no re-join shuffle
+      // to recover vector/metadata/ts
+      SimilaritySearch.assignCells(base, "key", "vector", centroids)
         .write.partitionBy("cid").mode("overwrite").parquet(ivfDataDir)
     } finally base.unpersist()
   }
@@ -282,11 +282,18 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
   def searchPq(req: Knn.SearchRequest, rerankFrom: Int = 50): DataFrame = {
     val cb = graft.operators.Pq.loadCodebooks(spark, pqDir)
     val encoded = spark.read.parquet(pqDataDir)
-    val cand = graft.operators.Pq.adcScores(encoded, "key", cb, req.queryVector)
+    val corpus = Knn.metadataFilter(compacted, "metadata", req.filter)
+    // the metadata filter applies PRE-RANK (SearchRequest surface, like
+    // search/searchIvf): rank only codes whose key survives the filter,
+    // or nearby-but-filtered rows would eat the whole rerankFrom budget
+    // and matching rows would never surface
+    val rankable =
+      if (req.filter.isEmpty) encoded
+      else encoded.join(corpus.select("key"), Seq("key"), "left_semi")
+    val cand = graft.operators.Pq.adcScores(rankable, "key", cb, req.queryVector)
       .orderBy(col("score").asc, col("key").asc)
       .limit(rerankFrom.max(req.topK))
       .select(col("key"))
-    val corpus = Knn.metadataFilter(compacted, "metadata", req.filter)
     val scored = corpus.join(cand, "key")
       .select(col("key"),
         VectorFunctions.l2Sq(col("vector"), typedLit(req.queryVector)).as("score"))

@@ -174,6 +174,13 @@ class VectorStoreSpec extends SparkSpec {
       rerankFrom = 10)
       .collect().map(_.getString(0))
     assert(got === Array("q", "near", "mid"))
+    // filter must apply PRE-rank: with a candidate budget of 2, the
+    // filtered-out 'dropme' (2nd-nearest overall) must not consume a
+    // slot — 'near' still surfaces
+    val tight = store.searchPq(Knn.SearchRequest(Array(0.0, 0.0, 0.0, 0.0),
+        topK = 2, filter = Map("tag" -> "keep")), rerankFrom = 2)
+      .collect().map(_.getString(0))
+    assert(tight === Array("q", "near"))
   }
 
   test("WAL GC drops covered partitions only; state and cold reopen unchanged") {
