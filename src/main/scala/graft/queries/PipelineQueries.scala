@@ -487,6 +487,36 @@ object PipelineQueries {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
         |SELECT lang, CAST(FLOOR(CAST(cum AS DOUBLE)/512.0) AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
-        |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin))
+        |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin)),
+
+    // Time-series similarity join: each user's event-value sequence (first
+    // 8 values in (ts, event_id) order) as a vector, cosine over user
+    // pairs, top-10. The series assembly is ONE shuffle (groupBy user);
+    // the pair join is exact over the 150 series entities — at corpus
+    // scale the series vector feeds the same LSH/IVF candidate machinery
+    // as embeddings (SimilaritySearch), which is the scale path.
+    QueryDef("q46_series_simjoin",
+      (s, d) => {
+        val series = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+          .select(col("user_id"),
+            transform(slice(col("evs"), 1, 8), e => e.getField("value")).as("series"))
+        val a = series.select(col("user_id").as("a"), col("series").as("sa"))
+        val b = series.select(col("user_id").as("b"), col("series").as("sb"))
+        a.join(b, col("a") < col("b"))
+          .select(col("a"), col("b"),
+            graft.functions.VectorFunctions.cosine(col("sa"), col("sb")).as("sim"))
+          .orderBy(col("sim").desc, col("a").asc, col("b").asc)
+          .limit(10)
+      },
+      Some(s"""WITH s AS (SELECT user_id, list_slice(array_agg(value ORDER BY ts, event_id), 1, 8) AS series
+        |  FROM events GROUP BY user_id)
+        |SELECT a.user_id AS a, b.user_id AS b,
+        |  ${duckDotZip.format("a.series", "b.series")} /
+        |    (sqrt(${duckDotZip.format("a.series", "a.series")}) * sqrt(${duckDotZip.format("b.series", "b.series")})) AS sim
+        |FROM s a JOIN s b ON a.user_id < b.user_id
+        |ORDER BY sim DESC, a ASC, b ASC LIMIT 10""".stripMargin))
   )
 }
