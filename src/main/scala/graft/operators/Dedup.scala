@@ -371,6 +371,29 @@ object Dedup {
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
   }
 
+  /** Cosine similarity JOIN at scale via sign-LSH blocks: pairs are
+    * generated only within a shared random-hyperplane bucket (equi-join
+    * on the bucket id — shuffle ∝ Σ|bucket|², never n²), exact cosine
+    * inside. The LSH counterpart of [[cosinePairsInCells]] for corpora
+    * without trained centroids; with deterministic planes the output is
+    * fully deterministic (oracle-checkable). Cross-bucket pairs are
+    * missed by construction — the same candidate-gen trade as every
+    * blocked simjoin, dialable via plane count.
+    */
+  def cosinePairsInLshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      planePred: Column): DataFrame = {
+    val bucketed = SimilaritySearch.rpLshBuckets(df, idCol, vecCol, planePred)
+      .withColumn("nrm", norm(col("emb")))
+    val a = bucketed.select(col("bucket"), col(idCol).as("a"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("b"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+  }
+
   /** Embedding near-dup at scale via IVF cells: every row probes its
     * `nprobe` nearest (trained, broadcast) centroids and re-ranks exactly
     * against only the rows ASSIGNED to those cells — an equi-join on cell

@@ -517,6 +517,35 @@ object PipelineQueries {
         |  ${duckDotZip.format("a.series", "b.series")} /
         |    (sqrt(${duckDotZip.format("a.series", "a.series")}) * sqrt(${duckDotZip.format("b.series", "b.series")})) AS sim
         |FROM s a JOIN s b ON a.user_id < b.user_id
-        |ORDER BY sim DESC, a ASC, b ASC LIMIT 10""".stripMargin))
+        |ORDER BY sim DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
+    // q46's SCALE PATH: the same series vectors, but pairs generated only
+    // within a shared sign-LSH bucket (6 deterministic planes = users
+    // 1..6's series) — equi-join on bucket, exact cosine inside, never
+    // the all-pairs product. Deterministic planes make it oracle-exact.
+    QueryDef("q47_series_simjoin_bucketed",
+      (s, d) => {
+        val series = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+          .select(col("user_id"),
+            transform(slice(col("evs"), 1, 8), e => e.getField("value")).as("series"))
+        Dedup.cosinePairsInLshBuckets(series, "user_id", "series",
+            planePred = col("user_id").between(1, 6))
+          .orderBy(col("cos_sim").desc, col("a").asc, col("b").asc)
+          .limit(10)
+      },
+      Some(s"""WITH s AS (SELECT user_id, list_slice(array_agg(value ORDER BY ts, event_id), 1, 8) AS series
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT user_id AS pid, series AS pe FROM s WHERE user_id BETWEEN 1 AND 6),
+        |bk AS (SELECT s.user_id, s.series, CAST(SUM(CASE WHEN ${duckDotZip.format("s.series", "p.pe")} > 0
+        |  THEN (CAST(1 AS BIGINT) << CAST(p.pid - 1 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM s, p GROUP BY s.user_id, s.series)
+        |SELECT a.user_id AS a, b.user_id AS b,
+        |  ${duckDotZip.format("a.series", "b.series")} /
+        |    (sqrt(${duckDotZip.format("a.series", "a.series")}) * sqrt(${duckDotZip.format("b.series", "b.series")})) AS cos_sim
+        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.user_id < b.user_id
+        |ORDER BY cos_sim DESC, a ASC, b ASC LIMIT 10""".stripMargin))
   )
 }
