@@ -66,6 +66,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("EqualTo(r_name,ASIA)"), plan.take(3000)) // pushed to scan
   }
 
+  test("q47 bucketed series join pairs via an equi-join on the bucket id") {
+    val plan = executed("q47_series_simjoin_bucketed")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[bucket".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q41/q42 curation coins stay scan-side (no join, no extra shuffle)") {
     val p41 = executed("q41_stratified_sample")
     assert(!p41.contains("Join"), p41.take(3000))
