@@ -358,14 +358,25 @@ object Dedup {
     * Output: (a, b, cos_sim), a < b, same cell only.
     */
   def cosinePairsInCells(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val assigned = SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids)
-      .withColumn("nrm", norm(col("emb")))
-    val a = assigned.select(col("cid"), col(idCol).as("a"),
-      col("emb").as("ea"), col("nrm").as("na"))
-    val b = assigned.select(col("cid"), col(idCol).as("b"),
-      col("emb").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("cid"))
+      centroids: DataFrame): DataFrame =
+    cosinePairsInBlocks(
+      SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids),
+      idCol, "emb", "cid")
+
+  /** The shared core of every blocked cosine simjoin: (a, b, cos_sim)
+    * pairs, a < b, generated only within equal values of `blockCol`
+    * (equi-join — shuffle ∝ Σ|block|², never n²), exact cosine of
+    * `vecCol` inside. Input must carry (idCol, vecCol, blockCol).
+    */
+  def cosinePairsInBlocks(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String): DataFrame = {
+    val v = df.select(col(blockCol), col(idCol), col(vecCol).as("__emb"))
+      .withColumn("__nrm", norm(col("__emb")))
+    val a = v.select(col(blockCol), col(idCol).as("a"),
+      col("__emb").as("ea"), col("__nrm").as("na"))
+    val b = v.select(col(blockCol), col(idCol).as("b"),
+      col("__emb").as("eb"), col("__nrm").as("nb"))
+    a.join(b, Seq(blockCol))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
@@ -379,19 +390,27 @@ object Dedup {
     * fully deterministic (oracle-checkable). Cross-bucket pairs are
     * missed by construction — the same candidate-gen trade as every
     * blocked simjoin, dialable via plane count.
+    *
+    * `blockVecCol`: the vector the SIGN BITS come from, when it should
+    * differ from the similarity vector — e.g. MEAN-CENTERED copies of
+    * all-nonnegative vectors. Sign-LSH is uninformative on a nonnegative
+    * orthant (every dot against nonnegative planes is positive ⇒ one
+    * giant bucket = the n² product back again); centering restores
+    * discriminating signs while cosine still ranks the raw vectors.
     */
   def cosinePairsInLshBuckets(df: DataFrame, idCol: String, vecCol: String,
-      planePred: Column): DataFrame = {
-    val bucketed = SimilaritySearch.rpLshBuckets(df, idCol, vecCol, planePred)
-      .withColumn("nrm", norm(col("emb")))
-    val a = bucketed.select(col("bucket"), col(idCol).as("a"),
-      col("emb").as("ea"), col("nrm").as("na"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("b"),
-      col("emb").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+      planePred: Column, blockVecCol: Option[String] = None): DataFrame = {
+    val bcol = blockVecCol.getOrElse(vecCol)
+    val planes = df.where(planePred)
+      .select(col(idCol).as("pid"), col(bcol).as("pe"))
+    val keep = Seq(idCol, vecCol, bcol).distinct.map(col)
+    val bucketed = df.select(keep: _*)
+      .crossJoin(broadcast(planes))
+      .groupBy(keep: _*)
+      .agg(sum(when(dot(col(bcol), col("pe")) > 0,
+          expr("shiftleft(1L, cast(pid - 1 as int))")).otherwise(lit(0L)))
+        .as("bucket"))
+    cosinePairsInBlocks(bucketed, idCol, vecCol, "bucket")
   }
 
   /** Embedding near-dup at scale via IVF cells: every row probes its

@@ -492,60 +492,82 @@ object PipelineQueries {
     // Time-series similarity join: each user's event-value sequence (first
     // 8 values in (ts, event_id) order) as a vector, cosine over user
     // pairs, top-10. The series assembly is ONE shuffle (groupBy user);
-    // the pair join is exact over the 150 series entities — at corpus
-    // scale the series vector feeds the same LSH/IVF candidate machinery
-    // as embeddings (SimilaritySearch), which is the scale path.
+    // the pair join is exact over the 150 series entities — q47 is the
+    // blocked scale path over the SAME vectors.
     QueryDef("q46_series_simjoin",
       (s, d) => {
-        val series = Tables.events(s, d)
-          .groupBy(col("user_id"))
-          .agg(sort_array(collect_list(
-            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
-          .select(col("user_id"),
-            transform(slice(col("evs"), 1, 8), e => e.getField("value")).as("series"))
-        val a = series.select(col("user_id").as("a"), col("series").as("sa"))
-        val b = series.select(col("user_id").as("b"), col("series").as("sb"))
+        val a = seriesVectors(s, d).select(col("user_id").as("a"), col("series").as("sa"))
+        val b = seriesVectors(s, d).select(col("user_id").as("b"), col("series").as("sb"))
         a.join(b, col("a") < col("b"))
           .select(col("a"), col("b"),
             graft.functions.VectorFunctions.cosine(col("sa"), col("sb")).as("sim"))
           .orderBy(col("sim").desc, col("a").asc, col("b").asc)
           .limit(10)
       },
-      Some(s"""WITH s AS (SELECT user_id, list_slice(array_agg(value ORDER BY ts, event_id), 1, 8) AS series
-        |  FROM events GROUP BY user_id)
+      Some(s"""WITH s AS ($duckSeries)
         |SELECT a.user_id AS a, b.user_id AS b,
         |  ${duckDotZip.format("a.series", "b.series")} /
         |    (sqrt(${duckDotZip.format("a.series", "a.series")}) * sqrt(${duckDotZip.format("b.series", "b.series")})) AS sim
         |FROM s a JOIN s b ON a.user_id < b.user_id
         |ORDER BY sim DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
 
-    // q46's SCALE PATH: the same series vectors, but pairs generated only
-    // within a shared sign-LSH bucket (6 deterministic planes = users
-    // 1..6's series) — equi-join on bucket, exact cosine inside, never
-    // the all-pairs product. Deterministic planes make it oracle-exact.
+    // q46's SCALE PATH: the same series vectors, pairs generated only
+    // within a shared sign-LSH bucket. Sign bits come from MEAN-CENTERED
+    // copies (planes = users 1..6's centered series): event values are
+    // all nonnegative, so uncentered sign-LSH would put EVERY row in one
+    // bucket (all dots positive) and silently degenerate to the n²
+    // product — centering restores discriminating signs while cosine
+    // still ranks the raw series. Deterministic planes ⇒ oracle-exact.
     QueryDef("q47_series_simjoin_bucketed",
       (s, d) => {
-        val series = Tables.events(s, d)
-          .groupBy(col("user_id"))
-          .agg(sort_array(collect_list(
-            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
-          .select(col("user_id"),
-            transform(slice(col("evs"), 1, 8), e => e.getField("value")).as("series"))
-        Dedup.cosinePairsInLshBuckets(series, "user_id", "series",
-            planePred = col("user_id").between(1, 6))
+        // mean = /8 (power of two): the centered values are bit-exact on
+        // both engines, so sign decisions agree
+        val centered = seriesVectors(s, d)
+          .withColumn("mean",
+            aggregate(col("series"), lit(0.0), (acc, x) => acc + x) / lit(8.0))
+          .withColumn("centered", transform(col("series"), x => x - col("mean")))
+        Dedup.cosinePairsInLshBuckets(centered, "user_id", "series",
+            planePred = col("user_id").between(1, 6),
+            blockVecCol = Some("centered"))
           .orderBy(col("cos_sim").desc, col("a").asc, col("b").asc)
           .limit(10)
       },
-      Some(s"""WITH s AS (SELECT user_id, list_slice(array_agg(value ORDER BY ts, event_id), 1, 8) AS series
-        |  FROM events GROUP BY user_id),
-        |p AS (SELECT user_id AS pid, series AS pe FROM s WHERE user_id BETWEEN 1 AND 6),
-        |bk AS (SELECT s.user_id, s.series, CAST(SUM(CASE WHEN ${duckDotZip.format("s.series", "p.pe")} > 0
+      Some(s"""WITH s AS ($duckSeries),
+        |c AS (SELECT user_id, series,
+        |  list_transform(series, v -> CAST(v AS DOUBLE) -
+        |    list_sum(list_transform(series, x -> CAST(x AS DOUBLE))) / 8.0) AS centered FROM s),
+        |p AS (SELECT user_id AS pid, centered AS pe FROM c WHERE user_id BETWEEN 1 AND 6),
+        |bk AS (SELECT c.user_id, c.series, CAST(SUM(CASE WHEN ${duckDotZip.format("c.centered", "p.pe")} > 0
         |  THEN (CAST(1 AS BIGINT) << CAST(p.pid - 1 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM s, p GROUP BY s.user_id, s.series)
+        |  FROM c, p GROUP BY c.user_id, c.series)
         |SELECT a.user_id AS a, b.user_id AS b,
         |  ${duckDotZip.format("a.series", "b.series")} /
         |    (sqrt(${duckDotZip.format("a.series", "a.series")}) * sqrt(${duckDotZip.format("b.series", "b.series")})) AS cos_sim
         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.user_id < b.user_id
         |ORDER BY cos_sim DESC, a ASC, b ASC LIMIT 10""".stripMargin))
   )
+
+  /** Per-user event-value series as fixed-length vectors: first 8 values
+    * in (ts, event_id, value) order — value as the final tie-break key so
+    * the order is TOTAL on both engines even under (ts, event_id)
+    * collisions — users with fewer than 8 events dropped (vector ops
+    * need equal dims; DuckDB would NULL-pad a short zip while Spark's
+    * distance returns null — a latent parity break). Kept in ONE place,
+    * with [[duckSeries]] as its SQL twin, so q46 and its q47 scale path
+    * can never drift apart.
+    */
+  private def seriesVectors(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+      .where(size(col("evs")) >= 8)
+      .select(col("user_id"),
+        transform(slice(col("evs"), 1, 8), e => e.getField("value")).as("series"))
+
+  /** SQL twin of [[seriesVectors]] — same order keys, same length guard. */
+  private lazy val duckSeries =
+    """SELECT user_id, list_slice(array_agg(value ORDER BY ts, event_id, value), 1, 8) AS series
+      |  FROM events GROUP BY user_id HAVING COUNT(*) >= 8""".stripMargin
 }
