@@ -113,29 +113,34 @@ object Demo {
       org.apache.spark.sql.functions.col("event_id"), salts = 1)
       .orderBy("event_type").show(false)
 
-    println("== multimodal: binaryFile ingest of REAL JPEGs -> decoded pooled features")
-    val mdir = Files.createTempDirectory("graft-demo-media-")
-    // stage the reference's sample images under non-hidden names (Spark's
-    // file index skips '_'-prefixed files)
-    val refMedia = java.nio.file.Files.list(Paths.get("/root/reference/test_data"))
-    try refMedia.forEach { p =>
-      val clean = p.getFileName.toString.dropWhile(_ == '_')
-      Files.copy(p, mdir.resolve(clean))
-    } finally refMedia.close()
-    Files.write(mdir.resolve("readme.txt"), "not media".getBytes)
-    val media = Multimodal.readMediaDir(spark, mdir.toString)
-      .as[Multimodal.MediaRecord]
-    val feats = Multimodal.extractFeatures(media, dim = 12)
-    feats.select("key", "width", "height", "nBytes", "features").show(false)
+    // the media demo uses the reference checkout's sample images; skip
+    // gracefully when that artifact isn't present
+    val refMediaDir = Paths.get("/root/reference/test_data")
+    if (Files.isDirectory(refMediaDir)) {
+      println("== multimodal: binaryFile ingest of REAL JPEGs -> decoded pooled features")
+      val mdir = Files.createTempDirectory("graft-demo-media-")
+      // stage the reference's sample images under non-hidden names (Spark's
+      // file index skips '_'-prefixed files)
+      val refMedia = java.nio.file.Files.list(refMediaDir)
+      try refMedia.forEach { p =>
+        val clean = p.getFileName.toString.dropWhile(_ == '_')
+        Files.copy(p, mdir.resolve(clean))
+      } finally refMedia.close()
+      Files.write(mdir.resolve("readme.txt"), "not media".getBytes)
+      val media = Multimodal.readMediaDir(spark, mdir.toString)
+        .as[Multimodal.MediaRecord]
+      val feats = Multimodal.extractFeatures(media, dim = 12)
+      feats.select("key", "width", "height", "nBytes", "features").show(false)
 
-    println("== put_image -> text_search composition (F4/F5):")
-    val mstore = new VectorStore(spark, Files.createTempDirectory("graft-demo-imgstore-").toString, dim = 12)
-    mstore.put(feats.select($"key", $"features".as("vector"),
-      org.apache.spark.sql.functions.map(
-        org.apache.spark.sql.functions.lit("w"), $"width".cast("string")).as("metadata"),
-      org.apache.spark.sql.functions.lit(1L).as("ts")))
-    val qtext = Multimodal.textFeatures("sample query text", dim = 12)
-    mstore.search(Knn.SearchRequest(qtext.map(_.toDouble), topK = 3)).show(false)
+      println("== put_image -> text_search composition (F4/F5):")
+      val mstore = new VectorStore(spark, Files.createTempDirectory("graft-demo-imgstore-").toString, dim = 12)
+      mstore.put(feats.select($"key", $"features".as("vector"),
+        org.apache.spark.sql.functions.map(
+          org.apache.spark.sql.functions.lit("w"), $"width".cast("string")).as("metadata"),
+        org.apache.spark.sql.functions.lit(1L).as("ts")))
+      val qtext = Multimodal.textFeatures("sample query text", dim = 12)
+      mstore.search(Knn.SearchRequest(qtext.map(_.toDouble), topK = 3)).show(false)
+    } else println(s"== multimodal demo skipped ($refMediaDir not present)")
 
     spark.stop()
   }

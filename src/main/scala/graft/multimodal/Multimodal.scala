@@ -71,11 +71,18 @@ object Multimodal {
       dim: Int): Option[(Int, Int, Array[Float])] = {
     // ImageIO.read returns null for unrecognized formats but THROWS for a
     // recognized header with a corrupt/truncated body ("Premature end of
-    // JPEG file") — both must fall back, or one bad crawl file among
-    // millions kills the whole extract job
+    // JPEG file" = IIOException <: IOException) — both must fall back, or
+    // one bad crawl file among millions kills the whole extract job. The
+    // catch is NARROW (decode failures only: IO, bad color profiles, the
+    // malformed-argument throws of broken headers) so a genuine bug in
+    // this path still surfaces instead of degrading every image to the
+    // byte-hash fallback.
     val img =
       try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException | _: RuntimeException => null }
+      catch {
+        case _: java.io.IOException | _: java.awt.color.CMMException |
+             _: IllegalArgumentException => null
+      }
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight

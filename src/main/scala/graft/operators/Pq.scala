@@ -48,13 +48,17 @@ object Pq {
     */
   def deterministicCodebooks(df: DataFrame, idCol: String, vecCol: String,
       numSub: Int, numWords: Int): Codebooks = {
-    val rows = df.where(col(idCol) < numWords)
+    val idRows = df.where(col(idCol) < numWords)
       .orderBy(col(idCol).asc)
-      .select(col(vecCol).cast("array<double>"))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(rows.length == numWords,
-      s"deterministicCodebooks: expected ids 0..${numWords - 1} present, got ${rows.length} rows")
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // a bare row-count check would accept duplicate ids below numWords and
+    // silently misalign the code->codeword mapping; demand the exact id set
+    require(idRows.map(_._1).toSeq == (0L until numWords).toSeq,
+      s"deterministicCodebooks: expected exactly ids 0..${numWords - 1}, " +
+        s"got ${idRows.map(_._1).mkString("[", ",", "]")}")
+    val rows = idRows.map(_._2)
     val dim = rows.head.length
     val sub = dim / numSub
     val words = Array.tabulate(numSub, numWords) { (m, c) =>
@@ -107,10 +111,19 @@ object Pq {
       .orderBy(col("m"), col("c"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"loadCodebooks: no rows at $path")
     val numSub = rows.map(_._1).max + 1
     val numWords = rows.map(_._2).max + 1
+    // a partially-written artifact (missing (m,c) slots) would misindex
+    // silently; demand the dense grid and that every row sits in its slot
+    require(rows.length == numSub * numWords,
+      s"loadCodebooks: corrupt artifact at $path — ${rows.length} rows, " +
+        s"expected $numSub x $numWords")
     val words = Array.tabulate(numSub, numWords) { (m, c) =>
-      rows(m * numWords + c)._3
+      val r = rows(m * numWords + c)
+      require(r._1 == m && r._2 == c,
+        s"loadCodebooks: slot ($m,$c) holds row (${r._1},${r._2}) — corrupt artifact at $path")
+      r._3
     }
     Codebooks(numSub, numWords, numSub * words(0)(0).length, words)
   }

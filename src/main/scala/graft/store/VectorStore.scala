@@ -286,10 +286,12 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     // the metadata filter applies PRE-RANK (SearchRequest surface, like
     // search/searchIvf): rank only codes whose key survives the filter,
     // or nearby-but-filtered rows would eat the whole rerankFrom budget
-    // and matching rows would never surface
-    val rankable =
-      if (req.filter.isEmpty) encoded
-      else encoded.join(corpus.select("key"), Seq("key"), "left_semi")
+    // and matching rows would never surface. The semi-join runs even with
+    // an empty filter: pq_data reflects the build snapshot, and stale
+    // codes for since-deleted keys would otherwise consume rerankFrom
+    // budget only to be dropped by the re-rank join, silently returning
+    // fewer than topK rows while live matches exist.
+    val rankable = encoded.join(corpus.select("key"), Seq("key"), "left_semi")
     val cand = graft.operators.Pq.adcScores(rankable, "key", cb, req.queryVector)
       .orderBy(col("score").asc, col("key").asc)
       .limit(rerankFrom.max(req.topK))

@@ -95,6 +95,41 @@ class PqSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("deterministicCodebooks rejects duplicate / non-contiguous id sets") {
+    // duplicate id below numWords: row count matches but the mapping would
+    // silently misalign — must throw
+    val dup = Seq(
+      (0L, Array(0.0, 0.0, 0.0, 0.0)),
+      (1L, Array(1.0, 1.0, 0.0, 0.0)),
+      (1L, Array(2.0, 2.0, 0.0, 0.0)),
+      (3L, Array(1.0, 1.0, 1.0, 1.0))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.deterministicCodebooks(dup, "vec_id", "embedding", numSub = 2, numWords = 4)
+    }
+    assert(e1.getMessage.contains("expected exactly ids"))
+    // a missing id (0,1,3 of 0..3) must throw too
+    val gap = Seq(
+      (0L, Array(0.0, 0.0, 0.0, 0.0)),
+      (1L, Array(1.0, 1.0, 0.0, 0.0)),
+      (3L, Array(1.0, 1.0, 1.0, 1.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Pq.deterministicCodebooks(gap, "vec_id", "embedding", numSub = 2, numWords = 4)
+    }
+  }
+
+  test("loadCodebooks rejects a partially-written artifact with a diagnostic") {
+    val dir = Files.createTempDirectory("graft-pq-corrupt-").toString
+    Pq.saveCodebooks(spark, cb, dir)
+    // rewrite the artifact missing one (m,c) slot — a torn write
+    val torn = spark.read.parquet(dir)
+      .where(!($"m" === 0 && $"c" === 2)).cache()
+    val dir2 = Files.createTempDirectory("graft-pq-torn-").toString
+    torn.write.mode("overwrite").parquet(dir2)
+    val e = intercept[IllegalArgumentException](Pq.loadCodebooks(spark, dir2))
+    assert(e.getMessage.contains("corrupt artifact"))
+    torn.unpersist()
+  }
+
   test("float corpus encodes identically to its double cast (testdata shape)") {
     val f = corpus().select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
     // float->double cast is exact for these values; encode must agree

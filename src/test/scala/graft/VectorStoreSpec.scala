@@ -183,6 +183,22 @@ class VectorStoreSpec extends SparkSpec {
     assert(tight === Array("q", "near"))
   }
 
+  test("PQ search after deletes: stale codes don't consume the candidate budget") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(
+      ("q", Array(0f, 0f), Map.empty[String, String], 10L),
+      ("dead1", Array(0.1f, 0f), Map.empty[String, String], 10L),
+      ("dead2", Array(0.2f, 0f), Map.empty[String, String], 10L),
+      ("live", Array(1f, 0f), Map.empty[String, String], 10L)))
+    store.buildPqIndex(numSub = 2, numWords = 4)
+    store.delete(Seq("dead1", "dead2"), ts = 20) // index NOT rebuilt
+    // budget 2 with no filter: the two nearest stale codes must not eat
+    // both slots and shrink the result below topK — live keys surface
+    val got = store.searchPq(Knn.SearchRequest(Array(0.0, 0.0), topK = 2),
+      rerankFrom = 2).collect().map(_.getString(0))
+    assert(got === Array("q", "live"))
+  }
+
   test("WAL GC drops covered partitions only; state and cold reopen unchanged") {
     val dir = tmpDir()
     val store = new VectorStore(spark, dir, dim = 2)
