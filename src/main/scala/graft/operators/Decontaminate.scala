@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Benchmark decontamination — the training-data hygiene pass that drops
+  * corpus documents overlapping an evaluation/benchmark set (the exact
+  * n-gram-collision discipline of published LLM data pipelines: any
+  * training doc sharing a long-enough word n-gram with a benchmark doc is
+  * flagged and removed before training).
+  *
+  * Scale shape: grams are hashed to 60-bit md5-derived Longs ([[md5Low60]]
+  * — portable, oracle-reproducible), so the shuffle carries (id, gh)
+  * pairs, never gram strings. The benchmark side is tiny by nature (eval
+  * sets are thousands of docs, the corpus is billions) — its distinct
+  * gram-hash set BROADCASTS, making the whole pass one corpus scan +
+  * map-side hash join + one groupBy(id) shuffle. Hash collisions affect
+  * both engines identically (both count distinct 60-bit values), so
+  * results stay hash-matched.
+  */
+object Decontaminate {
+
+  /** Per-corpus-doc count of distinct word-`n`-gram hashes shared with ANY
+    * benchmark doc; docs with fewer than `minShared` drop. Output:
+    * (idCol, n_shared) — the flag list; anti-join it back to the corpus
+    * to produce the clean training set ([[cleanCorpus]]).
+    */
+  def sharedGramCounts(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, minShared: Int = 1): DataFrame = {
+    val benchGrams = gramHashes(bench, idCol, textCol, n)
+      .select(col("gh")).distinct()
+    gramHashes(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gh")).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** The decontaminated corpus: every column of `corpus`, minus docs
+    * flagged by [[sharedGramCounts]] (left-anti on the flag list).
+    */
+  def cleanCorpus(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, minShared: Int = 1): DataFrame =
+    corpus.join(
+      sharedGramCounts(corpus, bench, idCol, textCol, n, minShared)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+
+  /** (idCol, gh): one row per distinct word n-gram per doc, gram hashed to
+    * its low-60-md5 Long. Tokens are materialized before the n-gram HOF
+    * (lambda re-evaluation rule, see [[ngramsOfTokens]]).
+    */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(ngramsOfTokens(col("toks"), n)).as("gram"))
+      .select(col(idCol), md5Low60(col("gram")).as("gh"))
+}
