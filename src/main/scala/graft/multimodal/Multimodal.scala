@@ -73,15 +73,18 @@ object Multimodal {
     // recognized header with a corrupt/truncated body ("Premature end of
     // JPEG file" = IIOException <: IOException) — both must fall back, or
     // one bad crawl file among millions kills the whole extract job. The
-    // catch is NARROW (decode failures only: IO, bad color profiles, the
-    // malformed-argument throws of broken headers) so a genuine bug in
-    // this path still surfaces instead of degrading every image to the
-    // byte-hash fallback.
+    // catch enumerates the decode-failure classes JDK plugins are known
+    // to throw on malformed bodies: IO, bad color profiles, and the
+    // malformed-length throws of corrupt GIF/BMP/PNG headers
+    // (IndexOutOfBounds/NegativeArraySize from plugin array sizing). A
+    // genuine bug in OUR code below still surfaces — only the
+    // ImageIO.read call is guarded.
     val img =
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch {
         case _: java.io.IOException | _: java.awt.color.CMMException |
-             _: IllegalArgumentException => null
+             _: IllegalArgumentException | _: IndexOutOfBoundsException |
+             _: NegativeArraySizeException => null
       }
     if (img == null) return None
     val w = img.getWidth

@@ -95,37 +95,52 @@ object Pq {
   }
 
   /** Persist / reload codebooks (parquet rows (m, c, word) — the same
-    * artifact lifecycle as [[SimilaritySearch.saveCentroids]]).
+    * artifact lifecycle as [[SimilaritySearch.saveCentroids]]). Every row
+    * also carries the DECLARED shape (num_sub, num_words, dim): a torn
+    * write that drops a whole trailing m-slice or c-column would still be
+    * a dense grid under inferred-from-maxima validation, so the load
+    * checks against the declaration instead of inferring it.
     */
   def saveCodebooks(spark: SparkSession, cb: Codebooks, path: String): Unit = {
     import spark.implicits._
     val rows = for {
       m <- 0 until cb.numSub
       c <- 0 until cb.numWords
-    } yield (m, c, cb.words(m)(c).toSeq)
-    rows.toDF("m", "c", "word").write.mode("overwrite").parquet(path)
+    } yield (m, c, cb.words(m)(c).toSeq, cb.numSub, cb.numWords, cb.dim)
+    rows.toDF("m", "c", "word", "num_sub", "num_words", "dim")
+      .write.mode("overwrite").parquet(path)
   }
 
   def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
     val rows = spark.read.parquet(path)
       .orderBy(col("m"), col("c"))
+      .select("m", "c", "word", "num_sub", "num_words", "dim")
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray,
+        r.getInt(3), r.getInt(4), r.getInt(5)))
     require(rows.nonEmpty, s"loadCodebooks: no rows at $path")
-    val numSub = rows.map(_._1).max + 1
-    val numWords = rows.map(_._2).max + 1
-    // a partially-written artifact (missing (m,c) slots) would misindex
-    // silently; demand the dense grid and that every row sits in its slot
+    // the declared shape must be unanimous (mixed declarations = rows from
+    // two different artifacts landed in one directory)
+    val shapes = rows.map(r => (r._4, r._5, r._6)).distinct
+    require(shapes.length == 1,
+      s"loadCodebooks: conflicting declared shapes ${shapes.mkString(", ")} at $path")
+    val (numSub, numWords, dim) = shapes.head
+    // validate the grid against the DECLARATION: a torn write that drops a
+    // trailing slice now fails here instead of loading a smaller codebook
     require(rows.length == numSub * numWords,
       s"loadCodebooks: corrupt artifact at $path — ${rows.length} rows, " +
-        s"expected $numSub x $numWords")
+        s"declared $numSub x $numWords")
+    require(dim % numSub == 0,
+      s"loadCodebooks: declared dim $dim not divisible by num_sub $numSub at $path")
     val words = Array.tabulate(numSub, numWords) { (m, c) =>
       val r = rows(m * numWords + c)
       require(r._1 == m && r._2 == c,
         s"loadCodebooks: slot ($m,$c) holds row (${r._1},${r._2}) — corrupt artifact at $path")
+      require(r._3.length == dim / numSub,
+        s"loadCodebooks: word ($m,$c) has length ${r._3.length}, declared subDim ${dim / numSub} at $path")
       r._3
     }
-    Codebooks(numSub, numWords, numSub * words(0)(0).length, words)
+    Codebooks(numSub, numWords, dim, words)
   }
 
   /** Encode rows to PQ codes: `codes(m)` = argmin over codewords of the

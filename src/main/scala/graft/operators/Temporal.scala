@@ -50,6 +50,12 @@ object Temporal {
       rightTie: Seq[String] = Nil): DataFrame = {
     val clash = left.columns.toSet.intersect(rightPayload.toSet)
     require(clash.isEmpty, s"asofJoin: rename right columns $clash — they clash with left")
+    // internal plumbing columns: a caller column with one of these names
+    // would silently corrupt the tagged union instead of erroring
+    val reserved = Set("__key", "__ts", "__side", "__pay") ++
+      rightTie.map(c => s"__tie_$c")
+    val hit = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(hit.isEmpty, s"asofJoin: input columns $hit collide with reserved internal names")
     // payload travels as ONE nullable struct so a matched left row gets
     // every column from the SAME right row (per-column fills could mix
     // rows when a payload value is legitimately null)
@@ -99,6 +105,8 @@ object Temporal {
     require(lo <= hi, s"rangeJoinBucketed: empty interval [$lo, $hi]")
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty, s"rangeJoinBucketed: overlapping columns $clash — rename one side")
+    val hit = (left.columns ++ right.columns).toSet.intersect(Set("__bkt", "__rbkt"))
+    require(hit.isEmpty, s"rangeJoinBucketed: input columns $hit collide with reserved internal names")
     val width = math.max(hi - lo, math.max(minBucket, 1L))
     // SQL `div` = truncating integer division (no Double round-trip — ns
     // epochs exceed 2^53). Truncation vs floor only shifts bucket edges

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Pq, SimilaritySearch}
+import graft.operators.{Decontaminate, Dedup, Pq, SimilaritySearch}
 
 /** Training-data-pipeline operators as oracle-checked queries (q17–q26):
   * near-dup detection (MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -544,7 +544,33 @@ object PipelineQueries {
         |  ${duckDotZip.format("a.series", "b.series")} /
         |    (sqrt(${duckDotZip.format("a.series", "a.series")}) * sqrt(${duckDotZip.format("b.series", "b.series")})) AS cos_sim
         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.user_id < b.user_id
-        |ORDER BY cos_sim DESC, a ASC, b ASC LIMIT 10""".stripMargin))
+        |ORDER BY cos_sim DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
+    // Benchmark decontamination: corpus docs (doc_id%10 != 7) sharing ANY
+    // word-8-gram with the held-out "benchmark" split (doc_id%10 = 7) are
+    // flagged with their shared-gram count. 8-grams (not 3) so matches
+    // mean real near-dup contamination, not common phrases — 4 flagged of
+    // 450 at sf0.001. Scale shape: the bench gram-hash set broadcasts
+    // (eval sets are tiny vs a corpus), one corpus scan + map-side join.
+    QueryDef("q50_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontaminate.sharedGramCounts(
+            docs.where(col("doc_id") % 10 =!= 7),
+            docs.where(col("doc_id") % 10 === 7),
+            "doc_id", "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(0, greatest(length(regexp_split_to_array(trim(text), '\s+'))-7, 1)),
+        |  i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS grams
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x'||substr(md5(unnest(grams)),18,15) AS BIGINT) AS gh FROM g),
+        |bench AS (SELECT DISTINCT gh FROM h WHERE doc_id % 10 = 7)
+        |SELECT h.doc_id, count(DISTINCT h.gh) AS n_shared
+        |FROM h JOIN bench USING (gh) WHERE h.doc_id % 10 != 7
+        |GROUP BY h.doc_id
+        |ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Decontaminate
+
+/** Fixture-driven checks for the benchmark-decontamination pass: known
+  * overlaps, the minShared boundary, the short-doc/empty-text whole-text
+  * fallback inherited from ngramsOfTokens, and the broadcast plan shape.
+  * (Oracle parity over real data is q50_decontaminate.)
+  */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus doc 1 shares the 3-gram "x y z" with bench doc 10 once; doc 2
+  // shares two distinct grams ("x y z" and "y z w"); doc 3 shares nothing
+  private def corpus = Seq(
+    (1L, "a b x y z c"),
+    (2L, "p x y z w q"),
+    (3L, "entirely disjoint words here")
+  ).toDF("doc_id", "text")
+
+  private def bench = Seq(
+    (10L, "x y z w")
+  ).toDF("doc_id", "text")
+
+  test("sharedGramCounts counts distinct shared grams per corpus doc") {
+    val got = Decontaminate.sharedGramCounts(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // bench 10 grams: {x y z, y z w}; doc 1 shares 1, doc 2 shares 2
+    assert(got === Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("minShared boundary keeps >= and drops <") {
+    val flagged = Decontaminate.sharedGramCounts(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 2).orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(flagged === Seq((2L, 2L)))
+  }
+
+  test("cleanCorpus anti-joins the flag list, preserving all columns") {
+    val clean = Decontaminate.cleanCorpus(corpus, bench, "doc_id", "text", n = 3)
+    assert(clean.columns.toSeq === Seq("doc_id", "text"))
+    assert(clean.select("doc_id").as[Long].collect().toSeq === Seq(3L))
+    // minShared=2 spares doc 1 (only one shared gram)
+    val clean2 = Decontaminate.cleanCorpus(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 2)
+    assert(clean2.select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+      === Seq(1L, 3L))
+  }
+
+  test("short docs fall back to the whole text as one gram (ngramsOfTokens rule)") {
+    val shortCorpus = Seq((1L, "x y"), (2L, "only")).toDF("doc_id", "text")
+    val shortBench = Seq((10L, "x y"), (11L, "lone")).toDF("doc_id", "text")
+    // "x y" has < 3 tokens -> the single gram is the whole text; it matches
+    // the identically-short bench doc. "only" matches nothing.
+    val got = Decontaminate.sharedGramCounts(shortCorpus, shortBench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L)))
+  }
+
+  test("empty/whitespace-only texts collide on the empty gram, not crash") {
+    val c = Seq((1L, ""), (2L, "   "), (3L, "real content that stays")).toDF("doc_id", "text")
+    val b = Seq((10L, "")).toDF("doc_id", "text")
+    // trim -> "" -> tokens [""] -> whole-text fallback gram "" on both
+    // sides: empty corpus docs are flagged against an empty bench doc —
+    // the desired outcome (empty training docs are droppable noise anyway)
+    val got = Decontaminate.sharedGramCounts(c, b, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("bench gram set broadcasts — no shuffle of the corpus for the probe join") {
+    val plan = Decontaminate.sharedGramCounts(corpus, bench, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+}

@@ -73,6 +73,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q48 as-of join is one window pass — no join node at all") {
+    val plan = executed("q48_asof_join")
+    // the merge-as-of shape: tagged Union -> per-key Window; a Join node
+    // would mean the non-equi fallback crept back in
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("Union"), plan.take(3000))
+  }
+
+  test("q49 range join pairs via the binned equi-join, never a nested loop") {
+    val plan = executed("q49_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    // the bucketed pair join keys on (user_id, bucket)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[user_id".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
   test("q41/q42 curation coins stay scan-side (no join, no extra shuffle)") {
     val p41 = executed("q41_stratified_sample")
     assert(!p41.contains("Join"), p41.take(3000))

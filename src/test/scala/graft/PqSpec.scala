@@ -130,6 +130,22 @@ class PqSpec extends SparkSpec {
     torn.unpersist()
   }
 
+  test("loadCodebooks rejects torn writes that drop a whole trailing slice") {
+    val dir = Files.createTempDirectory("graft-pq-meta-").toString
+    Pq.saveCodebooks(spark, cb, dir)
+    // dropping ALL of the last m-slice (or the whole c=max column) still
+    // leaves a dense smaller grid — inferred-from-maxima validation would
+    // load it silently; the declared shape must reject it
+    for (pred <- Seq($"m" =!= 1, $"c" =!= 3)) {
+      val torn = spark.read.parquet(dir).where(pred).cache()
+      val dir2 = Files.createTempDirectory("graft-pq-slice-").toString
+      torn.write.mode("overwrite").parquet(dir2)
+      val e = intercept[IllegalArgumentException](Pq.loadCodebooks(spark, dir2))
+      assert(e.getMessage.contains("corrupt artifact"), e.getMessage)
+      torn.unpersist()
+    }
+  }
+
   test("float corpus encodes identically to its double cast (testdata shape)") {
     val f = corpus().select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
     // float->double cast is exact for these values; encode must agree
