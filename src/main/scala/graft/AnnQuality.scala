@@ -74,6 +74,14 @@ object AnnQuality {
       recallOf("rp-lsh (6 planes, 1 probe)", qid =>
         SimilaritySearch.rpLshTopK(emb, "vec_id", "embedding",
           col("vec_id").between(1, 6), qid, k).collect().map(_.getLong(0))),
+      recallOf("rp-lsh multi-probe (6 planes, <=1 flip: 7 buckets, ~11% reads)", qid =>
+        SimilaritySearch.rpLshTopKMultiProbe(emb, "vec_id", "embedding",
+          col("vec_id").between(1, 6), numPlanes = 6, qid, k, flips = 1)
+          .collect().map(_.getLong(0))),
+      recallOf("rp-lsh multi-probe (6 planes, <=2 flips: 22 buckets, ~34% reads)", qid =>
+        SimilaritySearch.rpLshTopKMultiProbe(emb, "vec_id", "embedding",
+          col("vec_id").between(1, 6), numPlanes = 6, qid, k, flips = 2)
+          .collect().map(_.getLong(0))),
       recallOf(s"mllib brp-lsh (3 tables, ${2 * k} over-fetch)", qid =>
         SimilaritySearch.mllibLshTopK(emb, "vec_id", "embedding",
           qid, k).collect().map(_.getLong(0)))) ++ {

@@ -58,6 +58,20 @@ object TextFunctions {
   def tokenNgrams(text: Column, n: Int): Column =
     ngramsOfTokens(wsTokens(text), n)
 
+  /** NON-overlapping `k`-token chunks of an already-materialized tokens
+    * column (same lambda-re-evaluation rule as [[ngramsOfTokens]]): chunk i
+    * = tokens [i·k, i·k+k). The last chunk may be shorter; a short/empty
+    * text yields one chunk (possibly the whole text) — `ceil(size/k) >= 1`.
+    */
+  def chunksOfTokens(toks: Column, k: Int): Column = {
+    // ceil(size/k) via double division is exact here: the true quotient has
+    // denominator k, so it sits >= 1/k away from any other integer — one
+    // ulp of rounding cannot bridge that; cast truncates = floor for >= 0
+    val count = greatest(((size(toks) + (k - 1)) / k).cast("int"), lit(1))
+    transform(sequence(lit(0), count - 1),
+      i => concat_ws(" ", slice(toks, i * k + 1, lit(k))))
+  }
+
   /** MinHash prime (smallest prime > 2^32). */
   val MinHashP = 4294967311L
 

@@ -47,6 +47,47 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("group_size"))
       .select(col(idCol), col("norm_text"), col("group_size"))
 
+  /** Chunk-level exact substring dedup — the within/cross-document
+    * repeated-passage removal of published LLM pipelines (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * approximated on non-overlapping `k`-token chunks so each token
+    * belongs to exactly one droppable unit): a chunk whose text appears
+    * in MORE THAN `maxDocFreq` distinct documents is boilerplate and is
+    * cut from every document; survivors are reassembled in original order.
+    *
+    * Scale shape: chunks shuffle as 60-bit md5 hashes, not strings; the
+    * hot-chunk set comes from a map-side-combinable hash aggregate and the
+    * drop is a left-anti on the already-shuffled hash key; reassembly is
+    * one groupBy(id). Three shuffles total, all on hash/id keys — no
+    * all-pairs anything. Output: (id, n_chunks, n_dropped, clean_text),
+    * one row per input document (fully-boilerplate docs keep an empty
+    * clean_text rather than vanishing).
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String, k: Int,
+      maxDocFreq: Int = 1): DataFrame = {
+    val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+    val base = toks.select(col(idCol),
+      greatest(((size(col("toks")) + (k - 1)) / k).cast("long"), lit(1L))
+        .as("n_chunks"))
+    val chunks = toks
+      .select(col(idCol), posexplode(chunksOfTokens(col("toks"), k)).as(Seq("pos", "chunk")))
+      .withColumn("ch", md5Low60(col("chunk")))
+    val hot = chunks.groupBy(col("ch"))
+      .agg(countDistinct(col(idCol)).as("dfreq"))
+      .where(col("dfreq") > maxDocFreq)
+      .select("ch")
+    val kept = chunks.join(hot, Seq("ch"), "left_anti")
+    // pos is unique per doc, so the struct sort is total (tie-break rule)
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("clean_text"))
+    base.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** MinHash signatures + LSH band keys for each row.
     * Output: (id, shingles, sig, bands). The signature is the codegen
     * [[graft.functions.expressions.MinHashSig]] — bit-identical to the

@@ -185,6 +185,44 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Multi-probe RP-LSH: probe the query's bucket PLUS every bucket within
+    * Hamming distance `flips` of it — bit-flip probing, the standard LSH
+    * recall dial (SCALE.md "multi-probe sign-LSH"). Each extra flip trades
+    * one more bucket read (1/2^P of the corpus in expectation) for recall,
+    * the same read/recall economics as IVF's `nprobe`. `numPlanes` = P
+    * (bucket bits come from plane ids 1..P, as in [[rpLshBuckets]]).
+    * XOR masks are distinct, so probe buckets are distinct and a candidate
+    * matches at most one probe — no dedup pass needed. At scale the probe
+    * list is a tiny broadcast and each probe is partition pruning on the
+    * bucket column, exactly like single-probe.
+    */
+  def rpLshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+      planePred: Column, numPlanes: Int, queryId: Long, k: Int,
+      flips: Int = 1,
+      filter: Option[Column] = None, threshold: Option[Double] = None): DataFrame = {
+    require(flips >= 0 && flips <= 2, s"rpLshTopKMultiProbe: flips must be 0..2, got $flips")
+    val bucketed = rpLshBuckets(df, idCol, vecCol, planePred)
+    // every bit-subset of size <= flips, built driver-side: P is small by
+    // construction (2^P buckets must stay selective), so the mask list is
+    // 1 + P + P(P-1)/2 literals at most
+    val masks: Seq[Long] =
+      Seq(0L) ++
+        (if (flips >= 1) (0 until numPlanes).map(j => 1L << j) else Nil) ++
+        (if (flips >= 2)
+          for { a <- 0 until numPlanes; b <- (a + 1) until numPlanes }
+            yield (1L << a) | (1L << b)
+        else Nil)
+    val q = bucketed.where(col(idCol) === queryId)
+      .select(col("emb").as("qe"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("qb"))
+    val cands = filter.map(bucketed.where).getOrElse(bucketed)
+    val scored = cands.join(broadcast(q), col("bucket") === col("qb"))
+      .select(col(idCol), l2Sq(col("emb"), col("qe")).as("score"))
+    threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
+      .orderBy(col("score").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** MLlib `BucketedRandomProjectionLSH` as the approximate index (SURVEY
     * §7 step 8): fit with a fixed seed, over-fetch 2k candidates mirroring
     * the reference's candidate multiplier (`src/datanode/handler.py:364`),

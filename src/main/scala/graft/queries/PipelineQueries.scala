@@ -314,6 +314,27 @@ object PipelineQueries {
         |FROM bk b, q WHERE b.bucket = q.qb
         |ORDER BY score ASC, b.vec_id ASC LIMIT 5""".stripMargin)),
 
+    // q26's RECALL DIAL: multi-probe RP-LSH — the query's bucket plus all
+    // 6 one-bit-flip neighbor buckets. Single-probe recall@5 is 0.27
+    // (ANN_QUALITY.md); probing Hamming-1 buckets recovers neighbors that
+    // fell one sign-bit away. Deterministic planes ⇒ the probe set is
+    // oracle-expressible; hash-match proves the flip enumeration exact.
+    QueryDef("q51_ann_lsh_multiprobe",
+      (s, d) => SimilaritySearch.rpLshTopKMultiProbe(Tables.embeddings(s, d),
+        "vec_id", "embedding",
+        planePred = col("vec_id").between(1, 6), numPlanes = 6,
+        queryId = 0L, k = 5, flips = 1),
+      Some(s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id BETWEEN 1 AND 6),
+        |bk AS (SELECT e.vec_id, e.embedding, CAST(SUM(CASE WHEN ${duckDotZip.format("e.embedding", "p.pe")} > 0
+        |  THEN (CAST(1 AS BIGINT) << CAST(p.pid - 1 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, p GROUP BY e.vec_id, e.embedding),
+        |q AS (SELECT embedding AS qe, bucket AS qb FROM bk WHERE vec_id = 0),
+        |pr AS (SELECT qe, unnest([qb] || list_transform(range(0, 6),
+        |  j -> xor(qb, CAST(1 AS BIGINT) << CAST(j AS INT)))) AS qbp FROM q)
+        |SELECT b.vec_id, ${duckL2Zip.format("b.embedding", "pr.qe")} AS score
+        |FROM bk b, pr WHERE b.bucket = pr.qbp
+        |ORDER BY score ASC, b.vec_id ASC LIMIT 5""".stripMargin)),
+
     // Vocabulary building: top-5 tokens per language by corpus frequency —
     // the tokenizer-vocab / stopword-table pass of a training-data
     // pipeline. Explode → hash-groupBy → per-group top-n (WindowGroupLimit
@@ -570,6 +591,30 @@ object PipelineQueries {
         |SELECT h.doc_id, count(DISTINCT h.gh) AS n_shared
         |FROM h JOIN bench USING (gh) WHERE h.doc_id % 10 != 7
         |GROUP BY h.doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Chunk-level exact substring dedup (Lee et al. 2022 approximated on
+    // non-overlapping 8-token chunks): chunks appearing in >1 document are
+    // boilerplate, cut everywhere, docs reassembled in order. The hot set
+    // is computed over the FULL corpus; output restricted to doc_id < 500
+    // for bounded rows. 166 dup chunks / 3708 at sf0.001.
+    QueryDef("q52_chunk_dedup",
+      (s, d) => Dedup.chunkDedup(Tables.documents(s, d), "doc_id", "text", k = 8)
+        .where(col("doc_id") < 500)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, list_transform(range(0, greatest(CAST(ceil(length(toks)/8.0) AS BIGINT), 1)),
+        |  i -> array_to_string(list_slice(toks, CAST(i*8+1 AS INT), CAST(i*8+8 AS INT)), ' ')) AS chunks FROM t),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS pos, unnest(chunks) AS chunk FROM c),
+        |h AS (SELECT doc_id, pos, chunk, CAST('0x'||substr(md5(chunk),18,15) AS BIGINT) AS ch FROM e),
+        |hot AS (SELECT ch FROM h GROUP BY ch HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (SELECT * FROM h WHERE ch NOT IN (SELECT ch FROM hot)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(length(c.chunks) AS BIGINT) AS n_chunks,
+        |  CAST(length(c.chunks) AS BIGINT) - coalesce(a.n_kept, 0) AS n_dropped,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM c LEFT JOIN agg a USING (doc_id)
+        |WHERE c.doc_id < 500
         |ORDER BY doc_id""".stripMargin))
   )
 

@@ -44,6 +44,39 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(scores.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("multi-probe RP-LSH: flips=0 == single-probe; more flips never hurt") {
+    def ids(flips: Int) = SimilaritySearch.rpLshTopKMultiProbe(emb, "vec_id",
+      "embedding", col("vec_id").between(1, 6), numPlanes = 6,
+      queryId = 0L, k = 5, flips = flips)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val single = SimilaritySearch.rpLshTopK(emb, "vec_id", "embedding",
+      col("vec_id").between(1, 6), queryId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ids(0).toSeq === single.toSeq)
+    val f0 = ids(0); val f1 = ids(1); val f2 = ids(2)
+    assert(f1.head._1 === 0L && f2.head._1 === 0L)
+    // wider probe sets can only improve (lower or equal) the k-th score
+    assert(f1.last._2 <= f0.last._2)
+    assert(f2.last._2 <= f1.last._2)
+    // <=2-flip recall vs exact must beat-or-match single-probe
+    val exact = graft.operators.Knn.search(emb, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSet
+    def recall(got: Array[(Long, Double)]) =
+      (exact intersect got.map(_._1).toSet).size.toDouble / exact.size
+    info(f"recall@5: single=${recall(f0)}%.2f flips1=${recall(f1)}%.2f flips2=${recall(f2)}%.2f")
+    assert(recall(f2) >= recall(f0))
+  }
+
+  test("multi-probe honors filter and threshold") {
+    val got = SimilaritySearch.rpLshTopKMultiProbe(emb, "vec_id", "embedding",
+      $"vec_id".between(1, 6), numPlanes = 6, queryId = 0L, k = 10, flips = 1,
+      filter = Some($"vec_id" % 2 === 0), threshold = Some(2.0)).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) % 2 === 0L)
+      assert(r.getDouble(1) <= 2.0)
+    }
+  }
+
   test("MLlib BucketedRandomProjectionLSH path: query first, recall reported") {
     val got = SimilaritySearch.mllibLshTopK(emb, "vec_id", "embedding",
       queryId = 0L, k = 5).collect()
