@@ -214,6 +214,40 @@ object Pq {
     }
   }
 
+  /** Batch ADC KNN join: top-k by ADC distance for EVERY query row, over
+    * a PRE-ENCODED corpus — the multi-query serving composition. The
+    * query's M×K ADC table is computed IN the plan on the broadcast query
+    * side (M×K codegen subspace distances per query row — the per-query
+    * analog of [[adcTable]], folded in the same index order so scores are
+    * bit-identical to [[adcScores]]); each (corpus row, query) pair then
+    * costs M array lookups, never a vector op. Map-side top-k heaps
+    * ([[TopK.SmallestK]]) reduce the shuffle to k rows per task per
+    * query. Output: (qid, id, score) ascending (score, id) within qid.
+    */
+  def adcKnnJoin(encoded: DataFrame, queries: DataFrame,
+      corpusId: String, queryId: String, queryVec: String,
+      cb: Codebooks, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qtab = array((0 until cb.numSub).map { m =>
+      val sl = slice(col(queryVec), m * cb.subDim + 1, cb.subDim)
+      array((0 until cb.numWords).map(c => l2Sq(sl, typedLit(cb.words(m)(c)))): _*)
+    }: _*)
+    val q = queries.select(col(queryId).as("qid"), qtab.as("qtab"))
+    val score = (0 until cb.numSub)
+      .map(m => element_at(element_at(col("qtab"), m + 1),
+        element_at(col("codes"), m + 1) + 1))
+      .reduceLeft(_ + _)
+    encoded.crossJoin(broadcast(q))
+      .select(col("qid").as("key"), col(corpusId).as("id"), score.as("score"))
+      .as[TopK.Scored]
+      .groupByKey(_.key)
+      .agg(new TopK.SmallestK(k).toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), explode(col("topk")).as("n"))
+      .select(col("qid"), col("n.id").as("id"), col("n.score").as("score"))
+  }
+
   /** IVF-PQ (the FAISS serving composition): restrict the ADC scan to the
     * query's `nprobe` nearest IVF cells, then exact re-rank. At 100 TB the
     * corpus is stored partitioned by `cid` with codes precomputed at

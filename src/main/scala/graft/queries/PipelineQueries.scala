@@ -615,7 +615,47 @@ object PipelineQueries {
         |  coalesce(a.clean_text, '') AS clean_text
         |FROM c LEFT JOIN agg a USING (doc_id)
         |WHERE c.doc_id < 500
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // PII scrub: dirty text synthesized deterministically from customer
+    // rows (email from the name, a separated phone, a URL with a digit
+    // path, an IP) — IDENTICAL construction on both engines — then
+    // redacted + audited. Hash-match proves the regex set behaves the
+    // same under Java regex and RE2, i.e. it stays in the portable
+    // subset the operator contract declares.
+    QueryDef("q53_pii_scrub",
+      (s, d) => {
+        val dirty = Tables.customer(s, d)
+          .where(col("c_custkey") < 200)
+          .select(col("c_custkey"), concat(
+            lit("contact "), col("c_name"),
+            lit(" at "), lower(regexp_replace(col("c_name"), "#", "")),
+            lit("@example.com or +1 555-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+            lit(" 9876 visit https://ex.com/u/"), col("c_custkey").cast("string"),
+            lit(" ip 10.0."), (col("c_custkey") % 256).cast("string"),
+            lit(".1 done")).as("text"))
+        graft.operators.Scrub.scrub(dirty, "text")
+          .select("c_custkey", "redacted", "n_urls", "n_emails", "n_ips", "n_phones")
+          .orderBy("c_custkey")
+      },
+      Some("""WITH d AS (SELECT c_custkey,
+        |  'contact ' || c_name || ' at ' || lower(replace(c_name, '#', '')) ||
+        |  '@example.com or +1 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |  ' 9876 visit https://ex.com/u/' || CAST(c_custkey AS VARCHAR) ||
+        |  ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1 done' AS text
+        |  FROM customer WHERE c_custkey < 200)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d()]*[\s\-][\d\s\-()]{4,}\d', '<PHONE>', 'g') AS redacted,
+        |  CAST(length(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(length(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(length(regexp_extract_all(text, '\+?\d[\d()]*[\s\-][\d\s\-()]{4,}\d')) AS BIGINT) AS n_phones
+        |FROM d ORDER BY c_custkey""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

@@ -41,4 +41,32 @@ object QueryStream {
           sink(answers, epochId)
         }
       }
+
+  /** PQ serving: like [[serve]], but each micro-batch is answered by the
+    * ADC join over a PRE-ENCODED corpus ([[graft.operators.Pq.encode]],
+    * the write-side cost paid once at index build) — the streaming face of
+    * the FAISS-style serving stack: queries arrive, their M×K ADC tables
+    * are computed on the broadcast side, and the corpus scan touches only
+    * code arrays, never vectors. The 100-TB shape: the encoded table is
+    * ~1/32 the corpus bytes, so serving QPS is bounded by code-scan
+    * throughput, not vector I/O.
+    */
+  def servePq(
+      queries: DataFrame,       // streaming: (queryId LONG, queryVec ARRAY<numeric>)
+      encodedCorpus: DataFrame, // static: (corpusId, codes) from Pq.encode
+      corpusId: String,
+      cb: graft.operators.Pq.Codebooks,
+      k: Int,
+      queryId: String = "qid", queryVec: String = "qvec",
+      trigger: Trigger = Trigger.ProcessingTime(0L))(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val answers = graft.operators.Pq.adcKnnJoin(encodedCorpus, batch,
+            corpusId, queryId, queryVec, cb, k)
+          sink(answers, epochId)
+        }
+      }
 }

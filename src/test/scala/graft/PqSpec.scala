@@ -155,4 +155,29 @@ class PqSpec extends SparkSpec {
       .orderBy("vec_id").collect().map(_.getSeq[Int](1))
     assert(cf.toSeq === cd.toSeq)
   }
+
+  test("adcKnnJoin scores bit-match per-query adcTopK for every query") {
+    val encoded = Pq.encode(corpus(), "vec_id", "embedding", cb)
+    val queries = corpus().where($"vec_id".isin(0L, 4L, 6L))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val joined = Pq.adcKnnJoin(encoded, queries, "vec_id", "qid", "qvec", cb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    for (qid <- Seq(0L, 4L, 6L)) {
+      val qv = corpus().where($"vec_id" === qid)
+        .select($"embedding").head().getSeq[Double](0).toArray
+      val single = Pq.adcTopK(corpus(), "vec_id", "embedding", cb, qv, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(joined(qid) === single, s"qid=$qid")
+    }
+  }
+
+  test("adcKnnJoin pair scan touches codes + broadcast table, no vector column") {
+    val encoded = Pq.encode(corpus(), "vec_id", "embedding", cb)
+    val queries = corpus().limit(1).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val plan = Pq.adcKnnJoin(encoded, queries, "vec_id", "qid", "qvec", cb, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(3000)) // query side broadcasts
+  }
 }

@@ -43,4 +43,39 @@ class QueryStreamSpec extends SparkSpec {
       batch.sortBy(t => (t._1, t._3, t._2)).toSeq)
     assert(collected.size === 9) // 3 queries x k=3
   }
+
+  test("PQ serving: streamed queries match the batch ADC join over the encoded corpus") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cb = graft.operators.Pq.deterministicCodebooks(emb, "vec_id", "embedding",
+      numSub = 2, numWords = 4)
+    // write-side: encode once; serving never reads the vector column
+    val encoded = graft.operators.Pq.encode(emb, "vec_id", "embedding", cb)
+
+    val tmp  = Files.createTempDirectory("graft-pqstream-").toString
+    val qdir = s"$tmp/queries"
+    val queries = emb.where(col("vec_id").isin(3L, 11L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    queries.write.parquet(qdir)
+    val qstream = spark.readStream
+      .schema(spark.read.parquet(qdir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(qdir)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val writer = QueryStream.servePq(qstream, encoded, "vec_id", cb, k = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()) {
+      (answers, _) =>
+        collected ++= answers.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    val q = writer.option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+
+    val batch = graft.operators.Pq.adcKnnJoin(encoded, queries,
+        "vec_id", "qid", "qvec", cb, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(collected.sortBy(t => (t._1, t._3, t._2)) ===
+      batch.sortBy(t => (t._1, t._3, t._2)).toSeq)
+    assert(collected.size === 8) // 2 queries x k=4
+  }
 }
