@@ -655,7 +655,37 @@ object PipelineQueries {
         |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(length(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
         |  CAST(length(regexp_extract_all(text, '\+?\d[\d()]*[\s\-][\d\s\-()]{4,}\d')) AS BIGINT) AS n_phones
-        |FROM d ORDER BY c_custkey""".stripMargin))
+        |FROM d ORDER BY c_custkey""".stripMargin)),
+
+    // SAX blocking over the SAME series vectors as q46/q47: z-normalize,
+    // 4-segment PAA (segLen 2 — power-of-two means), N(0,1) quartile
+    // letters; pairs share a 4-letter shape word, cosine re-rank, top-10.
+    // The symbolic sibling of q47's sign-LSH blocking — shape-aware and
+    // interpretable where random planes are not. Std's sqrt/divide are
+    // correctly rounded on identical operands, so words hash-match.
+    QueryDef("q54_series_sax_blocked",
+      (s, d) => graft.operators.Sax.saxBlockedPairs(
+          seriesVectors(s, d), "user_id", "series", segments = 4)
+        .orderBy(col("cos_sim").desc, col("a").asc, col("b").asc)
+        .limit(10),
+      Some(s"""WITH s AS ($duckSeries),
+        |m AS (SELECT user_id, series, list_sum(series)/8.0 AS mean FROM s),
+        |sd AS (SELECT user_id, series, mean,
+        |  sqrt(list_sum(list_transform(series, x -> (x - mean)*(x - mean)))/8.0) AS std FROM m),
+        |z AS (SELECT user_id, series,
+        |  CASE WHEN std = 0 THEN list_transform(series, x -> 0.0)
+        |       ELSE list_transform(series, x -> (x - mean)/std) END AS zs FROM sd),
+        |pa AS (SELECT user_id, series, list_transform(range(0, 4),
+        |  i -> list_sum(list_slice(zs, CAST(i*2+1 AS INT), CAST(i*2+2 AS INT)))/2.0) AS paa FROM z),
+        |w AS (SELECT user_id, series, array_to_string(list_transform(paa, v ->
+        |  ['a','b','c','d'][CAST(1 + CASE WHEN v > -0.6745 THEN 1 ELSE 0 END
+        |    + CASE WHEN v > 0.0 THEN 1 ELSE 0 END
+        |    + CASE WHEN v > 0.6745 THEN 1 ELSE 0 END AS INT)]), '') AS sax FROM pa)
+        |SELECT a.user_id AS a, b.user_id AS b, a.sax,
+        |  ${duckDotZip.format("a.series", "b.series")} /
+        |    (sqrt(${duckDotZip.format("a.series", "a.series")}) * sqrt(${duckDotZip.format("b.series", "b.series")})) AS cos_sim
+        |FROM w a JOIN w b ON a.sax = b.sax AND a.user_id < b.user_id
+        |ORDER BY cos_sim DESC, a ASC, b ASC LIMIT 10""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values
