@@ -685,7 +685,40 @@ object PipelineQueries {
         |  ${duckDotZip.format("a.series", "b.series")} /
         |    (sqrt(${duckDotZip.format("a.series", "a.series")}) * sqrt(${duckDotZip.format("b.series", "b.series")})) AS cos_sim
         |FROM w a JOIN w b ON a.sax = b.sax AND a.user_id < b.user_id
-        |ORDER BY cos_sim DESC, a ASC, b ASC LIMIT 10""".stripMargin))
+        |ORDER BY cos_sim DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
+    // The curation pipeline END-TO-END as ONE declarative plan: chunk
+    // dedup over the full corpus -> keep docs that lost no chunks
+    // (pristine survivors) -> per-language corpus stats over the CLEANED
+    // text. Composition is the point: the same operators that pass
+    // q52/q23 individually compose without materialization barriers, and
+    // Catalyst still sees one optimizable tree.
+    QueryDef("q55_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cleaned = Dedup.chunkDedup(docs, "doc_id", "text", k = 8)
+        cleaned.where(col("n_dropped") === 0)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(wsTokens(col("clean_text"))).cast("long")).as("n_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, list_transform(range(0, greatest(CAST(ceil(length(toks)/8.0) AS BIGINT), 1)),
+        |  i -> array_to_string(list_slice(toks, CAST(i*8+1 AS INT), CAST(i*8+8 AS INT)), ' ')) AS chunks FROM t),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS pos, unnest(chunks) AS chunk FROM c),
+        |h AS (SELECT doc_id, pos, chunk, CAST('0x'||substr(md5(chunk),18,15) AS BIGINT) AS ch FROM e),
+        |hot AS (SELECT ch FROM h GROUP BY ch HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (SELECT * FROM h WHERE ch NOT IN (SELECT ch FROM hot)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id),
+        |surv AS (SELECT c.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |  FROM c LEFT JOIN agg a USING (doc_id)
+        |  WHERE CAST(length(c.chunks) AS BIGINT) - coalesce(a.n_kept, 0) = 0)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(length(regexp_split_to_array(trim(s.clean_text), '\s+'))) AS BIGINT) AS n_tokens
+        |FROM surv s JOIN documents d USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values
