@@ -25,6 +25,10 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Transcode ingest (S11): Spark 4 gates decode()/encode() to a short
+      // charset whitelist by default; the engine supports every JVM
+      // charset (GBK is the reference's own transcode case)
+      .config("spark.sql.legacy.javaCharsets", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", warehouseDir)

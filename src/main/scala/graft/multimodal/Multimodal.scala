@@ -3,6 +3,7 @@ package graft.multimodal
 import java.io.ByteArrayInputStream
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,8 +19,10 @@ import org.apache.spark.sql.functions._
   * mirrors `embedding.py:66-67`). It is a genuine, deterministic
   * image→vector function — just not a semantic one; swapping in an
   * ONNX/JNI CLIP keeps every signature, batch shape, and schema below
-  * identical. Audio/video payloads (no JVM decoder) fall back to a
-  * clearly-marked byte-hash featurizer.
+  * identical. Audio is likewise REAL: `javax.sound.sampled` PCM decode
+  * (WAV/AIFF/AU ship with the JDK) → windowed RMS-energy + zero-crossing
+  * features → L2 normalize. Video payloads (no JVM demuxer) fall back to
+  * a clearly-marked byte-hash featurizer.
   */
 object Multimodal {
 
@@ -33,8 +36,9 @@ object Multimodal {
       meta: Map[String, String])
 
   /** Extracted features. `width`/`height` are the REAL decoded pixel
-    * dimensions for images (-1 when the payload wasn't decodable and the
-    * byte-hash fallback produced the vector).
+    * dimensions for images; for audio they carry (sampleRate Hz, decoded
+    * PCM frame count). Both are -1 when the payload wasn't decodable and
+    * the byte-hash fallback produced the vector.
     */
   case class MediaFeatures(
       key: String,
@@ -57,6 +61,20 @@ object Multimodal {
       .select(
         regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1).as("key"),
         lit("image").as("mediaType"),
+        col("content").as("bytes"),
+        map(lit("file_path"), col("path"),
+            lit("length"), col("length").cast("string")).as("meta"))
+
+  /** [[readMediaDir]] for audio payloads (JDK-decodable container glob). */
+  def readAudioDir(spark: SparkSession, dir: String,
+      glob: String = "*.{wav,aiff,aif,au}"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1).as("key"),
+        lit("audio").as("mediaType"),
         col("content").as("bytes"),
         map(lit("file_path"), col("path"),
             lit("length"), col("length").cast("string")).as("meta"))
@@ -124,8 +142,77 @@ object Multimodal {
     Some((w, h, normalized(full.take(dim))))
   }
 
-  /** FALLBACK featurizer for payloads with no JVM decoder (audio/video,
-    * corrupt images): a deterministic byte-hash fold — a real function of
+  /** Real audio decode + windowed features: `javax.sound.sampled` PCM
+    * decode (JDK-native readers: WAV/AIFF/AU; lossy formats have no JDK
+    * decoder and fall back), mono mixdown, then `dim/2` time windows each
+    * contributing (RMS energy, zero-crossing rate) — the classic cheap
+    * audio descriptor pair (envelope + spectral-ish brightness) —
+    * interleaved and L2-normalized. Returns (sampleRate, numFrames,
+    * features); None when no reader accepts the payload. A model-backed
+    * audio embedder (wav2vec etc.) swaps in with the same signature.
+    */
+  private[multimodal] def audioFeatures(bytes: Array[Byte],
+      dim: Int): Option[(Int, Int, Array[Float])] = {
+    // same guard discipline as imageFeatures: only the DECODE calls are
+    // caught (unsupported container, truncated body); our math is not
+    val in =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch {
+        case _: UnsupportedAudioFileException | _: java.io.IOException =>
+          return None
+      }
+    try {
+      val base = in.getFormat
+      val ch = math.max(1, base.getChannels)
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, ch, ch * 2, base.getSampleRate, false)
+      val data =
+        try AudioSystem.getAudioInputStream(target, in).readAllBytes()
+        catch {
+          case _: IllegalArgumentException | _: java.io.IOException =>
+            return None
+        }
+      val n = data.length / (2 * ch)
+      if (n == 0) return None
+      // mono mixdown, samples scaled to [-1, 1)
+      val mono = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var s = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = (i * ch + c) * 2
+          s += ((data(o) & 0xff) | (data(o + 1) << 8)).toShort / 32768.0
+          c += 1
+        }
+        mono(i) = s / ch
+        i += 1
+      }
+      val g = math.max(1, dim / 2)
+      val feat = new Array[Double](g * 2)
+      var w = 0
+      while (w < g) {
+        val lo = (w.toLong * n / g).toInt
+        val hi = math.max(lo + 1, ((w + 1).toLong * n / g).toInt)
+        var ss = 0.0
+        var zc = 0
+        var j = lo
+        while (j < math.min(hi, n)) {
+          ss += mono(j) * mono(j)
+          if (j > lo && (mono(j) >= 0) != (mono(j - 1) >= 0)) zc += 1
+          j += 1
+        }
+        val len = math.min(hi, n) - lo
+        feat(w * 2) = math.sqrt(ss / len)
+        feat(w * 2 + 1) = zc.toDouble / len
+        w += 1
+      }
+      Some((base.getSampleRate.toInt, n, normalized(feat.take(dim))))
+    } finally in.close()
+  }
+
+  /** FALLBACK featurizer for payloads with no JVM decoder (video, lossy
+    * audio, corrupt images): a deterministic byte-hash fold — a real function of
     * the bytes, but NOT a semantic embedding; a production deployment
     * plugs a decoder in where [[imageFeatures]] sits.
     */
@@ -192,7 +279,11 @@ object Multimodal {
     ds.mapPartitions { rows =>
       // one-time per-partition init goes here (real model: load weights)
       rows.map { r =>
-        val decoded = if (r.mediaType == "image") imageFeatures(r.bytes, dim) else None
+        val decoded = r.mediaType match {
+          case "image" => imageFeatures(r.bytes, dim)
+          case "audio" => audioFeatures(r.bytes, dim)
+          case _ => None
+        }
         decoded match {
           case Some((w, h, f)) =>
             MediaFeatures(r.key, r.mediaType, r.bytes.length.toLong, w, h, f)

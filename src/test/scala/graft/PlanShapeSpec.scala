@@ -91,6 +91,37 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(plan).isDefined, plan.take(3000))
   }
 
+  test("q50 decontamination broadcasts the bench gram set") {
+    val plan = executed("q50_decontaminate")
+    // the corpus-side probe must be a broadcast hash join (bench side is
+    // tiny by nature); a shuffled join here would shuffle the corpus grams
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q52 chunk dedup: hash/id-keyed shuffles only, no pair join") {
+    val plan = executed("q52_chunk_dedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    // the hot-chunk cut is a left-anti on the hash key
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+  }
+
+  test("q53 scrub is scan-side only — no join, no shuffle before the sort") {
+    val plan = executed("q53_pii_scrub")
+    assert(!plan.contains("Join"), plan.take(3000))
+    // exactly the output sort's exchange, nothing from the scrub itself
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan.take(3000))
+  }
+
+  test("q54 SAX blocking pairs via an equi-join on the word") {
+    val plan = executed("q54_series_sax_blocked")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[sax".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+  }
+
   test("q41/q42 curation coins stay scan-side (no join, no extra shuffle)") {
     val p41 = executed("q41_stratified_sample")
     assert(!p41.contains("Join"), p41.take(3000))
