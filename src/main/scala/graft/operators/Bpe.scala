@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Byte-pair-encoding tokenizer TRAINING — the real version of the
+  * pipeline stage [[graft.functions.TextFunctions.bpeishTokens]] stands in
+  * for (Sennrich et al. 2016): learn a merge table from corpus statistics,
+  * then segment text with it.
+  *
+  * Scale shape (the standard one): BPE trains on the WORD-FREQUENCY
+  * table, not the corpus — the distributed work is one hash-groupBy word
+  * count (map-side combinable); the merge loop then runs driver-side over
+  * the collected vocab, which is tiny by Zipf's law (unique words, not
+  * tokens — bounded further by `maxVocab` most-frequent). Applying the
+  * learned merges is a typed per-row map with the merge ranks broadcast:
+  * embarrassingly parallel, no shuffle.
+  *
+  * Determinism: pair counts are exact integers; the argmax tie-breaks on
+  * (count desc, pair lexicographic), so the merge table is a pure
+  * function of the corpus.
+  */
+object Bpe {
+
+  /** One learned merge: adjacent symbols `a`+`b` fuse (rank = position). */
+  case class Merge(a: String, b: String)
+
+  /** (word, cnt): the corpus word-frequency table — ONE shuffle. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(wsTokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Learn `numMerges` merges from the corpus (driver loop over the
+    * collected top-`maxVocab` word-frequency rows; stops early when no
+    * pair reaches `minPairCount`).
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 65536, minPairCount: Long = 2L): Seq[Merge] = {
+    val vocab: Array[(Array[String], Long)] =
+      wordCounts(df, textCol)
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(maxVocab)
+        .collect()
+        .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val words = vocab.map(_._1.toBuffer)
+    val counts = vocab.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 0
+    while (round < numMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (i <- words.indices) {
+        val w = words(i)
+        var j = 0
+        while (j < w.length - 1) {
+          val p = (w(j), w(j + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + counts(i)
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) return merges.toSeq
+      val ((a, b), best) = pairCounts.minBy { case ((x, y), c) => (-c, x, y) }
+      if (best < minPairCount) return merges.toSeq
+      merges += Merge(a, b)
+      val fused = a + b
+      for (w <- words) {
+        var j = 0
+        while (j < w.length - 1) {
+          if (w(j) == a && w(j + 1) == b) { w(j) = fused; w.remove(j + 1) }
+          else j += 1
+        }
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Segment one word with a learned merge table (lowest-rank merge first
+    * — the standard BPE apply order, deterministic).
+    */
+  def segment(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    val syms = word.map(_.toString).toBuffer
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = j }
+        j += 1
+      }
+      if (bestAt < 0) done = true
+      else { syms(bestAt) = syms(bestAt) + syms(bestAt + 1); syms.remove(bestAt + 1) }
+    }
+    syms.toSeq
+  }
+
+  /** (idCol, tokens ARRAY<STRING>): corpus tokenized with the learned
+    * merges — typed per-row map (genuine imperative segmentation; the
+    * merge table broadcasts with the closure), zero shuffle.
+    */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (m, i) => (m.a, m.b) -> i }.toMap
+    val ds: Dataset[(Long, String)] =
+      df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+    ds.map { case (id, text) =>
+      (id, text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        .flatMap(w => segment(w, ranks)))
+    }.toDF(idCol, "tokens")
+  }
+}

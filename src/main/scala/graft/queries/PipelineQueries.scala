@@ -718,7 +718,21 @@ object PipelineQueries {
         |SELECT d.lang, count(*) AS n_docs,
         |  CAST(sum(length(regexp_split_to_array(trim(s.clean_text), '\s+'))) AS BIGINT) AS n_tokens
         |FROM surv s JOIN documents d USING (doc_id)
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
+    // Real BPE tokenizer training (Sennrich et al. 2016): distributed
+    // word count (one shuffle), driver merge loop over the tiny vocab,
+    // top-20 learned merges as rows. Rows-only like q35: the merge loop
+    // is deterministic but not SQL-expressible; BpeSpec hand-checks the
+    // textbook corpus and cross-partition tokenize determinism.
+    QueryDef("q56_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Bpe.train(Tables.documents(s, d), "text", numMerges = 20)
+          .zipWithIndex.map { case (m, i) => (i, m.a, m.b) }
+          .toDF("rank", "a", "b").orderBy("rank")
+      },
+      None)
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE training on the classic hand-checkable corpus (Sennrich et al.'s
+  * low/lower/newest/widest family) + segmentation determinism; the
+  * rows-only corpus query is q56_bpe_merges.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // "low" x5, "lower" x2, "newest" x6, "widest" x3 — the textbook fixture
+  private def corpus = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")
+  ).toDF("doc_id", "text")
+
+  test("wordCounts is the exact frequency table") {
+    val got = Bpe.wordCounts(corpus, "text")
+      .orderBy("word").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)))
+  }
+
+  test("train learns the textbook merges in frequency order") {
+    val merges = Bpe.train(corpus, "text", numMerges = 4)
+    // pair counts round 1: (e,s)=9, (s,t)=9, (n,e)=6, ... tie (e,s)/(s,t)
+    // breaks lexicographic -> (e,s); then es+t=9 wins; then (l,o)=7; (o,w)=7
+    assert(merges.take(4).map(m => (m.a, m.b)) ===
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("segment applies merges lowest-rank-first") {
+    val ranks = Bpe.train(corpus, "text", numMerges = 6)
+      .zipWithIndex.map { case (m, i) => (m.a, m.b) -> i }.toMap
+    assert(Bpe.segment("lowest", ranks).mkString("|").contains("est"))
+    assert(Bpe.segment("low", ranks) === Seq("low"))
+    // unseen characters survive as singletons
+    assert(Bpe.segment("xyz", ranks) === Seq("x", "y", "z"))
+  }
+
+  test("tokenize distributes the learned table; determinism across partitions") {
+    val merges = Bpe.train(corpus, "text", numMerges = 6)
+    val one = Bpe.tokenize(corpus.coalesce(1), "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    val many = Bpe.tokenize(corpus.repartition(4), "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(one === many)
+    assert(one.head._2 === Seq.fill(5)("low"))
+  }
+
+  test("train stops early when no pair clears minPairCount") {
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(Bpe.train(tiny, "text", numMerges = 10, minPairCount = 2).isEmpty)
+  }
+}
