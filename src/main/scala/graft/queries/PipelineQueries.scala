@@ -720,6 +720,28 @@ object PipelineQueries {
         |FROM surv s JOIN documents d USING (doc_id)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    // Deterministic per-group "reservoir": 3 docs per language, selected
+    // by md5-hex rank of the doc id — the balanced-subsample pass (eval
+    // set construction, per-source quotas). Reproducible across runs and
+    // engines because the coin is the md5 string itself; one window pass,
+    // WindowGroupLimit prunes below the sort at scale (q30's shape).
+    QueryDef("q57_reservoir_per_group",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            row_number().over(w).as("rk"))
+          .where(col("rk") <= 3)
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
+
     // Real BPE tokenizer training (Sennrich et al. 2016): distributed
     // word count (one shuffle), driver merge loop over the tiny vocab,
     // top-20 learned merges as rows. Rows-only like q35: the merge loop

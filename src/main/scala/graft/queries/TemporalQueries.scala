@@ -75,6 +75,38 @@ object TemporalQueries {
         |FROM s LEFT JOIN e ON s.user_id = e.e_user
         |  AND e.err_us > s.signup_us AND e.err_us <= s.signup_us + 3600000000
         |GROUP BY s.user_id, s.signup_us
-        |ORDER BY s.user_id, s.signup_us""".stripMargin))
+        |ORDER BY s.user_id, s.signup_us""".stripMargin)),
+
+    // Rolling 3-event window per user (ROWS 2 PRECEDING..CURRENT): the
+    // moving-aggregate surface. Sums run over floor(value*1000) BIGINTs —
+    // association-free exact integers, because engines are free to
+    // re-associate float window sums (segment trees vs running buffers)
+    // and a double sum would be a latent parity break; floor (not cast)
+    // because Spark truncates double→long while DuckDB rounds. (user_id,
+    // µs) is collision-free in the fixtures, so the frame order is total.
+    QueryDef("q58_rolling_window",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("us"))
+          .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.events(s, d)
+          .where(col("user_id") < 10)
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            floor(col("value") * 1000).cast("long").as("v_m"))
+          .select(col("user_id"), col("us"),
+            sum(col("v_m")).over(w).as("roll_sum_m"),
+            count(lit(1)).over(w).cast("long").as("roll_n"))
+          .orderBy(col("user_id"), col("us"))
+      },
+      Some("""SELECT user_id, us,
+        |  SUM(v_m) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_sum_m,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_n
+        |FROM (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |        CAST(floor(value * 1000) AS BIGINT) AS v_m
+        |      FROM events WHERE user_id < 10)
+        |ORDER BY user_id, us""".stripMargin))
   )
 }
