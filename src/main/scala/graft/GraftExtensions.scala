@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.functions.expressions.{MinHashSig, RollingHash, SimHash64, VectorDistance}
 
@@ -50,5 +51,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(text) - polynomial fingerprint mod 1e9+7"),
       (exprs: Seq[Expression]) => RollingHash(exprs(0))))
+    // Composite functions: built from raw catalyst nodes / parsed SQL —
+    // a bridged Column tree would embed opaque ColumnNodeExpressions that
+    // the analyzer leaves unresolved inside an injected function
+    e.injectFunction((FunctionIdentifier("scrub_text"),
+      info("scrub_text", "scrub_text(s) - redact URLs/emails/IPs/phones to typed tokens"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+        import graft.operators.Scrub
+        def re(sub: Expression, pat: String, rep: String): Expression =
+          RegExpReplace(sub, Literal(pat), Literal(rep))
+        re(re(re(re(exprs(0), Scrub.UrlRe, "<URL>"), Scrub.EmailRe, "<EMAIL>"),
+          Scrub.IpRe, "<IP>"), Scrub.PhoneRe, "<PHONE>")
+      }))
+    e.injectFunction((FunctionIdentifier("sax_word"),
+      info("sax_word", "sax_word(series) - 4-segment alphabet-4 SAX shape word of array<double>"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"sax_word expects exactly 1 argument (series), got ${exprs.length}")
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(graft.operators.Sax.saxWordSql(exprs(0).sql))
+      }))
   }
 }

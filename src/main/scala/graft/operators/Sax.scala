@@ -62,6 +62,53 @@ object Sax {
     withZ.select(col(idCol), col(seriesCol), word.as("sax"))
   }
 
+  /** Single-expression SAX word — the SQL-function form (`sax_word` via
+    * GraftExtensions): same semantics as [[saxWords]], self-contained in
+    * one Column. The inner mean/std re-evaluate per lambda element (the
+    * HOF re-evaluation cost [[saxWords]] materializes away), which is
+    * fine for short series; DataFrame paths should prefer [[saxWords]].
+    */
+  def saxWordCol(series: Column, segments: Int = 4,
+      breakpoints: Seq[Double] = Breakpoints4): Column = {
+    val alphabet = (0 to breakpoints.length).map(i => ('a' + i).toChar.toString)
+    val n = size(series).cast("double")
+    val mean = aggregate(series, lit(0.0), (a, x) => a + x) / n
+    val std = sqrt(aggregate(series, lit(0.0),
+      (a, x) => a + (x - mean) * (x - mean)) / n)
+    val z = when(std === lit(0.0), transform(series, _ => lit(0.0)))
+      .otherwise(transform(series, x => (x - mean) / std))
+    val slen = (size(series) / segments).cast("int")
+    val paa = transform(sequence(lit(0), lit(segments - 1)),
+      i => aggregate(slice(z, i * slen + 1, slen), lit(0.0),
+        (a, x) => a + x) / slen.cast("double"))
+    concat_ws("", transform(paa, v =>
+      element_at(typedLit(alphabet),
+        breakpoints.map(b => when(v > lit(b), 1).otherwise(0))
+          .reduceLeft(_ + _) + 1)))
+  }
+
+  /** SQL text of the default (4-segment, alphabet-4) SAX word over the
+    * rendered series expression `arg` — the `sax_word` SQL function's
+    * body (parsed by the extension at resolution time). Semantics match
+    * [[saxWords]]; sub-expressions expand textually (mean inside std
+    * etc.), which re-evaluates them per reference — fine for short
+    * series, and the only form an injected SQL function can take without
+    * opaque column nodes.
+    */
+  def saxWordSql(arg: String): String = {
+    val mean = s"(aggregate($arg, 0D, (a, x) -> a + x) / cast(size($arg) as double))"
+    val std = s"sqrt(aggregate($arg, 0D, (a, x) -> a + (x - $mean) * (x - $mean)) / cast(size($arg) as double))"
+    val z = s"(case when $std = 0D then transform($arg, x -> 0D) " +
+      s"else transform($arg, x -> (x - $mean) / $std) end)"
+    val slen = s"cast(size($arg) / 4 as int)"
+    val paa = s"transform(sequence(0, 3), i -> " +
+      s"aggregate(slice($z, i * $slen + 1, $slen), 0D, (a, x) -> a + x) / cast($slen as double))"
+    s"concat_ws('', transform($paa, v -> element_at(array('a','b','c','d'), " +
+      "1 + (case when v > -0.6745D then 1 else 0 end) " +
+      "+ (case when v > 0D then 1 else 0 end) " +
+      "+ (case when v > 0.6745D then 1 else 0 end))))"
+  }
+
   /** All (a < b) pairs sharing a SAX word, cosine re-ranked over the RAW
     * series — the blocked similarity join. Output: (a, b, sax, cos_sim).
     */

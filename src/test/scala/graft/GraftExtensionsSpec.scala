@@ -32,4 +32,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows.head.getLong(0) === 0L && rows.head.getDouble(1) === 0.0)
     assert(rows.length === 5)
   }
+
+  test("scrub_text / sax_word resolve in pure SQL and match the operator forms") {
+    val red = spark.sql(
+      "SELECT scrub_text('mail a@b.co or +1 555-123 4567 at https://x.y now')")
+      .head().getString(0)
+    assert(red === "mail <EMAIL> or <PHONE> at <URL> now")
+    val word = spark.sql(
+      "SELECT sax_word(array(1.0d, 1.0d, 1.0d, 1.0d, 2.0d, 2.0d, 2.0d, 2.0d))")
+      .head().getString(0)
+    assert(word === "aadd") // SaxSpec's hand-checked fixture word
+  }
 }

@@ -41,6 +41,15 @@ class SaxSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("saxWordCol (single-expression form) matches saxWords") {
+    val viaOp = Sax.saxWords(series, "user_id", "series")
+      .orderBy("user_id").select("sax").as[String].collect().toSeq
+    val viaCol = series.orderBy("user_id")
+      .select(Sax.saxWordCol(col("series")).as("sax"))
+      .as[String].collect().toSeq
+    assert(viaCol === viaOp)
+  }
+
   test("segments must divide cleanly in spirit: 2 segments of 4 work too") {
     val got = Sax.saxWords(series, "user_id", "series", segments = 2)
       .orderBy("user_id").select("sax").as[String].collect().toSeq

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamCuration
+
+class StreamCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrub runs stateless inside a stream; streamed output == batch output") {
+    val tmp = Files.createTempDirectory("graft-scrubstream-").toString
+    val docs = Seq(
+      (1L, "mail a@b.co now"),
+      (2L, "visit https://x.y/z"),
+      (3L, "clean row")).toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema(docs.schema).option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val scrubbed = StreamCuration.scrubStream(stream, "text")
+    assert(scrubbed.isStreaming) // the projection stayed a stream
+    val q = scrubbed.writeStream.format("memory").queryName("scrub_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("scrub_out")
+      .select("doc_id", "redacted").orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(streamed === Seq(
+      (1L, "mail <EMAIL> now"), (2L, "visit <URL>"), (3L, "clean row")))
+  }
+
+  test("streaming decontamination drops the same docs as the batch path") {
+    val tmp = Files.createTempDirectory("graft-decstream-").toString
+    val corpus = Seq(
+      (1L, "a b x y z c d e"),
+      (2L, "p q r s t u v w"),
+      (3L, "x y z c d e f g")).toDF("doc_id", "text")
+    val bench = Seq((10L, "x y z c d e")).toDF("doc_id", "text")
+    corpus.write.parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema(corpus.schema).option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val writer = StreamCuration.decontaminate(stream, bench, "doc_id", "text",
+      n = 4, trigger = Trigger.AvailableNow()) { (clean, _) =>
+      kept ++= clean.select("doc_id").as[Long].collect()
+    }
+    val q = writer.option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val batchKept = graft.operators.Decontaminate
+      .cleanCorpus(corpus, bench, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept.sorted.toSeq === batchKept.sorted)
+    assert(kept.sorted.toSeq === Seq(2L)) // docs 1 and 3 share 4-grams with bench
+  }
+}
