@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * ONNX/JNI CLIP keeps every signature, batch shape, and schema below
   * identical. Audio is likewise REAL: `javax.sound.sampled` PCM decode
   * (WAV/AIFF/AU ship with the JDK) → windowed RMS-energy + zero-crossing
-  * features → L2 normalize. Video payloads (no JVM demuxer) fall back to
-  * a clearly-marked byte-hash featurizer.
+  * features → L2 normalize. Video frame sampling is REAL for MJPEG-in-AVI
+  * (a pure-JVM RIFF demux, frames ImageIO-decodable); other containers
+  * fall back to a clearly-marked byte-slice/byte-hash path.
   */
 object Multimodal {
 
@@ -295,21 +296,71 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling STUB ??? — picks `n` deterministic byte-slices as stand-in
-    * "frames"; a real impl would demux the container and decode keyframes
-    * (no video demuxer exists in the JVM/container). Output: one row per
-    * (key, frame_idx, frame_bytes).
+  /** REAL demux for MJPEG-in-AVI: walk the RIFF chunk tree and collect
+    * the video-data chunks (fourcc `##dc`/`##db` — each holds one JPEG
+    * in an MJPEG stream, decodable by [[imageFeatures]]). Returns Nil
+    * for non-AVI payloads and stops cleanly at a torn chunk, so corrupt
+    * crawl files degrade instead of throwing. Other containers (MP4 &
+    * co.) need a codec stack the JVM lacks — they fall back below.
+    */
+  private[multimodal] def aviMjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def fourcc(p: Int): String =
+      new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(p)
+        val sz = le32(p + 4)
+        if (sz < 0 || sz > Int.MaxValue - 16) return
+        val szI = sz.toInt
+        val declaredEnd = p + 8 + szI
+        if (id == "RIFF" || id == "LIST") {
+          // a torn CONTAINER still yields its surviving children —
+          // descend into whatever bytes remain of it
+          if (p + 12 <= end) walk(p + 12, math.min(declaredEnd, end))
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          if (declaredEnd > end) return // torn LEAF: stop, keep whole frames
+          out += java.util.Arrays.copyOfRange(bytes, p + 8, declaredEnd)
+        } else if (declaredEnd > end) return
+        p = declaredEnd + (szI & 1) // chunks pad to even offsets
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + le32(4)).toInt)
+    out.toSeq
+  }
+
+  /** Frame sampling: REAL for MJPEG-in-AVI ([[aviMjpegFrames]] — `n`
+    * frames evenly spaced over the true frame sequence, each a decodable
+    * JPEG); other containers fall back to deterministic byte-slices
+    * (stand-in "frames", clearly flagged by `real_frame = false` — a
+    * production deployment plugs an MP4 demuxer in at this seam).
+    * Output: one row per (key, frame_idx, frame_bytes, real_frame).
     */
   def sampleFrames(ds: Dataset[MediaRecord], n: Int): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.flatMap { r =>
-      val len = r.bytes.length
-      (0 until n).map { i =>
-        val start = if (n <= 1) 0 else (i.toLong * len / n).toInt
-        val end   = math.min(len, start + math.max(1, len / math.max(n, 1)))
-        (r.key, i, r.bytes.slice(start, end))
+      val frames = aviMjpegFrames(r.bytes)
+      if (frames.nonEmpty) {
+        // evenly-spaced true frame indices (first frame always included)
+        (0 until n).map { i =>
+          val fi = if (n <= 1) 0 else math.min(frames.length - 1,
+            (i.toLong * frames.length / n).toInt)
+          (r.key, i, frames(fi), true)
+        }
+      } else {
+        val len = r.bytes.length
+        (0 until n).map { i =>
+          val start = if (n <= 1) 0 else (i.toLong * len / n).toInt
+          val end   = math.min(len, start + math.max(1, len / math.max(n, 1)))
+          (r.key, i, r.bytes.slice(start, end), false)
+        }
       }
-    }.toDF("key", "frame_idx", "frame_bytes")
+    }.toDF("key", "frame_idx", "frame_bytes", "real_frame")
   }
 }

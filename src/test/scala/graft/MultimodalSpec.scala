@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.MediaRecord
 
@@ -116,6 +118,65 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() === 12)
     val idx = frames.select("frame_idx").distinct().collect().map(_.getInt(0)).sorted
     assert(idx === Array(0, 1, 2, 3))
+    // random bytes are not an AVI: every frame is the flagged fallback
+    assert(frames.where(col("real_frame")).count() === 0)
+  }
+
+  private def tinyJpeg(shade: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 3) img.setRGB(x, y, shade << 16)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Minimal MJPEG AVI: RIFF(AVI ) > LIST(movi) > 00dc JPEG chunks. */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    val chunksLen = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    ascii("RIFF"); le32(4 + 8 + 4 + chunksLen); ascii("AVI ")
+    ascii("LIST"); le32(4 + chunksLen); ascii("movi")
+    frames.foreach { f =>
+      ascii("00dc"); le32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0)
+    }
+    out.toByteArray
+  }
+
+  test("MJPEG AVI: real demuxed frames, byte-exact, ImageIO-decodable") {
+    val jpegs = (0 until 4).map(i => tinyJpeg(60 * i))
+    val avi = mjpegAvi(jpegs)
+    val rec = Seq(MediaRecord("vid", "video", avi, Map.empty)).toDS()
+    val got = Multimodal.sampleFrames(rec, n = 2)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getAs[Array[Byte]](2), r.getBoolean(3)))
+    assert(got.length === 2)
+    assert(got.forall(_._3), "frames must come from the real demux path")
+    // evenly spaced over 4 true frames: indices 0 and 2
+    assert(got(0)._2.toSeq === jpegs(0).toSeq)
+    assert(got(1)._2.toSeq === jpegs(2).toSeq)
+    // a demuxed frame is a real JPEG: the image featurizer decodes it
+    val dims = Multimodal.extractFeatures(
+      Seq(MediaRecord("f0", "image", got(0)._2, Map.empty)).toDS(), dim = 12)
+      .collect().head
+    assert(dims.width === 4 && dims.height === 3)
+  }
+
+  test("torn AVI stops cleanly at the truncation, keeping whole frames") {
+    val jpegs = (0 until 3).map(i => tinyJpeg(50 * i))
+    val avi = mjpegAvi(jpegs)
+    // cut inside the LAST frame's chunk: the walker keeps frames 0..1
+    val torn = avi.take(avi.length - jpegs(2).length / 2)
+    val rec = Seq(MediaRecord("torn", "video", torn, Map.empty)).toDS()
+    val got = Multimodal.sampleFrames(rec, n = 2)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getAs[Array[Byte]](2), r.getBoolean(3)))
+    assert(got.forall(_._2), "surviving whole frames still demux for real")
+    assert(got(0)._1.toSeq === jpegs(0).toSeq && got(1)._1.toSeq === jpegs(1).toSeq)
   }
 
   test("binaryFile ingest applies the extension whitelist (S9)") {
