@@ -142,6 +142,28 @@ object Demo {
       mstore.search(Knn.SearchRequest(qtext.map(_.toDouble), topK = 3)).show(false)
     } else println(s"== multimodal demo skipped ($refMediaDir not present)")
 
+    println("== curation pipeline: scrub -> chunk dedup -> decontaminate -> BPE")
+    val corpus = Seq(
+      (1L, "visit https://spam.example/x then the quick brown fox jumps over the lazy dog"),
+      (2L, "mail me@crawl.org then the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely original prose about distributed query engines and columnar scans"),
+      (4L, "benchmark question: what is the capital of france paris obviously")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "what is the capital of france")).toDF("doc_id", "text")
+    val scrubbed = graft.operators.Scrub.scrub(corpus, "text")
+      .select($"doc_id", $"redacted".as("text"))
+    println("-- scrubbed (PII -> tokens):"); scrubbed.show(false)
+    val deduped = graft.operators.Dedup.chunkDedup(scrubbed, "doc_id", "text", k = 4)
+    println("-- chunk dedup (shared 4-token chunks cut):")
+    deduped.show(false)
+    val clean = graft.operators.Decontaminate.cleanCorpus(
+      deduped.select($"doc_id", $"clean_text".as("text")), bench,
+      "doc_id", "text", n = 5)
+    println("-- decontaminated vs bench set (doc 4 drops):"); clean.show(false)
+    val merges = graft.operators.Bpe.train(clean, "text", numMerges = 8)
+    println(s"-- BPE merges learned on the clean corpus: " +
+      merges.map(m => s"${m.a}+${m.b}").mkString(", "))
+
     spark.stop()
   }
 }
