@@ -28,6 +28,40 @@ object ExtendedQueries {
         |FROM documents GROUP BY ROLLUP (lang, source)
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)),
 
+    // Full CUBE over orders (every grouping-set combination) — the other
+    // half of the OLAP hierarchy surface next to q32's rollup. Prices sum
+    // as floor-cents BIGINTs (q58 rule: group-order float sums are not
+    // portable; exact ints are).
+    QueryDef("q59_cube",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .cube(col("status"), col("prio"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("status").asc_nulls_first, col("prio").asc_nulls_first),
+      Some("""SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |  COUNT(*) AS cnt, CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status ASC NULLS FIRST, prio ASC NULLS FIRST""".stripMargin)),
+
+    // Pivot: order counts per priority with one column per status — the
+    // wide-table reshape. Spark's pivot emits NULL for an absent
+    // (priority, status) combo while a SQL FILTER count emits 0, so the
+    // nulls are filled to 0 to pin ONE portable semantics.
+    QueryDef("q60_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy(col("prio")),
+      Some("""SELECT o_orderpriority AS prio,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin)),
+
     // The full write path as a query: events become PUT/DELETE ops against
     // a fresh VectorStore (WAL JSON append -> LWW compaction view), final
     // state read back through scan. Oracle = the same event-time LWW in
