@@ -135,6 +135,35 @@ object Dedup {
     try use(pairs) finally cached.foreach(_.unpersist())
   }
 
+  /** INCREMENTAL near-dup check — a NEW batch band-joined against the
+    * EXISTING corpus (the continuous-ingest shape, vs the self-join
+    * above): output (a = new id, b = old id, jac), only cross pairs —
+    * new-vs-new dups are deliberately not reported (they belong to the
+    * batch's own [[minhashPairs]] pass). At 100 TB the corpus side's
+    * signatures are precomputed at write time and band-partitioned, and
+    * the arriving batch's band keys broadcast — checking a batch costs
+    * |batch|·bands lookups, never a corpus scan.
+    */
+  def minhashPairsAgainst(newDf: DataFrame, oldDf: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val newMh = minhashed(newDf, idCol, textCol, shingleN, numHashes, bands)
+    val oldMh = minhashed(oldDf, idCol, textCol, shingleN, numHashes, bands)
+    val nb = newMh.select(col(idCol).as("a"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val ob = oldMh.select(col(idCol).as("b"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val cand = ob.join(broadcast(nb), Seq("band_idx", "band_key"))
+      .select(col("a"), col("b")).distinct()
+    val sa = newMh.select(col(idCol).as("a"), col("shingles").as("sha"))
+    val sb = oldMh.select(col(idCol).as("b"), col("shingles").as("shb"))
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          (size(col("sha")) + size(col("shb")) -
+            size(array_intersect(col("sha"), col("shb"))))).as("jac"))
+  }
+
   private def minhashPairsImpl(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int,
       persistIntermediates: Boolean,

@@ -49,6 +49,34 @@ object PipelineQueries {
         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
         |SELECT a, b, jac FROM pairs ORDER BY jac DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
 
+    // INCREMENTAL minhash dedup: the "new batch" (doc_id % 7 = 3) checked
+    // against the existing corpus (the rest) — only cross pairs, the
+    // continuous-ingest admission test. Same signature/band machinery as
+    // q17, asymmetric join (new bands broadcast against the corpus).
+    QueryDef("q61_incremental_minhash",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.minhashPairsAgainst(
+            docs.where(col("doc_id") % 7 === 3),
+            docs.where(col("doc_id") % 7 =!= 3), "doc_id", "text")
+          .orderBy(col("jac").desc, col("a").asc, col("b").asc)
+          .limit(10)
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS shingles FROM documents),
+        |hv AS (SELECT doc_id, shingles, list_transform(shingles, s -> CAST('0x'||substr(md5(s),25,8) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(range(0,16), k -> list_min(list_transform(hs, x -> (x*(2*k+1) + (1000000007*k+17)) % 4294967311))) AS sg FROM hv),
+        |bands AS (SELECT doc_id, j AS band_idx,
+        |  CAST(sg[4*CAST(j AS INT)+1] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+2] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+3] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+4] AS VARCHAR) AS band_key
+        |  FROM sig, range(0,4) t(j)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+        |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        |  WHERE x.doc_id % 7 = 3 AND y.doc_id % 7 != 3),
+        |pairs AS (SELECT c.a, c.b,
+        |  CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |    (length(sa.shingles) + length(sb.shingles) - length(list_intersect(sa.shingles, sb.shingles))) AS jac
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
+        |SELECT a, b, jac FROM pairs ORDER BY jac DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
     // SimHash near-dup: 60-bit simhash of token md5s; 10 pairs with the
     // smallest hamming distance.
     QueryDef("q18_simhash_dedup",

@@ -216,4 +216,24 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!lshPlan.contains("CartesianProduct"), lshPlan.take(2000))
   }
+
+  test("incremental minhash: new-vs-corpus cross pairs only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val oldDocs = Seq(
+      (1L, base),
+      (2L, "completely different corpus content nothing shared with anything here")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, base + " x"),  // near-dup of old doc 1
+      (11L, base + " y"),  // ALSO near-dup of old 1 AND of new 10
+      (12L, "fresh novel text with zero overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashPairsAgainst(newDocs, oldDocs, "doc_id", "text")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // both near-dup NEW docs flag against old 1; new-vs-new (10,11) is
+    // NOT reported (that's the batch's own self-dedup pass)
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((10L, 1L), (11L, 1L)))
+    assert(got.forall(_._3 > 0.8), got.mkString(", "))
+  }
 }
