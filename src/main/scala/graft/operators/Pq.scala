@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -195,23 +195,31 @@ object Pq {
     * against the full vectors of just those rows — the standard two-stage
     * PQ search (ADC scan over codes → exact refine over R rows), the
     * candidate-multiplier discipline of the reference's 2k over-fetch
-    * (`src/datanode/handler.py:364`).
+    * (`src/datanode/handler.py:364`). `filter`/`threshold` complete the
+    * reference's SearchRequest surface (`src/vector_db.thrift:23-28`) on
+    * the PQ tier, matching the exact/IVF/LSH tiers: the filter prunes
+    * the candidate corpus PRE-encode (codes of excluded rows are never
+    * computed), the threshold bounds the FINAL score (exact when a
+    * re-rank runs, ADC otherwise — thresholding the approximation it
+    * returns, like the other approximate tiers).
     */
   def adcTopK(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks,
-      query: Array[Double], k: Int, rerankFrom: Option[Int] = None): DataFrame = {
-    val adc = adcScores(encode(df, idCol, vecCol, cb), idCol, cb, query)
-    rerankFrom match {
+      query: Array[Double], k: Int, rerankFrom: Option[Int] = None,
+      filter: Option[Column] = None, threshold: Option[Double] = None): DataFrame = {
+    val corpus = filter.map(df.where).getOrElse(df)
+    val adc = adcScores(encode(corpus, idCol, vecCol, cb), idCol, cb, query)
+    val scored = rerankFrom match {
       case Some(r) =>
         require(r >= k, s"rerankFrom $r must be >= k $k")
         val cand = adc.orderBy(col("score").asc, col(idCol).asc).limit(r)
           .select(col(idCol))
-        df.join(cand, idCol)
+        corpus.join(cand, idCol)
           .select(col(idCol), l2Sq(col(vecCol), typedLit(query)).as("score"))
-          .orderBy(col("score").asc, col(idCol).asc)
-          .limit(k)
-      case None =>
-        adc.orderBy(col("score").asc, col(idCol).asc).limit(k)
+      case None => adc
     }
+    threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
+      .orderBy(col("score").asc, col(idCol).asc)
+      .limit(k)
   }
 
   /** Batch ADC KNN join: top-k by ADC distance for EVERY query row, over
@@ -258,11 +266,15 @@ object Pq {
     */
   def ivfAdcTopK(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cb: Codebooks, query: Array[Double], k: Int,
-      nprobe: Int = 1, rerankFrom: Option[Int] = None): DataFrame = {
-    val assigned = SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids)
+      nprobe: Int = 1, rerankFrom: Option[Int] = None,
+      filter: Option[Column] = None, threshold: Option[Double] = None): DataFrame = {
+    // filter pre-assignment (SearchRequest surface): excluded rows never
+    // cost a centroid assignment or a code
+    val corpus = filter.map(df.where).getOrElse(df)
+    val assigned = SimilaritySearch.ivfAssign(corpus, idCol, vecCol, centroids)
     val probeCids = SimilaritySearch.probeCells(centroids, query, nprobe)
     val cell = assigned.join(broadcast(probeCids), col("cid") === col("qcid"))
       .select(col(idCol), col("emb"))
-    adcTopK(cell, idCol, "emb", cb, query, k, rerankFrom)
+    adcTopK(cell, idCol, "emb", cb, query, k, rerankFrom, threshold = threshold)
   }
 }

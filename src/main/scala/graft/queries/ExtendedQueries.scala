@@ -15,6 +15,10 @@ import graft.store.VectorStore
   */
 object ExtendedQueries {
 
+  /** q63's profiled columns — shared by the Spark fn and its oracle. */
+  private val ProfileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   val all: Seq[QueryDef] = Seq(
 
     // Hierarchical aggregation: ROLLUP(lang, source) — subtotal rows carry
@@ -27,6 +31,21 @@ object ExtendedQueries {
       Some("""SELECT lang, source, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (lang, source)
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)),
+
+    // Table profiling over lineitem's numeric columns — the ANALYZE /
+    // ingestion-QA surface: one scan, one aggregation, every stat. The
+    // oracle states each column as a UNION branch; hash-match proves the
+    // single-pass stack reshape computes exactly the per-column truths.
+    QueryDef("q63_profile", {
+      (s, d) => graft.operators.Profile.numeric(Tables.lineitem(s, d),
+        ProfileCols)
+    },
+      Some(ProfileCols.sorted.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n_nonnull,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
 
     // Full CUBE over orders (every grouping-set combination) — the other
     // half of the OLAP hierarchy surface next to q32's rollup. Prices sum

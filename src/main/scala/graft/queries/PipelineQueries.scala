@@ -442,6 +442,38 @@ object PipelineQueries {
         |FROM codes JOIN t0 ON t0.c = codes.c0 JOIN t1 ON t1.c = codes.c1
         |ORDER BY score ASC, codes.vec_id ASC LIMIT 5""".stripMargin)),
 
+    // The SearchRequest surface on the PQ tier (filter pre-encode,
+    // threshold on the ADC score) — the q34 discipline extended to the
+    // memory tier, so every ANN tier now honors the reference's full
+    // request shape (`src/vector_db.thrift:23-28`). Threshold 0.3 keeps
+    // only rows whose codes equal the query's (ADC score 0).
+    QueryDef("q62_ann_pq_filtered",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Pq.deterministicCodebooks(emb, "vec_id", "embedding",
+          numSub = 2, numWords = 4)
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        Pq.adcTopK(emb, "vec_id", "embedding", cb, q, k = 8,
+          filter = Some(col("vec_id") % 2 === 0), threshold = Some(0.3))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding[1:32] AS s0, embedding[33:64] AS s1 FROM embeddings WHERE vec_id % 2 = 0),
+        |cw AS (SELECT vec_id AS c, embedding[1:32] AS w0, embedding[33:64] AS w1 FROM embeddings WHERE vec_id < 4),
+        |qq AS (SELECT embedding[1:32] AS q0, embedding[33:64] AS q1 FROM embeddings WHERE vec_id = 0),
+        |a0 AS (SELECT e.vec_id, cw.c, row_number() OVER (PARTITION BY e.vec_id
+        |  ORDER BY ${duckL2Zip.format("e.s0", "cw.w0")} ASC, cw.c ASC) AS rn FROM e, cw),
+        |a1 AS (SELECT e.vec_id, cw.c, row_number() OVER (PARTITION BY e.vec_id
+        |  ORDER BY ${duckL2Zip.format("e.s1", "cw.w1")} ASC, cw.c ASC) AS rn FROM e, cw),
+        |t0 AS (SELECT cw.c, ${duckL2Zip.format("qq.q0", "cw.w0")} AS d FROM cw, qq),
+        |t1 AS (SELECT cw.c, ${duckL2Zip.format("qq.q1", "cw.w1")} AS d FROM cw, qq),
+        |codes AS (SELECT a0.vec_id, a0.c AS c0, a1.c AS c1 FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
+        |  WHERE a0.rn = 1 AND a1.rn = 1)
+        |SELECT codes.vec_id, t0.d + t1.d AS score
+        |FROM codes JOIN t0 ON t0.c = codes.c0 JOIN t1 ON t1.c = codes.c1
+        |WHERE t0.d + t1.d <= 0.3
+        |ORDER BY score ASC, codes.vec_id ASC LIMIT 8""".stripMargin)),
+
     // Reproducible stratified sampling: per-language keep rates applied
     // with a deterministic md5 coin — the curation downsample (cut
     // over-represented languages) that must pick the SAME rows on every

@@ -156,6 +156,30 @@ class PqSpec extends SparkSpec {
     assert(cf.toSeq === cd.toSeq)
   }
 
+  test("adcTopK and ivfAdcTopK honor filter and threshold (SearchRequest surface)") {
+    val q = Array(0.25, 0.5, 0.75, 1.0)
+    val got = Pq.adcTopK(corpus(), "vec_id", "embedding", cb, q, k = 8,
+      rerankFrom = Some(8), filter = Some($"vec_id" % 2 === 0),
+      threshold = Some(2.0)).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(0) % 2 === 0L, "filter must hold on every result")
+      assert(r.getDouble(1) <= 2.0, "threshold must bound every score")
+    }
+    val cent = corpus().where($"vec_id" <= 1)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val ivf = Pq.ivfAdcTopK(corpus(), "vec_id", "embedding", cent, cb, q,
+      k = 8, nprobe = 2, rerankFrom = Some(8),
+      filter = Some($"vec_id" % 2 === 0), threshold = Some(2.0)).collect()
+    ivf.foreach { r =>
+      assert(r.getLong(0) % 2 === 0L)
+      assert(r.getDouble(1) <= 2.0)
+    }
+    // unfiltered call unchanged (regression guard on the new defaults)
+    val plain = Pq.adcTopK(corpus(), "vec_id", "embedding", cb, q, k = 3)
+    assert(plain.count() === 3)
+  }
+
   test("adcKnnJoin scores bit-match per-query adcTopK for every query") {
     val encoded = Pq.encode(corpus(), "vec_id", "embedding", cb)
     val queries = corpus().where($"vec_id".isin(0L, 4L, 6L))
