@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Decontaminate, Dedup, Pq, SimilaritySearch}
+import graft.operators.{Decontaminate, Dedup, Graph, Pq, SimilaritySearch}
 
 /** Training-data-pipeline operators as oracle-checked queries (q17–q26):
   * near-dup detection (MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -76,6 +76,40 @@ object PipelineQueries {
         |    (length(sa.shingles) + length(sb.shingles) - length(list_intersect(sa.shingles, sb.shingles))) AS jac
         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
         |SELECT a, b, jac FROM pairs ORDER BY jac DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
+    // Dedup CLUSTER formation: minhash near-dup pairs (q17's machinery,
+    // jac >= 0.5) closed under transitivity — connected components by
+    // min-label propagation, one summary row per duplicate group. The
+    // oracle computes the same closure with a recursive CTE; hash-match
+    // proves the distributed iteration reaches the exact fixpoint.
+    QueryDef("q64_dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.withMinhashPairs(docs, "doc_id", "text") { pairs =>
+          Graph.dedupClusters(pairs.where(col("jac") >= 0.5), "a", "b")
+        }.orderBy(col("component").asc)
+      },
+      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS shingles FROM documents),
+        |hv AS (SELECT doc_id, shingles, list_transform(shingles, s -> CAST('0x'||substr(md5(s),25,8) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(range(0,16), k -> list_min(list_transform(hs, x -> (x*(2*k+1) + (1000000007*k+17)) % 4294967311))) AS sg FROM hv),
+        |bands AS (SELECT doc_id, j AS band_idx,
+        |  CAST(sg[4*CAST(j AS INT)+1] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+2] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+3] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+4] AS VARCHAR) AS band_key
+        |  FROM sig, range(0,4) t(j)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+        |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT c.a, c.b,
+        |  CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |    (length(sa.shingles) + length(sb.shingles) - length(list_intersect(sa.shingles, sb.shingles))) AS jac
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+        |pr AS (SELECT a, b FROM pairs WHERE jac >= 0.5),
+        |e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT component, COUNT(*) AS n_members, MAX(id) AS max_id
+        |FROM cc GROUP BY component ORDER BY component ASC""".stripMargin)),
 
     // SimHash near-dup: 60-bit simhash of token md5s; 10 pairs with the
     // smallest hamming distance.

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain propagates the min label across the full diameter") {
+    // 1-2-3-4-5 is ONE component; needs several rounds, not one
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("disjoint components keep separate minima; direction is irrelevant") {
+    val edges = Seq((7L, 2L), (2L, 9L), (30L, 10L), (40L, 30L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((2L, 2L), (7L, 2L), (9L, 2L),
+      (10L, 10L), (30L, 10L), (40L, 10L)))
+  }
+
+  test("self-loops and nulls are ignored; empty edges yield empty labels") {
+    val edges = Seq((Some(1L), Some(1L)), (Some(2L), None), (None, Some(3L)),
+      (Some(4L), Some(5L))).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((4L, 4L), (5L, 4L)))
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.connectedComponents(empty, "a", "b").count() === 0L)
+  }
+
+  test("result is invariant to input partitioning") {
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 8L), (3L, 4L)).toDF("a", "b")
+    val one = Graph.connectedComponents(edges.coalesce(1), "a", "b")
+      .orderBy("id").collect().toSeq
+    val many = Graph.connectedComponents(edges.repartition(7), "a", "b")
+      .orderBy("id").collect().toSeq
+    assert(one === many)
+  }
+
+  test("maxIter too small for the diameter fails loudly, not silently wrong") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(chain, "a", "b", maxIter = 1).count()
+    }
+  }
+
+  test("dedupClusters summarizes components; keepClusterSurvivors drops losers") {
+    // clusters {1,2,3} and {10,11}; 20 untouched by any pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val clusters = Graph.dedupClusters(pairs, "a", "b")
+      .orderBy("component").as[(Long, Long, Long)].collect()
+    assert(clusters.toSeq === Seq((1L, 3L, 3L), (10L, 2L, 11L)))
+
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val kept = Graph.keepClusterSurvivors(corpus, "doc_id", pairs, "a", "b")
+      .orderBy("doc_id").as[Long].collect()
+    assert(kept.toSeq === Seq(1L, 10L, 20L))
+  }
+
+  test("no cached blocks remain after the run") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    Graph.connectedComponents(edges, "a", "b").collect()
+    // the symmetrized edge relation is unpersisted in finally;
+    // localCheckpoint RDDs are owned by the returned frame's lineage
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.name != null)
+      .filter(_.name.contains("sym"))
+    assert(leaked.isEmpty)
+  }
+}
