@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Decontaminate, Dedup, Graph, Pq, SimilaritySearch}
+import graft.operators.{Decontaminate, Dedup, Graph, Knn, Pq, Rank, SimilaritySearch}
 
 /** Training-data-pipeline operators as oracle-checked queries (q17–q26):
   * near-dup detection (MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -26,6 +26,28 @@ object PipelineQueries {
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
   private val duckL2Zip =
     "list_sum(list_transform(list_zip(%s, %s), x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))*(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))))"
+
+  /** BM25 CTE chain (ends in `sc(doc_id, dl, score, n_hit)`), mirroring
+    * Rank.bm25 term by term: Lucene idf, k1=1.2, b=0.75, terms
+    * merge/query/vector, per-doc contributions summed in term order.
+    * Literals are CAST AS DOUBLE and composed (1.2+1, never 2.2) so every
+    * IEEE operation matches the Spark plan's `lit` arithmetic.
+    */
+  private val duckBm25 =
+    """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |dln AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS dl FROM tok),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dln),
+      |tf AS (SELECT doc_id, dl, tok, CAST(length(list_filter(toks, x -> x = tok)) AS BIGINT) AS tf
+      |  FROM dln CROSS JOIN (SELECT UNNEST(['merge','query','vector']) AS tok) qt
+      |  WHERE list_contains(toks, tok)),
+      |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      |ctb AS (SELECT tf.doc_id, tf.dl, tf.tok,
+      |  ln(CAST(1.0 AS DOUBLE) + (CAST(st.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(dfr.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |  * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |  / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS s
+      |  FROM tf JOIN dfr ON dfr.tok = tf.tok, st),
+      |sc AS (SELECT doc_id, dl, list_sum(list_transform(list(s ORDER BY tok), x -> x)) AS score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hit FROM ctb GROUP BY doc_id, dl)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
 
@@ -110,6 +132,58 @@ object PipelineQueries {
         |cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
         |SELECT component, COUNT(*) AS n_members, MAX(id) AS max_id
         |FROM cc GROUP BY component ORDER BY component ASC""".stripMargin)),
+
+    // Lexical relevance: BM25 (Lucene idf, k1=1.2, b=0.75) of a 3-term
+    // keyword query over documents — the keyword half of hybrid search.
+    // Scores hash-match because per-doc contributions fold in sorted term
+    // order on both engines (the q16 float discipline applied to ranking).
+    QueryDef("q65_bm25",
+      (s, d) => Rank.bm25(Tables.documents(s, d), "doc_id", "text",
+          Seq("merge", "query", "vector"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10),
+      Some(s"""$duckBm25
+        |SELECT doc_id, score, n_hit, dl AS doc_len FROM sc
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin)),
+
+    // HYBRID search: reciprocal-rank fusion of the BM25 top-20 (q65's
+    // lexical leg) with the exact-KNN top-20 (q02's vector leg), joined
+    // full-outer on id — rrf = 1/(60+r_lex) + 1/(60+r_vec), absent legs
+    // contributing exactly 0. The composition the reference's
+    // vector-only search is missing; integer ranks make the fused score
+    // bit-portable.
+    QueryDef("q66_hybrid_rrf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        val lex = Rank.ranked(
+          Rank.bm25(Tables.documents(s, d), "doc_id", "text",
+              Seq("merge", "query", "vector"))
+            .orderBy(col("score").desc, col("doc_id").asc).limit(20),
+          "doc_id", col("score").desc)
+        val vec = Rank.ranked(
+          Knn.search(emb, "vec_id", "embedding", q, k = 20)
+            .withColumnRenamed("vec_id", "doc_id"),
+          "doc_id", col("score").asc)
+        Rank.rrf(Seq(lex, vec), "doc_id", "rank")
+          .orderBy(col("rrf_score").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some(s"""$duckBm25,
+        |lexall AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc),
+        |lex AS (SELECT doc_id, r FROM lexall WHERE r <= 20),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |vs AS (SELECT e.vec_id, ${duckL2Zip.format("e.embedding", "qv.qe")} AS score FROM embeddings e, qv),
+        |vrall AS (SELECT vec_id, row_number() OVER (ORDER BY score ASC, vec_id ASC) AS r FROM vs),
+        |vr AS (SELECT vec_id, r FROM vrall WHERE r <= 20)
+        |SELECT COALESCE(lex.doc_id, vr.vec_id) AS doc_id,
+        |  COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lex.r AS DOUBLE)), CAST(0.0 AS DOUBLE))
+        |    + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vr.r AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf_score,
+        |  lex.r AS rank_0, vr.r AS rank_1
+        |FROM lex FULL OUTER JOIN vr ON lex.doc_id = vr.vec_id
+        |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin)),
 
     // SimHash near-dup: 60-bit simhash of token md5s; 10 pairs with the
     // smallest hamming distance.
