@@ -424,17 +424,24 @@ object PipelineQueries {
 
     // IVF ANN over KMEANS-TRAINED centroids (fixed seed) — the production
     // index-build path (recall curve in ANN_QUALITY.md). Training is
-    // model-dependent (like the reference's HNSW), so this is a rows-only
-    // check, not hash-matched; the deterministic-centroid variant above
-    // carries the oracle.
+    // model-dependent, so oracle-checkability comes from an invariant
+    // instead: with nprobe = numCells the probed cells cover the whole
+    // corpus (cells PARTITION it), so the output is the exact top-5 no
+    // matter where training put the centroids — the oracle is plain exact
+    // KNN. The full train→assign→probe→re-rank machinery still executes
+    // (and the hash-match proves cell assignment lost no rows); the
+    // nprobe<K recall trade-off is measured in ANN_QUALITY.md.
     QueryDef("q35_ann_ivf_trained",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val centroids = SimilaritySearch.trainCentroids(emb, "embedding", k = 8)
         SimilaritySearch.ivfSearch(emb, "vec_id", "embedding", centroids,
-          queryId = 0L, k = 5, nprobe = 2)
+          queryId = 0L, k = 5, nprobe = 8)
       },
-      None),
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, ${duckL2Zip.format("e.embedding", "q.qe")} AS score
+        |FROM embeddings e, q
+        |ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin)),
 
     // RP-LSH ANN: 6 hyperplanes (vec_id 1..6 as planes), bucket by sign
     // bits, exact re-rank within the query's bucket, top-5.
