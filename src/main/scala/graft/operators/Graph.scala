@@ -73,6 +73,56 @@ object Graph {
     } finally sym.unpersist()
   }
 
+  /** Integer-exact PageRank over an edge list — importance weighting for
+    * corpus curation (the web-scale precedent: rank crawl domains by link
+    * centrality, then sample high-rank domains preferentially). The
+    * reference has no graph stage; this extends its data model the same
+    * way [[connectedComponents]] does.
+    *
+    * Arithmetic is ENTIRELY Long so every engine computes bit-identical
+    * ranks (float PageRank is order-of-summation dependent and can never
+    * hash-match): ranks are scaled by `scale` (1e6 = micro-ranks); a
+    * node's contribution is `rank div out_degree` (floor division);
+    * the damping update is `(100-damp)/100 * scale + (damp * Σcontrib)
+    * div 100`. Σ of Longs is exact under any re-association, so the
+    * result is deterministic across partitionings and engines.
+    *
+    * Each of the `iters` rounds is one join + one hash-agg shuffle on
+    * node id — the canonical distributed PageRank shape. The frontier is
+    * `localCheckpoint`ed so the plan stays O(1) per round (reliable
+    * checkpoint dir at cluster scale). Dangling nodes (no out-edges)
+    * contribute nothing, as in the classic formulation.
+    */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damp: Long = 85L, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    require(damp >= 0 && damp <= 100, s"damp $damp must be a percentage")
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = e.groupBy("s").agg(count(lit(1)).as("deg"))
+      val nodes = e.select(col("s").as("id"))
+        .union(e.select(col("d").as("id"))).distinct()
+        .localCheckpoint(true)
+      val base = scale * (100L - damp) / 100L
+      var rank = nodes.select(col("id"), lit(scale).as("rank"))
+      for (_ <- 1 to iters) {
+        val contrib = e.join(rank, e("s") === rank("id"))
+          .join(deg, "s")
+          .select(col("d").as("id"), expr("rank div deg").as("c"))
+        rank = nodes
+          .join(contrib.groupBy("id").agg(sum(col("c")).as("cs")), Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + expr(s"($damp * coalesce(cs, 0L)) div 100")).as("rank"))
+          .localCheckpoint(true)
+      }
+      rank
+    } finally e.unpersist()
+  }
+
   /** Duplicate-cluster summary from a pair list: one row per component
     * with ≥2 members — (component, n_members, max_id). `component` is the
     * canonical survivor (smallest id); everything else in the cluster is

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.md5Bucket
+
+/** Count-min sketch — fixed-memory frequency estimation (Cormode &
+  * Muthukrishnan 2005), the one-pass profiling answer at 100 TB: exact
+  * token counts need a full-vocabulary shuffle whose reduce side grows
+  * with the corpus, while the sketch is a constant `depth × width` grid
+  * of counters no matter how many items stream through. Build is one
+  * hash-agg over (row, bucket) — map-side partial counting does almost
+  * all the work, and the shuffled state is AT MOST depth×width rows per
+  * mapper. Estimates are upper bounds: `est(x) = min_r counter[r][h_r(x)]`
+  * overcounts only by hash collisions (≤ εN with ε = e/width at the
+  * standard depth = ln(1/δ)).
+  *
+  * Hashing is the salted-md5 row hash ([[graft.functions.TextFunctions
+  * .md5Bucket]], salt `cm<r>:`) — deterministic and engine-portable, so
+  * a DuckDB replica of the grid is bit-identical and the driver oracle
+  * can hash-match both the sketch and the estimates (no RNG, no JVM
+  * hashCode).
+  *
+  * The reference has no sketch structures; this is part of the
+  * training-pipeline extension suite (heavy-hitter detection over a
+  * corpus too large to count exactly).
+  */
+object Sketch {
+
+  private def bucket(key: Column, row: Int, width: Int): Column =
+    md5Bucket(key, width, salt = s"cm$row:")
+
+  /** Build the sketch: one (r, b, cnt) row per non-empty counter cell —
+    * the sparse form of the depth×width grid (a dense grid is the
+    * degenerate case; sparse keeps the build a plain hash-agg). `items`
+    * rows each contribute 1 to one bucket per hash row.
+    */
+  def countMin(items: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"depth $depth / width $width must be >= 1")
+    val buckets = (0 until depth).map(r => bucket(col(keyCol), r, width))
+    items.select(posexplode(array(buckets: _*)).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate the frequency of each distinct key in `probes`:
+    * min over hash rows of the matching counter (absent cell = 0). The
+    * sketch side is tiny (≤ depth×width rows) → broadcast; the probe
+    * scan never shuffles more than one row per (probe, hash-row).
+    */
+  def estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val pb = (0 until depth).map(r => bucket(col(keyCol), r, width))
+    probes.select(col(keyCol), posexplode(array(pb: _*)).as(Seq("r", "b")))
+      .join(broadcast(sketch), Seq("r", "b"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

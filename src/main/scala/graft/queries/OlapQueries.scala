@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions.wsTokens
+import graft.operators.{Graph, Sketch}
+
+/** Warehouse-analytics queries over the TPC-H-shaped tables — the classic
+  * agg-join pipelines (pricing summary, segment revenue top-n, regional
+  * volume) plus the graph/sketch profiling extensions (integer PageRank,
+  * count-min heavy hitters, mixture allocation).
+  *
+  * Float-parity discipline (FIXTURES.md §3): money columns are DOUBLE, and
+  * a double SUM is order-of-reduction dependent, so every revenue metric
+  * is scaled to exact integers per row BEFORE aggregation —
+  * `floor(x * 1000)` mirrored as `CAST(floor(x * 1000) AS BIGINT)` (floor,
+  * not cast: Spark truncates double→long where DuckDB rounds). Per-row
+  * products like `price * (1 - disc) * 1000` are identical left-assoc IEEE
+  * double ops on both engines, so the scaled integers agree bit-exactly.
+  */
+object OlapQueries {
+
+  // revenue in exact milli-units: floor(extprice * (1 - disc) * 1000)
+  private def discPriceM = floor(col("l_extendedprice") *
+    (lit(1.0) - col("l_discount")) * 1000).cast("long")
+
+  private val duckDiscM =
+    "CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000) AS BIGINT)"
+
+  def all: Seq[QueryDef] = Seq(
+
+    // Pricing summary (the TPC-H Q1 shape): one wide scan → hash-agg on a
+    // 6-group key. THE map-side-combine showcase: partial aggregation
+    // reduces 100 TB of lineitem to 6 rows per task before the shuffle,
+    // so the exchange carries O(tasks), not O(rows). The shipdate filter
+    // prunes at the parquet scan (PushedFilters). sum_qty is in
+    // centi-units (quantity has 2 decimals), money in milli-units.
+    QueryDef("q67_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_c"),
+          floor(col("l_extendedprice") * 1000).cast("long").as("price_m"),
+          discPriceM.as("disc_m"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")) * 1000).cast("long").as("charge_m"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("qty_c").as("sum_qty_c"), sum("price_m").as("sum_base_m"),
+          sum("disc_m").as("sum_disc_m"), sum("charge_m").as("sum_charge_m"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 1000) AS BIGINT)) AS BIGINT) AS sum_base_m,
+        |  CAST(SUM($duckDiscM) AS BIGINT) AS sum_disc_m,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000) AS BIGINT)) AS BIGINT) AS sum_charge_m,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Segment revenue top-n (the TPC-H Q3 shape): filtered dim → fact →
+    // fact chain. customer(segment) ⋈ orders(date) shuffles on custkey,
+    // the result ⋈ lineitem(shipdate) on orderkey — both join keys ARE
+    // the natural partitioning keys, so at 100 TB each join is one
+    // co-partitioned shuffle and AQE broadcast-converts the filtered
+    // customer side when it fits. Top-10 via TakeOrderedAndProject
+    // (per-partition heaps, k rows to the driver — never a full sort).
+    QueryDef("q68_shipping_priority",
+      (s, d) => {
+        val cutoff = lit("1998-06-30").cast("timestamp")
+        val c = Tables.customer(s, d)
+          .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") < cutoff)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val l = Tables.lineitem(s, d)
+          .where(col("l_shipdate") > cutoff)
+          .select(col("l_orderkey"), discPriceM.as("disc_m"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum("disc_m").as("revenue_m"))
+          .orderBy(col("revenue_m").desc, col("o_orderdate").asc,
+            col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM($duckDiscM) AS BIGINT) AS revenue_m
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_m DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // Regional supplier volume (the TPC-H Q5 shape): the snowflake
+    // region → nation → supplier chain collapses to one broadcast (dims
+    // are tiny even at 100 TB: suppliers are ~1e-4 of lineitem), so the
+    // fact side is scanned ONCE with the region predicate applied as a
+    // broadcast semi-filter; only the orders/customer joins shuffle, on
+    // their natural keys. The c_nationkey = s_nationkey condition ("local"
+    // volume) rides the customer join — no extra exchange.
+    QueryDef("q69_local_supplier_volume",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        val l = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), discPriceM.as("disc_m"))
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(sum("disc_m").as("revenue_m"))
+          .orderBy(col("revenue_m").desc, col("n_name").asc)
+      },
+      Some(s"""SELECT n_name, CAST(SUM($duckDiscM) AS BIGINT) AS revenue_m
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue_m DESC, n_name ASC""".stripMargin)),
+
+    // Integer-exact PageRank over the supplier–part bipartite graph
+    // (who-supplies-what from lineitem; part nodes offset by 1e6 into a
+    // shared id space). The corpus-curation analog: rank crawl domains by
+    // link centrality to weight sampling. 3 rounds, damping 85/100,
+    // micro-rank scale — all-Long arithmetic (Graph.pageRankInt), so the
+    // oracle's unrolled iterations match bit-exactly; top-20 hubs.
+    QueryDef("q70_pagerank",
+      (s, d) => {
+        val sp = Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("a"),
+            (col("l_partkey") + lit(1000000L)).as("b"))
+          .distinct()
+        val edges = sp.union(sp.select(col("b").as("a"), col("a").as("b")))
+        Graph.pageRankInt(edges, "a", "b", iters = 3)
+          .orderBy(col("rank").desc, col("id").asc)
+          .limit(20)
+      },
+      Some("""WITH sp AS (SELECT DISTINCT l_suppkey AS a, l_partkey + 1000000 AS b FROM lineitem),
+        |e AS (SELECT a AS s, b AS d FROM sp UNION SELECT b AS s, a AS d FROM sp),
+        |deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+        |n AS (SELECT DISTINCT s AS id FROM e UNION SELECT DISTINCT d AS id FROM e),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n),
+        |c1 AS (SELECT e.d AS id, CAST(SUM(r0.rank // deg.deg) AS BIGINT) AS cs
+        |  FROM e JOIN r0 ON e.s = r0.id JOIN deg ON e.s = deg.s GROUP BY e.d),
+        |r1 AS (SELECT n.id, 150000 + (85 * COALESCE(c1.cs, 0)) // 100 AS rank
+        |  FROM n LEFT JOIN c1 ON n.id = c1.id),
+        |c2 AS (SELECT e.d AS id, CAST(SUM(r1.rank // deg.deg) AS BIGINT) AS cs
+        |  FROM e JOIN r1 ON e.s = r1.id JOIN deg ON e.s = deg.s GROUP BY e.d),
+        |r2 AS (SELECT n.id, 150000 + (85 * COALESCE(c2.cs, 0)) // 100 AS rank
+        |  FROM n LEFT JOIN c2 ON n.id = c2.id),
+        |c3 AS (SELECT e.d AS id, CAST(SUM(r2.rank // deg.deg) AS BIGINT) AS cs
+        |  FROM e JOIN r2 ON e.s = r2.id JOIN deg ON e.s = deg.s GROUP BY e.d),
+        |r3 AS (SELECT n.id, CAST(150000 + (85 * COALESCE(c3.cs, 0)) // 100 AS BIGINT) AS rank
+        |  FROM n LEFT JOIN c3 ON n.id = c3.id)
+        |SELECT id, rank FROM r3 ORDER BY rank DESC, id ASC LIMIT 20""".stripMargin)),
+
+    // Count-min heavy hitters: build a 4×64 sketch over the token stream,
+    // then compare the sketch estimate against the true count for the 10
+    // most frequent tokens (est >= true always; the gap IS the collision
+    // noise at this tiny width). The salted-md5 hashing makes the whole
+    // grid engine-portable, so even the estimates hash-match.
+    QueryDef("q71_countmin_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(wsTokens(col("text"))).as("tok"))
+        val sk = Sketch.countMin(toks, "tok", depth = 4, width = 64)
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("tok").asc).limit(10)
+        Sketch.estimate(sk, top.select("tok"), "tok", depth = 4, width = 64)
+          .join(top, "tok")
+          .select("tok", "true_cnt", "est")
+          .orderBy(col("true_cnt").desc, col("tok").asc)
+      },
+      Some("""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |g AS (SELECT r, CAST(CAST('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':' || tok), 25, 8) AS BIGINT) % 64 AS BIGINT) AS b
+        |  FROM t CROSS JOIN rs),
+        |sk AS (SELECT r, b, COUNT(*) AS cnt FROM g GROUP BY r, b),
+        |top AS (SELECT tok, COUNT(*) AS true_cnt FROM t GROUP BY tok
+        |  ORDER BY true_cnt DESC, tok ASC LIMIT 10),
+        |pe AS (SELECT top.tok, top.true_cnt, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+        |  FROM top CROSS JOIN rs LEFT JOIN sk ON sk.r = rs.r
+        |    AND sk.b = CAST(CAST('0x' || substr(md5('cm' || CAST(rs.r AS VARCHAR) || ':' || top.tok), 25, 8) AS BIGINT) % 64 AS BIGINT)
+        |  GROUP BY top.tok, top.true_cnt)
+        |SELECT tok, true_cnt, est FROM pe ORDER BY true_cnt DESC, tok ASC""".stripMargin)),
+
+    // Temperature-flattened mixture allocation (the multilingual-corpus
+    // sampling rule: weight ∝ n^α with α = 0.5 flattens head languages so
+    // low-resource ones keep representation). Exact-integer discipline:
+    // sqrt is a correctly-rounded IEEE op (same bits on both engines),
+    // weights are floored to milli-units, the normalizer is an exact Long
+    // sum, and the per-language allocation of a 100k-token budget is
+    // integer floor division — no order-dependent float anywhere.
+    QueryDef("q72_mixture_alloc",
+      (s, d) => {
+        val perLang = Tables.documents(s, d)
+          .select(col("lang"), size(wsTokens(col("text"))).cast("long").as("ntok"))
+          .groupBy("lang").agg(sum("ntok").as("n_toks"))
+        val weighted = perLang.withColumn("w_m",
+          floor(sqrt(col("n_toks").cast("double")) * 1000).cast("long"))
+        val total = weighted.agg(sum("w_m").as("tw"))
+        weighted.crossJoin(broadcast(total))
+          .select(col("lang"), col("n_toks"), col("w_m"),
+            expr("(100000 * w_m) div tw").as("alloc_toks"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS ntok FROM documents),
+        |p AS (SELECT lang, CAST(SUM(ntok) AS BIGINT) AS n_toks FROM t GROUP BY lang),
+        |w AS (SELECT lang, n_toks, CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000) AS BIGINT) AS w_m FROM p),
+        |tw AS (SELECT CAST(SUM(w_m) AS BIGINT) AS tw FROM w)
+        |SELECT lang, n_toks, w_m, CAST((100000 * w_m) // tw AS BIGINT) AS alloc_toks
+        |FROM w, tw ORDER BY lang""".stripMargin))
+  )
+}

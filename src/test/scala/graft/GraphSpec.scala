@@ -62,6 +62,37 @@ class GraphSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 10L, 20L))
   }
 
+  test("pageRankInt: hand-computed 3-node star, 3 rounds, exact Longs") {
+    // symmetric star 2—1—3; every step is integer arithmetic, so the
+    // expected values are derivable by hand:
+    //   r1: hub 1,850,000 / leaves 575,000
+    //   r2: hub 1,127,500 / leaves 936,250
+    //   r3: hub 1,741,625 / leaves 629,187  (floor at the 85% step)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("a", "b")
+    val got = Graph.pageRankInt(edges, "a", "b", iters = 3)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 1741625L), (2L, 629187L), (3L, 629187L)))
+  }
+
+  test("pageRankInt: dangling sink keeps base rank flowing, never NaNs") {
+    // 1 → 2 only: node 2 has no out-edges (contributes nothing back);
+    // node 1 settles at the base 150,000, node 2 at 150,000 + 85% of it
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val got = Graph.pageRankInt(edges, "a", "b", iters = 3)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 150000L), (2L, 277500L)))
+  }
+
+  test("pageRankInt is invariant to input partitioning (exact-integer sums)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("a", "b")
+    val one = Graph.pageRankInt(edges.coalesce(1), "a", "b")
+      .orderBy("id").collect().toSeq
+    val many = Graph.pageRankInt(edges.repartition(7), "a", "b")
+      .orderBy("id").collect().toSeq
+    assert(one === many)
+  }
+
   test("no cached blocks remain after the run") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     Graph.connectedComponents(edges, "a", "b").collect()
