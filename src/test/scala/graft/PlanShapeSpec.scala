@@ -128,4 +128,33 @@ class PlanShapeSpec extends SparkSpec {
     val p42 = executed("q42_split_assign")
     assert(!p42.contains("Join"), p42.take(3000))
   }
+
+  test("q67 pricing summary combines map-side before the one group exchange") {
+    val plan = executed("q67_pricing_summary")
+    // partial_sum below the exchange = the shuffle carries O(tasks) rows
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert("Exchange hashpartitioning\\(l_returnflag".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
+
+  test("q68 revenue top-n merges per-partition heaps, never a global sort") {
+    val plan = executed("q68_shipping_priority")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q69 snowflake dims collapse to broadcasts; fact side never cartesian") {
+    val plan = executed("q69_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q71 count-min estimate probes the grid via broadcast equi-join") {
+    val plan = executed("q71_countmin_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
