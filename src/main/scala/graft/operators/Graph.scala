@@ -101,18 +101,26 @@ object Graph {
         col(dstCol).cast("long").as("d"))
       .where(col("s").isNotNull && col("d").isNotNull)
       .distinct()
+    // out-degree rides WITH the edge (joined once, not once per round).
+    // The degree join leaves the relation HASH-PARTITIONED ON s, and the
+    // cache preserves that: every round's rank-join reuses the
+    // partitioning — only the tiny rank frame (one row per node) moves
+    // per iteration, never the edges.
+    val eDeg = e.join(e.groupBy("s").agg(count(lit(1)).as("deg")), "s")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val deg = e.groupBy("s").agg(count(lit(1)).as("deg"))
-      val nodes = e.select(col("s").as("id"))
-        .union(e.select(col("d").as("id"))).distinct()
+      // node set from the CACHED relation (sources ∪ sinks) — deriving it
+      // from `e` would re-run the edge distinct from the source tables
+      val nodes = eDeg.select(col("s").as("id"))
+        .union(eDeg.select(col("d").as("id"))).distinct()
         .localCheckpoint(true)
       val base = scale * (100L - damp) / 100L
       var rank = nodes.select(col("id"), lit(scale).as("rank"))
       for (_ <- 1 to iters) {
-        val contrib = e.join(rank, e("s") === rank("id"))
-          .join(deg, "s")
+        val contrib = eDeg.join(rank, eDeg("s") === rank("id"))
           .select(col("d").as("id"), expr("rank div deg").as("c"))
+        // eager checkpoint every round: truncates lineage AND frees the
+        // returned frame from the eDeg cache (unpersisted in finally)
         rank = nodes
           .join(contrib.groupBy("id").agg(sum(col("c")).as("cs")), Seq("id"), "left")
           .select(col("id"),
@@ -120,7 +128,7 @@ object Graph {
           .localCheckpoint(true)
       }
       rank
-    } finally e.unpersist()
+    } finally eDeg.unpersist()
   }
 
   /** Duplicate-cluster summary from a pair list: one row per component

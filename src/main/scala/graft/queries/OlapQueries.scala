@@ -147,10 +147,11 @@ object OlapQueries {
     // oracle's unrolled iterations match bit-exactly; top-20 hubs.
     QueryDef("q70_pagerank",
       (s, d) => {
+        // no .distinct() here — pageRankInt dedups internally; doing it
+        // twice would be a wasted full-edge shuffle
         val sp = Tables.lineitem(s, d)
           .select(col("l_suppkey").as("a"),
             (col("l_partkey") + lit(1000000L)).as("b"))
-          .distinct()
         val edges = sp.union(sp.select(col("b").as("a"), col("a").as("b")))
         Graph.pageRankInt(edges, "a", "b", iters = 3)
           .orderBy(col("rank").desc, col("id").asc)
