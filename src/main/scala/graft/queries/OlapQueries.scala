@@ -231,6 +231,51 @@ object OlapQueries {
         |w AS (SELECT lang, n_toks, CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000) AS BIGINT) AS w_m FROM p),
         |tw AS (SELECT CAST(SUM(w_m) AS BIGINT) AS tw FROM w)
         |SELECT lang, n_toks, w_m, CAST((100000 * w_m) // tw AS BIGINT) AS alloc_toks
-        |FROM w, tw ORDER BY lang""".stripMargin))
+        |FROM w, tw ORDER BY lang""".stripMargin)),
+
+    // Z-order layout clustering (Layout.morton2): interleave a user
+    // hash-dim (user_id % 1024) with a time-of-day dim (second-of-day /
+    // 128) and bucket rows by the code's top 5 bits — the file-assignment
+    // rule of an OPTIMIZE ZORDER rewrite, minus the write. The per-bucket
+    // min/max stats ARE the payoff being demonstrated: every bucket
+    // bounds BOTH dimensions, so parquet row-group stats would prune a
+    // scan filtering on either user or time. Pure codegen'd bit
+    // arithmetic — identical in any engine, zero UDFs, one hash-agg
+    // shuffle (never a global sort).
+    QueryDef("q73_zorder_stats",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          pmod(col("user_id"), lit(1024L)).as("u"),
+          expr("pmod(ts div 1000000000, 86400) div 128").as("t"))
+        ev.withColumn("bucket",
+            shiftright(graft.functions.Layout.morton2(col("u"), col("t")), 15))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("u").as("u_min"), max("u").as("u_max"),
+            min("t").as("t_min"), max("t").as("t_max"))
+          .orderBy("bucket")
+      },
+      Some("""WITH dims AS (SELECT user_id % 1024 AS u,
+        |  (CAST(epoch_us(ts) AS BIGINT) // 1000000) % 86400 // 128 AS t FROM events),
+        |sp AS (SELECT u, t, u AS xu, t AS xt FROM dims),
+        |s1 AS (SELECT u, t,
+        |  ((xu | (xu << 16)) & 281470681808895) AS au,
+        |  ((xt | (xt << 16)) & 281470681808895) AS at FROM sp),
+        |s2 AS (SELECT u, t,
+        |  ((au | (au << 8)) & 71777214294589695) AS au,
+        |  ((at | (at << 8)) & 71777214294589695) AS at FROM s1),
+        |s3 AS (SELECT u, t,
+        |  ((au | (au << 4)) & 1085102592571150095) AS au,
+        |  ((at | (at << 4)) & 1085102592571150095) AS at FROM s2),
+        |s4 AS (SELECT u, t,
+        |  ((au | (au << 2)) & 3689348814741910323) AS au,
+        |  ((at | (at << 2)) & 3689348814741910323) AS at FROM s3),
+        |s5 AS (SELECT u, t,
+        |  ((au | (au << 1)) & 6148914691236517205) AS au,
+        |  ((at | (at << 1)) & 6148914691236517205) AS at FROM s4),
+        |z AS (SELECT u, t, (au | (at << 1)) >> 15 AS bucket FROM s5)
+        |SELECT bucket, COUNT(*) AS n, MIN(u) AS u_min, MAX(u) AS u_max,
+        |  MIN(t) AS t_min, MAX(t) AS t_max
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

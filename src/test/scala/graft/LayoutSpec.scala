@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // scalar reference: the same magic-mask chain, computed on the driver
+  private def spreadRef(x: Long): Long = {
+    var v = x & 0x7FFFFFFFL
+    v = (v | v << 16) & 0x0000FFFF0000FFFFL
+    v = (v | v << 8) & 0x00FF00FF00FF00FFL
+    v = (v | v << 4) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | v << 2) & 0x3333333333333333L
+    v = (v | v << 1) & 0x5555555555555555L
+    v
+  }
+  private def mortonRef(a: Long, b: Long): Long = spreadRef(a) | spreadRef(b) << 1
+
+  private val sweep = Seq(0L, 1L, 2L, 3L, 7L, 1023L, 12345L, 65535L,
+    1000000L, 0x7FFFFFFFL)
+
+  test("morton2 matches the scalar reference across the sweep") {
+    val pairs = for (a <- sweep; b <- sweep) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.morton2(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z === mortonRef(a, b), s"morton($a, $b)")
+      assert(z >= 0L, s"morton($a, $b) must stay positive")
+    }
+  }
+
+  test("the interleave is injective on the sweep grid") {
+    val pairs = for (a <- sweep; b <- sweep) yield (a, b)
+    val codes = pairs.toDF("a", "b")
+      .select(Layout.morton2(col("a"), col("b")).as("z"))
+      .distinct().count()
+    assert(codes === pairs.length.toLong)
+  }
+
+  test("bit-prefix buckets bound BOTH dimensions (the data-skipping property)") {
+    // full 32×32 grid, 10-bit codes; the top-4-bit bucket is exactly an
+    // 8×8 tile, so every bucket's min/max box is 7 wide in each dim —
+    // the reason z-ordered files prune on either predicate
+    val grid = (for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)).toDF("a", "b")
+    val stats = grid
+      .withColumn("bucket", shiftright(Layout.morton2(col("a"), col("b")), 6))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        (max("a") - min("a")).as("aw"), (max("b") - min("b")).as("bw"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(stats.length === 16)
+    stats.foreach { case (bk, n, aw, bw) =>
+      assert(n === 64L, s"bucket $bk size")
+      assert(aw === 7L && bw === 7L, s"bucket $bk box $aw x $bw")
+    }
+  }
+}
