@@ -35,9 +35,17 @@ object Graph {
   /** (id, component) for every node incident to an edge; `component` is
     * the minimum node id reachable from `id`. Nodes not mentioned in
     * `edges` are absent (singletons are their own component trivially).
+    *
+    * Size-adaptive (the AQE philosophy applied to the iteration): when
+    * the deduped edge set is at most `smallGraphEdges`, the closure is
+    * computed as driver union-find — near-dup candidate graphs are tiny
+    * by construction (pairs above a similarity cut), and k propagation
+    * rounds of Spark-job overhead dwarf the actual work. Larger graphs
+    * take the distributed min-label loop. Both paths produce the
+    * identical min-id labeling.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, smallGraphEdges: Long = 1000000L): DataFrame = {
     require(maxIter >= 1, s"maxIter $maxIter must be >= 1")
     val e = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d"))
@@ -47,6 +55,7 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      if (sym.count() <= smallGraphEdges) return ccUnionFind(sym)
       var labels = sym.select(col("s").as("id")).distinct()
         .select(col("id"), col("id").as("component"))
         .localCheckpoint(true)
@@ -71,6 +80,32 @@ object Graph {
           "(diameter exceeds maxIter — raise it)")
       labels
     } finally sym.unpersist()
+  }
+
+  /** Driver union-find (union-by-min, path compression) over a collected
+    * edge list. Root selection always keeps the SMALLER id, so the final
+    * root of every set is the component minimum — bit-identical output to
+    * the distributed min-label loop. Collects only when the caller
+    * established the edge set is small.
+    */
+  private def ccUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val labeled = parent.keysIterator.map(id => (id, find(id))).toSeq
+    spark.createDataFrame(labeled).toDF("id", "component")
   }
 
   /** Integer-exact PageRank over an edge list — importance weighting for

@@ -589,6 +589,31 @@ object PipelineQueries {
         |WHERE t0.d + t1.d <= 0.3
         |ORDER BY score ASC, codes.vec_id ASC LIMIT 8""".stripMargin)),
 
+    // SQ8 scalar-quantization tier (Sq.sq8TopK): per-dimension min/max
+    // ranges → byte codes → asymmetric dequantized scoring, top-5. The
+    // FAISS SQ8 middle tier between PQ (q40) and exact floats (q02).
+    // min/max training is ORDER-FREE (unlike any float-sum statistic), so
+    // the whole tier — ranges, codes, scores — replicates bit-exactly in
+    // the oracle; no other quantized index admits a full hash-match.
+    QueryDef("q74_ann_sq8",
+      (s, d) => graft.operators.Sq.sq8TopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 0L, k = 5),
+      Some("""WITH x AS (SELECT CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |r AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY pos),
+        |ra AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM r),
+        |q AS (SELECT list_transform(embedding, e -> CAST(e AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT em.vec_id,
+        |  list_sum(list_transform(list_zip(q.qe,
+        |    list_transform(range(1, len(em.embedding) + 1), i ->
+        |      CASE WHEN ra.his[i] = ra.los[i] THEN ra.los[i]
+        |        ELSE ra.los[i] + floor((CAST(em.embedding[i] AS DOUBLE) - ra.los[i]) * 255.0 / (ra.his[i] - ra.los[i]) + 0.5)
+        |          * (ra.his[i] - ra.los[i]) / 255.0 END)),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS score
+        |  FROM embeddings em, ra, q)
+        |SELECT vec_id, score FROM sc ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin)),
+
     // Reproducible stratified sampling: per-language keep rates applied
     // with a deterministic md5 coin — the curation downsample (cut
     // over-represented languages) that must pick the SAME rows on every

@@ -10,14 +10,14 @@ class GraphSpec extends SparkSpec {
   test("chain propagates the min label across the full diameter") {
     // 1-2-3-4-5 is ONE component; needs several rounds, not one
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
-    val got = Graph.connectedComponents(edges, "a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b", smallGraphEdges = 0L)
       .orderBy("id").as[(Long, Long)].collect()
     assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
   test("disjoint components keep separate minima; direction is irrelevant") {
     val edges = Seq((7L, 2L), (2L, 9L), (30L, 10L), (40L, 30L)).toDF("a", "b")
-    val got = Graph.connectedComponents(edges, "a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b", smallGraphEdges = 0L)
       .orderBy("id").as[(Long, Long)].collect()
     assert(got.toSeq === Seq((2L, 2L), (7L, 2L), (9L, 2L),
       (10L, 10L), (30L, 10L), (40L, 10L)))
@@ -26,18 +26,18 @@ class GraphSpec extends SparkSpec {
   test("self-loops and nulls are ignored; empty edges yield empty labels") {
     val edges = Seq((Some(1L), Some(1L)), (Some(2L), None), (None, Some(3L)),
       (Some(4L), Some(5L))).toDF("a", "b")
-    val got = Graph.connectedComponents(edges, "a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b", smallGraphEdges = 0L)
       .orderBy("id").as[(Long, Long)].collect()
     assert(got.toSeq === Seq((4L, 4L), (5L, 4L)))
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
-    assert(Graph.connectedComponents(empty, "a", "b").count() === 0L)
+    assert(Graph.connectedComponents(empty, "a", "b", smallGraphEdges = 0L).count() === 0L)
   }
 
   test("result is invariant to input partitioning") {
     val edges = Seq((1L, 2L), (2L, 3L), (9L, 8L), (3L, 4L)).toDF("a", "b")
-    val one = Graph.connectedComponents(edges.coalesce(1), "a", "b")
+    val one = Graph.connectedComponents(edges.coalesce(1), "a", "b", smallGraphEdges = 0L)
       .orderBy("id").collect().toSeq
-    val many = Graph.connectedComponents(edges.repartition(7), "a", "b")
+    val many = Graph.connectedComponents(edges.repartition(7), "a", "b", smallGraphEdges = 0L)
       .orderBy("id").collect().toSeq
     assert(one === many)
   }
@@ -45,7 +45,7 @@ class GraphSpec extends SparkSpec {
   test("maxIter too small for the diameter fails loudly, not silently wrong") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
     intercept[IllegalArgumentException] {
-      Graph.connectedComponents(chain, "a", "b", maxIter = 1).count()
+      Graph.connectedComponents(chain, "a", "b", maxIter = 1, smallGraphEdges = 0L).count()
     }
   }
 
@@ -60,6 +60,19 @@ class GraphSpec extends SparkSpec {
     val kept = Graph.keepClusterSurvivors(corpus, "doc_id", pairs, "a", "b")
       .orderBy("doc_id").as[Long].collect()
     assert(kept.toSeq === Seq(1L, 10L, 20L))
+  }
+
+  test("union-find fast path labels exactly like the distributed loop") {
+    // chains, a cycle, a clique, and isolated pairs — both paths must
+    // produce the identical min-id labeling
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L),
+      (11L, 12L), (12L, 10L), (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("a", "b")
+    val fast = Graph.connectedComponents(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val dist = Graph.connectedComponents(edges, "a", "b", smallGraphEdges = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(fast === dist)
   }
 
   test("pageRankInt: hand-computed 3-node star, 3 rounds, exact Longs") {
