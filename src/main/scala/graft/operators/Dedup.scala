@@ -149,15 +149,20 @@ object Dedup {
       shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val newMh = minhashed(newDf, idCol, textCol, shingleN, numHashes, bands)
     val oldMh = minhashed(oldDf, idCol, textCol, shingleN, numHashes, bands)
+    // the CORPUS side's shingles ride through the band join (it streams
+    // against the broadcast batch band keys, so the corpus is scanned
+    // exactly once and its shingles never re-join); the broadcast stays
+    // lean — band keys only. Only the small BATCH side pays a second
+    // shingle pass, joined back broadcast over the few candidates.
     val nb = newMh.select(col(idCol).as("a"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    val ob = oldMh.select(col(idCol).as("b"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+    val ob = oldMh.select(col(idCol).as("b"), col("shingles").as("shb"),
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
     val cand = ob.join(broadcast(nb), Seq("band_idx", "band_key"))
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"), col("shb"))
+      .dropDuplicates("a", "b")
     val sa = newMh.select(col(idCol).as("a"), col("shingles").as("sha"))
-    val sb = oldMh.select(col(idCol).as("b"), col("shingles").as("shb"))
-    cand.join(sa, "a").join(sb, "b")
+    cand.join(broadcast(sa), "a")
       .select(col("a"), col("b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           (size(col("sha")) + size(col("shb")) -
@@ -171,7 +176,7 @@ object Dedup {
     val mh0 = minhashed(df, idCol, textCol, shingleN, numHashes, bands)
     val mh = if (persistIntermediates) mh0.persist() else mh0
     val banded0 = mh.select(col(idCol),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
     // skew cap: a degenerate band bucket (millions of boilerplate docs
     // sharing a band key) would cost |bucket|² in the self-join; drop
     // over-cap buckets entirely — truly identical docs belong to exact

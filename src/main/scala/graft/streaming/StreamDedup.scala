@@ -62,7 +62,7 @@ object StreamDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     Dedup.minhashed(docs, idCol, textCol, shingleN, numHashes, bands)
-      .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .select(col(idCol), posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
       .as[(Long, Int, String)]
       .groupByKey { case (_, bandIdx, bandKey) => (bandIdx, bandKey) }
       .flatMapGroupsWithState[Long, Candidate](
