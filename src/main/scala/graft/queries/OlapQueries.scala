@@ -276,6 +276,66 @@ object OlapQueries {
         |z AS (SELECT u, t, (au | (at << 1)) >> 15 AS bucket FROM s5)
         |SELECT bucket, COUNT(*) AS n, MIN(u) AS u_min, MAX(u) AS u_max,
         |  MIN(t) AS t_min, MAX(t) AS t_max
-        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin))
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Funnel analysis (view → click → purchase, first occurrence each):
+    // the product-analytics staple over the event stream. One shuffle
+    // (user groupBy with conditional-min map-side combine), then a
+    // driver-sized reduction. Timestamps are int64 nanos end to end, so
+    // stage membership is exact on both engines.
+    QueryDef("q75_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("v"),
+            min(when(col("event_type") === "click", col("ts"))).as("c"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+          .agg(count(col("v")).as("stage_view"),
+            count(when(col("c") > col("v"), lit(1))).as("stage_click"),
+            count(when(col("c") > col("v") && col("p") > col("c"), lit(1)))
+              .as("stage_purchase"))
+      },
+      Some("""WITH f AS (SELECT user_id,
+        |  MIN(ts) FILTER (event_type = 'view') AS v,
+        |  MIN(ts) FILTER (event_type = 'click') AS c,
+        |  MIN(ts) FILTER (event_type = 'purchase') AS p
+        |FROM events GROUP BY user_id)
+        |SELECT COUNT(v) AS stage_view,
+        |  COUNT(CASE WHEN c > v THEN 1 END) AS stage_click,
+        |  COUNT(CASE WHEN c > v AND p > c THEN 1 END) AS stage_purchase
+        |FROM f""".stripMargin)),
+
+    // Outlier detection WITHOUT a single float op: per event_type, count
+    // rows with |x − μ| > 2σ by clearing denominators —
+    //   (x − μ)² > 4σ²  ⟺  (n·x − s)² > 4·(n·s2 − s²)
+    // over milli-scaled integer values, the wide products in decimal(38)
+    // (HUGEINT on the oracle side). Exact integers at every step means
+    // the flag is bit-portable — a float mean/stddev pipeline could
+    // never hash-match across engines. Shape: one stats agg (map-side
+    // combine) broadcast back over one corpus scan.
+    QueryDef("q76_value_outliers",
+      (s, d) => {
+        val m = Tables.events(s, d).select(col("event_type"),
+          floor(col("value") * 1000).cast("long").as("v_m"))
+        val st = m.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(col("v_m")).as("s"), sum(col("v_m") * col("v_m")).as("s2"))
+        val dec = "decimal(38,0)"
+        val dev = (col("n") * col("v_m") - col("s")).cast(dec)
+        val varNum = (col("n").cast(dec) * col("s2").cast(dec) -
+          col("s").cast(dec) * col("s").cast(dec)) * lit(4).cast(dec)
+        m.join(broadcast(st), "event_type")
+          .groupBy("event_type")
+          .agg(first(col("n")).as("n"),
+            count(when(dev * dev > varNum, lit(1))).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v_m FROM events),
+        |st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(v_m) AS BIGINT) AS s,
+        |  CAST(SUM(v_m * v_m) AS BIGINT) AS s2 FROM m GROUP BY event_type)
+        |SELECT m.event_type, MIN(st.n) AS n,
+        |  COUNT(CASE WHEN CAST(st.n * m.v_m - st.s AS HUGEINT) * CAST(st.n * m.v_m - st.s AS HUGEINT)
+        |    > 4 * (CAST(st.n AS HUGEINT) * st.s2 - CAST(st.s AS HUGEINT) * st.s) THEN 1 END) AS n_outliers
+        |FROM m JOIN st USING (event_type)
+        |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin))
   )
 }
