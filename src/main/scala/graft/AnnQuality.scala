@@ -85,6 +85,13 @@ object AnnQuality {
       recallOf(s"mllib brp-lsh (3 tables, ${2 * k} over-fetch)", qid =>
         SimilaritySearch.mllibLshTopK(emb, "vec_id", "embedding",
           qid, k).collect().map(_.getLong(0)))) ++ {
+      // SQ8 tier: one trained range artifact reused across queries
+      val sqRanges = graft.operators.Sq.collectRanges(
+        graft.operators.Sq.trainMinMax(emb, "embedding"))
+      Seq(recallOf("sq8 (byte codes, asymmetric full scan, 1/4 reads)", qid =>
+        graft.operators.Sq.sq8TopK(emb, "vec_id", "embedding", qid, k,
+          ranges = Some(sqRanges)).collect().map(_.getLong(0))))
+    } ++ {
       // PQ tiers: trained codebooks (8 subspaces × 16 words → 8 codes/row,
       // a 32x footprint cut on this 64-float fixture); pure ADC vs
       // ADC + exact re-rank of the top-4k candidates
