@@ -278,6 +278,39 @@ object OlapQueries {
         |  MIN(t) AS t_min, MAX(t) AS t_max
         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Large-order detection (the TPC-H Q18 shape): aggregate lineitem per
+    // order, keep orders over a quantity threshold (HAVING), then join
+    // the survivors BACK to orders/customer for context — the
+    // aggregate-then-semi-enrich pattern. The qualifying set is tiny, so
+    // the enrichment joins broadcast it; the only full shuffle is the
+    // per-order agg on lineitem's natural key. Quantities in exact
+    // centi-units.
+    QueryDef("q77_large_orders",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("sum_qty_c"))
+          .where(col("sum_qty_c") > 25000L)
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val c = Tables.customer(s, d).select("c_custkey", "c_name")
+        o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+            col("sum_qty_c"))
+          .orderBy(col("sum_qty_c").desc, col("o_orderkey").asc)
+          .limit(20)
+      },
+      Some("""WITH big AS (SELECT l_orderkey,
+        |  CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty_c > 25000)
+        |SELECT c_name, o_orderkey, o_orderdate,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c, sum_qty_c
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty_c DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
+
     // Funnel analysis (view → click → purchase, first occurrence each):
     // the product-analytics staple over the event stream. One shuffle
     // (user groupBy with conditional-min map-side combine), then a
