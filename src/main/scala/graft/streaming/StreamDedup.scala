@@ -62,7 +62,11 @@ object StreamDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     Dedup.minhashed(docs, idCol, textCol, shingleN, numHashes, bands)
-      .select(col(idCol), posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+      // plain posexplode (NOT the _outer batch variant): a null bands
+      // array must not inject a null-keyed row into the typed groupByKey
+      // state; the inferred-size-filter cost it avoids is a batch
+      // parquet-scan concern, not a streaming one
+      .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
       .as[(Long, Int, String)]
       .groupByKey { case (_, bandIdx, bandKey) => (bandIdx, bandKey) }
       .flatMapGroupsWithState[Long, Candidate](
