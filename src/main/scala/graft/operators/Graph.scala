@@ -151,16 +151,19 @@ object Graph {
         .localCheckpoint(true)
       val base = scale * (100L - damp) / 100L
       var rank = nodes.select(col("id"), lit(scale).as("rank"))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val contrib = eDeg.join(rank, eDeg("s") === rank("id"))
           .select(col("d").as("id"), expr("rank div deg").as("c"))
-        // eager checkpoint every round: truncates lineage AND frees the
-        // returned frame from the eDeg cache (unpersisted in finally)
         rank = nodes
           .join(contrib.groupBy("id").agg(sum(col("c")).as("cs")), Seq("id"), "left")
           .select(col("id"),
             (lit(base) + expr(s"($damp * coalesce(cs, 0L)) div 100")).as("rank"))
-          .localCheckpoint(true)
+        // rounds CHAIN LAZILY into one job (each round references the
+        // previous exactly once, so the plan grows linearly); checkpoint
+        // eagerly only every 8th round — plan-depth guard for long runs —
+        // and at the END, which both truncates lineage and frees the
+        // returned frame from the eDeg cache before the finally unpersists
+        if (i % 8 == 0 || i == iters) rank = rank.localCheckpoint(true)
       }
       rank
     } finally eDeg.unpersist()
