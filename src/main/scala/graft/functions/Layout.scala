@@ -40,4 +40,19 @@ object Layout {
     */
   def morton2(a: Column, b: Column): Column =
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** The OPTIMIZE ZORDER write itself: range-partition by the morton code
+    * (sampled range exchange — scalable, never a single-partition sort),
+    * sort within partitions, write one file per partition. Every output
+    * file then carries tight parquet min/max stats in BOTH dimensions, so
+    * scans filtering on either column skip files (LayoutSpec measures the
+    * per-file bounding boxes to prove it).
+    */
+  def writeZOrdered(df: org.apache.spark.sql.DataFrame, aCol: String,
+      bCol: String, path: String, numFiles: Int): Unit =
+    df.withColumn("__z", morton2(col(aCol), col(bCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

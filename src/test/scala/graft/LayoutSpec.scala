@@ -41,6 +41,30 @@ class LayoutSpec extends SparkSpec {
     assert(codes === pairs.length.toLong)
   }
 
+  test("writeZOrdered files carry tight min/max boxes in BOTH dimensions") {
+    // 64×64 grid written z-ordered into 16 files: each file should cover
+    // ~1/16 of the AREA (a compact tile), while a single-dimension sort
+    // would give every file the full range of the other dimension
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+    Layout.writeZOrdered(grid, "a", "b", dir, numFiles = 16)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath)
+    assert(parts.length === 16)
+    val globalArea = 64.0 * 64.0
+    parts.foreach { p =>
+      val s = spark.read.parquet(p)
+        .agg(min("a"), max("a"), min("b"), max("b"), count(lit(1)))
+        .head()
+      val area = (s.getLong(1) - s.getLong(0) + 1).toDouble *
+        (s.getLong(3) - s.getLong(2) + 1).toDouble
+      // a perfect tiling gives area = globalArea/16; allow 4x slack for
+      // range-boundary straddle. A one-dim sort would give area ≥ 64·4.
+      assert(area <= 4 * globalArea / 16, s"file box area $area too wide")
+      assert(s.getLong(4) > 0L)
+    }
+  }
+
   test("bit-prefix buckets bound BOTH dimensions (the data-skipping property)") {
     // full 32×32 grid, 10-bit codes; the top-4-bit bucket is exactly an
     // 8×8 tile, so every bucket's min/max box is 7 wide in each dim —
