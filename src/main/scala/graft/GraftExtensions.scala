@@ -64,6 +64,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         re(re(re(re(exprs(0), Scrub.UrlRe, "<URL>"), Scrub.EmailRe, "<EMAIL>"),
           Scrub.IpRe, "<IP>"), Scrub.PhoneRe, "<PHONE>")
       }))
+    e.injectFunction((FunctionIdentifier("zorder2"),
+      info("zorder2", "zorder2(a, b) - morton (z-order) interleave of two integral values for layout clustering"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft}
+        import org.apache.spark.sql.types.LongType
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"zorder2 expects exactly 2 arguments (a, b), got ${exprs.length}")
+        // the Layout.spreadBits magic-mask chain as raw catalyst nodes
+        def spread(x0: Expression): Expression = {
+          var v: Expression = BitwiseAnd(Cast(x0, LongType), Literal(0x7FFFFFFFL))
+          def step(sh: Int, mask: Long): Unit =
+            v = BitwiseAnd(BitwiseOr(v, ShiftLeft(v, Literal(sh))), Literal(mask))
+          step(16, 0x0000FFFF0000FFFFL)
+          step(8, 0x00FF00FF00FF00FFL)
+          step(4, 0x0F0F0F0F0F0F0F0FL)
+          step(2, 0x3333333333333333L)
+          step(1, 0x5555555555555555L)
+          v
+        }
+        BitwiseOr(spread(exprs(0)), ShiftLeft(spread(exprs(1)), Literal(1)))
+      }))
     e.injectFunction((FunctionIdentifier("sax_word"),
       info("sax_word", "sax_word(series) - 4-segment alphabet-4 SAX shape word of array<double>"),
       (exprs: Seq[Expression]) => {

@@ -33,6 +33,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows.length === 5)
   }
 
+  test("zorder2 in SQL bit-matches Layout.morton2 across a sweep") {
+    import org.apache.spark.sql.functions.col
+    val sweep = Seq(0L, 1L, 3L, 1023L, 12345L, 0x7FFFFFFFL)
+    val pairs = for (a <- sweep; b <- sweep) yield (a, b)
+    val df = {
+      import spark.implicits._
+      pairs.toDF("a", "b")
+    }
+    df.createOrReplaceTempView("zin")
+    val viaSql = spark.sql("SELECT a, b, zorder2(a, b) AS z FROM zin")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaCol = df.select(col("a"), col("b"),
+        graft.functions.Layout.morton2(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaSql === viaCol)
+  }
+
   test("scrub_text / sax_word resolve in pure SQL and match the operator forms") {
     val red = spark.sql(
       "SELECT scrub_text('mail a@b.co or +1 555-123 4567 at https://x.y now')")
