@@ -211,6 +211,48 @@ object Dedup {
     (pairs, if (persistIntermediates) Some(mh) else None)
   }
 
+  /** Character-edit near-dup pairs (levenshtein ≤ `maxDist`, maxDist ≤ 2)
+    * via DELETION-NEIGHBORHOOD blocking (the SymSpell/FastSS family): if
+    * lev(a, b) ≤ k, deleting the ≤ k edited positions from each side
+    * leaves a common string, so a and b always share a ≤ k-deletion
+    * variant — candidate generation is an equi-join on (block, variant),
+    * never an all-pairs scan, and the exact levenshtein verifies. The
+    * variant fan-out is 1 + L + C(L, 2) keys per row (L = string length)
+    * — built from codegen array lambdas, worthwhile whenever blocks are
+    * big enough that quadratic within-block pairing dominates.
+    * `maxBucketSize` drops degenerate variant keys (identical
+    * boilerplate strings belong to [[exact]] dedup first) — the minhash
+    * cap discipline. Without a cap the candidates are LOSSLESS, so
+    * output = every within-block pair at lev ≤ maxDist.
+    * Output: (ak, bk, lev), ak < bk.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      blockCol: String, maxDist: Int = 2,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, s"maxDist $maxDist must be 1 or 2")
+    def del1(c: Column): Column =
+      when(length(c) > 0,
+        transform(sequence(lit(1), length(c)), i =>
+          concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+        .otherwise(array())
+    def variants(c: Column): Column =
+      if (maxDist == 1) array_distinct(concat(array(c), del1(c)))
+      else array_distinct(concat(array(c), del1(c),
+        flatten(transform(del1(c), v => del1(v)))))
+    val v = df.select(col(idCol).as("k"), col(blockCol).as("blk"),
+      col(strCol).as("n"), explode(variants(col(strCol))).as("variant"))
+    val capped = sizeBounded(v, Seq("blk", "variant"), maxBucketSize)
+    capped.as("x").join(capped.as("y"),
+        col("x.blk") === col("y.blk") &&
+          col("x.variant") === col("y.variant") &&
+          col("x.k") < col("y.k"))
+      .select(col("x.k").as("ak"), col("x.n").as("an"),
+        col("y.k").as("bk"), col("y.n").as("bn"))
+      .dropDuplicates("ak", "bk")
+      .select(col("ak"), col("bk"), levenshtein(col("an"), col("bn")).as("lev"))
+      .where(col("lev") <= maxDist)
+  }
+
   /** SimHash values per row (60-bit, from whitespace-token md5s). Codegen
     * [[graft.functions.expressions.SimHash64]] — bit-identical to the
     * declarative `simhashFromHashes` SQL-lambda (cross-checked in tests).

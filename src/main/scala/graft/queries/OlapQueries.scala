@@ -311,45 +311,37 @@ object OlapQueries {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty_c DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
 
-    // Typo-level string similarity join: part names within edit distance
-    // 2, blocked on (brand, length band) so the DP only runs on
-    // candidates — the Ed-Join discipline. Blocking is LOSSLESS for the
-    // threshold: |len(a)−len(b)| ≤ 2 (a necessary condition for
-    // lev ≤ 2) implies the length-div-3 buckets differ by at most 1, and
-    // the left side explodes to its bucket ±1. Levenshtein is integer
-    // DP — identical in any engine, no float anywhere. Completes the
-    // dedup modality set: exact, shingle-Jaccard, simhash, embedding,
-    // chunk, and now character-edit.
+    // Typo-level similarity over the name VOCABULARY (the SymSpell shape:
+    // spell-correction pairs distinct words, then weights by occurrence
+    // count — pairing occurrences directly is output-quadratic in the
+    // multiplicity and tells you nothing new). Aggregate to distinct
+    // names + counts (one hash-agg: 20k rows → 64 names here; Zipf keeps
+    // vocab ≪ corpus at any scale), then Dedup.editDistancePairs
+    // generates candidates via DELETION-NEIGHBORHOOD keys — lev ≤ 2
+    // strings always share a ≤2-deletion variant, so the equi-join is
+    // lossless and no quadratic scan happens even on a million-word
+    // vocabulary. Levenshtein is integer DP — identical in any engine.
+    // Completes the dedup modality set: exact, shingle-Jaccard, simhash,
+    // embedding, chunk, character-edit.
     QueryDef("q78_typo_pairs",
       (s, d) => {
-        // two independent scans (not a lineage self-join): Spark's
-        // ambiguous-self-join analyzer rejects p-derived aliases here
-        val p = Tables.part(s, d).select(col("p_partkey").as("k"),
-          col("p_brand"), col("p_name").as("n"),
-          length(col("p_name")).as("l"),
-          expr("length(p_name) div 3").as("lb"))
-        val a = Tables.part(s, d).select(col("p_partkey").as("ak"),
-            col("p_brand").as("ab"), col("p_name").as("an"),
-            length(col("p_name")).as("la"),
-            explode(array(expr("length(p_name) div 3") - 1,
-              expr("length(p_name) div 3"),
-              expr("length(p_name) div 3") + 1)).as("jb"))
-        a.join(p, col("ab") === p("p_brand") && col("jb") === p("lb") &&
-            col("ak") < p("k") && abs(col("la") - p("l")) <= 2)
-          .select(col("ak"), p("k").as("bk"),
-            levenshtein(col("an"), p("n")).as("lev"))
-          .where(col("lev") <= 2)
+        def vocab = Tables.part(s, d).groupBy(col("p_name"))
+          .agg(count(lit(1)).as("cnt"))
+        val pairs = graft.operators.Dedup.editDistancePairs(
+          vocab.withColumn("all", lit(0)), "p_name", "p_name", "all",
+          maxDist = 2)
+        pairs
+          .join(vocab.select(col("p_name").as("ak"), col("cnt").as("cnt_a")), "ak")
+          .join(vocab.select(col("p_name").as("bk"), col("cnt").as("cnt_b")), "bk")
+          .select(col("ak"), col("bk"), col("lev"), col("cnt_a"), col("cnt_b"))
           .orderBy(col("lev").asc, col("ak").asc, col("bk").asc)
           .limit(20)
       },
-      Some("""WITH p AS (SELECT p_partkey AS k, p_brand, p_name AS n,
-        |  length(p_name) AS l, length(p_name) // 3 AS lb FROM part),
-        |a AS (SELECT k AS ak, p_brand, n AS an, l AS la,
-        |  unnest([lb - 1, lb, lb + 1]) AS jb FROM p)
-        |SELECT a.ak, p.k AS bk, levenshtein(a.an, p.n) AS lev
-        |FROM a JOIN p ON a.p_brand = p.p_brand AND a.jb = p.lb
-        |  AND a.ak < p.k AND abs(a.la - p.l) <= 2
-        |WHERE levenshtein(a.an, p.n) <= 2
+      Some("""WITH v AS (SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name)
+        |SELECT a.p_name AS ak, b.p_name AS bk,
+        |  levenshtein(a.p_name, b.p_name) AS lev, a.cnt AS cnt_a, b.cnt AS cnt_b
+        |FROM v a JOIN v b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY lev ASC, ak ASC, bk ASC LIMIT 20""".stripMargin)),
 
     // Funnel analysis (view → click → purchase, first occurrence each):

@@ -217,6 +217,53 @@ class DedupSpec extends SparkSpec {
     assert(!lshPlan.contains("CartesianProduct"), lshPlan.take(2000))
   }
 
+  test("editDistancePairs: deletion-neighborhood candidates find exactly the lev<=2 truth") {
+    val words = Seq(
+      (1L, "g", "lavender"), (2L, "g", "lavendar"),   // substitution, lev 1
+      (3L, "g", "lavnder"),                           // deletion of 1, lev 1
+      (4L, "g", "slavender"),                         // insertion, lev 1
+      (5L, "g", "navy"), (6L, "g", "wavy"),           // lev 1 pair
+      (7L, "g", "chartreuse"),                        // no partner
+      (8L, "h", "lavender")                           // other block: no cross pair
+    ).toDF("id", "blk", "w")
+    val got = Dedup.editDistancePairs(words, "id", "w", "blk", maxDist = 2)
+      .orderBy("ak", "bk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // quadratic ground truth within block
+    val rows = words.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ba, wa) <- rows; (ib, bb, wb) <- rows
+      if ia < ib && ba == bb && lev(wa, wb) <= 2
+    } yield (ia, ib, lev(wa, wb))).sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty && got.forall(_._3 <= 2))
+  }
+
+  test("editDistancePairs maxBucketSize drops degenerate variant keys only") {
+    // 'aaaa' x4 is boilerplate (its variant keys all have count 4);
+    // cap 3 drops those keys, so the boilerplate pairs vanish while the
+    // independent (x, y) typo pair survives
+    val words = (Seq.tabulate(4)(i => (i.toLong, "aaaa")) ++
+      Seq((10L, "xyzw"), (11L, "xyzq"))).map { case (i, w) => (i, 0, w) }
+      .toDF("id", "blk", "w")
+    val capped = Dedup.editDistancePairs(words, "id", "w", "blk",
+      maxDist = 2, maxBucketSize = Some(3))
+      .select("ak", "bk").as[(Long, Long)].collect().toSet
+    assert(capped === Set((10L, 11L)))
+    val uncapped = Dedup.editDistancePairs(words, "id", "w", "blk", maxDist = 2)
+      .count()
+    assert(uncapped === 7L) // C(4,2) boilerplate pairs + the typo pair
+  }
+
   test("incremental minhash: new-vs-corpus cross pairs only") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val oldDocs = Seq(
