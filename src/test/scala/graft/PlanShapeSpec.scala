@@ -151,6 +151,25 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q78 deletion-neighborhood typo join is equi-keyed, never nested-loop") {
+    val plan = executed("q78_typo_pairs")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // candidates must pair on the variant key (a constant block column
+    // constant-folds out of the join keys — fine)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) [^\\n]*variant".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
+  test("q74 SQ8 scan scores without shuffling the corpus") {
+    val plan = executed("q74_ann_sq8")
+    // the only exchanges belong to the tiny min/max TRAINING agg and the
+    // broadcast of the query row — the scored corpus scan itself ends in
+    // a TakeOrderedAndProject heap merge, not a sort or shuffle
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q71 count-min estimate probes the grid via broadcast equi-join") {
     val plan = executed("q71_countmin_heavy_hitters")
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
