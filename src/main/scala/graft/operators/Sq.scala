@@ -67,6 +67,35 @@ object Sq {
         .otherwise(lo + c.cast("double") * (hi - lo) / lit(255.0))
     })
 
+  /** IVF-SQ8 composition (the FAISS `IVF..,SQ8` index): partition-prune
+    * to the query's `nprobe` nearest cells, then score SQ8-dequantized
+    * codes inside them — reads ≈ nprobe/K of a corpus already 4×
+    * smaller. Both stages are deterministic given deterministic
+    * centroids (assignment tie-breaks on cid; min/max ranges are
+    * order-free), so unlike PQ/KMeans tiers this composition is fully
+    * oracle-checkable. At nprobe = numCells the probed cells cover the
+    * corpus and the result equals [[sq8TopK]] exactly (spec-pinned).
+    */
+  def ivfSq8TopK(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryId: Long, k: Int, nprobe: Int = 1,
+      ranges: Option[Ranges] = None): DataFrame = {
+    val r = ranges.getOrElse(collectRanges(trainMinMax(df, vecCol)))
+    val assigned = SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids)
+    val qEmb = df.where(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("qe"))
+    val probeCids = centroids.crossJoin(broadcast(qEmb))
+      .select(col("cid"), col("qe"),
+        graft.functions.VectorFunctions.l2Sq(col("ce"), col("qe")).as("d"))
+      .orderBy(col("d").asc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("qcid"), col("qe"))
+    assigned.join(broadcast(probeCids), col("cid") === col("qcid"))
+      .select(col(idCol),
+        l2SqFold(dequantSq8(encodeSq8(col("emb"), r), r), col("qe")).as("score"))
+      .orderBy(col("score").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Asymmetric top-k over the quantized corpus: train (or pass) ranges,
     * encode in-plan, score dequantized codes against the full-precision
     * query row, heap-merge top-k. `filter` pre-restricts the candidate

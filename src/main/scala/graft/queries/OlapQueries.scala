@@ -344,6 +344,36 @@ object OlapQueries {
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY lev ASC, ak ASC, bk ASC LIMIT 20""".stripMargin)),
 
+    // Exact per-group median (lower median by rank, NOT interpolated:
+    // engines interpolate continuous percentiles with different fp
+    // formulas, while a rank-selected row is bit-portable by
+    // construction). One window sort per group; at 100 TB exact medians
+    // genuinely cost a per-group sort — the approximate path swaps in
+    // a quantile sketch and drops the cross-engine hash gate.
+    QueryDef("q80_group_median",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prio"))
+          .orderBy(col("cents").asc, col("o_orderkey").asc)
+        val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("prio"))
+        Tables.orders(s, d)
+          .select(col("o_orderpriority").as("prio"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"),
+            col("o_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .where(col("rn") === expr("(n + 1) div 2"))
+          .select(col("prio"), col("cents").as("median_cents"), col("n"))
+          .orderBy("prio")
+      },
+      Some("""WITH x AS (SELECT o_orderpriority AS prio,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) ASC, o_orderkey ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders)
+        |SELECT prio, cents AS median_cents, CAST(n AS BIGINT) AS n
+        |FROM x WHERE rn = (n + 1) // 2 ORDER BY prio""".stripMargin)),
+
     // Funnel analysis (view → click → purchase, first occurrence each):
     // the product-analytics staple over the event stream. One shuffle
     // (user groupBy with conditional-min map-side combine), then a

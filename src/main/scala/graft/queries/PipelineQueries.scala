@@ -614,6 +614,42 @@ object PipelineQueries {
         |  FROM embeddings em, ra, q)
         |SELECT vec_id, score FROM sc ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin)),
 
+    // IVF-SQ8 composed tier (FAISS `IVF8,SQ8`): prune to the query's 2
+    // nearest cells, score byte codes inside them — nprobe/K of a 4×-
+    // smaller corpus. Deterministic centroids + order-free SQ ranges
+    // make the whole approximate composition hash-checkable, which no
+    // KMeans-trained tier can be.
+    QueryDef("q79_ann_ivf_sq8",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.Sq.ivfSq8TopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+          queryId = 0L, k = 5, nprobe = 2)
+      },
+      Some(s"""WITH x AS (SELECT CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |r AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY pos),
+        |ra AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM r),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |a AS (SELECT e.vec_id, e.embedding, c.cid, ${duckL2Zip.format("e.embedding", "c.ce")} AS d FROM embeddings e, c),
+        |asg AS (SELECT vec_id, embedding, cid FROM a
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) = 1),
+        |qq AS (SELECT embedding AS qe0,
+        |  list_transform(embedding, e -> CAST(e AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id = 0),
+        |pr AS (SELECT cid AS qcid FROM (SELECT c.cid, ${duckL2Zip.format("c.ce", "qq.qe0")} AS d
+        |  FROM c, qq ORDER BY d ASC, cid ASC LIMIT 2)),
+        |sc AS (SELECT asg.vec_id,
+        |  list_sum(list_transform(list_zip(qq.qe,
+        |    list_transform(range(1, len(asg.embedding) + 1), i ->
+        |      CASE WHEN ra.his[i] = ra.los[i] THEN ra.los[i]
+        |        ELSE ra.los[i] + floor((CAST(asg.embedding[i] AS DOUBLE) - ra.los[i]) * 255.0 / (ra.his[i] - ra.los[i]) + 0.5)
+        |          * (ra.his[i] - ra.los[i]) / 255.0 END)),
+        |    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS score
+        |  FROM asg JOIN pr ON asg.cid = pr.qcid, ra, qq)
+        |SELECT vec_id, score FROM sc ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin)),
+
     // Reproducible stratified sampling: per-language keep rates applied
     // with a deterministic md5 coin — the curation downsample (cut
     // over-represented languages) that must pick the SAME rows on every

@@ -57,6 +57,20 @@ class SqSpec extends SparkSpec {
     assert(got.head === 0L && exact.head === 0L)
   }
 
+  test("ivfSq8TopK at full probe equals the full-scan SQ8 ranking") {
+    // probing every cell covers the corpus, and both paths rank by the
+    // same quantized score — outputs must be identical
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val ivf = Sq.ivfSq8TopK(emb, "vec_id", "embedding", cents,
+        queryId = 0L, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Sq.sq8TopK(emb, "vec_id", "embedding", queryId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf === full)
+  }
+
   test("filter and threshold honor the SearchRequest surface") {
     val r = Sq.collectRanges(Sq.trainMinMax(toy, "embedding"))
     val filtered = Sq.sq8TopK(toy, "vec_id", "embedding", queryId = 0L, k = 4,
