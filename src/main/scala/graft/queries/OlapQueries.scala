@@ -374,6 +374,52 @@ object OlapQueries {
         |SELECT prio, cents AS median_cents, CAST(n AS BIGINT) AS n
         |FROM x WHERE rn = (n + 1) // 2 ORDER BY prio""".stripMargin)),
 
+    // Freshness-decayed engagement (recency weighting for curation —
+    // newer crawl snapshots outweigh stale ones): weight halves every
+    // 7 days of age, implemented as an INTEGER RIGHT-SHIFT of a
+    // million-scaled unit (1e6 >> (age_days div 7)) so the decayed sum
+    // is exact under any reduction order — float exp() decay is
+    // engine-divergent and order-dependent. Age is against the corpus
+    // max timestamp (one tiny agg, broadcast back). Top-10 users.
+    QueryDef("q81_decayed_engagement",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          expr("ts div 1000000000").as("sec"))
+        val mx = ev.agg(max("sec").as("mx"))
+        ev.crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            expr("shiftright(1000000L, cast(least((mx - sec) div 86400 div 7, 62) as int))")
+              .as("w"))
+          .groupBy("user_id")
+          .agg(sum("w").as("decayed_m"), count(lit(1)).as("n_events"))
+          .orderBy(col("decayed_m").desc, col("user_id").asc)
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT user_id,
+        |  CAST(epoch_us(ts) AS BIGINT) // 1000000 AS sec FROM events),
+        |m AS (SELECT MAX(sec) AS mx FROM e)
+        |SELECT user_id,
+        |  CAST(SUM(1000000 >> CAST(LEAST((mx - sec) // 86400 // 7, 62) AS INT)) AS BIGINT) AS decayed_m,
+        |  COUNT(*) AS n_events
+        |FROM e, m GROUP BY user_id
+        |ORDER BY decayed_m DESC, user_id ASC LIMIT 10""".stripMargin)),
+
+    // Fixed-width value histogram per event type — the distribution-
+    // profiling complement to q63's range stats and q76's outliers.
+    // Bucket = floor(value*1000) div 50000 (50-unit buckets in exact
+    // milli-ints); one hash-agg, map-side combinable, no floats.
+    QueryDef("q82_value_histogram",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          expr("cast(floor(value * 1000) as bigint) div 50000").as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket"),
+      Some("""SELECT event_type,
+        |  CAST(floor(value * 1000) AS BIGINT) // 50000 AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin)),
+
     // Funnel analysis (view → click → purchase, first occurrence each):
     // the product-analytics staple over the event stream. One shuffle
     // (user groupBy with conditional-min map-side combine), then a
