@@ -55,4 +55,20 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Compaction bin-packing — the small-files answer: rewrite a (usually
+    * incremental-append) table into ⌈rows / targetRowsPerFile⌉ files.
+    * At 100 TB the units are bytes, not rows — swap the count for the
+    * scan-relation size and the shape is identical: one count/size job,
+    * one round-robin repartition, one write. Compaction cadence is the
+    * store's (VectorStore.compact); this is the generic form for any
+    * table that accretes small files.
+    */
+  def writeBinPacked(df: org.apache.spark.sql.DataFrame, path: String,
+      targetRowsPerFile: Long): Unit = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile $targetRowsPerFile must be positive")
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(files).write.mode("overwrite").parquet(path)
+  }
 }

@@ -65,6 +65,21 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeBinPacked compacts to the expected file count, evenly") {
+    val rows = (1L to 1000L).toDF("v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-binpack-").toString
+    Layout.writeBinPacked(rows, dir, targetRowsPerFile = 300L)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath)
+    assert(parts.length === 4) // ceil(1000/300)
+    parts.foreach { p =>
+      val c = spark.read.parquet(p).count()
+      assert(c >= 200L && c <= 300L, s"file row count $c not balanced")
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(dir).count() === 1000L)
+  }
+
   test("bit-prefix buckets bound BOTH dimensions (the data-skipping property)") {
     // full 32×32 grid, 10-bit codes; the top-4-bit bucket is exactly an
     // 8×8 tile, so every bucket's min/max box is 7 wide in each dim —
