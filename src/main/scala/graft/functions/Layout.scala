@@ -56,19 +56,23 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
-  /** Compaction bin-packing — the small-files answer: rewrite a (usually
-    * incremental-append) table into ⌈rows / targetRowsPerFile⌉ files.
-    * At 100 TB the units are bytes, not rows — swap the count for the
-    * scan-relation size and the shape is identical: one count/size job,
-    * one round-robin repartition, one write. Compaction cadence is the
-    * store's (VectorStore.compact); this is the generic form for any
-    * table that accretes small files.
+  /** Compaction bin-packing — the small-files answer, in ONE pass: an AQE
+    * `REBALANCE` exchange packs the input into evenly-sized partitions at
+    * runtime (coalescing small-file fragments, splitting skewed ones —
+    * no separate count() job), and `maxRecordsPerFile` caps every written
+    * file at the target, so output files are bounded above with at most
+    * one short tail file per task. This is exactly the Delta/Iceberg
+    * OPTIMIZE shape: target size + remainder file, decided from the write
+    * job's own runtime statistics. At 100 TB the binding cap is bytes —
+    * AQE's `advisoryPartitionSizeInBytes` — and the row cap rides along
+    * unchanged. Compaction cadence is the store's (VectorStore.compact);
+    * this is the generic form for any table that accretes small files.
     */
   def writeBinPacked(df: org.apache.spark.sql.DataFrame, path: String,
       targetRowsPerFile: Long): Unit = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile $targetRowsPerFile must be positive")
-    val n = df.count()
-    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    df.repartition(files).write.mode("overwrite").parquet(path)
+    df.hint("rebalance")
+      .write.option("maxRecordsPerFile", targetRowsPerFile)
+      .mode("overwrite").parquet(path)
   }
 }

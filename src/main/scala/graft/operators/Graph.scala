@@ -19,18 +19,35 @@ import org.apache.spark.storage.StorageLevel
   * Rounds = graph diameter, and dedup-cluster diameters are tiny (a
   * near-dup cluster is almost a clique), so 3–5 rounds is typical. Each
   * round is ONE shuffle (join on node id + min-agg); the frontier is
-  * `localCheckpoint`ed so the plan does not grow with the iteration
-  * count. At cluster scale the same loop runs with a reliable
-  * checkpoint dir instead of localCheckpoint, and the O(log n)-round
-  * large-star/small-star variant (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond") replaces plain propagation if diameters
-  * are ever large — for near-dup graphs they are not.
+  * materialized each round so the plan does not grow with the iteration
+  * count — `localCheckpoint` locally, a reliable checkpoint dir at
+  * cluster scale (the `checkpointDir` parameter). For high-diameter
+  * graphs the O(log n)-round large-star/small-star variant is
+  * [[connectedComponentsStar]]; for near-dup graphs (tiny diameters)
+  * plain propagation wins.
   *
   * Determinism: min over Long labels — no floats, no randomness; the
   * component id IS the smallest node id in the component, which doubles
   * as the canonical survivor for dedup.
   */
 object Graph {
+
+  /** Eager materialization that truncates lineage: a RELIABLE
+    * `checkpoint` into `checkpointDir` when one is given (cluster-grade —
+    * blocks live on the shared filesystem, survive executor loss, and the
+    * plan holds no lineage to re-run), `localCheckpoint` otherwise (the
+    * right local/dev tool: executor-storage blocks, zero fs round-trip).
+    */
+  private def materialize(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame = checkpointDir match {
+    case Some(dir) =>
+      val sc = df.sparkSession.sparkContext
+      // setCheckpointDir appends a fresh UUID subdir — only (re)set when
+      // the context is not already pointed under this directory
+      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+      df.checkpoint(eager = true)
+    case None => df.localCheckpoint(eager = true)
+  }
 
   /** (id, component) for every node incident to an edge; `component` is
     * the minimum node id reachable from `id`. Nodes not mentioned in
@@ -43,9 +60,13 @@ object Graph {
     * rounds of Spark-job overhead dwarf the actual work. Larger graphs
     * take the distributed min-label loop. Both paths produce the
     * identical min-id labeling.
+    *
+    * `checkpointDir`: reliable-checkpoint directory for the iteration
+    * frontier (see [[materialize]]) — pass one on a real cluster.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25, smallGraphEdges: Long = 1000000L): DataFrame = {
+      maxIter: Int = 25, smallGraphEdges: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter $maxIter must be >= 1")
     val e = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d"))
@@ -56,9 +77,10 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (sym.count() <= smallGraphEdges) return ccUnionFind(sym)
-      var labels = sym.select(col("s").as("id")).distinct()
-        .select(col("id"), col("id").as("component"))
-        .localCheckpoint(true)
+      var labels = materialize(
+        sym.select(col("s").as("id")).distinct()
+          .select(col("id"), col("id").as("component")),
+        checkpointDir)
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
@@ -66,11 +88,12 @@ object Graph {
         val nbrMin = sym.join(labels, sym("s") === labels("id"))
           .groupBy(sym("d").as("id"))
           .agg(min(col("component")).as("nbr"))
-        val next = labels.withColumnRenamed("component", "old")
-          .join(nbrMin, Seq("id"), "left")
-          .select(col("id"), col("old"),
-            least(col("old"), coalesce(col("nbr"), col("old"))).as("component"))
-          .localCheckpoint(true) // truncate lineage: plan stays O(1) per round
+        val next = materialize( // truncate lineage: plan stays O(1) per round
+          labels.withColumnRenamed("component", "old")
+            .join(nbrMin, Seq("id"), "left")
+            .select(col("id"), col("old"),
+              least(col("old"), coalesce(col("nbr"), col("old"))).as("component")),
+          checkpointDir)
         changed = next.where(col("component") =!= col("old")).count()
         labels = next.select("id", "component")
         iter += 1
@@ -108,6 +131,70 @@ object Graph {
     spark.createDataFrame(labeled).toDF("id", "component")
   }
 
+  /** Large-star/small-star connected components (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the O(log n)-round
+    * alternative for HIGH-DIAMETER graphs, where plain min-label
+    * propagation needs diameter rounds. Near-dup graphs are near-cliques
+    * (diameter ≈ 2), so [[connectedComponents]] stays the default; this
+    * variant is for path-shaped graphs (citation chains, linked crawls).
+    *
+    * Invariant: edges always point large→small. Each round,
+    *   large-star: connect every strictly-larger neighbor of a node to
+    *     its neighborhood minimum;
+    *   small-star: connect a node and all its smaller neighbors to that
+    *     set's minimum.
+    * Fixpoint = the edge set is a star forest (v → component-min root).
+    * Output contract identical to [[connectedComponents]]: (id,
+    * component = min reachable id), nodes in no edge absent —
+    * property-pinned equal in GraphSpec.
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    require(maxIter >= 1, s"maxIter $maxIter must be >= 1")
+    val e0 = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    var e = materialize(
+      e0.select(greatest(col("s"), col("d")).as("s"),
+        least(col("s"), col("d")).as("d")).distinct(),
+      checkpointDir)
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetrized set: m ≤ s < v keeps large→small
+      val sym = e.union(e.select(col("d").as("s"), col("s").as("d")))
+      val mN = sym.groupBy("s").agg(min(col("d")).as("mn"))
+        .select(col("s").as("u"), least(col("s"), col("mn")).as("m"))
+      val large = sym.join(mN, sym("s") === col("u"))
+        .where(col("d") > col("s"))
+        .select(col("d").as("s"), col("m").as("d"))
+        .distinct()
+      // small-star on large's output (already large→small): every anchor
+      // and its non-min smaller neighbors re-point at the minimum
+      val withM = large.join(
+        large.groupBy("s").agg(min(col("d")).as("m")), "s")
+      val next = materialize(
+        withM.select(col("s"), col("m").as("d"))
+          .union(withM.where(col("d") =!= col("m"))
+            .select(col("d").as("s"), col("m").as("d")))
+          .distinct(),
+        checkpointDir)
+      val nextCount = next.count()
+      converged = nextCount == eCount &&
+        next.join(e, Seq("s", "d"), "left_anti").isEmpty
+      e = next
+      eCount = nextCount
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // star forest → labels: each non-root points at its root once; roots
+    // label themselves
+    e.select(col("s").as("id"), col("d").as("component"))
+      .union(e.select(col("d").as("id"), col("d").as("component")).distinct())
+  }
+
   /** Integer-exact PageRank over an edge list — importance weighting for
     * corpus curation (the web-scale precedent: rank crawl domains by link
     * centrality, then sample high-rank domains preferentially). The
@@ -129,13 +216,18 @@ object Graph {
     * contribute nothing, as in the classic formulation.
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, damp: Long = 85L, scale: Long = 1000000L): DataFrame = {
+      iters: Int = 3, damp: Long = 85L, scale: Long = 1000000L,
+      checkpointDir: Option[String] = None, dedupe: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     require(damp >= 0 && damp <= 100, s"damp $damp must be a percentage")
-    val e = edges.select(col(srcCol).cast("long").as("s"),
+    // dedupe = false skips the full-edge distinct shuffle when the caller
+    // can prove the edge set is already duplicate-free (e.g. built as
+    // distinct-pairs ∪ reversed-pairs over disjoint id ranges) — on a big
+    // graph that distinct is the single widest exchange of the whole run
+    val e0 = edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("d"))
       .where(col("s").isNotNull && col("d").isNotNull)
-      .distinct()
+    val e = if (dedupe) e0.distinct() else e0
     // out-degree rides WITH the edge (joined once, not once per round).
     // The degree join leaves the relation HASH-PARTITIONED ON s, and the
     // cache preserves that: every round's rank-join reuses the
@@ -143,12 +235,15 @@ object Graph {
     // per iteration, never the edges.
     val eDeg = e.join(e.groupBy("s").agg(count(lit(1)).as("deg")), "s")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // node set from the CACHED relation (sources ∪ sinks) — deriving it
+    // from `e` would re-run the edge distinct from the source tables.
+    // Lazily persisted (not eagerly checkpointed): the final materialize
+    // below computes cache fill + nodes + every round in ONE job instead
+    // of paying a separate eager pass just for the node set.
+    val nodes = eDeg.select(col("s").as("id"))
+      .union(eDeg.select(col("d").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // node set from the CACHED relation (sources ∪ sinks) — deriving it
-      // from `e` would re-run the edge distinct from the source tables
-      val nodes = eDeg.select(col("s").as("id"))
-        .union(eDeg.select(col("d").as("id"))).distinct()
-        .localCheckpoint(true)
       val base = scale * (100L - damp) / 100L
       var rank = nodes.select(col("id"), lit(scale).as("rank"))
       for (i <- 1 to iters) {
@@ -163,10 +258,10 @@ object Graph {
         // eagerly only every 8th round — plan-depth guard for long runs —
         // and at the END, which both truncates lineage and frees the
         // returned frame from the eDeg cache before the finally unpersists
-        if (i % 8 == 0 || i == iters) rank = rank.localCheckpoint(true)
+        if (i % 8 == 0 || i == iters) rank = materialize(rank, checkpointDir)
       }
       rank
-    } finally eDeg.unpersist()
+    } finally { eDeg.unpersist(); nodes.unpersist() }
   }
 
   /** Duplicate-cluster summary from a pair list: one row per component

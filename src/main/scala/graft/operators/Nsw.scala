@@ -1,0 +1,184 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Partition-local navigable-small-world (NSW) graph index — the Spark
+  * re-expression of the reference's actual index structure: each datanode
+  * keeps an hnswlib graph over its shard (`src/datanode/handler.py:46,86`,
+  * `space='l2'`, M=32, ef_construction=128, query ef=64) and the
+  * coordinator scatter-gathers per-node top-k (`src/coordinator/
+  * handler.py:183-228`). Here a PARTITION plays the datanode: one
+  * in-memory graph per partition (built in `mapPartitions` — the textbook
+  * per-partition-model use), greedy beam search inside, and the
+  * per-partition heaps merge globally, exactly the scatter-gather shape.
+  *
+  * This is the serving-latency tier the IVF/LSH/PQ family doesn't cover:
+  * sub-linear reads WITHOUT a partition-pruning predicate, at the cost of
+  * an in-memory graph. The build amortizes across a query BATCH
+  * ([[nswTopKBatch]]) — the batch analog of the reference building its
+  * index once and serving many searches.
+  *
+  * Single layer (NSW, Malkov et al. 2014) rather than hierarchical: the
+  * hierarchy only improves the entry-point hop count, which a few extra
+  * beam steps cover at partition scale; single-layer keeps construction
+  * deterministic and dependency-free.
+  *
+  * Determinism: insertion order is ascending id within the partition,
+  * every candidate ordering tie-breaks (distance, id), and neighbor
+  * pruning keeps the closest-by-(distance, id). Given a deterministic
+  * partitioning (e.g. `repartition(n, col(id))`), results are a pure
+  * function of the data. EXACTNESS INVARIANT: a beam of `efSearch >=
+  * partition size` IS an exhaustive scan (the search switches to it
+  * explicitly — graph pruning can orphan directed paths, so this is a
+  * constructive guarantee, not a traversal hope), and the result then
+  * equals exact KNN — the oracle hook for q84, same trick as q35's
+  * full-probe invariant.
+  */
+object Nsw {
+
+  /** In-memory single-layer NSW over one partition's vectors. */
+  private final class Index(m: Int, efConstruction: Int) {
+    private val vecs = mutable.ArrayBuffer.empty[Array[Double]]
+    private val ids  = mutable.ArrayBuffer.empty[Long]
+    private val nbrs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
+
+    // every candidate ordering in the index tie-breaks (distance, idx) —
+    // total on Double so NaN can't corrupt heap order
+    private implicit val ord: Ordering[(Double, Int)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+
+    def size: Int = vecs.length
+
+    private def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+
+    /** Beam search over the current graph: up to `ef` nearest (dist, idx)
+      * pairs, ascending (dist, id). Visits the whole (connected) graph
+      * when ef >= size.
+      */
+    def search(q: Array[Double], ef: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      if (vecs.isEmpty) return out
+      if (ef >= vecs.length) {
+        // the exactness invariant, BY CONSTRUCTION: a full-width beam is
+        // an exhaustive scan (adjacency pruning may orphan directed
+        // paths, so exactness must not depend on traversal)
+        out ++= vecs.indices.map(i => (d2(q, vecs(i)), i)).sorted
+        return out
+      }
+      val visited = new java.util.BitSet(vecs.length)
+      val frontier = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse) // min-heap
+      val best = mutable.PriorityQueue.empty[(Double, Int)](ord)             // max-heap
+      val e0 = (d2(q, vecs(0)), 0)
+      visited.set(0); frontier.enqueue(e0); best.enqueue(e0)
+      while (frontier.nonEmpty) {
+        val (cd, ci) = frontier.dequeue()
+        if (cd > best.head._1 && best.size >= ef) { frontier.clear() }
+        else {
+          val ns = nbrs(ci); var j = 0
+          while (j < ns.length) {
+            val nb = ns(j)
+            if (!visited.get(nb)) {
+              visited.set(nb)
+              val nd = d2(q, vecs(nb))
+              if (best.size < ef || nd < best.head._1 ||
+                (nd == best.head._1 && nb < best.head._2)) {
+                frontier.enqueue((nd, nb)); best.enqueue((nd, nb))
+                if (best.size > ef) best.dequeue()
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      out ++= best.dequeueAll.reverseIterator // ascending (dist, id)
+      out
+    }
+
+    /** Insert, linking to the `m` nearest of an efConstruction-beam search
+      * and back, pruning every adjacency list to the closest `m`
+      * (hnswlib's simple-prune analog; bidirectional links keep the graph
+      * connected — every node reaches node 0 by construction).
+      */
+    def insert(id: Long, v: Array[Double]): Unit = {
+      val idx = vecs.length
+      vecs += v; ids += id; nbrs += mutable.ArrayBuffer.empty[Int]
+      if (idx == 0) return
+      val found = search(v, math.max(m, efConstruction))
+      val links = found.take(m)
+      links.foreach { case (_, nb) =>
+        nbrs(idx) += nb
+        nbrs(nb) += idx
+        if (nbrs(nb).length > math.max(m, 2)) {
+          val pruned = nbrs(nb)
+            .map(x => (d2(vecs(nb), vecs(x)), x)).sorted.take(math.max(m, 2))
+          nbrs(nb).clear(); nbrs(nb) ++= pruned.map(_._2)
+        }
+      }
+    }
+
+    def idOf(idx: Int): Long = ids(idx)
+  }
+
+  /** Top-k per query over a query BATCH: one NSW build per partition,
+    * every query answered against it, per-partition candidates merged
+    * globally per query — the coordinator's scatter-gather. Output:
+    * (query_id LONG, id LONG, score DOUBLE), k rows per query, ascending
+    * (score, id) within a query. `efSearch >= max partition rows` makes
+    * the result EXACT (see class doc).
+    */
+  def nswTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int, m: Int = 8,
+      efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+    require(k >= 1 && m >= 1 && efConstruction >= 1 && efSearch >= k,
+      s"nswTopKBatch: need k>=1, m>=1, efConstruction>=1, efSearch>=k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(queries.sortBy(_._1))
+    val perPart = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        // ascending-id insertion: deterministic graph given the partition
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val index = new Index(m, efConstruction)
+          rows.foreach { case (id, v) => index.insert(id, v) }
+          qb.value.iterator.flatMap { case (qid, qv) =>
+            index.search(qv, math.max(efSearch, k)).take(k)
+              .map { case (dist, idx) => (qid, index.idOf(idx), dist) }
+          }
+        }
+      }
+      .toDF("query_id", idCol, "score")
+    // global scatter-gather merge: numPartitions×k rows per query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col(idCol).asc)
+    perPart.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Single-query form: resolve the query row by id from the table (the
+    * reference's search-by-key), then batch-of-one. Output (id, score).
+    */
+  def nswTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, m: Int = 8, efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+    val qRows: Array[Row] = df.where(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).take(1)
+    require(qRows.nonEmpty, s"nswTopK: no row with $idCol = $queryId")
+    val q = qRows.head.getSeq[Double](0).toArray
+    nswTopKBatch(df, idCol, vecCol, Seq((queryId, q)), k, m, efConstruction,
+      efSearch)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").asc, col(idCol).asc)
+  }
+}

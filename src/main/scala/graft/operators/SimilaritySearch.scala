@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -62,17 +61,37 @@ object SimilaritySearch {
   /** Rows → nearest-centroid assignment, carrying EVERY input column
     * through plus `cid` — the write-side form: an index build appends the
     * cell id to the full record and writes it partitioned, with no
-    * re-join to recover the payload. `centroids` must be small
-    * (broadcast); ties break on centroid id.
+    * re-join to recover the payload. `centroids` must be small and
+    * non-empty; ties break on centroid id.
+    *
+    * SHUFFLE-FREE on the corpus side: the centroid table is folded into a
+    * ONE-ROW array (sorted by cid), broadcast, and the argmin runs as a
+    * row-local left fold — no n×K row explosion, no hash exchange, no
+    * sort. The reference likewise assigns at write time with zero data
+    * movement (`src/datanode/handler.py:263-297`). The only exchange in
+    * the plan is the single-row broadcast of the centroid array itself
+    * (plan-pinned in PlanShapeSpec: the corpus scan sits under no
+    * shuffle).
     */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d").asc, col("cid").asc)
-    df.crossJoin(broadcast(centroids))
-      .withColumn("__d", l2Sq(col(vecCol), col("ce")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__d", "__rn", "ce")
+    // K rows → 1 row holding the (cid asc)-sorted centroid array; struct
+    // sort orders by the first field, so array order IS cid order and the
+    // strict `<` in the fold keeps the LOWEST cid on distance ties —
+    // bit-identical to the old (distance asc, cid asc) window rank.
+    val centArr = centroids.agg(
+      array_sort(collect_list(struct(col("cid"), col("ce")))).as("__cents"))
+    df.crossJoin(broadcast(centArr))
+      .withColumn("cid",
+        aggregate(col("__cents"),
+          struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val d = l2Sq(col(vecCol), c("ce"))
+            when(d < acc("d"), struct(d.as("d"), c("cid").as("cid")))
+              .otherwise(acc)
+          },
+          acc => acc("cid")))
+      .drop("__cents")
   }
 
   /** [[assignCells]] projected to the query-side shape (idCol, emb, cid). */
@@ -153,16 +172,27 @@ object SimilaritySearch {
   /** Bucket each row by random-hyperplane signs. Planes = rows satisfying
     * `planePred`, whose ids MUST be contiguous 1..P (bit j comes from plane
     * id j+1). Output: (idCol, emb, bucket).
+    *
+    * ROW-LOCAL: the P planes fold into a one-row broadcast array and the
+    * bucket is a per-row OR of sign bits — no n×P cross product, no
+    * aggregate keyed on the 512-dim embedding (the old form shuffled the
+    * embedding as GROUP-BY KEY bytes). Long bit-OR is order-free, so the
+    * pid-ordered fold equals the old unordered sum of distinct bits.
     */
   def rpLshBuckets(df: DataFrame, idCol: String, vecCol: String,
       planePred: Column): DataFrame = {
     val planes = df.where(planePred)
-      .select(col(idCol).as("pid"), col(vecCol).as("pe"))
+      .agg(array_sort(collect_list(
+        struct(col(idCol).cast("long").as("pid"), col(vecCol).as("pe"))))
+        .as("__planes"))
     df.select(col(idCol), col(vecCol).as("emb"))
       .crossJoin(broadcast(planes))
-      .groupBy(col(idCol), col("emb"))
-      .agg(sum(when(dot(col("emb"), col("pe")) > 0,
-          expr("shiftleft(1L, cast(pid - 1 as int))")).otherwise(lit(0L))).as("bucket"))
+      .withColumn("bucket",
+        aggregate(col("__planes"), lit(0L),
+          (acc, p) => acc + when(dot(col("emb"), p("pe")) > 0,
+            call_function("shiftleft", lit(1L), (p("pid") - 1).cast("int")))
+            .otherwise(lit(0L))))
+      .drop("__planes")
   }
 
   /** RP-LSH search: candidates share the query's bucket; exact squared-L2

@@ -47,15 +47,19 @@ object Sq {
   }
 
   /** Byte codes for a vector: floor((x - lo) * 255 / (hi - lo) + 0.5),
-    * degenerate (hi = lo) dimensions code to 0. Values inside the trained
-    * range land in 0..255 by construction.
+    * degenerate (hi = lo) dimensions code to 0. Codes are CLAMPED to
+    * 0..255 (FAISS SQ8 behavior): on the documented range-reuse path
+    * (sq8TopK/ivfSq8TopK with caller-supplied `ranges`) new data may fall
+    * outside the trained [lo, hi], and an unclamped code would silently
+    * break the byte-code contract.
     */
   def encodeSq8(vec: Column, r: Ranges): Column =
     transform(vec.cast("array<double>"), (x, i) => {
       val lo = element_at(typedLit(r.lo.toSeq), i + 1)
       val hi = element_at(typedLit(r.hi.toSeq), i + 1)
       when(hi === lo, lit(0L))
-        .otherwise(floor((x - lo) * lit(255.0) / (hi - lo) + lit(0.5)))
+        .otherwise(greatest(lit(0L),
+          least(lit(255L), floor((x - lo) * lit(255.0) / (hi - lo) + lit(0.5)))))
     })
 
   /** Reconstructed values: lo + code * (hi - lo) / 255. */

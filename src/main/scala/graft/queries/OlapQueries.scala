@@ -147,13 +147,18 @@ object OlapQueries {
     // oracle's unrolled iterations match bit-exactly; top-20 hubs.
     QueryDef("q70_pagerank",
       (s, d) => {
-        // no .distinct() here — pageRankInt dedups internally; doing it
-        // twice would be a wasted full-edge shuffle
+        // distinct on the HALF-size pair set, then symmetrize: suppkeys
+        // (< 1e6) and shifted partkeys (> 1e6) are disjoint ranges, so
+        // the reversed union introduces no duplicates and pageRankInt
+        // can skip its own full-edge distinct (dedupe = false) — the
+        // widest shuffle of the query, halved (ReuseExchange shares the
+        // one distinct between the two union branches)
         val sp = Tables.lineitem(s, d)
           .select(col("l_suppkey").as("a"),
             (col("l_partkey") + lit(1000000L)).as("b"))
+          .distinct()
         val edges = sp.union(sp.select(col("b").as("a"), col("a").as("b")))
-        Graph.pageRankInt(edges, "a", "b", iters = 3)
+        Graph.pageRankInt(edges, "a", "b", iters = 3, dedupe = false)
           .orderBy(col("rank").desc, col("id").asc)
           .limit(20)
       },
@@ -333,7 +338,10 @@ object OlapQueries {
         pairs
           .join(vocab.select(col("p_name").as("ak"), col("cnt").as("cnt_a")), "ak")
           .join(vocab.select(col("p_name").as("bk"), col("cnt").as("cnt_b")), "bk")
-          .select(col("ak"), col("bk"), col("lev"), col("cnt_a"), col("cnt_b"))
+          // BIGINT like the oracle's levenshtein() — dtype parity, not
+          // just value parity (the q58/q43 driver-hash lesson)
+          .select(col("ak"), col("bk"), col("lev").cast("long").as("lev"),
+            col("cnt_a"), col("cnt_b"))
           .orderBy(col("lev").asc, col("ak").asc, col("bk").asc)
           .limit(20)
       },
@@ -462,7 +470,9 @@ object OlapQueries {
         val st = m.groupBy("event_type").agg(count(lit(1)).as("n"),
           sum(col("v_m")).as("s"), sum(col("v_m") * col("v_m")).as("s2"))
         val dec = "decimal(38,0)"
-        val dev = (col("n") * col("v_m") - col("s")).cast(dec)
+        // operands cast BEFORE the product: n * v_m in Long silently wraps
+        // in non-ANSI Spark at large group counts while DuckDB raises
+        val dev = col("n").cast(dec) * col("v_m").cast(dec) - col("s").cast(dec)
         val varNum = (col("n").cast(dec) * col("s2").cast(dec) -
           col("s").cast(dec) * col("s").cast(dec)) * lit(4).cast(dec)
         m.join(broadcast(st), "event_type")
@@ -475,7 +485,7 @@ object OlapQueries {
         |st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(v_m) AS BIGINT) AS s,
         |  CAST(SUM(v_m * v_m) AS BIGINT) AS s2 FROM m GROUP BY event_type)
         |SELECT m.event_type, MIN(st.n) AS n,
-        |  COUNT(CASE WHEN CAST(st.n * m.v_m - st.s AS HUGEINT) * CAST(st.n * m.v_m - st.s AS HUGEINT)
+        |  COUNT(CASE WHEN (CAST(st.n AS HUGEINT) * m.v_m - st.s) * (CAST(st.n AS HUGEINT) * m.v_m - st.s)
         |    > 4 * (CAST(st.n AS HUGEINT) * st.s2 - CAST(st.s AS HUGEINT) * st.s) THEN 1 END) AS n_outliers
         |FROM m JOIN st USING (event_type)
         |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin))

@@ -704,7 +704,11 @@ object PipelineQueries {
             size(col("toks")).as("n_toks"),
             size(ngramsOfTokens(col("toks"), 3)).as("distinct3"),
             greatest(size(col("toks")) - 2, lit(1)).as("total3"))
-          .select(col("doc_id"), col("n_toks"), col("distinct3"),
+          .select(col("doc_id"),
+            // BIGINT like the oracle's length(): int32 here is the same
+            // dtype-drift class as the q58 HUGEINT bug (driver-hash risk)
+            col("n_toks").cast("long").as("n_toks"),
+            col("distinct3").cast("long").as("distinct3"),
             (lit(1.0) - col("distinct3").cast("double") / col("total3").cast("double"))
               .as("rep3"))
           .orderBy(col("rep3").desc, col("doc_id").asc)
@@ -990,7 +994,58 @@ object PipelineQueries {
           .zipWithIndex.map { case (m, i) => (i, m.a, m.b) }
           .toDF("rank", "a", "b").orderBy("rank")
       },
-      None)
+      None),
+
+    // The DISTRIBUTED half of the BPE trainer, oracle-checked: the
+    // word-frequency table (Bpe.wordCounts — the trainer's one shuffle,
+    // cut to the same top-maxVocab, same total order) feeds weighted
+    // adjacent-character-pair counts; the TOP row under (count desc, pair
+    // asc) is by definition the trainer's FIRST merge (Bpe.train round 0
+    // computes exactly this argmax), so the whole pre-loop pipeline is
+    // hash-pinned while the driver merge loop stays in BpeSpec. Pairs via
+    // substr (codepoint semantics on both engines) — never split-by-''.
+    QueryDef("q83_bpe_pair_counts",
+      (s, d) => {
+        val wc = graft.operators.Bpe.wordCounts(Tables.documents(s, d), "text")
+          .orderBy(col("cnt").desc, col("word").asc).limit(65536)
+        wc.where(length(col("word")) >= 2)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(1), length(col("word")) - 1),
+            i => struct(col("word").substr(i, lit(1)).as("a"),
+              col("word").substr(i + lit(1), lit(1)).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("pair_cnt"))
+          .orderBy(col("pair_cnt").desc, col("a").asc, col("b").asc)
+          .limit(20)
+      },
+      Some(s"""WITH t AS (SELECT unnest($duckToks) AS word FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS cnt FROM t WHERE word <> ''
+        |       GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 65536),
+        |p AS (SELECT substr(word, CAST(i AS INT), 1) AS a,
+        |             substr(word, CAST(i AS INT) + 1, 1) AS b, cnt
+        |      FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i
+        |            FROM wc WHERE length(word) >= 2))
+        |SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+        |FROM p GROUP BY a, b
+        |ORDER BY pair_cnt DESC, a ASC, b ASC LIMIT 20""".stripMargin)),
+
+    // NSW graph-ANN tier (the reference's ACTUAL index structure —
+    // hnswlib per datanode, `src/datanode/handler.py:46,86`; here one
+    // in-memory graph per partition + scatter-gather merge) run at its
+    // exactness invariant: efSearch covers every partition, so the beam
+    // IS an exhaustive scan and the result equals exact KNN — pinning
+    // the build/search/merge plumbing against the plain KNN oracle (the
+    // q35 full-probe trick). Approximate-mode recall is measured in
+    // NswSpec and ANN_QUALITY.md, like every ANN tier.
+    QueryDef("q84_ann_nsw",
+      (s, d) => graft.operators.Nsw.nswTopK(
+        Tables.embeddings(s, d).repartition(8, col("vec_id")),
+        "vec_id", "embedding", queryId = 0L, k = 5,
+        m = 8, efConstruction = 32, efSearch = 1 << 22),
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, ${duckL2Zip.format("e.embedding", "q.qe")} AS score
+        |FROM embeddings e, q
+        |ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

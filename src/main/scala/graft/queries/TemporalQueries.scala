@@ -100,8 +100,8 @@ object TemporalQueries {
           .orderBy(col("user_id"), col("us"))
       },
       Some("""SELECT user_id, us,
-        |  SUM(v_m) OVER (PARTITION BY user_id ORDER BY us
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_sum_m,
+        |  CAST(SUM(v_m) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum_m,
         |  COUNT(*) OVER (PARTITION BY user_id ORDER BY us
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_n
         |FROM (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,

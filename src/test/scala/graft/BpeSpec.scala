@@ -33,6 +33,31 @@ class BpeSpec extends SparkSpec {
       Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
   }
 
+  test("q83's distributed pair-count argmax IS the trainer's first merge") {
+    // the oracle-checked query q83_bpe_pair_counts and the driver loop
+    // must agree on round 0 by construction — pin it on the fixture
+    val first = Bpe.train(corpus, "text", numMerges = 1).head
+    val top = graft.queries.PipelineQueries.all
+      .find(_.name == "q83_bpe_pair_counts").get
+      .fn(spark, sf0001) // sf dir unused beyond documents; rebuild on fixture:
+    // (q83 reads the documents table; for the fixture cross-check compute
+    // the same pipeline inline)
+    val wc = Bpe.wordCounts(corpus, "text")
+      .orderBy(col("cnt").desc, col("word").asc).limit(65536)
+    val best = wc.where(length(col("word")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => struct(col("word").substr(i, lit(1)).as("a"),
+          col("word").substr(i + lit(1), lit(1)).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("a").asc, col("b").asc)
+      .limit(1).as[(String, String, Long)].collect().head
+    assert((best._1, best._2) === (first.a, first.b))
+    assert(best._3 === 9L) // (e,s) count from the textbook fixture
+    assert(top.columns.toSeq === Seq("a", "b", "pair_cnt"))
+  }
+
   test("segment applies merges lowest-rank-first") {
     val ranks = Bpe.train(corpus, "text", numMerges = 6)
       .zipWithIndex.map { case (m, i) => (m.a, m.b) -> i }.toMap

@@ -75,6 +75,61 @@ class GraphSpec extends SparkSpec {
     assert(fast === dist)
   }
 
+  test("large-star/small-star agrees with propagation on random graphs") {
+    // property-style: seeded random graphs of several shapes — sparse,
+    // denser, and a long chain grafted to a clique (the high-diameter
+    // case star contraction exists for)
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 10
+      val m = n + rnd.nextInt(2 * n)
+      val rand = (1 to m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val chain = (100L to 140L).sliding(2).map(p => (p(0), p(1))).toSeq
+      val edges = (rand ++ chain :+ (0L, 100L)).toDF("a", "b")
+      val prop = Graph.connectedComponents(edges, "a", "b",
+        maxIter = 60, smallGraphEdges = 0L)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      val star = Graph.connectedComponentsStar(edges, "a", "b")
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(star === prop, s"trial $trial (n=$n m=$m)")
+    }
+  }
+
+  test("star CC handles the degenerate shapes: empty, self-loop, one pair") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.connectedComponentsStar(empty, "a", "b").count() === 0L)
+    val selfOnly = Seq((3L, 3L)).toDF("a", "b")
+    assert(Graph.connectedComponentsStar(selfOnly, "a", "b").count() === 0L)
+    val pair = Seq((9L, 4L)).toDF("a", "b")
+    assert(Graph.connectedComponentsStar(pair, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq === Seq((4L, 4L), (9L, 4L)))
+  }
+
+  test("reliable-checkpoint path (checkpointDir) matches localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("a", "b")
+    val local = Graph.connectedComponents(edges, "a", "b", smallGraphEdges = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val reliable = Graph.connectedComponents(edges, "a", "b",
+      smallGraphEdges = 0L, checkpointDir = Some(dir))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(reliable === local)
+    // the checkpoint blocks really went to the shared dir, not executor mem
+    def rddFiles(d: java.io.File): Seq[java.io.File] =
+      if (!d.isDirectory) Nil
+      else d.listFiles().toSeq.flatMap(f =>
+        if (f.isDirectory) rddFiles(f) else Seq(f))
+    assert(rddFiles(new java.io.File(dir)).nonEmpty, "no checkpoint files written")
+
+    val pr = Graph.pageRankInt(edges, "a", "b", iters = 3)
+      .orderBy("id").collect().toSeq
+    val prReliable = Graph.pageRankInt(edges, "a", "b", iters = 3,
+      checkpointDir = Some(dir))
+      .orderBy("id").collect().toSeq
+    assert(prReliable === pr)
+  }
+
   test("pageRankInt: hand-computed 3-node star, 3 rounds, exact Longs") {
     // symmetric star 2—1—3; every step is integer arithmetic, so the
     // expected values are derivable by hand:

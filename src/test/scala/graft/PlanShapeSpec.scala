@@ -170,6 +170,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q25 IVF assignment leg is row-local — no hash exchange, no window rank") {
+    val plan = executed("q25_ann_ivf")
+    // the old assignCells crossJoin + row_number shuffled n×K rows on id;
+    // the fold form moves NOTHING: the only exchanges left are the one-row
+    // centroid-array agg (SinglePartition) and broadcasts
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+    assert(!plan.contains("row_number"), plan.take(3000))
+  }
+
+  test("q26 RP-LSH bucket leg is row-local — no hash exchange on the corpus") {
+    val plan = executed("q26_ann_lsh_rp")
+    // the old rpLshBuckets grouped by (id, emb) — the 512-dim embedding as
+    // a shuffle KEY; the fold form keeps bucketing inside the scan project
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
   test("q71 count-min estimate probes the grid via broadcast equi-join") {
     val plan = executed("q71_countmin_heavy_hitters")
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))

@@ -43,6 +43,17 @@ def main(sf_dir, out_dir):
         if len(oracle) != len(got):
             print(f"FAIL {name}: rows {len(got)} != oracle {len(oracle)}")
             n_fail += 1; continue
+        # dtype drift is a driver-hash failure even when Python == passes
+        # (e.g. DuckDB window SUM(BIGINT) -> HUGEINT -> float64 vs Spark
+        # int64: 700.0 == 700 is True but repr/hash differ). Mirror the
+        # driver by requiring identical pandas dtypes per column.
+        bad_dtypes = [(c, str(oracle[c].dtype), str(got[c].dtype))
+                      for c in oracle.columns
+                      if str(oracle[c].dtype) != str(got[c].dtype)]
+        if bad_dtypes:
+            for c, od, gd in bad_dtypes:
+                print(f"FAIL {name}: col {c} dtype oracle={od} got={gd}")
+            n_fail += 1; continue
         def norm(v):
             if hasattr(v, "tolist"):  # numpy array/scalar cells (list columns)
                 return norm(v.tolist())
@@ -52,6 +63,12 @@ def main(sf_dir, out_dir):
             # cell (e.g. 0/0 ratios) agrees when both engines emit NaN
             if isinstance(v, float) and v != v:
                 return "__nan__"
+            # type-tagged compare: Python == treats 700 == 700.0 as equal,
+            # the driver's hash does not — tag scalars with their type so
+            # int/float (or Decimal/float) drift inside object columns fails
+            # here the way it fails there
+            if v is not None and not isinstance(v, (list, dict)):
+                return (type(v).__name__, v)
             return v
         ok = True
         for c in oracle.columns:
