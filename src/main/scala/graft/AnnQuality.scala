@@ -85,6 +85,24 @@ object AnnQuality {
       recallOf(s"mllib brp-lsh (3 tables, ${2 * k} over-fetch)", qid =>
         SimilaritySearch.mllibLshTopK(emb, "vec_id", "embedding",
           qid, k).collect().map(_.getLong(0)))) ++ {
+      // NSW graph tier (the reference's hnswlib analog): ONE per-partition
+      // graph build amortized across the whole query batch — the serving
+      // shape; the beam width (efSearch) is the recall dial
+      def qv(qid: Long): Array[Double] =
+        emb.where(col("vec_id") === qid).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+      val embP = emb.repartition(8, col("vec_id"))
+      val batch = queryIds.toSeq.map(q => (q, qv(q)))
+      def nswBatch(ef: Int): Map[Long, Array[Long]] =
+        graft.operators.Nsw.nswTopKBatch(embP, "vec_id", "embedding", batch,
+          k, m = 8, efConstruction = 64, efSearch = ef)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, a) => q -> a.map(_._2) }
+      val nsw16 = nswBatch(16); val nsw64 = nswBatch(64)
+      Seq(
+        recallOf("nsw graph (per-partition, m=8, efSearch=16)", qid => nsw16(qid)),
+        recallOf("nsw graph (per-partition, m=8, efSearch=64)", qid => nsw64(qid)))
+    } ++ {
       // SQ8 tier: one trained range artifact reused across queries
       val sqRanges = graft.operators.Sq.collectRanges(
         graft.operators.Sq.trainMinMax(emb, "embedding"))

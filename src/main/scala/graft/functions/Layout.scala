@@ -75,4 +75,23 @@ object Layout {
       .write.option("maxRecordsPerFile", targetRowsPerFile)
       .mode("overwrite").parquet(path)
   }
+
+  /** Deterministic global corpus shuffle — the epoch-shuffle write of a
+    * training pipeline: order rows by `md5(salt ‖ key)` so the written
+    * layout is a reproducible pseudo-random permutation (new salt → new
+    * epoch order; same salt → byte-identical layout, auditable). Shape:
+    * one sampled range exchange + per-partition sort — the same scalable
+    * sort-write as [[writeZOrdered]], never a single-partition
+    * `row_number`. Readers consuming files in name order see the
+    * permuted sequence.
+    */
+  def writeShuffled(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      path: String, numFiles: Int, salt: String = ""): Unit = {
+    require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
+    df.withColumn("__sh", md5(concat(lit(salt), col(keyCol).cast("string"))))
+      .repartitionByRange(numFiles, col("__sh"))
+      .sortWithinPartitions(col("__sh"))
+      .drop("__sh")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -36,6 +36,18 @@ object Bpe {
   /** Learn `numMerges` merges from the corpus (driver loop over the
     * collected top-`maxVocab` word-frequency rows; stops early when no
     * pair reaches `minPairCount`).
+    *
+    * INCREMENTAL pair maintenance — the real trainer's loop shape: the
+    * pair-count table is built once, and each merge round touches only
+    * the words that actually CONTAIN the merged pair (tracked in an
+    * inverted pair→words index), subtracting their old pair multiset and
+    * re-adding the post-merge one. A full recount per round would be
+    * O(rounds × corpus-vocab characters); this is O(rounds × affected
+    * words + rounds × distinct-pairs argmax) — the difference between a
+    * 20-merge demo and a 50k-merge production vocabulary. Output is
+    * bit-identical to the naive recount (delta sums are exact integers;
+    * zero-count pairs are REMOVED so the argmax never sees ghosts) —
+    * property-pinned in BpeSpec against a naive reference loop.
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
       maxVocab: Int = 65536, minPairCount: Long = 2L): Seq[Merge] = {
@@ -47,29 +59,54 @@ object Bpe {
         .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
     val words = vocab.map(_._1.toBuffer)
     val counts = vocab.map(_._2)
+
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val w = words(i)
+      var j = 0
+      while (j < w.length - 1) {
+        val p = (w(j), w(j + 1))
+        val c = pairCounts.getOrElse(p, 0L) + sign * counts(i)
+        if (c == 0L) { pairCounts.remove(p); pairWords.remove(p) }
+        else {
+          pairCounts(p) = c
+          if (sign > 0)
+            pairWords.getOrElseUpdate(p,
+              scala.collection.mutable.Set.empty[Int]) += i
+        }
+        j += 1
+      }
+      // occurrence-index removal happens lazily: a stale (pair → word)
+      // entry just means one no-op visit next time the pair wins
+    }
+    words.indices.foreach(addWord(_, 1L))
+
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 0
-    while (round < numMerges) {
-      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
-      for (i <- words.indices) {
-        val w = words(i)
-        var j = 0
-        while (j < w.length - 1) {
-          val p = (w(j), w(j + 1))
-          pairCounts(p) = pairCounts.getOrElse(p, 0L) + counts(i)
-          j += 1
-        }
-      }
-      if (pairCounts.isEmpty) return merges.toSeq
+    while (round < numMerges && pairCounts.nonEmpty) {
       val ((a, b), best) = pairCounts.minBy { case ((x, y), c) => (-c, x, y) }
       if (best < minPairCount) return merges.toSeq
       merges += Merge(a, b)
       val fused = a + b
-      for (w <- words) {
+      val affected = pairWords.get((a, b)).map(_.toArray.sorted)
+        .getOrElse(Array.empty[Int])
+      affected.foreach { i =>
+        val w = words(i)
+        var contains = false
         var j = 0
-        while (j < w.length - 1) {
-          if (w(j) == a && w(j + 1) == b) { w(j) = fused; w.remove(j + 1) }
-          else j += 1
+        while (!contains && j < w.length - 1) {
+          contains = w(j) == a && w(j + 1) == b; j += 1
+        }
+        if (contains) { // stale index entries skip
+          addWord(i, -1L)
+          var t = 0
+          while (t < w.length - 1) {
+            if (w(t) == a && w(t + 1) == b) { w(t) = fused; w.remove(t + 1) }
+            else t += 1
+          }
+          addWord(i, 1L)
         }
       }
       round += 1

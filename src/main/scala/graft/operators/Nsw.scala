@@ -42,7 +42,6 @@ object Nsw {
   /** In-memory single-layer NSW over one partition's vectors. */
   private final class Index(m: Int, efConstruction: Int) {
     private val vecs = mutable.ArrayBuffer.empty[Array[Double]]
-    private val ids  = mutable.ArrayBuffer.empty[Long]
     private val nbrs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
 
     // every candidate ordering in the index tie-breaks (distance, idx) —
@@ -106,9 +105,9 @@ object Nsw {
       * (hnswlib's simple-prune analog; bidirectional links keep the graph
       * connected — every node reaches node 0 by construction).
       */
-    def insert(id: Long, v: Array[Double]): Unit = {
+    def insert(v: Array[Double]): Unit = {
       val idx = vecs.length
-      vecs += v; ids += id; nbrs += mutable.ArrayBuffer.empty[Int]
+      vecs += v; nbrs += mutable.ArrayBuffer.empty[Int]
       if (idx == 0) return
       val found = search(v, math.max(m, efConstruction))
       val links = found.take(m)
@@ -123,8 +122,25 @@ object Nsw {
       }
     }
 
-    def idOf(idx: Int): Long = ids(idx)
   }
+
+  /** Build one index over a partition's (already insertion-ordered) rows
+    * and answer every query: (query_id, row index into `rows`, score),
+    * k per query. Id-agnostic — internal tie-breaks are on the insertion
+    * index, which the caller made deterministic by sorting on its key.
+    */
+  private def searchPartition[T](rows: Array[(T, Array[Double])],
+      queries: Seq[(Long, Array[Double])], k: Int, m: Int,
+      efConstruction: Int, efSearch: Int): Iterator[(Long, T, Double)] =
+    if (rows.isEmpty) Iterator.empty
+    else {
+      val index = new Index(m, efConstruction)
+      rows.foreach { case (_, v) => index.insert(v) }
+      queries.iterator.flatMap { case (qid, qv) =>
+        index.search(qv, math.max(efSearch, k)).take(k)
+          .map { case (dist, idx) => (qid, rows(idx)._1, dist) }
+      }
+    }
 
   /** Top-k per query over a query BATCH: one NSW build per partition,
     * every query answered against it, per-partition candidates merged
@@ -146,19 +162,40 @@ object Nsw {
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         // ascending-id insertion: deterministic graph given the partition
-        val rows = it.toArray.sortBy(_._1)
-        if (rows.isEmpty) Iterator.empty
-        else {
-          val index = new Index(m, efConstruction)
-          rows.foreach { case (id, v) => index.insert(id, v) }
-          qb.value.iterator.flatMap { case (qid, qv) =>
-            index.search(qv, math.max(efSearch, k)).take(k)
-              .map { case (dist, idx) => (qid, index.idOf(idx), dist) }
-          }
-        }
+        searchPartition(it.toArray.sortBy(_._1), qb.value, k, m,
+          efConstruction, efSearch)
       }
       .toDF("query_id", idCol, "score")
-    // global scatter-gather merge: numPartitions×k rows per query
+    mergeTopK(perPart, idCol, k)
+  }
+
+  /** STRING-keyed batch form — the store-serving shape (`VectorStore`
+    * keys are strings, `src/vector_db.thrift:14`); insertion order is
+    * ascending key, otherwise identical to [[nswTopKBatch]].
+    */
+  def nswTopKBatchKeyed(df: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int, m: Int = 8,
+      efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+    require(k >= 1 && m >= 1 && efConstruction >= 1 && efSearch >= k,
+      s"nswTopKBatchKeyed: need k>=1, m>=1, efConstruction>=1, efSearch>=k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(queries.sortBy(_._1))
+    val perPart = df
+      .select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
+      .as[(String, Array[Double])]
+      .mapPartitions { it =>
+        searchPartition(it.toArray.sortBy(_._1), qb.value, k, m,
+          efConstruction, efSearch)
+      }
+      .toDF("query_id", idCol, "score")
+    mergeTopK(perPart, idCol, k)
+  }
+
+  /** Global scatter-gather merge: numPartitions×k candidate rows per
+    * query in, k out, (score, id) ascending within a query.
+    */
+  private def mergeTopK(perPart: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").asc, col(idCol).asc)

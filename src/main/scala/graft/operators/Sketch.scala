@@ -56,4 +56,36 @@ object Sketch {
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Linear-counting distinct estimation (Whang et al. 1990) — the
+    * bounded-memory COUNT(DISTINCT) answer: hash each value into one of
+    * `buckets` cells and count BUSY cells per group; the estimate is
+    * `-B·ln(1 − busy/B)`. The sketch state per group is at most `buckets`
+    * (bucket-id) rows regardless of cardinality, vs an exact distinct
+    * whose reduce side grows with the value universe. Output: (groupCol,
+    * busy LONG) — exact integers, engine-portable (salted-md5 bucket ids,
+    * like the count-min grid), so the SKETCH STATE itself is
+    * oracle-checkable; the ln() estimate is [[linearCountEstimate]],
+    * driver-side, because transcendental libm results are NOT bit-stable
+    * across engines (the same reason q81 uses integer shifts, not exp).
+    */
+  def linearCountBuckets(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets $buckets must be >= 2")
+    df.select(col(groupCol),
+        md5Bucket(col(valueCol), buckets, salt = "lc:").as("b"))
+      .distinct()
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("busy"))
+  }
+
+  /** The linear-counting formula over a collected (group, busy) row:
+    * distinct ≈ -B·ln(1 − busy/B); saturated sketches (busy = B) have no
+    * finite estimate — widen `buckets`.
+    */
+  def linearCountEstimate(busy: Long, buckets: Int): Double = {
+    require(busy >= 0 && busy <= buckets, s"busy $busy outside 0..$buckets")
+    require(busy < buckets, s"sketch saturated (busy = buckets = $buckets): widen it")
+    -buckets.toDouble * math.log1p(-busy.toDouble / buckets.toDouble)
+  }
 }

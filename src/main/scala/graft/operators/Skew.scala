@@ -25,4 +25,26 @@ object Skew {
       .agg(count(lit(1)).as("_cnt"), sum(col(valueCol)).as("_sum"))
       .groupBy(col(keyCol))
       .agg(sum(col("_cnt")).as("cnt"), sum(col("_sum")).as("sum"))
+
+  /** Skew-resilient INNER equi-join — the join-side analog of
+    * [[saltedCountSum]]: the big side salts each row into one of `salts`
+    * deterministic sub-keys; the other side replicates every row across
+    * all salts, so the join key becomes (key, salt) and a hot key's rows
+    * spread over `salts` reducers instead of stalling one. Semantics
+    * identical to `big.join(right, key)`; cost is a `salts`× replication
+    * of the right side — use when the right side is too large or
+    * spill-prone to broadcast but far smaller than the skewed left. AQE's
+    * skew-join split is the reactive fix; this is the explicit,
+    * plannable form (e.g. when a single key exceeds what one task can
+    * hold regardless of split).
+    */
+  def saltedJoin(big: DataFrame, right: DataFrame, key: String,
+      saltSource: Column, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts $salts must be >= 1")
+    val b = big.withColumn("_salt",
+      pmod(crc32(saltSource.cast("string")), lit(salts)))
+    val r = right.withColumn("_salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    b.join(r, Seq(key, "_salt")).drop("_salt")
+  }
 }

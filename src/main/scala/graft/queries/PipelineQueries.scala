@@ -1037,6 +1037,35 @@ object PipelineQueries {
     // the build/search/merge plumbing against the plain KNN oracle (the
     // q35 full-probe trick). Approximate-mode recall is measured in
     // NswSpec and ANN_QUALITY.md, like every ANN tier.
+    // Linear-counting distinct sketch (Whang et al. 1990): per-language
+    // BUSY-BUCKET counts next to the exact distinct — the bounded-memory
+    // COUNT(DISTINCT) whose state is <= buckets rows per group at ANY
+    // corpus size. Salted-md5 bucket ids make the sketch state itself
+    // exact integers on both engines (the ln() estimate stays driver-side:
+    // transcendental libm results are not bit-stable across engines —
+    // SketchSpec checks its accuracy instead).
+    QueryDef("q85_linear_count",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), explode(wsTokens(col("text"))).as("tok"))
+          .where(col("tok") =!= "")
+        val busy = graft.operators.Sketch.linearCountBuckets(
+          toks, "lang", "tok", buckets = 4096)
+        val truth = toks.distinct()
+          .groupBy("lang").agg(count(lit(1)).as("n_distinct"))
+        busy.join(truth, "lang")
+          .select(col("lang"), col("busy"), col("n_distinct"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT lang, unnest($duckToks) AS tok FROM documents),
+        |t2 AS (SELECT lang, tok FROM t WHERE tok <> ''),
+        |b AS (SELECT lang, COUNT(*) AS busy FROM (
+        |  SELECT DISTINCT lang, CAST('0x'||substr(md5('lc:'||tok),25,8) AS BIGINT) % 4096 AS bk
+        |  FROM t2) GROUP BY lang),
+        |n AS (SELECT lang, COUNT(*) AS n_distinct FROM (SELECT DISTINCT lang, tok FROM t2) GROUP BY lang)
+        |SELECT lang, busy, n_distinct FROM b JOIN n USING (lang)
+        |ORDER BY lang""".stripMargin)),
+
     QueryDef("q84_ann_nsw",
       (s, d) => graft.operators.Nsw.nswTopK(
         Tables.embeddings(s, d).repartition(8, col("vec_id")),

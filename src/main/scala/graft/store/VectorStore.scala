@@ -206,6 +206,28 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
   /** KNN over the live table with the full SearchRequest surface. */
   def search(req: Knn.SearchRequest): DataFrame = Knn.searchStore(compacted, req)
 
+  /** ANN search through a per-partition NSW graph — the reference's OWN
+    * index structure (hnswlib per datanode, `src/datanode/handler.py:46`)
+    * on the live table, honoring the full SearchRequest surface: filter
+    * pre-rank (only surviving rows are indexed, as the datanode indexes
+    * only its shard), threshold post-rank, exactly [[search]]'s
+    * semantics on the graph tier. `efSearch` trades reads for recall;
+    * a beam ≥ the largest partition degrades to exact (Nsw invariant).
+    */
+  def searchNsw(req: Knn.SearchRequest, m: Int = 8,
+      efConstruction: Int = 64, efSearch: Int = 64,
+      numPartitions: Int = 8): DataFrame = {
+    val corpus = Knn.metadataFilter(compacted, "metadata", req.filter)
+      .repartition(numPartitions, col("key"))
+    val scored = graft.operators.Nsw.nswTopKBatchKeyed(corpus, "key",
+        "vector", Seq((0L, req.queryVector)), req.topK, m, efConstruction,
+        efSearch)
+      .select(col("key"), col("score"))
+    req.threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
+      .orderBy(col("score").asc, col("key").asc)
+      .limit(req.topK)
+  }
+
   private val ivfDir     = s"$baseDir/ivf_centroids"
   private val ivfDataDir = s"$baseDir/ivf_data"
 

@@ -58,6 +58,57 @@ class BpeSpec extends SparkSpec {
     assert(top.columns.toSeq === Seq("a", "b", "pair_cnt"))
   }
 
+  test("incremental pair-delta trainer is bit-identical to a naive recount") {
+    // naive reference: full pair recount every round (the pre-optimization
+    // loop), run over the same collected vocab — outputs must coincide on
+    // random corpora, including early-stop rounds
+    def naive(vocab: Array[(Array[String], Long)], numMerges: Int,
+        minPairCount: Long): Seq[(String, String)] = {
+      val words = vocab.map(_._1.toBuffer)
+      val counts = vocab.map(_._2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var round = 0
+      while (round < numMerges) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        for (i <- words.indices; j <- 0 until words(i).length - 1) {
+          val p = (words(i)(j), words(i)(j + 1))
+          pc(p) = pc.getOrElse(p, 0L) + counts(i)
+        }
+        if (pc.isEmpty) return out.toSeq
+        val ((a, b), best) = pc.minBy { case ((x, y), c) => (-c, x, y) }
+        if (best < minPairCount) return out.toSeq
+        out += ((a, b))
+        for (w <- words) {
+          var j = 0
+          while (j < w.length - 1) {
+            if (w(j) == a && w(j + 1) == b) { w(j) = a + b; w.remove(j + 1) }
+            else j += 1
+          }
+        }
+        round += 1
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(11L)
+    for (trial <- 1 to 3) {
+      val alphabet = "abcde"
+      val docs = (1 to 40).map { i =>
+        val words = (1 to 6).map(_ =>
+          (1 to (2 + rnd.nextInt(6))).map(_ =>
+            alphabet(rnd.nextInt(alphabet.length))).mkString)
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val vocab = Bpe.wordCounts(docs, "text")
+        .orderBy(col("cnt").desc, col("word").asc).limit(65536)
+        .collect()
+        .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      val expect = naive(vocab, numMerges = 30, minPairCount = 2L)
+      val got = Bpe.train(docs, "text", numMerges = 30)
+        .map(m => (m.a, m.b))
+      assert(got === expect, s"trial $trial")
+    }
+  }
+
   test("segment applies merges lowest-rank-first") {
     val ranks = Bpe.train(corpus, "text", numMerges = 6)
       .zipWithIndex.map { case (m, i) => (m.a, m.b) -> i }.toMap

@@ -80,6 +80,34 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 1000L)
   }
 
+  test("writeShuffled is a reproducible md5-order permutation; salt changes it") {
+    val rows = (1L to 500L).toDF("k")
+    def readInOrder(dir: String): Seq[Long] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath).sorted
+      files.toSeq.flatMap(f =>
+        spark.read.parquet(f).collect().map(_.getLong(0)))
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("graft-shuf-").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-shuf-").toString
+    val d3 = java.nio.file.Files.createTempDirectory("graft-shuf-").toString
+    Layout.writeShuffled(rows, "k", d1, numFiles = 4, salt = "ep1")
+    Layout.writeShuffled(rows.repartition(7), "k", d2, numFiles = 4, salt = "ep1")
+    Layout.writeShuffled(rows, "k", d3, numFiles = 4, salt = "ep2")
+    val o1 = readInOrder(d1); val o2 = readInOrder(d2); val o3 = readInOrder(d3)
+    assert(o1 === o2)                       // partitioning-invariant permutation
+    assert(o1.sorted === (1L to 500L))      // lossless
+    assert(o1 !== (1L to 500L).toSeq)       // actually shuffled
+    assert(o3 !== o1)                       // a new epoch reorders
+    assert(o3.sorted === o1.sorted)
+    // and it matches the declared order: ascending md5(salt || key)
+    val expect = (1L to 500L).sortBy(k =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ep1$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(o1 === expect)
+  }
+
   test("bit-prefix buckets bound BOTH dimensions (the data-skipping property)") {
     // full 32×32 grid, 10-bit codes; the top-4-bit bucket is exactly an
     // 8×8 tile, so every bucket's min/max box is 7 wide in each dim —

@@ -44,4 +44,28 @@ class SketchSpec extends SparkSpec {
       .orderBy("r", "b").collect().toSeq
     assert(a === b)
   }
+
+  test("linear counting: busy state bounded, estimate within 10% at light load") {
+    // 600 distinct values into 4096 buckets (~15% load): the Whang et al.
+    // regime where the estimate is tight
+    val vals = (1 to 1800).map(i => ("g", s"v${i % 600}")).toDF("g", "v")
+    val busyRow = Sketch.linearCountBuckets(vals, "g", "v", buckets = 4096)
+      .collect()
+    assert(busyRow.length === 1)
+    val busy = busyRow.head.getLong(1)
+    assert(busy <= 600L) // collisions only shrink it
+    val est = Sketch.linearCountEstimate(busy, 4096)
+    assert(math.abs(est - 600.0) / 600.0 < 0.10, s"estimate $est")
+    // duplicates cannot change the sketch state
+    val once = (1 to 600).map(i => ("g", s"v$i")).toDF("g", "v")
+    val b1 = Sketch.linearCountBuckets(once, "g", "v", 4096)
+      .collect().head.getLong(1)
+    val b3 = Sketch.linearCountBuckets(once.union(once).union(once), "g", "v", 4096)
+      .collect().head.getLong(1)
+    assert(b1 === b3)
+    // saturation refuses a meaningless estimate
+    intercept[IllegalArgumentException] {
+      Sketch.linearCountEstimate(16, 16)
+    }
+  }
 }

@@ -23,6 +23,28 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin matches the plain inner join on a skewed key") {
+    import spark.implicits._
+    // one hot key (999 of 1010 rows) + a long tail
+    val big = ((1 to 999).map(i => ("hot", i.toLong)) ++
+      (1 to 11).map(i => (s"k$i", i.toLong))).toDF("key", "v")
+    val right = (Seq("hot") ++ (1 to 20).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i * 10L) }.toDF("key", "w")
+    val plain = big.join(right, "key")
+      .select("key", "v", "w").orderBy("key", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val salted = graft.operators.Skew.saltedJoin(big, right, "key",
+        saltSource = col("v"), salts = 8)
+      .select("key", "v", "w").orderBy("key", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(salted === plain)
+    // the hot key's rows really spread across sub-keys
+    val spread = big.where(col("key") === "hot")
+      .withColumn("_salt", pmod(crc32(col("v").cast("string")), lit(8)))
+      .select("_salt").distinct().count()
+    assert(spread === 8L)
+  }
+
   test("salting actually splits hot keys across sub-groups") {
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
     val groups = ev

@@ -137,6 +137,26 @@ class VectorStoreSpec extends SparkSpec {
     assert(got === Array("near"))
   }
 
+  test("searchNsw honors the full request; exhaustive beam equals exact") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(
+      rec("near", Array(0f, 1f), 10, tag = "keep"),
+      rec("mid", Array(0f, 3f), 10, tag = "keep"),
+      rec("far", Array(9f, 9f), 10, tag = "keep"),
+      rec("dropme", Array(0f, 0.5f), 10, tag = "drop")))
+    // beam >= table size -> exact; filter pre-rank, threshold post-rank
+    val req = Knn.SearchRequest(Array(0.0, 0.0), topK = 3,
+      filter = Map("tag" -> "keep"), threshold = Some(10.0))
+    val got = store.searchNsw(req, efSearch = 1 << 20)
+      .collect().map(_.getString(0))
+    assert(got === Array("near", "mid"))
+    // same rows and scores as the exact tier at the degenerate setting
+    val exact = store.search(req).collect().map(r => (r.getString(0), r.getDouble(1)))
+    val nsw = store.searchNsw(req, efSearch = 1 << 20)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(nsw.toSeq === exact.toSeq)
+  }
+
   test("tombstone GC: horizon drops old tombstones; retained ones still block late puts") {
     val dir = tmpDir()
     val store = new VectorStore(spark, dir, dim = 2)
