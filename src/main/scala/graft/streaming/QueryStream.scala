@@ -69,4 +69,36 @@ object QueryStream {
           sink(answers, epochId)
         }
       }
+
+  /** NSW graph serving: like [[serve]], but each micro-batch is answered
+    * by the per-partition NSW graph ([[graft.operators.Nsw]]) — the
+    * streaming face of the reference's always-on HNSW search. The arriving
+    * query batch is collected driver-side (a request batch is tiny by
+    * nature) and broadcast into ONE graph build per partition that then
+    * answers every query in the batch — bigger trigger batches amortize
+    * the build further, exactly the [[graft.operators.Nsw.nswTopKBatch]]
+    * economics. Output per batch: (query_id, corpusId, score), k rows per
+    * query.
+    */
+  def serveNsw(
+      queries: DataFrame,       // streaming: (queryId LONG, queryVec ARRAY<numeric>)
+      corpus: DataFrame,        // static: (corpusId, corpusVec)
+      corpusId: String, corpusVec: String,
+      k: Int, m: Int = 8, efConstruction: Int = 64, efSearch: Int = 64,
+      queryId: String = "qid", queryVec: String = "qvec",
+      trigger: Trigger = Trigger.ProcessingTime(0L))(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val qs = batch
+          .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        if (qs.nonEmpty) {
+          val answers = graft.operators.Nsw.nswTopKBatch(corpus, corpusId,
+            corpusVec, qs, k, m, efConstruction, efSearch)
+          sink(answers, epochId)
+        }
+      }
 }

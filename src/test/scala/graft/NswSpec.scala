@@ -83,6 +83,25 @@ class NswSpec extends SparkSpec {
     assert(got.length === 3 && got.head._1 === 0L && got.head._2 === 0.0)
   }
 
+  test("approximate-mode scores are TRUE distances, never graph artifacts") {
+    // whatever the beam returns, the reported score must equal the real
+    // squared L2 between the query row and the returned row — recompute
+    // each with the codegen distance and compare bit-for-bit
+    val got = Nsw.nswTopK(emb, "vec_id", "embedding", queryId = 0L, k = 5,
+      m = 8, efConstruction = 32, efSearch = 24)
+      .as[(Long, Double)].collect().toSeq
+    val emb0 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = graft.queries.CoreQueries.queryVec(spark, sf0001)
+    val byId = emb0
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.l2Sq(col("embedding"), typedLit(q)).as("d"))
+      .where(col("vec_id").isin(got.map(_._1): _*))
+      .as[(Long, Double)].collect().toMap
+    got.foreach { case (id, score) =>
+      assert(byId(id) === score, s"id $id: reported $score != true ${byId(id)}")
+    }
+  }
+
   test("exactness invariant agrees with the IVF full-probe invariant") {
     // two independent 'degenerate exact' paths must coincide
     val emb0 = spark.read.parquet(s"$sf0001/embeddings.parquet")

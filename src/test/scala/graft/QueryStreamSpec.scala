@@ -44,6 +44,41 @@ class QueryStreamSpec extends SparkSpec {
     assert(collected.size === 9) // 3 queries x k=3
   }
 
+  test("NSW serving: streamed queries at exhaustive beam match exact KNN") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .repartition(4, col("vec_id"))
+    val tmp  = Files.createTempDirectory("graft-nswstream-").toString
+    val qdir = s"$tmp/queries"
+    emb.where(col("vec_id").isin(0L, 19L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .write.parquet(qdir)
+    val qstream = spark.readStream
+      .schema(spark.read.parquet(qdir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(qdir)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val writer = QueryStream.serveNsw(qstream, emb, "vec_id", "embedding",
+      k = 3, efSearch = 1 << 20,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()) {
+      (answers, _) =>
+        collected ++= answers.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    val q = writer.option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+
+    // exhaustive beam ≡ exact: compare to the batch grouped-KNN join
+    val batch = graft.operators.TopK.knnJoin(emb,
+        emb.where(col("vec_id").isin(0L, 19L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "vec_id", "embedding", "qid", "qvec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(collected.sortBy(t => (t._1, t._3, t._2)) ===
+      batch.sortBy(t => (t._1, t._3, t._2)).toSeq)
+    assert(collected.size === 6) // 2 queries x k=3
+  }
+
   test("PQ serving: streamed queries match the batch ADC join over the encoded corpus") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val cb = graft.operators.Pq.deterministicCodebooks(emb, "vec_id", "embedding",
