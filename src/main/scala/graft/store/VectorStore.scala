@@ -251,14 +251,38 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     } finally base.unpersist()
   }
 
+  /** Incrementally index a NEW batch into the persisted IVF layout — the
+    * reference's live insert path (`datanode/handler.py:300-315`: put →
+    * `hnsw.add_items` + row store) without any rebuild: assignment uses
+    * the PERSISTED centroids (cell geometry is stable between rebuilds,
+    * exactly as HNSW keeps its graph across inserts), and the write
+    * appends only into the cells the batch lands in — the corpus is
+    * never rescanned. Records must carry (key, vector, metadata, ts).
+    * Overwritten keys leave their older indexed rows in place until the
+    * next [[buildIvfIndex]]; [[searchIvf]] serves the newest indexed
+    * version and drops since-deleted keys (the reference's soft-delete
+    * discipline — `deleted_ids`, `datanode/handler.py:123-133`).
+    */
+  def appendToIvfIndex(records: DataFrame): Unit = {
+    val centroids = SimilaritySearch.loadCentroids(spark, ivfDir)
+    SimilaritySearch.assignCells(
+        records.select(col("key"), col("vector"), col("metadata"), col("ts")),
+        "key", "vector", centroids)
+      .write.partitionBy("cid").mode("append").parquet(ivfDataDir)
+  }
+
   /** ANN search through the persisted IVF index, honoring the full
     * SearchRequest surface: metadata filter pre-rank, threshold
     * post-score, `nprobe` as the recall/reads dial. Probed cell ids are
     * resolved driver-side (K tiny centroid rows) so the `cid` predicate
     * hits the partitioned layout as PartitionFilters — only the probed
     * cells' files are ever opened (plan-asserted in VectorStoreSpec).
-    * Reflects the table as of the last [[buildIvfIndex]] (an index serves
-    * its build snapshot — rebuild on compact, the reference's lifecycle).
+    * Serves the last [[buildIvfIndex]] snapshot plus everything
+    * [[appendToIvfIndex]]ed since, under the soft-delete discipline:
+    * within the probed cells the NEWEST indexed version of a key wins
+    * (LWW over the index rows), and keys no longer live in the store are
+    * dropped (the `deleted_ids` filter) — both costs scoped to the
+    * probed cells, never the whole index.
     */
   def searchIvf(req: Knn.SearchRequest, nprobe: Int = 1): DataFrame = {
     val centroids = SimilaritySearch.loadCentroids(spark, ivfDir)
@@ -266,7 +290,14 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
       .collect().map(_.getLong(0))
     val cells = spark.read.parquet(ivfDataDir)
       .where(col("cid").isin(probes: _*))
-    val corpus = Knn.metadataFilter(cells, "metadata", req.filter)
+    // LWW across build snapshot + appends (ties break to the higher cell
+    // id — deterministic; equal-ts re-puts of one key are a caller error)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, col("cid").desc)
+    val newest = cells.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val live = newest.join(compacted.select("key"), Seq("key"), "left_semi")
+    val corpus = Knn.metadataFilter(live, "metadata", req.filter)
     val scored = corpus.select(col("key"),
       VectorFunctions.l2Sq(col("vector"), typedLit(req.queryVector)).as("score"))
     req.threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)

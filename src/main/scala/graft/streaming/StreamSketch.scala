@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.functions.TextFunctions.md5Bucket
+
+/** Streaming distinct-cardinality tracking with BOUNDED state — the live
+  * face of [[graft.operators.Sketch.linearCountBuckets]]: an unbounded
+  * stream of (group, value) updates a per-group BUSY-BUCKET BITMAP of
+  * exactly ⌈buckets/64⌉ longs (512 bytes at 4096 buckets), emitting the
+  * current busy count per group on every trigger. A streaming exact
+  * COUNT(DISTINCT) would hold one state row PER DISTINCT VALUE — state
+  * grows with the vocabulary and eventually evicts or OOMs; the bitmap
+  * is O(buckets) forever, the property that makes cardinality tracking
+  * deployable on an infinite stream.
+  *
+  * Bucket ids are the same salted-md5 as the batch sketch, computed
+  * IN-PLAN (codegen) before the stateful operator — the state update is
+  * a pure bit-OR, so the streamed bitmap equals the batch bitmap over
+  * the same rows regardless of arrival order or batching (parity-pinned
+  * in StreamSketchSpec). Estimate via
+  * [[graft.operators.Sketch.linearCountEstimate]] on the emitted counts.
+  */
+object StreamSketch {
+
+  /** (groupCol STRING, busy LONG) per trigger, Update output mode. */
+  def linearCount(values: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets $buckets must be >= 2")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val words = (buckets + 63) / 64
+    val keyed: Dataset[(String, Long)] = values
+      .select(col(groupCol).cast("string"),
+        md5Bucket(col(valueCol), buckets, salt = "lc:"))
+      .as[(String, Long)]
+    keyed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (g, it, state) =>
+          val bm = state.getOption.getOrElse(new Array[Long](words))
+          it.foreach { case (_, b) =>
+            bm((b >> 6).toInt) |= 1L << (b & 63L)
+          }
+          state.update(bm)
+          (g, bm.map(w => java.lang.Long.bitCount(w).toLong).sum)
+      }
+      .toDF(groupCol, "busy")
+  }
+
+  /** The only output mode `mapGroupsWithState` supports. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Sketch
+import graft.streaming.StreamSketch
+
+class StreamSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two arrival waves; values overlap across waves so the bitmap state
+  // must genuinely carry between micro-batches
+  private def writeWaves(): String = {
+    val dir = Files.createTempDirectory("graft-ssketch-").toString
+    def put(name: String, rows: Seq[(String, String)], mtime: Long): Unit = {
+      val json = rows.map { case (g, v) => s"""{"g":"$g","v":"$v"}""" }
+        .mkString("", "\n", "\n")
+      val p = Paths.get(s"$dir/$name")
+      Files.write(p, json.getBytes)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    put("wave1.json",
+      (1 to 300).map(i => ("en", s"tok${i % 120}")) ++
+        (1 to 50).map(i => ("de", s"wort$i")), mtime = t0)
+    put("wave2.json",
+      (1 to 300).map(i => ("en", s"tok${60 + (i % 120)}")) ++ // half overlap
+        (1 to 30).map(i => ("de", s"wort${40 + i}")), mtime = t0 + 30000)
+    dir
+  }
+
+  test("streamed busy counts converge to the batch sketch over all waves") {
+    val dir = writeWaves()
+    val stream = spark.readStream
+      .schema("g STRING, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(dir)
+    val out = StreamSketch.linearCount(stream, "g", "v", buckets = 4096)
+    val q = out.writeStream.format("memory").queryName("ss_lc")
+      .outputMode(StreamSketch.outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ssketch-ckpt-").toString)
+      .start()
+    q.awaitTermination(60000)
+    // memory sink in Update mode keeps the LAST emit per key
+    val streamed = spark.table("ss_lc")
+      .groupBy("g").agg(max("busy").as("busy"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Sketch.linearCountBuckets(
+        spark.read.schema("g STRING, v STRING").json(dir), "g", "v", 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    // and the estimate derived from the streamed state is close to truth
+    val trueEn = spark.read.schema("g STRING, v STRING").json(dir)
+      .where(col("g") === "en").select("v").distinct().count()
+    val est = Sketch.linearCountEstimate(streamed("en"), 4096)
+    assert(math.abs(est - trueEn) / trueEn < 0.10, s"est $est vs $trueEn")
+  }
+}

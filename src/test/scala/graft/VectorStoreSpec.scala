@@ -137,6 +137,38 @@ class VectorStoreSpec extends SparkSpec {
     assert(got === Array("near"))
   }
 
+  test("appendToIvfIndex: inserts served without rebuild; LWW + soft-delete") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(
+      rec("near", Array(0f, 1f), 10),
+      rec("mid", Array(0f, 3f), 10),
+      rec("far", Array(9f, 9f), 10),
+      rec("stale", Array(0f, 2f), 10),
+      rec("gone", Array(0f, 4f), 10)))
+    store.buildIvfIndex(k = 2)
+    // live inserts after the build: a NEW key + an UPDATE that moves an
+    // existing key right next to the query
+    store.put(batch(
+      rec("fresh", Array(0f, 0.5f), 20),
+      rec("stale", Array(0f, 0.25f), 20)))
+    store.appendToIvfIndex(batch(
+      rec("fresh", Array(0f, 0.5f), 20),
+      rec("stale", Array(0f, 0.25f), 20)).select(
+        col("key"), col("vector").cast("array<double>").as("vector"),
+        col("metadata"), col("ts")))
+    // and a delete the index has not seen (soft-delete discipline)
+    store.delete(Seq("gone"), ts = 30)
+    val got = store.searchIvf(
+        Knn.SearchRequest(Array(0.0, 0.0), topK = 4), nprobe = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // fresh served; stale served at its NEW position (0.0625, not the
+    // old 4.0); gone absent despite its index row
+    assert(got.map(_._1).toSeq === Seq("stale", "fresh", "near", "mid"),
+      got.mkString(","))
+    assert(math.abs(got.head._2 - 0.0625) < 1e-12)
+    assert(!got.map(_._1).contains("gone"))
+  }
+
   test("searchNsw honors the full request; exhaustive beam equals exact") {
     val store = new VectorStore(spark, tmpDir(), dim = 2)
     store.put(batch(
