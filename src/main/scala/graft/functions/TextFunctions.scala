@@ -164,6 +164,29 @@ object TextFunctions {
     * 2^32 or any n (mod of the low-32 value is deterministic parity with
     * any engine computing the same low-32 md5 integer).
     */
+  /** Fixed-size character windows with overlap — the RAG / long-document
+    * chunking stage: window i covers characters [i·stride, i·stride+size),
+    * so consecutive windows overlap by (size − stride) characters and
+    * every character lands in at least one window. Output:
+    * ARRAY<STRUCT<idx BIGINT, chunk STRING>> in window order; empty text
+    * yields one empty window (mirror `greatest(1, …)` in SQL — Spark's
+    * floor(−1/stride) and an engine's truncating division would otherwise
+    * disagree on the zero-length row). Pure substring arithmetic — no
+    * regex, no UDF — so any engine computing the same windows matches
+    * byte-for-byte (codepoint `substr` semantics on both sides).
+    */
+  def charWindows(text: Column, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"charWindows: need 1 <= stride <= size, got size=$size stride=$stride")
+    val len = length(text).cast("long")
+    val n = greatest(lit(1L),
+      floor((len.cast("double") - 1.0) / lit(stride.toDouble)).cast("long") + 1L)
+    transform(sequence(lit(0L), n - 1L), i =>
+      struct(i.as("idx"),
+        text.substr((i * lit(stride.toLong) + 1L).cast("int"), lit(size))
+          .as("chunk")))
+  }
+
   def md5Bucket(key: Column, n: Int, salt: String = ""): Column =
     pmod(conv(substring(md5(concat(lit(salt), key)), 25, 8), 16, 10)
       .cast("long"), lit(n.toLong))

@@ -64,6 +64,8 @@ object Nsw {
     def search(q: Array[Double], ef: Int): mutable.ArrayBuffer[(Double, Int)] = {
       val out = mutable.ArrayBuffer.empty[(Double, Int)]
       if (vecs.isEmpty) return out
+      require(q.length == vecs(0).length,
+        s"NSW: query dimension ${q.length} != corpus ${vecs(0).length}")
       if (ef >= vecs.length) {
         // the exactness invariant, BY CONSTRUCTION: a full-width beam is
         // an exhaustive scan (adjacency pruning may orphan directed
@@ -107,6 +109,10 @@ object Nsw {
       */
     def insert(v: Array[Double]): Unit = {
       val idx = vecs.length
+      // fail fast with a real message — a ragged corpus would otherwise
+      // surface as an ArrayIndexOutOfBounds deep in the distance loop
+      require(idx == 0 || v.length == vecs(0).length,
+        s"NSW: dimension mismatch at insert $idx: ${v.length} != ${vecs(0).length}")
       vecs += v; nbrs += mutable.ArrayBuffer.empty[Int]
       if (idx == 0) return
       val found = search(v, math.max(m, efConstruction))

@@ -1066,6 +1066,29 @@ object PipelineQueries {
         |SELECT lang, busy, n_distinct FROM b JOIN n USING (lang)
         |ORDER BY lang""".stripMargin)),
 
+    // RAG / long-document chunking: fixed 200-char windows, 150-char
+    // stride (50 overlap) — the retrieval-corpus preparation stage. Pure
+    // substring arithmetic (TextFunctions.charWindows), one narrow
+    // explode, no shuffle before the output sort; at 100 TB this is a
+    // map-only pass whose output is ~len/stride rows per doc.
+    QueryDef("q86_rag_chunks",
+      (s, d) => Tables.documents(s, d)
+        .where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.charWindows(
+            col("text"), size = 200, stride = 150)).as("w"))
+        .select(col("doc_id"), col("w.idx").as("idx"),
+          col("w.chunk").as("chunk"))
+        .orderBy(col("doc_id"), col("idx")),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |c AS (SELECT doc_id, i AS idx,
+        |        substr(text, CAST(i*150 + 1 AS INT), 200) AS chunk
+        |      FROM (SELECT doc_id, text,
+        |              unnest(range(0, greatest(1, (length(text)-1)//150 + 1))) AS i
+        |            FROM d))
+        |SELECT doc_id, CAST(idx AS BIGINT) AS idx, chunk
+        |FROM c ORDER BY doc_id, idx""".stripMargin)),
+
     QueryDef("q84_ann_nsw",
       (s, d) => graft.operators.Nsw.nswTopK(
         Tables.embeddings(s, d).repartition(8, col("vec_id")),

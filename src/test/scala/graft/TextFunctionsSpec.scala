@@ -62,4 +62,29 @@ class TextFunctionsSpec extends SparkSpec {
       .head().getInt(0)
     assert(got === 4)
   }
+
+  test("charWindows: coverage, overlap, tail, and degenerate cases") {
+    def windows(s: String, size: Int, stride: Int): Seq[(Long, String)] =
+      Seq(s).toDF("text")
+        .select(explode(charWindows($"text", size, stride)).as("w"))
+        .select($"w.idx", $"w.chunk")
+        .as[(Long, String)].collect().toSeq
+
+    // 10 chars, size 4, stride 3: starts 0,3,6,9 — overlap 1, short tail
+    assert(windows("abcdefghij", 4, 3) ===
+      Seq((0L, "abcd"), (1L, "defg"), (2L, "ghij"), (3L, "j")))
+    // every character covered; consecutive windows overlap by size-stride
+    val w = windows("abcdefghij", 5, 3)
+    assert(w.map(_._2).mkString.toSet === "abcdefghij".toSet)
+    assert(w.sliding(2).forall { case Seq((_, a), (_, b)) =>
+      a.takeRight(2) == b.take(2) || b.length < 2 })
+    // exact fit: no spurious tail window
+    assert(windows("abcdef", 3, 3) === Seq((0L, "abc"), (1L, "def")))
+    // shorter than one window: single chunk
+    assert(windows("ab", 200, 150) === Seq((0L, "ab")))
+    // empty text: one empty window (the SQL greatest(1, ...) mirror)
+    assert(windows("", 4, 3) === Seq((0L, "")))
+    // non-overlapping mode (stride == size) partitions the text
+    assert(windows("abcdefgh", 2, 2).map(_._2).mkString === "abcdefgh")
+  }
 }
