@@ -1089,6 +1089,43 @@ object PipelineQueries {
         |SELECT doc_id, CAST(idx AS BIGINT) AS idx, chunk
         |FROM c ORDER BY doc_id, idx""".stripMargin)),
 
+    // END-TO-END embedding dedup — the full curation DELETE in one plan:
+    // bucketed cosine pairs (q37's IVF-cell equi-join, never n²) above a
+    // near-dup threshold (0.4 — calibrated to this fixture's
+    // near-orthogonal embeddings, where in-cell cosine tops out ~0.49;
+    // a real corpus would sit at ~0.9) → connected components →
+    // keepClusterSurvivors anti-join; output = the rows a curation run
+    // would REMOVE (everything in a cluster except its min-id survivor).
+    // Oracle = the same pair SQL + a recursive CTE closure, like q64.
+    QueryDef("q87_corpus_dedup_e2e",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = Dedup.cosinePairsInCells(emb, "vec_id", "embedding",
+            emb.where(col("vec_id") < 8)
+              .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+          .where(col("cos_sim") >= 0.4)
+        val survivors = Graph.keepClusterSurvivors(emb, "vec_id",
+          pairs, "a", "b")
+        emb.join(survivors.select("vec_id"), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, embedding, cid,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM (SELECT e.vec_id, e.embedding, c.cid, ${duckL2Zip.format("e.embedding", "c.ce")} AS d FROM embeddings e, c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) = 1),
+        |p AS (SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  WHERE ${duckDotZip.format("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4),
+        |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT id AS vec_id FROM cc WHERE id <> component ORDER BY vec_id""".stripMargin)),
+
     QueryDef("q84_ann_nsw",
       (s, d) => graft.operators.Nsw.nswTopK(
         Tables.embeddings(s, d).repartition(8, col("vec_id")),
