@@ -77,22 +77,41 @@ object SimilaritySearch {
       centroids: DataFrame): DataFrame = {
     // K rows → 1 row holding the (cid asc)-sorted centroid array; struct
     // sort orders by the first field, so array order IS cid order and the
-    // strict `<` in the fold keeps the LOWEST cid on distance ties —
+    // strict `<` in the argmin keeps the LOWEST cid on distance ties —
     // bit-identical to the old (distance asc, cid asc) window rank.
-    val centArr = centroids.agg(
-      array_sort(collect_list(struct(col("cid"), col("ce")))).as("__cents"))
-    df.crossJoin(broadcast(centArr))
+    // The argmin itself is the codegen NearestCell expression (the HOF
+    // fold it replaces is CodegenFallback and broke the scan's
+    // WholeStageCodegen span); [[nearestCellFold]] is its declarative
+    // twin, bit-parity-pinned in SimilaritySearchSpec.
+    df.crossJoin(broadcast(centArray(centroids)))
       .withColumn("cid",
-        aggregate(col("__cents"),
-          struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
-          (acc, c) => {
-            val d = l2Sq(col(vecCol), c("ce"))
-            when(d < acc("d"), struct(d.as("d"), c("cid").as("cid")))
-              .otherwise(acc)
-          },
-          acc => acc("cid")))
+        graft.functions.expressions.NearestCell(col(vecCol), col("__cents")))
       .drop("__cents")
   }
+
+  /** The one-row (cid asc)-sorted centroid-array frame both argmin forms
+    * consume; `ce` normalized to array<double> (distance arithmetic is
+    * Double either way — same widening the codegen loop applies).
+    */
+  def centArray(centroids: DataFrame): DataFrame =
+    centroids.agg(array_sort(collect_list(
+      struct(col("cid"), col("ce").cast("array<double>").as("ce"))))
+      .as("__cents"))
+
+  /** Declarative twin of [[graft.functions.expressions.NearestCell]] —
+    * the executable spec the codegen argmin is cross-checked against:
+    * Double left-fold distances in array (= cid) order, strict `<`,
+    * null when no centroid matches the vector's dimension.
+    */
+  def nearestCellFold(vec: Column, cents: Column): Column =
+    aggregate(cents,
+      struct(lit(Double.MaxValue).as("d"), lit(null).cast("long").as("cid")),
+      (acc, c) => {
+        val d = l2Sq(vec, c("ce"))
+        when(d < acc("d"), struct(d.as("d"), c("cid").as("cid")))
+          .otherwise(acc)
+      },
+      acc => acc("cid"))
 
   /** [[assignCells]] projected to the query-side shape (idCol, emb, cid). */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
@@ -183,17 +202,25 @@ object SimilaritySearch {
       planePred: Column): DataFrame = {
     val planes = df.where(planePred)
       .agg(array_sort(collect_list(
-        struct(col(idCol).cast("long").as("pid"), col(vecCol).as("pe"))))
+        struct(col(idCol).cast("long").as("pid"),
+          col(vecCol).cast("array<double>").as("pe"))))
         .as("__planes"))
     df.select(col(idCol), col(vecCol).as("emb"))
       .crossJoin(broadcast(planes))
       .withColumn("bucket",
-        aggregate(col("__planes"), lit(0L),
-          (acc, p) => acc + when(dot(col("emb"), p("pe")) > 0,
-            call_function("shiftleft", lit(1L), (p("pid") - 1).cast("int")))
-            .otherwise(lit(0L))))
+        graft.functions.expressions.RpBucket(col("emb"), col("__planes")))
       .drop("__planes")
   }
+
+  /** Declarative twin of [[graft.functions.expressions.RpBucket]] — the
+    * fold spec the codegen bucket loop is cross-checked against (distinct
+    * plane bits make the fold's `+` equal the loop's bit-OR).
+    */
+  def rpBucketFold(vec: Column, planes: Column): Column =
+    aggregate(planes, lit(0L),
+      (acc, p) => acc + when(dot(vec, p("pe")) > 0,
+        call_function("shiftleft", lit(1L), (p("pid") - 1).cast("int")))
+        .otherwise(lit(0L)))
 
   /** RP-LSH search: candidates share the query's bucket; exact squared-L2
     * re-rank of the candidates, top-k. `filter`/`threshold` as in

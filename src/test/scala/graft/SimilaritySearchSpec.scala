@@ -159,6 +159,67 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("codegen NearestCell == declarative fold, bit for bit (float + double)") {
+    import graft.functions.expressions.NearestCell
+    // float corpus vectors (the parquet reality) against the normalized
+    // double centroid array — every row must agree between the generated
+    // loop and the fold spec
+    val cents = SimilaritySearch.centArray(
+      emb.where($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("ce")))
+    val both = emb.crossJoin(broadcast(cents))
+      .select($"vec_id",
+        NearestCell($"embedding", $"__cents").as("gen"),
+        SimilaritySearch.nearestCellFold($"embedding", $"__cents").as("fold"))
+    assert(both.where($"gen" =!= $"fold" ||
+      $"gen".isNull =!= $"fold".isNull).count() === 0L)
+    // double path agrees too
+    val bothD = emb.crossJoin(broadcast(cents))
+      .select(
+        NearestCell($"embedding".cast("array<double>"), $"__cents").as("gen"),
+        SimilaritySearch.nearestCellFold(
+          $"embedding".cast("array<double>"), $"__cents").as("fold"))
+    assert(bothD.where($"gen" =!= $"fold").count() === 0L)
+    // dimension-mismatched centroids are skipped; all-mismatch -> null
+    val badCents = SimilaritySearch.centArray(
+      Seq((0L, Array(1.0, 2.0, 3.0))).toDF("cid", "ce"))
+    val r = emb.limit(1).crossJoin(broadcast(badCents))
+      .select(NearestCell($"embedding", $"__cents")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("assignCells stays inside whole-stage codegen (no fallback argmin)") {
+    val cents = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val plan = SimilaritySearch.assignCells(
+        emb.select($"vec_id", $"embedding".as("emb")), "vec_id", "emb", cents)
+      .queryExecution.executedPlan.toString
+    // the argmin projects inside a codegen stage — the HOF fold it
+    // replaced printed as a non-codegen Project over `aggregate(...)`
+    assert(plan.contains("nearest_cell"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
+  test("codegen RpBucket == declarative fold on every row") {
+    import graft.functions.expressions.RpBucket
+    val planes = emb.where($"vec_id".between(1, 6))
+      .agg(array_sort(collect_list(struct($"vec_id".cast("long").as("pid"),
+        $"embedding".cast("array<double>").as("pe")))).as("__planes"))
+    val both = emb.crossJoin(broadcast(planes))
+      .select($"vec_id",
+        RpBucket($"embedding", $"__planes").as("gen"),
+        SimilaritySearch.rpBucketFold($"embedding", $"__planes").as("fold"))
+    assert(both.where($"gen" =!= $"fold").count() === 0L)
+    // empty plane array -> bucket 0 (every row in one bucket, degenerate)
+    val none = emb.where($"vec_id" < 0)
+      .agg(array_sort(collect_list(struct($"vec_id".cast("long").as("pid"),
+        $"embedding".cast("array<double>").as("pe")))).as("__planes"))
+    val b0 = emb.limit(3).crossJoin(broadcast(none))
+      .select(RpBucket($"embedding", $"__planes"))
+      .collect().map(_.getLong(0))
+    assert(b0.forall(_ === 0L))
+  }
+
   test("ANN quality: report recall@5 of RP-LSH vs exact (not hash-matched)") {
     val exact = graft.operators.Knn.search(emb, "vec_id", "embedding", q, 5)
       .collect().map(_.getLong(0)).toSet
