@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.expressions.{MinHashSig, RollingHash, SimHash64, VectorDistance}
+import graft.functions.expressions.{MinHashSig, NearestCell, RollingHash, RpBucket, SimHash64, VectorDistance}
 
 /** Session extension registering the engine's codegen expressions as SQL
   * functions — `spark.sql.extensions=graft.GraftExtensions` (or
@@ -13,7 +13,7 @@ import graft.functions.expressions.{MinHashSig, RollingHash, SimHash64, VectorDi
   * `SELECT vec_l2sq(a, b)` etc. available to pure-SQL users.
   *
   * Functions: vec_l2sq, vec_dot, minhash_sig(hashes, h), simhash64,
-  * rolling_hash.
+  * rolling_hash, nearest_cell, rp_bucket, scrub_text, zorder2, sax_word.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSig(exprs(0), h)
       }))
+    e.injectFunction((FunctionIdentifier("nearest_cell"),
+      info("nearest_cell", "nearest_cell(vec, cents) - cid of the squared-L2-nearest centroid; cents is array<struct<cid bigint, ce array<double>>>"),
+      (exprs: Seq[Expression]) => NearestCell(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("rp_bucket"),
+      info("rp_bucket", "rp_bucket(vec, planes) - sign-bit LSH bucket; planes is array<struct<pid bigint, pe array<double>>>"),
+      (exprs: Seq[Expression]) => RpBucket(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(hashes) - 60-bit SimHash over array<bigint>"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))

@@ -50,6 +50,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("nearest_cell / rp_bucket resolve in pure SQL and match the Column forms") {
+    // two centroids: cid 1 at origin-ish, cid 2 far — the vector picks 1
+    val cid = spark.sql(
+      """SELECT nearest_cell(array(1.0d, 0.0d),
+        |  array(named_struct('cid', 1L, 'ce', array(0.0d, 0.0d)),
+        |        named_struct('cid', 2L, 'ce', array(9.0d, 9.0d))))""".stripMargin)
+      .head().getLong(0)
+    assert(cid === 1L)
+    // plane 1 positive dot, plane 2 negative -> bucket = bit 0 only
+    val bucket = spark.sql(
+      """SELECT rp_bucket(array(1.0d, 1.0d),
+        |  array(named_struct('pid', 1L, 'pe', array(1.0d, 0.0d)),
+        |        named_struct('pid', 2L, 'pe', array(-1.0d, 0.0d))))""".stripMargin)
+      .head().getLong(0)
+    assert(bucket === 1L)
+  }
+
   test("scrub_text / sax_word resolve in pure SQL and match the operator forms") {
     val red = spark.sql(
       "SELECT scrub_text('mail a@b.co or +1 555-123 4567 at https://x.y now')")
