@@ -97,6 +97,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("charWindows reconstructs any random text at any stride (seeded sweep)") {
+    // windows must cover every character in order: concatenating each
+    // window's NON-OVERLAPPED prefix (first `stride` chars) plus the last
+    // window's tail rebuilds the input exactly
+    val alphabet = "abcdefgh \n"
+    for (_ <- 1 to 12) {
+      val len = rnd.nextInt(60)
+      val s = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val size = 1 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(size)
+      val ws = Seq(s).toDF("text")
+        .select(explode(graft.functions.TextFunctions.charWindows(
+          $"text", size, stride)).as("w"))
+        .select($"w.idx", $"w.chunk")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val rebuilt = ws.dropRight(1).map(_._2.take(stride)).mkString + ws.last._2
+      assert(rebuilt === s, s"len=$len size=$size stride=$stride")
+      // indices are dense from 0
+      assert(ws.map(_._1).toSeq === ws.indices.map(_.toLong))
+    }
+  }
+
+  test("saltedJoin equals the plain join on seeded random relations") {
+    for (trial <- 1 to 3) {
+      val big = (1 to 400).map(_ => (s"k${rnd.nextInt(12)}", rnd.nextInt(1000).toLong))
+        .toDF("key", "v")
+      val right = (0 until 15).map(i => (s"k$i", rnd.nextInt(100).toLong))
+        .toDF("key", "w")
+      val plain = big.join(right, "key").select("key", "v", "w")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+      val salted = graft.operators.Skew.saltedJoin(big, right, "key",
+          saltSource = col("v"), salts = 1 + rnd.nextInt(7))
+        .select("key", "v", "w")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+      assert(salted === plain, s"trial $trial")
+    }
+  }
+
   test("minhash similarity tracks jaccard on generated near-dups") {
     // pairs with controlled overlap: more shared words -> more equal minhashes
     val base = (0 until 40).map(i => s"w$i").mkString(" ")
