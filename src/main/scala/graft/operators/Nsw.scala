@@ -51,6 +51,20 @@ object Nsw {
 
     def size: Int = vecs.length
 
+    /** The adjacency list of node `i` — the persistable graph state. */
+    def neighborsOf(i: Int): Array[Int] = nbrs(i).toArray
+
+    /** Load a prebuilt graph (vectors + adjacency in insertion order)
+      * WITHOUT re-running construction — the serve-from-artifact path.
+      */
+    def loadGraph(vs: Array[Array[Double]], adj: Array[Array[Int]]): Unit = {
+      require(vecs.isEmpty, "loadGraph on a non-empty index")
+      require(vs.length == adj.length,
+        s"loadGraph: ${vs.length} vectors vs ${adj.length} adjacency rows")
+      vs.foreach(vecs += _)
+      adj.foreach(a => nbrs += mutable.ArrayBuffer.from(a))
+    }
+
     private def d2(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
@@ -208,6 +222,79 @@ object Nsw {
     perPart.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** Build and PERSIST the per-partition NSW graphs — the write-side
+    * index build of the reference's lifecycle (`_rebuild_hnsw_index` at
+    * checkpoint time, `datanode/handler.py:91-120`): construction cost is
+    * paid here ONCE; [[searchIndex]] then only reads. Layout: one row per
+    * indexed vector — (pid, idx, id, vec, nbrs) — where `pid` is the
+    * build partition (the "datanode"), `idx` the insertion index inside
+    * it, and `nbrs` the adjacency by idx. Rows are hash-partitioned by
+    * `idCol` before the build, so the artifact is reproducible from the
+    * data alone.
+    */
+  def buildIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
+      m: Int = 8, efConstruction: Int = 64, numPartitions: Int = 8): Unit = {
+    require(m >= 1 && efConstruction >= 1 && numPartitions >= 1,
+      "buildIndex: need m>=1, efConstruction>=1, numPartitions>=1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .repartition(numPartitions, col(idCol))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val index = new Index(m, efConstruction)
+          rows.foreach { case (_, v) => index.insert(v) }
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          rows.iterator.zipWithIndex.map { case ((id, v), i) =>
+            (pid, i, id, v, index.neighborsOf(i))
+          }
+        }
+      }
+      .toDF("pid", "idx", idCol, "vec", "nbrs")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Serve a query batch from a PREBUILT index ([[buildIndex]]): each
+    * task reloads its partitions' graphs (vectors + adjacency — no
+    * reconstruction, no distance computations beyond the searches) and
+    * beam-searches every query; the per-partition candidates merge
+    * globally, as in [[nswTopKBatch]]. Same determinism and exactness
+    * invariant (efSearch >= partition size ⇒ exact). This is the
+    * steady-state serving economics: per batch, one index scan + Q beam
+    * searches — construction is entirely write-side.
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queries: Seq[(Long, Array[Double])], k: Int,
+      efSearch: Int = 64): DataFrame = {
+    require(k >= 1 && efSearch >= k, "searchIndex: need k>=1, efSearch>=k")
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(queries.sortBy(_._1))
+    val perPart = spark.read.parquet(path)
+      .select(col("pid").cast("int"), col("idx").cast("int"),
+        col(idCol).cast("long"), col("vec"), col("nbrs"))
+      .as[(Int, Int, Long, Array[Double], Array[Int])]
+      .repartition(col("pid"))
+      .mapPartitions { it =>
+        // a task may receive several pids — serve each graph separately
+        it.toArray.groupBy(_._1).iterator.flatMap { case (_, part) =>
+          val rows = part.sortBy(_._2)
+          require(rows.zipWithIndex.forall { case (r, i) => r._2 == i },
+            "searchIndex: corrupt artifact — idx not dense from 0")
+          val index = new Index(1, 1) // params unused on the load path
+          index.loadGraph(rows.map(_._4), rows.map(_._5))
+          qb.value.iterator.flatMap { case (qid, qv) =>
+            index.search(qv, math.max(efSearch, k)).take(k)
+              .map { case (dist, i) => (qid, rows(i)._3, dist) }
+          }
+        }
+      }
+      .toDF("query_id", idCol, "score")
+    mergeTopK(perPart, idCol, k)
   }
 
   /** Single-query form: resolve the query row by id from the table (the

@@ -102,6 +102,33 @@ class NswSpec extends SparkSpec {
     }
   }
 
+  test("persisted index serves identically to the live build (approx + exact)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nswidx-").toString
+    val emb0 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    Nsw.buildIndex(emb0, "vec_id", "embedding", dir,
+      m = 8, efConstruction = 32, numPartitions = 4)
+    val qs = Seq(0L, 7L, 23L).map { qid =>
+      val v = emb0.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      (qid, v)
+    }
+    // the live form over the SAME partitioning/params builds the SAME
+    // graphs, so approximate-mode results must coincide exactly
+    def live(ef: Int) = Nsw.nswTopKBatch(
+        emb0.repartition(4, col("vec_id")), "vec_id", "embedding",
+        qs, k = 5, m = 8, efConstruction = 32, efSearch = ef)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    def served(ef: Int) = Nsw.searchIndex(spark, dir, "vec_id", qs,
+        k = 5, efSearch = ef)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(served(48) === live(48))          // approximate beam
+    assert(served(1 << 20) === live(1 << 20)) // exhaustive (exact)
+    // and the exact mode really is exact
+    assert(served(1 << 20).filter(_._1 == 0L).map(r => (r._2, r._3)) ===
+      exact(0L, 5).sorted)
+  }
+
   test("exactness invariant agrees with the IVF full-probe invariant") {
     // two independent 'degenerate exact' paths must coincide
     val emb0 = spark.read.parquet(s"$sf0001/embeddings.parquet")
