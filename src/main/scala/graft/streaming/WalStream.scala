@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.core.Schemas
 
@@ -54,6 +54,28 @@ object WalStream {
           }
       }
   }
+
+  /** Live index maintenance — the reference's put→index loop
+    * (`datanode/handler.py:300-315`: every applied PUT goes straight into
+    * the live HNSW) as a streaming sink over the WAL: each micro-batch's
+    * PUT ops append into the persisted IVF layout via
+    * [[graft.store.VectorStore.appendToIvfIndex]] (assignment against
+    * the persisted centroids — shuffle-free — writing only into the
+    * cells the batch lands in). DELETEs need no index write: `searchIvf`
+    * drops dead keys at query time, exactly the reference's
+    * `deleted_ids` soft-delete. Replaying history through the stream is
+    * harmless — re-appended rows lose the probed-cell LWW to themselves
+    * (same ts) or to newer versions, so served results are unchanged.
+    */
+  def indexMaintenance(ops: DataFrame, store: graft.store.VectorStore,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
+    ops.where(col("op_type") === "PUT")
+      .writeStream.trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          store.appendToIvfIndex(batch.select(col("key"), col("vector"),
+            col("metadata"), col("timestamp").as("ts")))
+      }
 
   /** Stream-stream interval self-join: every DELETE matched to the PUT(s)
     * it tombstones within `horizon` of event time — a live audit of the

@@ -25,6 +25,35 @@ class StreamingSpec extends SparkSpec {
     dir
   }
 
+  test("streaming index maintenance: WAL PUTs land in the live IVF index") {
+    val dir = Files.createTempDirectory("graft-idxmaint-").toString
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(Seq(
+      ("near", Array(0f, 1f), Map.empty[String, String], 10L),
+      ("mid", Array(0f, 3f), Map.empty[String, String], 10L),
+      ("far", Array(9f, 9f), Map.empty[String, String], 10L)
+    ).toDF("key", "vector", "metadata", "ts"))
+    store.buildIvfIndex(k = 2)
+    // live inserts AFTER the build — only the WAL sees them
+    store.put(Seq(
+      ("fresh", Array(0f, 0.5f), Map.empty[String, String], 20L)
+    ).toDF("key", "vector", "metadata", "ts"))
+    val q = WalStream.indexMaintenance(
+        WalStream.source(spark, s"$dir/wal"), store,
+        trigger = Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/idx_ckpt")
+      .start()
+    q.awaitTermination(60000)
+    // the streamed PUT is served without any rebuild (replayed history
+    // rows are harmless — LWW in the probed cells)
+    val got = store.searchIvf(
+        graft.operators.Knn.SearchRequest(Array(0.0, 0.0), topK = 3),
+        nprobe = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === Seq("fresh", "near", "mid"), got.mkString(","))
+    assert(math.abs(got.head._2 - 0.25) < 1e-12)
+  }
+
   test("streaming LWW over the WAL emits final winners per key") {
     val dir = writeWal()
     val updates = WalStream.lwwUpdates(WalStream.source(spark, s"$dir/wal"))
