@@ -207,8 +207,15 @@ object SimilaritySearch {
         .as("__planes"))
     df.select(col(idCol), col(vecCol).as("emb"))
       .crossJoin(broadcast(planes))
+      // an EMPTY plane set would bucket every row to 0 — the whole corpus
+      // collapses into one LSH bucket and every search degrades to an
+      // exact scan of everything, silently. Fail fast in the row path
+      // (the size() probe is over the one-row broadcast array — free).
       .withColumn("bucket",
-        graft.functions.expressions.RpBucket(col("emb"), col("__planes")))
+        when(size(col("__planes")) > 0,
+          graft.functions.expressions.RpBucket(col("emb"), col("__planes")))
+        .otherwise(raise_error(lit(
+          "rpLshBuckets: planePred matched no rows — plane ids must be contiguous 1..P with P >= 1"))))
       .drop("__planes")
   }
 

@@ -153,8 +153,18 @@ object OlapQueries {
         // can skip its own full-edge distinct (dedupe = false) — the
         // widest shuffle of the query, halved (ReuseExchange shares the
         // one distinct between the two union branches)
+        // the 1e6 shift keeps supp and part node ids disjoint only while
+        // suppkey < 1e6 (suppkey max = sf×10_000, so sf >= 100 breaks it:
+        // shifted partkeys would collide with suppkeys and silently
+        // inflate degrees). Guard IN the row path — codegen'd per-row
+        // comparison, no extra job — so a big-SF run fails loudly.
         val sp = Tables.lineitem(s, d)
-          .select(col("l_suppkey").as("a"),
+          .select(
+            when(col("l_suppkey") < lit(1000000L), col("l_suppkey"))
+              .otherwise(raise_error(concat(
+                lit("q70: l_suppkey "), col("l_suppkey"),
+                lit(" >= 1000000 collides with the partkey node-id shift"))))
+              .as("a"),
             (col("l_partkey") + lit(1000000L)).as("b"))
           .distinct()
         val edges = sp.union(sp.select(col("b").as("a"), col("a").as("b")))

@@ -246,10 +246,24 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
       SimilaritySearch.saveCentroids(centroids, ivfDir)
       // assignCells carries the full record through — no re-join shuffle
       // to recover vector/metadata/ts
-      SimilaritySearch.assignCells(base, "key", "vector", centroids)
+      requireCid(SimilaritySearch.assignCells(base, "key", "vector", centroids))
         .write.partitionBy("cid").mode("overwrite").parquet(ivfDataDir)
     } finally base.unpersist()
   }
+
+  /** NearestCell yields NULL when every centroid is skipped (NaN distance,
+    * dimension mismatch, null elements). On a write path a null cid would
+    * land the row in the default partition, which `searchIvf`'s probe
+    * `isin` never reads — the row would silently VANISH from the index.
+    * Surface it at build time instead, in the row path (codegen'd, no
+    * extra job).
+    */
+  private def requireCid(assigned: DataFrame): DataFrame =
+    assigned.withColumn("cid",
+      when(col("cid").isNotNull, col("cid")).otherwise(raise_error(concat(
+        lit("IVF index write: key '"), col("key"),
+        lit("' got no cell (NaN/dim-mismatch/null vector elements) — ") ,
+        lit("it would silently vanish from the index")))))
 
   /** Incrementally index a NEW batch into the persisted IVF layout — the
     * reference's live insert path (`datanode/handler.py:300-315`: put →
@@ -265,9 +279,9 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     */
   def appendToIvfIndex(records: DataFrame): Unit = {
     val centroids = SimilaritySearch.loadCentroids(spark, ivfDir)
-    SimilaritySearch.assignCells(
+    requireCid(SimilaritySearch.assignCells(
         records.select(col("key"), col("vector"), col("metadata"), col("ts")),
-        "key", "vector", centroids)
+        "key", "vector", centroids))
       .write.partitionBy("cid").mode("append").parquet(ivfDataDir)
   }
 
@@ -290,13 +304,20 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
       .collect().map(_.getLong(0))
     val cells = spark.read.parquet(ivfDataDir)
       .where(col("cid").isin(probes: _*))
-    // LWW across build snapshot + appends (ties break to the higher cell
-    // id — deterministic; equal-ts re-puts of one key are a caller error)
+    // duplicate index rows for one (key, ts) (e.g. the same batch appended
+    // twice) collapse to one candidate — ties break to the higher cell id
     val w = Window.partitionBy(col("key"))
       .orderBy(col("ts").desc, col("cid").desc)
     val newest = cells.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-    val live = newest.join(compacted.select("key"), Seq("key"), "left_semi")
+    // liveness is GLOBAL, on (key, ts): an index row survives only if it
+    // IS the live version. A semi-join on key alone would serve a STALE
+    // vector when a re-put's new version landed in an UNPROBED cell (its
+    // old row would be the newest within the probe) — the reference never
+    // does this: PUT overwrite tombstones the old hnsw id immediately
+    // (`datanode/handler.py:254-256`). Under (key, ts) that old row drops
+    // out and the key is an honest ANN miss until its new cell is probed.
+    val live = newest.join(compacted.select("key", "ts"), Seq("key", "ts"), "left_semi")
     val corpus = Knn.metadataFilter(live, "metadata", req.filter)
     val scored = corpus.select(col("key"),
       VectorFunctions.l2Sq(col("vector"), typedLit(req.queryVector)).as("score"))

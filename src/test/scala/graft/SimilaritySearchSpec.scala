@@ -220,6 +220,16 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(b0.forall(_ === 0L))
   }
 
+  test("rpLshBuckets fails fast on an empty plane set (would collapse to 1 bucket)") {
+    val e = intercept[Throwable] {
+      SimilaritySearch.rpLshBuckets(emb, "vec_id", "embedding",
+        col("vec_id") < 0).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("planePred matched no rows"), messages(e))
+  }
+
   test("ANN quality: report recall@5 of RP-LSH vs exact (not hash-matched)") {
     val exact = graft.operators.Knn.search(emb, "vec_id", "embedding", q, 5)
       .collect().map(_.getLong(0)).toSet

@@ -169,6 +169,51 @@ class VectorStoreSpec extends SparkSpec {
     assert(!got.map(_._1).contains("gone"))
   }
 
+  test("searchIvf never serves a stale version: re-put into an UNPROBED cell") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(
+      rec("n1", Array(0f, 1f), 10),
+      rec("n2", Array(0f, 2f), 10),
+      rec("mover", Array(0f, 1.5f), 10),
+      rec("f1", Array(9f, 9f), 10),
+      rec("f2", Array(9f, 8f), 10)))
+    store.buildIvfIndex(k = 2)
+    // mover relocates to the FAR cluster; the append indexes the new
+    // version into the far cell, leaving the old near-cell row in place
+    store.put(batch(rec("mover", Array(9f, 8.5f), 20)))
+    store.appendToIvfIndex(batch(rec("mover", Array(9f, 8.5f), 20)).select(
+      col("key"), col("vector").cast("array<double>").as("vector"),
+      col("metadata"), col("ts")))
+    // probe ONLY the near cell: mover's old row is the newest INDEXED row
+    // there, but it is not the live version — it must be an honest miss,
+    // never a stale (0, 1.5) serve
+    val near = store.searchIvf(
+        Knn.SearchRequest(Array(0.0, 0.0), topK = 5), nprobe = 1)
+      .collect().map(_.getString(0))
+    assert(near.toSeq === Seq("n1", "n2"), near.mkString(","))
+    // probing both cells serves mover at its NEW position/score
+    val both = store.searchIvf(
+        Knn.SearchRequest(Array(0.0, 0.0), topK = 5), nprobe = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val mover = both.find(_._1 == "mover")
+    assert(mover.isDefined, both.mkString(","))
+    assert(math.abs(mover.get._2 - (81.0 + 72.25)) < 1e-9, mover.toString)
+  }
+
+  test("IVF write path fails loudly when a vector gets no cell (null cid)") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(rec("a", Array(0f, 1f), 10), rec("b", Array(5f, 5f), 10)))
+    store.buildIvfIndex(k = 2)
+    // a dim-mismatched record can reach appendToIvfIndex directly (no put
+    // validation on this path): it must ERROR at index write, not vanish
+    val bad = Seq(("ghost", Array(1.0, 2.0, 3.0),
+      Map.empty[String, String], 20L)).toDF("key", "vector", "metadata", "ts")
+    val e = intercept[Throwable] { store.appendToIvfIndex(bad) }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("got no cell"), messages(e))
+  }
+
   test("searchNsw honors the full request; exhaustive beam equals exact") {
     val store = new VectorStore(spark, tmpDir(), dim = 2)
     store.put(batch(
