@@ -73,9 +73,13 @@ object Nsw {
 
     /** Beam search over the current graph: up to `ef` nearest (dist, idx)
       * pairs, ascending (dist, id). Visits the whole (connected) graph
-      * when ef >= size.
+      * when ef >= size. A non-null `allowed` set restricts the RESULT to
+      * the marked nodes (the filtered-ANN discipline: disallowed nodes
+      * are still traversed — they keep the graph connected — but never
+      * collected), so a full-width beam stays exhaustive-over-allowed.
       */
-    def search(q: Array[Double], ef: Int): mutable.ArrayBuffer[(Double, Int)] = {
+    def search(q: Array[Double], ef: Int,
+        allowed: java.util.BitSet = null): mutable.ArrayBuffer[(Double, Int)] = {
       val out = mutable.ArrayBuffer.empty[(Double, Int)]
       if (vecs.isEmpty) return out
       require(q.length == vecs(0).length,
@@ -84,17 +88,20 @@ object Nsw {
         // the exactness invariant, BY CONSTRUCTION: a full-width beam is
         // an exhaustive scan (adjacency pruning may orphan directed
         // paths, so exactness must not depend on traversal)
-        out ++= vecs.indices.map(i => (d2(q, vecs(i)), i)).sorted
+        out ++= vecs.indices
+          .filter(i => allowed == null || allowed.get(i))
+          .map(i => (d2(q, vecs(i)), i)).sorted
         return out
       }
       val visited = new java.util.BitSet(vecs.length)
       val frontier = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse) // min-heap
       val best = mutable.PriorityQueue.empty[(Double, Int)](ord)             // max-heap
       val e0 = (d2(q, vecs(0)), 0)
-      visited.set(0); frontier.enqueue(e0); best.enqueue(e0)
+      visited.set(0); frontier.enqueue(e0)
+      if (allowed == null || allowed.get(0)) best.enqueue(e0)
       while (frontier.nonEmpty) {
         val (cd, ci) = frontier.dequeue()
-        if (cd > best.head._1 && best.size >= ef) { frontier.clear() }
+        if (best.size >= ef && cd > best.head._1) { frontier.clear() }
         else {
           val ns = nbrs(ci); var j = 0
           while (j < ns.length) {
@@ -104,8 +111,11 @@ object Nsw {
               val nd = d2(q, vecs(nb))
               if (best.size < ef || nd < best.head._1 ||
                 (nd == best.head._1 && nb < best.head._2)) {
-                frontier.enqueue((nd, nb)); best.enqueue((nd, nb))
-                if (best.size > ef) best.dequeue()
+                frontier.enqueue((nd, nb))
+                if (allowed == null || allowed.get(nb)) {
+                  best.enqueue((nd, nb))
+                  if (best.size > ef) best.dequeue()
+                }
               }
             }
             j += 1
@@ -162,30 +172,55 @@ object Nsw {
       }
     }
 
+  /** Deterministic datanode assignment: `pmod(hash(id), n)` as an
+    * explicit COLUMN — never `TaskContext.getPartitionId()` after a
+    * `repartition`: AQE may serve even an explicit repartition through a
+    * local shuffle read (task ids then track MAPPERS, not hash buckets),
+    * which would silently scramble build/append placement agreement.
+    * With the column, build, append, live search and artifact all share
+    * one placement function of the data alone.
+    */
+  private def withPid(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.withColumn("pid", pmod(hash(col(idCol)), lit(n)).cast("int"))
+
   /** Top-k per query over a query BATCH: one NSW build per partition,
     * every query answered against it, per-partition candidates merged
     * globally per query — the coordinator's scatter-gather. Output:
     * (query_id LONG, id LONG, score DOUBLE), k rows per query, ascending
     * (score, id) within a query. `efSearch >= max partition rows` makes
-    * the result EXACT (see class doc).
+    * the result EXACT (see class doc). `numPartitions = Some(n)` PINS the
+    * datanode assignment to `pmod(hash(id), n)` (the [[buildIndex]]
+    * placement — live and artifact graphs then coincide bit-for-bit);
+    * None uses the input's physical partitions as the datanodes.
     */
   def nswTopKBatch(df: DataFrame, idCol: String, vecCol: String,
       queries: Seq[(Long, Array[Double])], k: Int, m: Int = 8,
-      efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+      efConstruction: Int = 64, efSearch: Int = 64,
+      numPartitions: Option[Int] = None): DataFrame = {
     require(k >= 1 && m >= 1 && efConstruction >= 1 && efSearch >= k,
       s"nswTopKBatch: need k>=1, m>=1, efConstruction>=1, efSearch>=k")
     val spark = df.sparkSession
     import spark.implicits._
     val qb = spark.sparkContext.broadcast(queries.sortBy(_._1))
-    val perPart = df
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        // ascending-id insertion: deterministic graph given the partition
-        searchPartition(it.toArray.sortBy(_._1), qb.value, k, m,
-          efConstruction, efSearch)
-      }
-      .toDF("query_id", idCol, "score")
+    val base = df.select(col(idCol).cast("long"),
+      col(vecCol).cast("array<double>"))
+    val perPart = (numPartitions match {
+      case Some(n) =>
+        withPid(base, idCol, n).repartition(n, col("pid"))
+          .as[(Long, Array[Double], Int)]
+          .mapPartitions { it =>
+            it.toArray.groupBy(_._3).iterator.flatMap { case (_, part) =>
+              searchPartition(part.map(r => (r._1, r._2)).sortBy(_._1),
+                qb.value, k, m, efConstruction, efSearch)
+            }
+          }
+      case None =>
+        base.as[(Long, Array[Double])].mapPartitions { it =>
+          // ascending-id insertion: deterministic graph given the partition
+          searchPartition(it.toArray.sortBy(_._1), qb.value, k, m,
+            efConstruction, efSearch)
+        }
+    }).toDF("query_id", idCol, "score")
     mergeTopK(perPart, idCol, k)
   }
 
@@ -195,20 +230,31 @@ object Nsw {
     */
   def nswTopKBatchKeyed(df: DataFrame, idCol: String, vecCol: String,
       queries: Seq[(Long, Array[Double])], k: Int, m: Int = 8,
-      efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+      efConstruction: Int = 64, efSearch: Int = 64,
+      numPartitions: Option[Int] = None): DataFrame = {
     require(k >= 1 && m >= 1 && efConstruction >= 1 && efSearch >= k,
       s"nswTopKBatchKeyed: need k>=1, m>=1, efConstruction>=1, efSearch>=k")
     val spark = df.sparkSession
     import spark.implicits._
     val qb = spark.sparkContext.broadcast(queries.sortBy(_._1))
-    val perPart = df
-      .select(col(idCol).cast("string"), col(vecCol).cast("array<double>"))
-      .as[(String, Array[Double])]
-      .mapPartitions { it =>
-        searchPartition(it.toArray.sortBy(_._1), qb.value, k, m,
-          efConstruction, efSearch)
-      }
-      .toDF("query_id", idCol, "score")
+    val base = df.select(col(idCol).cast("string"),
+      col(vecCol).cast("array<double>"))
+    val perPart = (numPartitions match {
+      case Some(n) =>
+        withPid(base, idCol, n).repartition(n, col("pid"))
+          .as[(String, Array[Double], Int)]
+          .mapPartitions { it =>
+            it.toArray.groupBy(_._3).iterator.flatMap { case (_, part) =>
+              searchPartition(part.map(r => (r._1, r._2)).sortBy(_._1),
+                qb.value, k, m, efConstruction, efSearch)
+            }
+          }
+      case None =>
+        base.as[(String, Array[Double])].mapPartitions { it =>
+          searchPartition(it.toArray.sortBy(_._1), qb.value, k, m,
+            efConstruction, efSearch)
+        }
+    }).toDF("query_id", idCol, "score")
     mergeTopK(perPart, idCol, k)
   }
 
@@ -224,15 +270,55 @@ object Nsw {
       .drop("__rn")
   }
 
+  /** Build parameters persisted NEXT TO the graph rows (an
+    * underscore-named sidecar, invisible to the parquet reader like
+    * `_SUCCESS`): [[appendToIndex]] must route new rows with the SAME
+    * partition count and insert with the SAME (m, efConstruction) the
+    * build used, or the artifact silently fragments.
+    */
+  private case class IndexMeta(numPartitions: Int, m: Int, efConstruction: Int)
+
+  private def metaFile(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_nsw_meta.json")
+
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, meta: IndexMeta): Unit = {
+    val p = metaFile(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"numPartitions":${meta.numPartitions},"m":${meta.m},"efConstruction":${meta.efConstruction}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): IndexMeta = {
+    val p = metaFile(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"NSW index at $path has no ${p.getName} sidecar " +
+      "— was it written by buildIndex/buildIndexKeyed?")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def field(name: String): Int = {
+      val m = s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(text)
+      require(m.isDefined, s"NSW meta sidecar at $p is missing '$name': $text")
+      m.get.group(1).toInt
+    }
+    IndexMeta(field("numPartitions"), field("m"), field("efConstruction"))
+  }
+
   /** Build and PERSIST the per-partition NSW graphs — the write-side
     * index build of the reference's lifecycle (`_rebuild_hnsw_index` at
     * checkpoint time, `datanode/handler.py:91-120`): construction cost is
     * paid here ONCE; [[searchIndex]] then only reads. Layout: one row per
     * indexed vector — (pid, idx, id, vec, nbrs) — where `pid` is the
     * build partition (the "datanode"), `idx` the insertion index inside
-    * it, and `nbrs` the adjacency by idx. Rows are hash-partitioned by
-    * `idCol` before the build, so the artifact is reproducible from the
-    * data alone.
+    * it, and `nbrs` the adjacency by idx; the parquet dir is PARTITIONED
+    * BY `pid` so [[appendToIndex]] can rewrite only touched graphs. Rows
+    * are hash-partitioned by `idCol` before the build, so the artifact is
+    * reproducible from the data alone.
     */
   def buildIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
       m: Int = 8, efConstruction: Int = 64, numPartitions: Int = 8): Unit = {
@@ -240,23 +326,99 @@ object Nsw {
       "buildIndex: need m>=1, efConstruction>=1, numPartitions>=1")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .repartition(numPartitions, col(idCol))
-      .as[(Long, Array[Double])]
+    withPid(df.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>")), idCol, numPartitions)
+      .repartition(numPartitions, col("pid"))
+      .as[(Long, Array[Double], Int)]
       .mapPartitions { it =>
-        val rows = it.toArray.sortBy(_._1)
-        if (rows.isEmpty) Iterator.empty
-        else {
+        it.toArray.groupBy(_._3).iterator.flatMap { case (pid, part) =>
+          val rows = part.map(r => (r._1, r._2)).sortBy(_._1)
           val index = new Index(m, efConstruction)
           rows.foreach { case (_, v) => index.insert(v) }
-          val pid = org.apache.spark.TaskContext.getPartitionId()
           rows.iterator.zipWithIndex.map { case ((id, v), i) =>
             (pid, i, id, v, index.neighborsOf(i))
           }
         }
       }
       .toDF("pid", "idx", idCol, "vec", "nbrs")
-      .write.mode("overwrite").parquet(path)
+      .write.partitionBy("pid").mode("overwrite").parquet(path)
+    writeMeta(spark, path, IndexMeta(numPartitions, m, efConstruction))
+  }
+
+  /** Incrementally insert a NEW batch into a persisted [[buildIndex]]
+    * artifact — the `hnsw.add_items` live-insert analog
+    * (`src/datanode/handler.py:263-297`), mirroring the IVF append: each
+    * new row routes to its build partition (`pmod(hash(id), n)` — exactly
+    * the `repartition(n, col(id))` assignment, so build and append agree
+    * on placement), that partition's graph is LOADED (not rebuilt), the
+    * batch inserts in ascending-id order, and ONLY the touched partition
+    * dirs are rewritten — untouched graphs are never read or written.
+    * Graph shape can differ from a from-scratch build (insertion order
+    * differs), so approximate-beam results may differ; at full-width beam
+    * both are exhaustive and agree exactly (property-pinned in NswSpec).
+    * The partition swap is staged then renamed per-dir; a crash mid-swap
+    * loses index partitions, never data — rebuild recovers.
+    */
+  def appendToIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meta = readMeta(spark, path)
+    val fresh = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .withColumn("pid",
+        pmod(hash(col(idCol)), lit(meta.numPartitions)).cast("int"))
+    val touched = fresh.select("pid").distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .where(col("pid").isin(touched.map(Int.box): _*))
+      .select(col("pid").cast("int"), col("idx").cast("int"),
+        col(idCol).cast("long"), col("vec"), col("nbrs"))
+    // new rows ride the same relation with idx = -1 (real idx is >= 0)
+    val all = existing.unionByName(fresh.select(col("pid"),
+      lit(-1).as("idx"), col(idCol), col(vecCol).as("vec"),
+      lit(null).cast("array<int>").as("nbrs")))
+    val rebuilt = all
+      .as[(Int, Int, Long, Array[Double], Array[Int])]
+      .repartition(col("pid"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (pid, part) =>
+          val (old, add) = part.partition(_._2 >= 0)
+          val rows = old.sortBy(_._2)
+          require(rows.zipWithIndex.forall { case (r, i) => r._2 == i },
+            s"appendToIndex: corrupt artifact — pid $pid idx not dense from 0")
+          val index = new Index(meta.m, meta.efConstruction)
+          index.loadGraph(rows.map(_._4), rows.map(_._5))
+          val adds = add.sortBy(_._3)
+          adds.foreach(r => index.insert(r._4))
+          val ids  = rows.map(r => (r._3, r._4)) ++ adds.map(r => (r._3, r._4))
+          ids.iterator.zipWithIndex.map { case ((id, v), i) =>
+            (pid, i, id, v, index.neighborsOf(i))
+          }
+        }
+      }
+      .toDF("pid", "idx", idCol, "vec", "nbrs")
+    swapPartitions(spark, rebuilt, path, touched)
+  }
+
+  /** Write `rebuilt` (carrying a `pid` column) into an underscore-named
+    * staging dir (invisible to readers of `path`), then swap each touched
+    * `pid=N` dir into place. Never reads-while-overwriting the live dir.
+    */
+  private def swapPartitions(spark: org.apache.spark.sql.SparkSession,
+      rebuilt: DataFrame, path: String, touched: Array[Int]): Unit = {
+    val staging = s"$path/_append_staging"
+    rebuilt.write.partitionBy("pid").mode("overwrite").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    touched.foreach { p =>
+      val src = new org.apache.hadoop.fs.Path(staging, s"pid=$p")
+      val dst = new org.apache.hadoop.fs.Path(path, s"pid=$p")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(fs.exists(src), s"appendToIndex: staging lost pid=$p")
+      require(fs.rename(src, dst), s"appendToIndex: rename failed for pid=$p")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
   /** Serve a query batch from a PREBUILT index ([[buildIndex]]): each
@@ -295,6 +457,149 @@ object Nsw {
       }
       .toDF("query_id", idCol, "score")
     mergeTopK(perPart, idCol, k)
+  }
+
+  /** STRING-keyed [[buildIndex]] for the store tier: artifact rows carry
+    * the record's `metadata` and `ts` alongside the graph — (pid, idx,
+    * key, vec, nbrs, metadata, ts) — so [[searchIndexKeyed]] can apply
+    * the SearchRequest metadata filter DURING the beam (pre-rank) and the
+    * store can enforce LWW/soft-delete on (key, ts) post-merge. Same
+    * placement (`repartition(n, col(key))`), same ascending-key insertion
+    * order as the live `nswTopKBatchKeyed` path, so a live build over the
+    * same corpus yields bit-identical graphs.
+    */
+  def buildIndexKeyed(df: DataFrame, keyCol: String, vecCol: String,
+      path: String, m: Int = 8, efConstruction: Int = 64,
+      numPartitions: Int = 8): Unit = {
+    require(m >= 1 && efConstruction >= 1 && numPartitions >= 1,
+      "buildIndexKeyed: need m>=1, efConstruction>=1, numPartitions>=1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    withPid(df.select(col(keyCol).cast("string"),
+        col(vecCol).cast("array<double>"),
+        col("metadata").cast("map<string,string>"), col("ts").cast("long")),
+        keyCol, numPartitions)
+      .repartition(numPartitions, col("pid"))
+      .as[(String, Array[Double], Map[String, String], Long, Int)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._5).iterator.flatMap { case (pid, part) =>
+          val rows = part.sortBy(_._1)
+          val index = new Index(m, efConstruction)
+          rows.foreach { case (_, v, _, _, _) => index.insert(v) }
+          rows.iterator.zipWithIndex.map { case ((k, v, md, ts, _), i) =>
+            (pid, i, k, v, index.neighborsOf(i), md, ts)
+          }
+        }
+      }
+      .toDF("pid", "idx", keyCol, "vec", "nbrs", "metadata", "ts")
+      .write.partitionBy("pid").mode("overwrite").parquet(path)
+    writeMeta(spark, path, IndexMeta(numPartitions, m, efConstruction))
+  }
+
+  /** Serve a query batch from a [[buildIndexKeyed]] artifact. The
+    * metadata equality `filter` is evaluated against the INDEXED metadata
+    * and applied inside the beam (disallowed nodes are traversed, never
+    * collected — see [[Index.search]]), so a full-width beam is
+    * exhaustive-over-allowed: exact filtered search, the oracle hook.
+    * Emits the WHOLE beam per (partition, query) — up to max(efSearch, k)
+    * rows, the store's overfetch budget for dropping stale/deleted
+    * versions after the merge — as (query_id, keyCol, ts, score).
+    */
+  def searchIndexKeyed(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String, queries: Seq[(Long, Array[Double])],
+      k: Int, efSearch: Int = 64,
+      filter: Map[String, String] = Map.empty): DataFrame = {
+    require(k >= 1 && efSearch >= k, "searchIndexKeyed: need k>=1, efSearch>=k")
+    import spark.implicits._
+    val qb = spark.sparkContext.broadcast(queries.sortBy(_._1))
+    val fb = spark.sparkContext.broadcast(filter)
+    val perPart = spark.read.parquet(path)
+      .select(col("pid").cast("int"), col("idx").cast("int"),
+        col(keyCol).cast("string"), col("vec"), col("nbrs"),
+        col("metadata"), col("ts").cast("long"))
+      .as[(Int, Int, String, Array[Double], Array[Int],
+        Map[String, String], Long)]
+      .repartition(col("pid"))
+      .mapPartitions { it =>
+        val flt = fb.value
+        it.toArray.groupBy(_._1).iterator.flatMap { case (_, part) =>
+          val rows = part.sortBy(_._2)
+          require(rows.zipWithIndex.forall { case (r, i) => r._2 == i },
+            "searchIndexKeyed: corrupt artifact — idx not dense from 0")
+          val index = new Index(1, 1) // params unused on the load path
+          index.loadGraph(rows.map(_._4), rows.map(_._5))
+          val allowed =
+            if (flt.isEmpty) null
+            else {
+              val bs = new java.util.BitSet(rows.length)
+              var i = 0
+              while (i < rows.length) {
+                val md = rows(i)._6
+                if (md != null && flt.forall { case (fk, fv) =>
+                  md.get(fk).contains(fv) }) bs.set(i)
+                i += 1
+              }
+              bs
+            }
+          qb.value.iterator.flatMap { case (qid, qv) =>
+            index.search(qv, math.max(efSearch, k), allowed)
+              .map { case (dist, i) => (qid, rows(i)._3, rows(i)._7, dist) }
+          }
+        }
+      }
+      .toDF("query_id", keyCol, "ts", "score")
+    perPart
+  }
+
+  /** STRING-keyed [[appendToIndex]]: identical mechanics (route by
+    * `pmod(hash(key), n)`, load-insert-rewrite only touched partitions),
+    * carrying metadata/ts through. A re-put key gets a SECOND node — the
+    * store's serve path resolves versions by (key, ts) LWW + liveness,
+    * exactly the IVF append discipline (`appendToIvfIndex`).
+    */
+  def appendToIndexKeyed(df: DataFrame, keyCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meta = readMeta(spark, path)
+    val fresh = df
+      .select(col(keyCol).cast("string"), col(vecCol).cast("array<double>"),
+        col("metadata").cast("map<string,string>"), col("ts").cast("long"))
+      .withColumn("pid",
+        pmod(hash(col(keyCol)), lit(meta.numPartitions)).cast("int"))
+    val touched = fresh.select("pid").distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .where(col("pid").isin(touched.map(Int.box): _*))
+      .select(col("pid").cast("int"), col("idx").cast("int"),
+        col(keyCol).cast("string"), col("vec"), col("nbrs"),
+        col("metadata"), col("ts").cast("long"))
+    val all = existing.unionByName(fresh.select(col("pid"),
+      lit(-1).as("idx"), col(keyCol), col(vecCol).as("vec"),
+      lit(null).cast("array<int>").as("nbrs"), col("metadata"), col("ts")))
+    val rebuilt = all
+      .as[(Int, Int, String, Array[Double], Array[Int],
+        Map[String, String], Long)]
+      .repartition(col("pid"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (pid, part) =>
+          val (old, add) = part.partition(_._2 >= 0)
+          val rows = old.sortBy(_._2)
+          require(rows.zipWithIndex.forall { case (r, i) => r._2 == i },
+            s"appendToIndexKeyed: corrupt artifact — pid $pid idx not dense")
+          val index = new Index(meta.m, meta.efConstruction)
+          index.loadGraph(rows.map(_._4), rows.map(_._5))
+          val adds = add.sortBy(_._3)
+          adds.foreach(r => index.insert(r._4))
+          val out = rows.map(r => (r._3, r._4, r._6, r._7)) ++
+            adds.map(r => (r._3, r._4, r._6, r._7))
+          out.iterator.zipWithIndex.map { case ((key, v, md, ts), i) =>
+            (pid, i, key, v, index.neighborsOf(i), md, ts)
+          }
+        }
+      }
+      .toDF("pid", "idx", keyCol, "vec", "nbrs", "metadata", "ts")
+    swapPartitions(spark, rebuilt, path, touched)
   }
 
   /** Single-query form: resolve the query row by id from the table (the

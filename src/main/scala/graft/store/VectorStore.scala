@@ -206,23 +206,84 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
   /** KNN over the live table with the full SearchRequest surface. */
   def search(req: Knn.SearchRequest): DataFrame = Knn.searchStore(compacted, req)
 
-  /** ANN search through a per-partition NSW graph — the reference's OWN
-    * index structure (hnswlib per datanode, `src/datanode/handler.py:46`)
-    * on the live table, honoring the full SearchRequest surface: filter
-    * pre-rank (only surviving rows are indexed, as the datanode indexes
-    * only its shard), threshold post-rank, exactly [[search]]'s
-    * semantics on the graph tier. `efSearch` trades reads for recall;
-    * a beam ≥ the largest partition degrades to exact (Nsw invariant).
+  /** Live (build-per-call) NSW search — the reference's index structure
+    * (hnswlib per datanode, `src/datanode/handler.py:46`) over the live
+    * table, honoring the full SearchRequest surface: filter pre-rank
+    * (only surviving rows are indexed, as the datanode indexes only its
+    * shard), threshold post-rank, exactly [[search]]'s semantics on the
+    * graph tier. `efSearch` trades reads for recall; a beam ≥ the largest
+    * partition degrades to exact (Nsw invariant). Construction dominates
+    * NSW cost, so this form is for one-shot/ad-hoc queries only — the
+    * serving path is [[buildNswIndex]] + [[searchNsw]] (build once, serve
+    * many, the reference's actual lifecycle).
     */
-  def searchNsw(req: Knn.SearchRequest, m: Int = 8,
+  def searchNswLive(req: Knn.SearchRequest, m: Int = 8,
       efConstruction: Int = 64, efSearch: Int = 64,
       numPartitions: Int = 8): DataFrame = {
     val corpus = Knn.metadataFilter(compacted, "metadata", req.filter)
-      .repartition(numPartitions, col("key"))
     val scored = graft.operators.Nsw.nswTopKBatchKeyed(corpus, "key",
         "vector", Seq((0L, req.queryVector)), req.topK, m, efConstruction,
-        efSearch)
+        efSearch, numPartitions = Some(numPartitions))
       .select(col("key"), col("score"))
+    req.threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
+      .orderBy(col("score").asc, col("key").asc)
+      .limit(req.topK)
+  }
+
+  private val nswDir = s"$baseDir/nsw_index"
+
+  /** Build + persist the per-partition NSW graphs over the live table —
+    * the reference's index rebuild (`_rebuild_hnsw_index`,
+    * `datanode/handler.py:91-120`): construction is paid HERE, once;
+    * [[searchNsw]] serves every subsequent query from the stored graphs.
+    * Same partitioning and insertion order as [[searchNswLive]], so a
+    * live build over the same corpus yields bit-identical graphs
+    * (asserted in VectorStoreSpec).
+    */
+  def buildNswIndex(m: Int = 8, efConstruction: Int = 64,
+      numPartitions: Int = 8): Unit =
+    graft.operators.Nsw.buildIndexKeyed(compacted, "key", "vector", nswDir,
+      m, efConstruction, numPartitions)
+
+  /** Incrementally index a NEW batch into the persisted NSW graphs — the
+    * `hnsw.add_items` live-insert path (`datanode/handler.py:263-297`),
+    * the graph-tier twin of [[appendToIvfIndex]]: each record routes to
+    * its build partition, that graph is loaded and extended, and only
+    * touched partitions rewrite. Re-put keys gain a second node; the old
+    * one is dropped at serve time by (key, ts) LWW + liveness, never
+    * served stale. Records must carry (key, vector, metadata, ts).
+    */
+  def appendToNswIndex(records: DataFrame): Unit =
+    graft.operators.Nsw.appendToIndexKeyed(
+      records.select(col("key"), col("vector"), col("metadata"), col("ts")),
+      "key", "vector", nswDir)
+
+  /** ANN search through the PERSISTED NSW graphs ([[buildNswIndex]] +
+    * everything [[appendToNswIndex]]ed since) — the serve-many half of
+    * the reference's index lifecycle, honoring the full SearchRequest
+    * surface: the metadata filter is applied INSIDE the beam against the
+    * indexed metadata (disallowed nodes are traversed, never collected,
+    * so a full-width beam is exhaustive-over-allowed — exact filtered
+    * search, the oracle hook), threshold post-score. Soft-delete
+    * discipline exactly as [[searchIvf]]: among the beam's candidates the
+    * NEWEST indexed version of a key wins, and liveness is GLOBAL on
+    * (key, ts) — a stale version of a re-put key is never served; the key
+    * is an honest ANN miss until re-appended or rebuilt. The beam
+    * (efSearch per partition) is the overfetch budget those drops spend.
+    */
+  def searchNsw(req: Knn.SearchRequest, efSearch: Int = 64): DataFrame = {
+    require(Files.exists(Paths.get(nswDir)) ||
+        !nswDir.startsWith("/") /* non-local fs: let the reader decide */,
+      s"searchNsw serves the persisted NSW index — call buildNswIndex() first")
+    val cand = graft.operators.Nsw.searchIndexKeyed(spark, nswDir, "key",
+      Seq((0L, req.queryVector)), req.topK, efSearch, req.filter)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, col("score").asc)
+    val newest = cand.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val live = newest.join(compacted.select("key", "ts"), Seq("key", "ts"),
+      "left_semi")
+    val scored = live.select(col("key"), col("score"))
     req.threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
       .orderBy(col("score").asc, col("key").asc)
       .limit(req.topK)

@@ -113,11 +113,12 @@ class NswSpec extends SparkSpec {
         .head().getSeq[Double](0).toArray
       (qid, v)
     }
-    // the live form over the SAME partitioning/params builds the SAME
-    // graphs, so approximate-mode results must coincide exactly
+    // the live form over the SAME (pinned) placement/params builds the
+    // SAME graphs, so approximate-mode results must coincide exactly
     def live(ef: Int) = Nsw.nswTopKBatch(
-        emb0.repartition(4, col("vec_id")), "vec_id", "embedding",
-        qs, k = 5, m = 8, efConstruction = 32, efSearch = ef)
+        emb0, "vec_id", "embedding",
+        qs, k = 5, m = 8, efConstruction = 32, efSearch = ef,
+        numPartitions = Some(4))
       .as[(Long, Long, Double)].collect().toSeq.sorted
     def served(ef: Int) = Nsw.searchIndex(spark, dir, "vec_id", qs,
         k = 5, efSearch = ef)
@@ -127,6 +128,36 @@ class NswSpec extends SparkSpec {
     // and the exact mode really is exact
     assert(served(1 << 20).filter(_._1 == 0L).map(r => (r._2, r._3)) ===
       exact(0L, 5).sorted)
+  }
+
+  test("append property: build(A ∪ B) == build(A) + append(B) at full beam") {
+    val emb0 = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val a = emb0.where(col("vec_id") % 3 =!= 0)
+    val b = emb0.where(col("vec_id") % 3 === 0)
+    val dirAll = java.nio.file.Files.createTempDirectory("graft-nsw-all-").toString
+    val dirInc = java.nio.file.Files.createTempDirectory("graft-nsw-inc-").toString
+    Nsw.buildIndex(emb0, "vec_id", "embedding", dirAll,
+      m = 6, efConstruction = 24, numPartitions = 4)
+    Nsw.buildIndex(a, "vec_id", "embedding", dirInc,
+      m = 6, efConstruction = 24, numPartitions = 4)
+    Nsw.appendToIndex(b, "vec_id", "embedding", dirInc)
+    val qs = Seq(0L, 7L, 23L).map { qid =>
+      (qid, emb0.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray)
+    }
+    // graph SHAPES differ (insertion order differs) but a full-width beam
+    // is exhaustive per partition, so the searches must agree exactly
+    def served(dir: String) = Nsw.searchIndex(spark, dir, "vec_id", qs,
+        k = 5, efSearch = 1 << 20)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(served(dirInc) === served(dirAll))
+    // appended rows landed on the partition the from-scratch build chose:
+    // same rows per pid in both artifacts
+    val perPid = (dir: String) => spark.read.parquet(dir)
+      .select(col("pid").cast("int"), col("vec_id").cast("long"))
+      .as[(Int, Long)].collect().toSet
+    assert(perPid(dirInc) === perPid(dirAll))
   }
 
   test("exactness invariant agrees with the IVF full-probe invariant") {

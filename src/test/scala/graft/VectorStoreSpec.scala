@@ -214,7 +214,7 @@ class VectorStoreSpec extends SparkSpec {
     assert(messages(e).contains("got no cell"), messages(e))
   }
 
-  test("searchNsw honors the full request; exhaustive beam equals exact") {
+  test("searchNswLive honors the full request; exhaustive beam equals exact") {
     val store = new VectorStore(spark, tmpDir(), dim = 2)
     store.put(batch(
       rec("near", Array(0f, 1f), 10, tag = "keep"),
@@ -224,14 +224,84 @@ class VectorStoreSpec extends SparkSpec {
     // beam >= table size -> exact; filter pre-rank, threshold post-rank
     val req = Knn.SearchRequest(Array(0.0, 0.0), topK = 3,
       filter = Map("tag" -> "keep"), threshold = Some(10.0))
-    val got = store.searchNsw(req, efSearch = 1 << 20)
+    val got = store.searchNswLive(req, efSearch = 1 << 20)
       .collect().map(_.getString(0))
     assert(got === Array("near", "mid"))
     // same rows and scores as the exact tier at the degenerate setting
     val exact = store.search(req).collect().map(r => (r.getString(0), r.getDouble(1)))
-    val nsw = store.searchNsw(req, efSearch = 1 << 20)
+    val nsw = store.searchNswLive(req, efSearch = 1 << 20)
       .collect().map(r => (r.getString(0), r.getDouble(1)))
     assert(nsw.toSeq === exact.toSeq)
+  }
+
+  test("NSW artifact serves bit-identical to the live build (approx + exact)") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    // 16 keys over 4 partitions: partitions larger than the approx beam
+    val rows = (0 until 16).map { i =>
+      rec(f"k$i%02d", Array(i.toFloat, (i % 5).toFloat), 10,
+        tag = if (i % 2 == 0) "even" else "odd")
+    }
+    store.put(batch(rows: _*))
+    store.buildNswIndex(m = 4, efConstruction = 16, numPartitions = 4)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val req = Knn.SearchRequest(Array(3.0, 2.0), topK = 3)
+    // same partitioning, same insertion order -> same graphs -> the
+    // served beam must equal the live build's beam EXACTLY, approximate
+    // (ef = 3 < partition size) and exhaustive alike
+    Seq(3, 1 << 20).foreach { ef =>
+      assert(collectPairs(store.searchNsw(req, efSearch = ef)) ===
+        collectPairs(store.searchNswLive(req, m = 4, efConstruction = 16,
+          efSearch = ef, numPartitions = 4)), s"ef=$ef")
+    }
+    // filtered + threshold at the exactness invariant: beam-internal
+    // filtering is exhaustive-over-allowed, so all three tiers agree
+    val freq = Knn.SearchRequest(Array(3.0, 2.0), topK = 4,
+      filter = Map("tag" -> "odd"), threshold = Some(50.0))
+    val served = collectPairs(store.searchNsw(freq, efSearch = 1 << 20))
+    assert(served === collectPairs(store.searchNswLive(freq,
+      efSearch = 1 << 20)))
+    assert(served === collectPairs(store.search(freq)))
+  }
+
+  test("NSW artifact append: LWW + soft-delete discipline, routing stable") {
+    val dir = tmpDir()
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(batch(
+      rec("a", Array(0f, 1f), 10), rec("b", Array(0f, 2f), 10),
+      rec("c", Array(5f, 5f), 10), rec("d", Array(7f, 7f), 10)))
+    store.buildNswIndex(m = 4, efConstruction = 16, numPartitions = 4)
+    // 1) new key via append becomes searchable without a rebuild
+    val add = batch(rec("e", Array(0f, 0.5f), 20))
+    store.put(add); store.appendToNswIndex(add)
+    val req = Knn.SearchRequest(Array(0.0, 0.0), topK = 3)
+    val got1 = store.searchNsw(req, efSearch = 1 << 20)
+      .collect().map(_.getString(0)).toSeq
+    assert(got1 === Seq("e", "a", "b"))
+    // 2) re-put + append: BOTH versions are indexed; the newer ts must
+    //    win (LWW over index rows), never the stale-but-closer one
+    val reput = batch(rec("a", Array(9f, 9f), 30))
+    store.put(reput); store.appendToNswIndex(reput)
+    val got2 = store.searchNsw(req, efSearch = 1 << 20)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got2 === Seq(("e", 0.25), ("b", 4.0), ("c", 50.0)))
+    // 3) re-put WITHOUT append: the stale indexed version fails (key, ts)
+    //    liveness — honest miss, never a stale score
+    store.put(batch(rec("b", Array(0f, 0.1f), 40)))
+    val got3 = store.searchNsw(req, efSearch = 1 << 20)
+      .collect().map(_.getString(0)).toSeq
+    assert(!got3.contains("b"), got3.toString)
+    // 4) deleted key drops out of the served index
+    store.delete(Seq("e"), ts = 50)
+    val got4 = store.searchNsw(req, efSearch = 1 << 20)
+      .collect().map(_.getString(0)).toSeq
+    assert(!got4.contains("e") && !got4.contains("b"), got4.toString)
+    // 5) appended rows landed in the SAME partition the build would use
+    val placed = spark.read.parquet(s"$dir/nsw_index")
+      .select(col("pid").cast("int"),
+        pmod(hash(col("key")), lit(4)).cast("int").as("want"))
+      .where(col("pid") =!= col("want"))
+    assert(placed.isEmpty, "append routed a key off its build partition")
   }
 
   test("tombstone GC: horizon drops old tombstones; retained ones still block late puts") {
