@@ -217,7 +217,8 @@ object Graph {
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, damp: Long = 85L, scale: Long = 1000000L,
-      checkpointDir: Option[String] = None, dedupe: Boolean = true): DataFrame = {
+      checkpointDir: Option[String] = None, dedupe: Boolean = true,
+      symmetric: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     require(damp >= 0 && damp <= 100, s"damp $damp must be a percentage")
     // dedupe = false skips the full-edge distinct shuffle when the caller
@@ -235,24 +236,38 @@ object Graph {
     // per iteration, never the edges.
     val eDeg = e.join(e.groupBy("s").agg(count(lit(1)).as("deg")), "s")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // node set from the CACHED relation (sources ∪ sinks) — deriving it
+    // symmetric = true: the caller asserts every node has an in-edge
+    // (e.g. the edge set is its own reversal, as any  x ∪ reverse(x)  is)
+    // — then each round's contribution aggregation already covers EVERY
+    // node and the per-round nodes left-join (plus the nodes distinct and
+    // its cache) disappears from the plan. The generic path keeps it for
+    // dangling-sink correctness.
+    // Node set from the CACHED relation (sources ∪ sinks) — deriving it
     // from `e` would re-run the edge distinct from the source tables.
-    // Lazily persisted (not eagerly checkpointed): the final materialize
-    // below computes cache fill + nodes + every round in ONE job instead
-    // of paying a separate eager pass just for the node set.
-    val nodes = eDeg.select(col("s").as("id"))
-      .union(eDeg.select(col("d").as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes =
+      if (symmetric) null
+      else eDeg.select(col("s").as("id"))
+        .union(eDeg.select(col("d").as("id"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val base = scale * (100L - damp) / 100L
-      var rank = nodes.select(col("id"), lit(scale).as("rank"))
+      var rank: DataFrame = null
       for (i <- 1 to iters) {
-        val contrib = eDeg.join(rank, eDeg("s") === rank("id"))
-          .select(col("d").as("id"), expr("rank div deg").as("c"))
-        rank = nodes
-          .join(contrib.groupBy("id").agg(sum(col("c")).as("cs")), Seq("id"), "left")
-          .select(col("id"),
-            (lit(base) + expr(s"($damp * coalesce(cs, 0L)) div 100")).as("rank"))
+        // round 1's rank is the CONSTANT `scale` for every node, so the
+        // first rank-join is algebraically a projection of eDeg — one
+        // join per run saved in both paths
+        val contrib =
+          if (i == 1) eDeg.select(col("d").as("id"),
+            expr(s"CAST($scale AS BIGINT) div deg").as("c"))
+          else eDeg.join(rank, eDeg("s") === rank("id"))
+            .select(col("d").as("id"), expr("rank div deg").as("c"))
+        val cs = contrib.groupBy("id").agg(sum(col("c")).as("cs"))
+        rank =
+          if (symmetric) cs.select(col("id"),
+            (lit(base) + expr(s"($damp * cs) div 100")).as("rank"))
+          else nodes.join(cs, Seq("id"), "left")
+            .select(col("id"),
+              (lit(base) + expr(s"($damp * coalesce(cs, 0L)) div 100")).as("rank"))
         // rounds CHAIN LAZILY into one job (each round references the
         // previous exactly once, so the plan grows linearly); checkpoint
         // eagerly only every 8th round — plan-depth guard for long runs —
@@ -261,7 +276,7 @@ object Graph {
         if (i % 8 == 0 || i == iters) rank = materialize(rank, checkpointDir)
       }
       rank
-    } finally { eDeg.unpersist(); nodes.unpersist() }
+    } finally { eDeg.unpersist(); if (nodes != null) nodes.unpersist() }
   }
 
   /** Duplicate-cluster summary from a pair list: one row per component

@@ -168,7 +168,11 @@ object OlapQueries {
             (col("l_partkey") + lit(1000000L)).as("b"))
           .distinct()
         val edges = sp.union(sp.select(col("b").as("a"), col("a").as("b")))
-        Graph.pageRankInt(edges, "a", "b", iters = 3, dedupe = false)
+        // symmetric = true: edges is its own reversal by construction, so
+        // every node has an in-edge — pageRankInt skips the per-round
+        // nodes left-join and the nodes distinct entirely
+        Graph.pageRankInt(edges, "a", "b", iters = 3, dedupe = false,
+            symmetric = true)
           .orderBy(col("rank").desc, col("id").asc)
           .limit(20)
       },

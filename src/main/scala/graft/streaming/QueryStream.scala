@@ -79,6 +79,13 @@ object QueryStream {
     * the build further, exactly the [[graft.operators.Nsw.nswTopKBatch]]
     * economics. Output per batch: (query_id, corpusId, score), k rows per
     * query.
+    *
+    * `maxQueriesPerTrigger` BOUNDS the driver collect: the query batch
+    * lives in driver memory and broadcasts to every task, so an unbounded
+    * trigger (e.g. a huge backlog drained by AvailableNow) would be
+    * driver-bound. Over-cap batches FAIL FAST with a real message — the
+    * fix belongs at the source (`maxOffsetsPerTrigger`/
+    * `maxFilesPerTrigger` throttling), not in silent truncation.
     */
   def serveNsw(
       queries: DataFrame,       // streaming: (queryId LONG, queryVec ARRAY<numeric>)
@@ -86,11 +93,20 @@ object QueryStream {
       corpusId: String, corpusVec: String,
       k: Int, m: Int = 8, efConstruction: Int = 64, efSearch: Int = 64,
       queryId: String = "qid", queryVec: String = "qvec",
+      maxQueriesPerTrigger: Long = 65536L,
       trigger: Trigger = Trigger.ProcessingTime(0L))(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // count BEFORE collect — the check must not itself materialize an
+        // unbounded batch on the driver
+        val n = batch.count()
+        require(n <= maxQueriesPerTrigger,
+          s"serveNsw: micro-batch of $n query rows exceeds " +
+            s"maxQueriesPerTrigger=$maxQueriesPerTrigger — the batch is " +
+            "collected driver-side; throttle the source " +
+            "(maxOffsetsPerTrigger/maxFilesPerTrigger) or raise the cap")
         val qs = batch
           .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
           .collect()

@@ -130,6 +130,45 @@ class GraphSpec extends SparkSpec {
     assert(prReliable === pr)
   }
 
+  test("long iteration with checkpointDir: plan depth stays O(1) across rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-long-").toString
+    // diameter-11 chain: min-label CC needs ~11 propagation rounds
+    val edges = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      df.queryExecution.optimizedPlan.foreach(_ => n += 1)
+      n
+    }
+    val labels = Graph.connectedComponents(edges, "a", "b", maxIter = 15,
+      smallGraphEdges = 0L, checkpointDir = Some(dir))
+    // >= 11 materialized rounds later the returned plan must still be a
+    // scan of the last checkpoint plus a projection — not 11 chained
+    // joins (the O(1)-per-round contract of the frontier materialize)
+    assert(planNodes(labels) <= 5, labels.queryExecution.optimizedPlan.toString)
+    assert(labels.orderBy("id").as[(Long, Long)].collect().toSeq ===
+      (1L to 12L).map(i => (i, 1L)))
+
+    val pr = Graph.pageRankInt(edges, "a", "b", iters = 10,
+      checkpointDir = Some(dir))
+    assert(planNodes(pr) <= 5, pr.queryExecution.optimizedPlan.toString)
+    // and the reliable-checkpoint run computes the same ranks as the
+    // localCheckpoint run at the same depth
+    assert(pr.orderBy("id").as[(Long, Long)].collect().toSeq ===
+      Graph.pageRankInt(edges, "a", "b", iters = 10)
+        .orderBy("id").as[(Long, Long)].collect().toSeq)
+  }
+
+  test("pageRankInt symmetric=true: identical ranks, no nodes join in the plan") {
+    // x ∪ reverse(x) is its own reversal -> symmetric contract holds
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+    val edges = (base ++ base.map(_.swap)).toDF("a", "b")
+    val generic = Graph.pageRankInt(edges, "a", "b", iters = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val sym = Graph.pageRankInt(edges, "a", "b", iters = 3, symmetric = true)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(sym === generic)
+  }
+
   test("pageRankInt: hand-computed 3-node star, 3 rounds, exact Longs") {
     // symmetric star 2—1—3; every step is integer arithmetic, so the
     // expected values are derivable by hand:

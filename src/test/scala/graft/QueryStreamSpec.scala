@@ -79,6 +79,32 @@ class QueryStreamSpec extends SparkSpec {
     assert(collected.size === 6) // 2 queries x k=3
   }
 
+  test("NSW serving fails fast when a trigger batch exceeds the driver-collect cap") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val tmp  = Files.createTempDirectory("graft-nswcap-").toString
+    val qdir = s"$tmp/queries"
+    // one file with 5 query rows against a cap of 2: the batch must be
+    // REJECTED with a real message, never silently truncated
+    emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .coalesce(1).write.parquet(qdir)
+    val qstream = spark.readStream
+      .schema(spark.read.parquet(qdir).schema)
+      .parquet(qdir)
+    val writer = QueryStream.serveNsw(qstream, emb, "vec_id", "embedding",
+      k = 3, efSearch = 16, maxQueriesPerTrigger = 2L,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()) {
+      (_, _) => ()
+    }
+    val q = writer.option("checkpointLocation", s"$tmp/ckpt").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("maxQueriesPerTrigger"), messages(e))
+  }
+
   test("PQ serving: streamed queries match the batch ADC join over the encoded corpus") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val cb = graft.operators.Pq.deterministicCodebooks(emb, "vec_id", "embedding",
