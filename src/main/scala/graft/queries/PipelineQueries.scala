@@ -1126,6 +1126,58 @@ object PipelineQueries {
         |cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
         |SELECT id AS vec_id FROM cc WHERE id <> component ORDER BY vec_id""".stripMargin)),
 
+    // The BPE merge LOOP itself, oracle-pinned: the Spark side is the real
+    // trainer (Bpe.train — the same driver loop as q56) truncated to 3
+    // merges; the oracle UNROLLS 3 iterations of (pair-count → argmax →
+    // apply-merge) in SQL. Merge application uses a wrapped-symbol string
+    // (each symbol as chr(1)||sym||chr(2) — delimiters provably absent
+    // from the corpus charset) where SQL replace()'s left-to-right
+    // non-overlapping scan IS BPE's greedy fusion semantics, including
+    // the a==b run case ("aaa" → ["aa","a"]). Same vocab cut, same
+    // (count desc, pair asc) tie-break, same minPairCount>=2 guard as
+    // the trainer, so rank-by-rank the rows are the loop's argmax trace.
+    // q83 pins round-zero pair counts; this pins rounds 1-3 — together
+    // the only unpinned trainer surface left is deep-round scheduling,
+    // which BpeSpec property-pins (incremental ≡ naive recount).
+    QueryDef("q88_bpe_merge_loop",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Bpe.train(Tables.documents(s, d), "text", numMerges = 3)
+          .zipWithIndex.map { case (m, i) => (i, m.a, m.b) }
+          .toDF("rk", "a", "b").orderBy("rk")
+      },
+      Some(s"""WITH toks AS (SELECT unnest($duckToks) AS word FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS cnt FROM toks WHERE word <> ''
+        |       GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 65536),
+        |s0 AS (SELECT cnt, array_to_string(list_transform(range(1, length(word)+1),
+        |         i -> chr(1)||substr(word, CAST(i AS INT), 1)||chr(2)), '') AS s FROM wc),
+        |p1 AS (SELECT a, b, SUM(cnt) AS pc FROM (
+        |    SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT)+1] AS b, cnt FROM (
+        |      SELECT cnt, l, unnest(range(1, len(l))) AS i FROM (
+        |        SELECT cnt, string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)) AS l FROM s0)))
+        |  GROUP BY a, b HAVING SUM(cnt) >= 2),
+        |m1 AS (SELECT a, b FROM p1 ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+        |s1 AS (SELECT cnt, replace(s, chr(1)||m1.a||chr(2)||chr(1)||m1.b||chr(2),
+        |         chr(1)||m1.a||m1.b||chr(2)) AS s FROM s0, m1),
+        |p2 AS (SELECT a, b, SUM(cnt) AS pc FROM (
+        |    SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT)+1] AS b, cnt FROM (
+        |      SELECT cnt, l, unnest(range(1, len(l))) AS i FROM (
+        |        SELECT cnt, string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)) AS l FROM s1)))
+        |  GROUP BY a, b HAVING SUM(cnt) >= 2),
+        |m2 AS (SELECT a, b FROM p2 ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+        |s2 AS (SELECT cnt, replace(s, chr(1)||m2.a||chr(2)||chr(1)||m2.b||chr(2),
+        |         chr(1)||m2.a||m2.b||chr(2)) AS s FROM s1, m2),
+        |p3 AS (SELECT a, b, SUM(cnt) AS pc FROM (
+        |    SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT)+1] AS b, cnt FROM (
+        |      SELECT cnt, l, unnest(range(1, len(l))) AS i FROM (
+        |        SELECT cnt, string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)) AS l FROM s2)))
+        |  GROUP BY a, b HAVING SUM(cnt) >= 2),
+        |m3 AS (SELECT a, b FROM p3 ORDER BY pc DESC, a ASC, b ASC LIMIT 1)
+        |SELECT rk, a, b FROM (
+        |  SELECT 0 AS rk, a, b FROM m1
+        |  UNION ALL SELECT 1 AS rk, a, b FROM m2
+        |  UNION ALL SELECT 2 AS rk, a, b FROM m3) ORDER BY rk""".stripMargin)),
+
     QueryDef("q84_ann_nsw",
       (s, d) => graft.operators.Nsw.nswTopK(
         Tables.embeddings(s, d).repartition(8, col("vec_id")),

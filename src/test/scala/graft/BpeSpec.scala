@@ -132,4 +132,15 @@ class BpeSpec extends SparkSpec {
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
     assert(Bpe.train(tiny, "text", numMerges = 10, minPairCount = 2).isEmpty)
   }
+
+  // q88 truncates the trainer to 3 merges while q56 runs 20 — the oracle
+  // unroll only pins the loop if an n-merge run is a PREFIX of a longer
+  // one (true because each round's argmax depends only on prior merges,
+  // never on numMerges; this would break if e.g. numMerges leaked into
+  // the vocab cut).
+  test("an n-merge train is a prefix of a longer train (q88 <=> q56)") {
+    val m3 = Bpe.train(corpus, "text", numMerges = 3)
+    val m6 = Bpe.train(corpus, "text", numMerges = 6)
+    assert(m6.take(3) === m3)
+  }
 }
