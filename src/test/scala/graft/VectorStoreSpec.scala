@@ -264,6 +264,37 @@ class VectorStoreSpec extends SparkSpec {
     assert(served === collectPairs(store.search(freq)))
   }
 
+  test("NSW fresh-index fast path: shuffle-free plan, parity with the full discipline") {
+    val dir = tmpDir()
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(batch((0 until 12).map(i =>
+      rec(f"k$i%02d", Array(i.toFloat, (i % 3).toFloat), 10)): _*))
+    store.buildNswIndex(m = 4, efConstruction = 16, numPartitions = 4)
+    val req = Knn.SearchRequest(Array(2.0, 1.0), topK = 3)
+    // fresh build: the newest-version window and liveness semi-join are
+    // provably no-ops — the plan must not contain either shuffle
+    val freshPlan = store.searchNsw(req, efSearch = 1 << 20)
+      .queryExecution.executedPlan.toString
+    assert(!freshPlan.contains("Window") && !freshPlan.contains("Join"),
+      freshPlan)
+    val fresh = store.searchNsw(req, efSearch = 1 << 20)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // cold reopen: same on-disk state, but freshness is driver state →
+    // conservative full-discipline path; results must be bit-identical
+    val reopened = new VectorStore(spark, dir, dim = 2)
+    val slowPlan = reopened.searchNsw(req, efSearch = 1 << 20)
+      .queryExecution.executedPlan.toString
+    assert(slowPlan.contains("Window") && slowPlan.contains("Join"), slowPlan)
+    assert(reopened.searchNsw(req, efSearch = 1 << 20)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq === fresh)
+    // any store write invalidates the fast path (a re-put key's stale
+    // indexed version must fail liveness, which needs the semi-join)
+    store.put(batch(rec("k00", Array(9f, 9f), 20)))
+    val afterWrite = store.searchNsw(req, efSearch = 1 << 20)
+      .queryExecution.executedPlan.toString
+    assert(afterWrite.contains("Join"), afterWrite)
+  }
+
   test("NSW artifact append: LWW + soft-delete discipline, routing stable") {
     val dir = tmpDir()
     val store = new VectorStore(spark, dir, dim = 2)
