@@ -69,11 +69,29 @@ object WalStream {
     */
   def indexMaintenance(ops: DataFrame, store: graft.store.VectorStore,
       trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
+    putMaintenance(ops, trigger)(store.appendToIvfIndex)
+
+  /** The same live put→index loop against the persisted NSW graphs — the
+    * streaming form of `hnsw.add_items` (`datanode/handler.py:263-297`):
+    * each micro-batch's PUTs route to their stable graph partition and
+    * are inserted via [[graft.store.VectorStore.appendToNswIndex]]
+    * (only touched partitions rewrite). DELETEs and checkpoint replays
+    * are harmless for the same reason as the IVF sink: `searchNsw`'s
+    * newest-version window + liveness semi-join drop duplicate and dead
+    * nodes at serve time (and any append invalidates the fresh-index
+    * fast path, so that discipline is guaranteed to run).
+    */
+  def nswIndexMaintenance(ops: DataFrame, store: graft.store.VectorStore,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
+    putMaintenance(ops, trigger)(store.appendToNswIndex)
+
+  private def putMaintenance(ops: DataFrame, trigger: Trigger)(
+      append: DataFrame => Unit): DataStreamWriter[Row] =
     ops.where(col("op_type") === "PUT")
       .writeStream.trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          store.appendToIvfIndex(batch.select(col("key"), col("vector"),
+          append(batch.select(col("key"), col("vector"),
             col("metadata"), col("timestamp").as("ts")))
       }
 

@@ -54,6 +54,37 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(got.head._2 - 0.25) < 1e-12)
   }
 
+  test("streaming index maintenance: WAL PUTs land in the persisted NSW graphs") {
+    val dir = Files.createTempDirectory("graft-nswmaint-").toString
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(Seq(
+      ("near", Array(0f, 1f), Map.empty[String, String], 10L),
+      ("mid", Array(0f, 3f), Map.empty[String, String], 10L),
+      ("far", Array(9f, 9f), Map.empty[String, String], 10L)
+    ).toDF("key", "vector", "metadata", "ts"))
+    store.buildNswIndex(m = 4, efConstruction = 16, numPartitions = 2)
+    // live inserts AFTER the build — only the WAL sees them
+    store.put(Seq(
+      ("fresh", Array(0f, 0.5f), Map.empty[String, String], 20L)
+    ).toDF("key", "vector", "metadata", "ts"))
+    val q = WalStream.nswIndexMaintenance(
+        WalStream.source(spark, s"$dir/wal"), store,
+        trigger = Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/nsw_ckpt")
+      .start()
+    q.awaitTermination(60000)
+    // the streamed PUT is served from the artifact without a rebuild;
+    // replayed history rows are duplicate nodes the newest-version
+    // window collapses (and the append invalidated the fast path, so
+    // the full serve discipline is in force)
+    val got = store.searchNsw(
+        graft.operators.Knn.SearchRequest(Array(0.0, 0.0), topK = 3),
+        efSearch = 1 << 20)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === Seq("fresh", "near", "mid"), got.mkString(","))
+    assert(math.abs(got.head._2 - 0.25) < 1e-12)
+  }
+
   test("streaming LWW over the WAL emits final winners per key") {
     val dir = writeWal()
     val updates = WalStream.lwwUpdates(WalStream.source(spark, s"$dir/wal"))
