@@ -1178,6 +1178,30 @@ object PipelineQueries {
         |  UNION ALL SELECT 1 AS rk, a, b FROM m2
         |  UNION ALL SELECT 2 AS rk, a, b FROM m3) ORDER BY rk""".stripMargin)),
 
+    // Corpus-conditioned bigram familiarity (LmScore) — the CCNet-style
+    // LM quality signal in exact-integer form: familiarity = Σ corpus
+    // frequency over the doc's bigrams, hapax = bigrams occurring nowhere
+    // else. Kept as counts (not log-perplexity) so both engines compute
+    // identical integers — no libm log() parity hazard. The oracle zips
+    // unnest(t) with unnest(t[2:]) (DuckDB pads the shorter with NULL)
+    // to form the same consecutive pairs the Spark side derives
+    // row-locally from the token array.
+    QueryDef("q89_bigram_novelty",
+      (s, d) => graft.operators.LmScore.noveltyStats(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tok || ' ' || next_tok AS bigram FROM (
+        |    SELECT doc_id, unnest(t) AS tok, unnest(t[2:]) AS next_tok FROM toks
+        |  ) WHERE next_tok IS NOT NULL),
+        |bc AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(bc.cnt) AS BIGINT) AS familiarity,
+        |  CAST(SUM(CASE WHEN bc.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |FROM bg JOIN bc USING (bigram) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QueryDef("q84_ann_nsw",
       (s, d) => graft.operators.Nsw.nswTopK(
         Tables.embeddings(s, d).repartition(8, col("vec_id")),
