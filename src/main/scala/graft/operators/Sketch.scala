@@ -88,4 +88,84 @@ object Sketch {
     require(busy < buckets, s"sketch saturated (busy = buckets = $buckets): widen it")
     -buckets.toDouble * math.log1p(-busy.toDouble / buckets.toDouble)
   }
+
+  /** HyperLogLog register state (Flajolet et al. 2007) — the distinct
+    * sketch that stays accurate PAST linear counting's saturation point:
+    * where a busy-bucket sketch loses resolution as busy → B, HLL's
+    * per-bucket max-rank registers keep a ~1.04/√m relative error at ANY
+    * cardinality, with m = 2^p registers of state per group, forever.
+    *
+    * Hash layout: the 60-bit salted-md5 value ([[graft.functions
+    * .TextFunctions.md5Low60]] convention, salt `hll:`) splits into the
+    * low p bits (register index, `h % m`) and the high 60−p bits `w`
+    * (`h >> p`); the register records the max over values of
+    * rank(w) = (60−p) − bitLength(w) + 1, the 1-based position of w's
+    * leftmost set bit (w = 0 → 60−p+1). Both halves are pure integer
+    * arithmetic — `bin()` string length is the engine-portable bitLength —
+    * so the register STATE itself hash-matches a DuckDB replica (the q85
+    * discipline: sketch state exact-integer and oracle-checked, the
+    * transcendental estimate driver-side in [[hllEstimate]]).
+    *
+    * Scale shape: one hash-agg over (group, b) — map-side partial MAX
+    * does almost all the work and the shuffled state is ≤ m rows per
+    * group per mapper. Registers MERGE by bucket-wise max (max is
+    * associative-commutative), so per-shard sketches union losslessly —
+    * the property that makes HLL the cross-partition COUNT(DISTINCT) at
+    * 100 TB; [[hllMerge]] is that union, property-pinned in SketchSpec
+    * against a direct build of the combined input.
+    *
+    * Output: (groupCol, b LONG, reg LONG) — sparse: buckets no value
+    * hashed into are absent (reg 0 in the dense view).
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int): DataFrame = {
+    require(p >= 2 && p <= 16, s"p $p outside 2..16 (m = 2^p registers)")
+    val m = 1L << p
+    val wBits = 60 - p
+    val h = conv(substring(md5(concat(lit("hll:"), col(valueCol))), 18, 15),
+      16, 10).cast("long")
+    df.select(col(groupCol), h.as("h"))
+      .select(col(groupCol), pmod(col("h"), lit(m)).as("b"),
+        shiftright(col("h"), p).as("w"))
+      .select(col(groupCol), col("b"),
+        when(col("w") === 0, lit(wBits + 1))
+          .otherwise(lit(wBits) - length(bin(col("w"))) + 1)
+          .cast("long").as("r"))
+      .groupBy(col(groupCol), col("b"))
+      .agg(max(col("r")).as("reg"))
+  }
+
+  /** Union of two register sets over the same (groupCol, p): bucket-wise
+    * max. Lossless — HLL's defining property (registers are a max
+    * semilattice), so shard-local sketches combine into exactly the
+    * sketch of the combined input.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(groupCol), col("b"))
+      .agg(max(col("reg")).as("reg"))
+
+  /** The HLL estimate over one group's collected sparse registers:
+    * E = α_m·m²/Σ 2^(−reg) (absent buckets contribute 2^0), with the
+    * standard small-range linear-counting correction when E ≤ 2.5m and
+    * empty buckets remain. Driver-side: transcendental, not bit-stable
+    * cross-engine (same rule as [[linearCountEstimate]]).
+    */
+  def hllEstimate(regs: Seq[(Long, Long)], p: Int): Double = {
+    require(p >= 2 && p <= 16, s"p $p outside 2..16")
+    val m = 1 << p
+    require(regs.size <= m, s"${regs.size} registers for m = $m")
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val sum = regs.map { case (_, r) => math.pow(2.0, -r.toDouble) }.sum +
+      (m - regs.size).toDouble // absent buckets: 2^0 each
+    val e = alpha * m * m / sum
+    val zeros = m - regs.count { case (_, r) => r > 0 }
+    if (e <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
+    else e
+  }
 }

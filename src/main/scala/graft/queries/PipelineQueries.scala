@@ -1066,6 +1066,30 @@ object PipelineQueries {
         |SELECT lang, busy, n_distinct FROM b JOIN n USING (lang)
         |ORDER BY lang""".stripMargin)),
 
+    // HyperLogLog register state per language (Sketch.hllRegisters,
+    // p=8 → 256 registers) — the distinct sketch that stays accurate
+    // past linear counting's saturation. The full sparse register set is
+    // the output: every (lang, bucket, max-rank) row is exact integer
+    // arithmetic (rank via bin()-string length = bitLength, identical in
+    // both engines), so the driver hash-pins the sketch STATE itself;
+    // the transcendental estimate stays driver-side (Sketch.hllEstimate).
+    QueryDef("q90_hll_registers",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), explode(wsTokens(col("text"))).as("tok"))
+          .where(col("tok") =!= "")
+        graft.operators.Sketch.hllRegisters(toks, "lang", "tok", p = 8)
+          .orderBy("lang", "b")
+      },
+      Some(s"""WITH t AS (SELECT lang, unnest($duckToks) AS tok FROM documents),
+        |h AS (SELECT DISTINCT lang,
+        |        CAST('0x'||substr(md5('hll:'||tok),18,15) AS BIGINT) AS h
+        |      FROM t WHERE tok <> '')
+        |SELECT lang, h % 256 AS b,
+        |  CAST(MAX(CASE WHEN h // 256 = 0 THEN 53
+        |                ELSE 52 - length(bin(h // 256)) + 1 END) AS BIGINT) AS reg
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // RAG / long-document chunking: fixed 200-char windows, 150-char
     // stride (50 overlap) — the retrieval-corpus preparation stage. Pure
     // substring arithmetic (TextFunctions.charWindows), one narrow

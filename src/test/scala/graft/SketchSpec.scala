@@ -68,4 +68,62 @@ class SketchSpec extends SparkSpec {
       Sketch.linearCountEstimate(16, 16)
     }
   }
+
+  /** JVM-side reference of the register computation: md5 of "hll:"+v,
+    * hex chars 18..32 as a 60-bit value, low p bits bucket, rank of the
+    * high bits — the same arithmetic the Spark expressions encode.
+    */
+  private def refRegisters(vals: Seq[String], p: Int): Set[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    vals.map { v =>
+      val hex = md.digest(s"hll:$v".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(17, 32), 16)
+      val w = h >>> p
+      val wBits = 60 - p
+      val r = if (w == 0) wBits + 1L
+        else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1L
+      (h % (1L << p), r)
+    }.groupBy(_._1).map { case (b, rs) => (b, rs.map(_._2).max) }.toSet
+  }
+
+  test("hll registers: bit-identical to a JVM md5 reference, dup-invariant") {
+    val vals = (1 to 200).map(i => s"v$i")
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val got = Sketch.hllRegisters(df, "g", "v", p = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === refRegisters(vals, 6))
+    // duplicates never move a max register
+    val got3 = Sketch.hllRegisters(df.union(df).union(df), "g", "v", p = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got3 === got)
+    // state is bounded by m regardless of cardinality
+    assert(got.size <= 64)
+  }
+
+  test("hll merge: union of shard sketches == sketch of the union") {
+    val a = (1 to 300).map(i => ("g", s"a$i")).toDF("g", "v")
+    val b = (200 to 500).map(i => ("g", s"b$i")).toDF("g", "v")
+    val merged = Sketch.hllMerge(
+      Sketch.hllRegisters(a, "g", "v", p = 7),
+      Sketch.hllRegisters(b, "g", "v", p = 7), "g")
+      .orderBy("b").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val direct = Sketch.hllRegisters(a.union(b), "g", "v", p = 7)
+      .orderBy("b").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === direct)
+  }
+
+  test("hll estimate: within 10% at 5k distinct with m=1024, past linear-count saturation") {
+    // 5000 distinct into 1024 buckets: a linear-count sketch of the same
+    // size is saturated-or-nearly (busy → B); HLL still estimates ~1.04/√m ≈ 3%
+    val df = (1 to 5000).map(i => ("g", s"value-$i")).toDF("g", "v")
+    val regs = Sketch.hllRegisters(df, "g", "v", p = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val est = Sketch.hllEstimate(regs, p = 10)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.10, s"estimate $est")
+    // partition-invariance: the sketch is a pure max semilattice
+    val r13 = Sketch.hllRegisters(df.repartition(13), "g", "v", p = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(r13 === regs.sorted)
+  }
 }
