@@ -117,20 +117,27 @@ object Sketch {
     * Output: (groupCol, b LONG, reg LONG) — sparse: buckets no value
     * hashed into are absent (reg 0 in the dense view).
     */
-  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
-      p: Int): DataFrame = {
+  /** The (bucket, rank) pair for one value — the single definition both
+    * the batch aggregation and the streaming state update hash through,
+    * so their register states agree by construction. Pure codegen'd
+    * integer/string arithmetic; no UDF.
+    */
+  def hllBucketRank(value: Column, p: Int): (Column, Column) = {
     require(p >= 2 && p <= 16, s"p $p outside 2..16 (m = 2^p registers)")
     val m = 1L << p
     val wBits = 60 - p
-    val h = conv(substring(md5(concat(lit("hll:"), col(valueCol))), 18, 15),
+    val h = conv(substring(md5(concat(lit("hll:"), value)), 18, 15),
       16, 10).cast("long")
-    df.select(col(groupCol), h.as("h"))
-      .select(col(groupCol), pmod(col("h"), lit(m)).as("b"),
-        shiftright(col("h"), p).as("w"))
-      .select(col(groupCol), col("b"),
-        when(col("w") === 0, lit(wBits + 1))
-          .otherwise(lit(wBits) - length(bin(col("w"))) + 1)
-          .cast("long").as("r"))
+    val w = shiftright(h, p)
+    (pmod(h, lit(m)),
+      when(w === 0, lit(wBits + 1))
+        .otherwise(lit(wBits) - length(bin(w)) + 1).cast("long"))
+  }
+
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int): DataFrame = {
+    val (b, r) = hllBucketRank(col(valueCol), p)
+    df.select(col(groupCol), b.as("b"), r.as("r"))
       .groupBy(col(groupCol), col("b"))
       .agg(max(col("r")).as("reg"))
   }

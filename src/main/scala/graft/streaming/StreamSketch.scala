@@ -50,6 +50,47 @@ object StreamSketch {
       .toDF(groupCol, "busy")
   }
 
+  /** Streaming HyperLogLog — the bounded-state distinct tracker that
+    * stays accurate PAST the bitmap's saturation point (the live face of
+    * [[graft.operators.Sketch.hllRegisters]]): per-group state is m = 2^p
+    * register BYTES (256 bytes at p = 8; ranks max out at 60−p+1 ≤ 59, so
+    * a byte each), updated by pure per-bucket max — associative and
+    * commutative, so the streamed registers equal the batch registers
+    * over the same rows regardless of arrival order or batching
+    * (parity-pinned in StreamSketchSpec). The (bucket, rank) pair is
+    * computed IN-PLAN (codegen) by the same
+    * [[graft.operators.Sketch.hllBucketRank]] columns the batch
+    * aggregation uses — one definition, agreement by construction.
+    *
+    * Emits (groupCol STRING, regs ARRAY<LONG> dense length m) per
+    * trigger, Update mode; estimate via
+    * [[graft.operators.Sketch.hllEstimate]] on the sparse view of the
+    * emitted row.
+    */
+  def hll(values: DataFrame, groupCol: String, valueCol: String,
+      p: Int): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val (b, r) = graft.operators.Sketch.hllBucketRank(col(valueCol), p)
+    val keyed: Dataset[(String, Long, Long)] = values
+      .select(col(groupCol).cast("string"), b, r)
+      .as[(String, Long, Long)]
+    keyed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (g, it, state) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          it.foreach { case (_, bkt, rank) =>
+            val i = bkt.toInt
+            if (rank > regs(i)) regs(i) = rank.toByte
+          }
+          state.update(regs)
+          (g, regs.map(_.toLong).toSeq)
+      }
+      .toDF(groupCol, "regs")
+  }
+
   /** The only output mode `mapGroupsWithState` supports. */
   val outputMode: OutputMode = OutputMode.Update()
 }

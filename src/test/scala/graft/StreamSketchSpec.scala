@@ -61,4 +61,43 @@ class StreamSketchSpec extends SparkSpec {
     val est = Sketch.linearCountEstimate(streamed("en"), 4096)
     assert(math.abs(est - trueEn) / trueEn < 0.10, s"est $est vs $trueEn")
   }
+
+  test("streamed hll registers equal the batch sketch over all waves") {
+    val dir = writeWaves()
+    val stream = spark.readStream
+      .schema("g STRING, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(dir)
+    val out = StreamSketch.hll(stream, "g", "v", p = 7)
+    val q = out.writeStream.format("memory").queryName("ss_hll")
+      .outputMode(StreamSketch.outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sshll-ckpt-").toString)
+      .start()
+    q.awaitTermination(60000)
+    // memory sink in Update mode: take each group's LAST emit (the one
+    // covering all waves) — register vectors only grow, so elementwise
+    // max across emits equals the last emit
+    val streamed = spark.table("ss_hll")
+      .groupBy("g").agg(max(struct(
+        aggregate(col("regs"), lit(0L), (acc, x) => acc + x).as("_tot"),
+        col("regs"))).as("m"))
+      .select(col("g"), col("m.regs"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Long](1).zipWithIndex.collect {
+          case (reg, b) if reg > 0 => (b.toLong, reg)
+        }.toSet).toMap
+    val batchDf = spark.read.schema("g STRING, v STRING").json(dir)
+    val batch = Sketch.hllRegisters(batchDf, "g", "v", p = 7)
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    assert(streamed === batch)
+    // estimate from the streamed state is close to truth
+    val trueEn = batchDf.where(col("g") === "en")
+      .select("v").distinct().count()
+    val est = Sketch.hllEstimate(streamed("en").toSeq, p = 7)
+    assert(math.abs(est - trueEn) / trueEn < 0.15, s"est $est vs $trueEn")
+  }
 }
