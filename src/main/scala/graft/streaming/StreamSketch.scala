@@ -91,6 +91,58 @@ object StreamSketch {
       .toDF(groupCol, "regs")
   }
 
+  /** Streaming heavy hitters with BOUNDED state — SpaceSaving (Metwally
+    * et al. 2005), the live top-k completing the sketch trio (cardinality
+    * = [[linearCount]]/[[hll]], frequency = this): per group, at most
+    * `capacity` (item, count, err) entries forever, where exact streaming
+    * counts keep one state row per distinct item and grow without bound.
+    * On overflow the minimum-count entry is EVICTED and the newcomer
+    * inherits its count (+1) with that floor recorded as `err`: counts
+    * are upper bounds with `cnt − err ≤ true ≤ cnt`, and any item with
+    * true frequency > N/capacity is guaranteed present — the heavy-hitter
+    * guarantee.
+    *
+    * Unlike the max/bit-OR sketches, SpaceSaving state depends on arrival
+    * order ONCE EVICTING — but while distinct items ≤ capacity it is
+    * EXACT and order-invariant (err = 0, counts = true counts; the regime
+    * StreamSketchSpec parity-pins against a batch groupBy count). Emits
+    * the current top-`emitK` per group each trigger as (groupCol, item,
+    * cnt, err), Update mode.
+    */
+  def spaceSaving(values: DataFrame, groupCol: String, valueCol: String,
+      capacity: Int, emitK: Int): DataFrame = {
+    require(capacity >= 1, s"capacity $capacity must be >= 1")
+    require(emitK >= 1 && emitK <= capacity,
+      s"emitK $emitK outside 1..capacity=$capacity")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val keyed: Dataset[(String, String)] = values
+      .select(col(groupCol).cast("string"), col(valueCol).cast("string"))
+      .as[(String, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, (Long, Long)],
+          (String, String, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (g, it, state) =>
+          var m = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+          it.foreach { case (_, v) =>
+            m.get(v) match {
+              case Some((c, e)) => m = m.updated(v, (c + 1, e))
+              case None if m.size < capacity => m = m.updated(v, (1L, 0L))
+              case None =>
+                // evict the min-count entry (ties: lexicographic item, so
+                // the update is deterministic given arrival order)
+                val (minV, (minC, _)) = m.minBy { case (v2, (c, _)) => (c, v2) }
+                m = (m - minV).updated(v, (minC + 1, minC))
+            }
+          }
+          state.update(m)
+          m.toSeq.sortBy { case (v, (c, _)) => (-c, v) }.take(emitK)
+            .iterator.map { case (v, (c, e)) => (g, v, c, e) }
+      }
+      .toDF(groupCol, "item", "cnt", "err")
+  }
+
   /** The only output mode `mapGroupsWithState` supports. */
   val outputMode: OutputMode = OutputMode.Update()
 }

@@ -100,4 +100,70 @@ class StreamSketchSpec extends SparkSpec {
     val est = Sketch.hllEstimate(streamed("en").toSeq, p = 7)
     assert(math.abs(est - trueEn) / trueEn < 0.15, s"est $est vs $trueEn")
   }
+
+  test("spaceSaving: exact and order-invariant while distinct <= capacity") {
+    val dir = writeWaves()
+    val stream = spark.readStream
+      .schema("g STRING, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(dir)
+    // wave vocab: en has 180 distinct toks, de 80 — capacity 512 never evicts
+    val out = StreamSketch.spaceSaving(stream, "g", "v",
+      capacity = 512, emitK = 512)
+    val q = out.writeStream.format("memory").queryName("ss_hh")
+      .outputMode(StreamSketch.outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sshh-ckpt-").toString)
+      .start()
+    q.awaitTermination(60000)
+    // counts only grow while an item is resident (and nothing evicts
+    // here), so max(cnt) per item is its final count
+    val streamed = spark.table("ss_hh")
+      .groupBy("g", "item").agg(max("cnt").as("cnt"), max("err").as("err"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val batch = spark.read.schema("g STRING, v STRING").json(dir)
+      .groupBy("g", "v").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, (c, e)) =>
+      assert(e === 0L, s"$k err")
+      assert(c === batch(k), s"$k cnt $c vs ${batch(k)}")
+    }
+  }
+
+  test("spaceSaving: bounded state under eviction, upper-bound counts, heavy item survives") {
+    val dir = Files.createTempDirectory("graft-sshh2-").toString
+    // one heavy item (150 occurrences) among 40 distinct fillers,
+    // capacity 8: evictions must happen, the heavy item must survive
+    // with cnt >= true and cnt - err <= true
+    val rows = scala.util.Random.shuffle(
+      (1 to 150).map(_ => ("g", "HEAVY")) ++
+        (1 to 120).map(i => ("g", s"f${i % 40}")))
+    val json = rows.map { case (g, v) => s"""{"g":"$g","v":"$v"}""" }
+      .mkString("", "\n", "\n")
+    Files.write(Paths.get(s"$dir/all.json"), json.getBytes)
+    val stream = spark.readStream
+      .schema("g STRING, v STRING").json(dir)
+    val out = StreamSketch.spaceSaving(stream, "g", "v",
+      capacity = 8, emitK = 8)
+    val q = out.writeStream.format("memory").queryName("ss_hh2")
+      .outputMode(StreamSketch.outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sshh2-ckpt-").toString)
+      .start()
+    q.awaitTermination(60000)
+    val emitted = spark.table("ss_hh2").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // state (and so each trigger's emit) never exceeds capacity entries
+    assert(emitted.length <= 8)
+    val heavy = emitted.find(_._1 == "HEAVY")
+    assert(heavy.isDefined, s"HEAVY evicted: ${emitted.mkString(",")}")
+    val (_, c, e) = heavy.get
+    assert(c >= 150L, s"cnt $c below true 150")   // upper bound
+    assert(c - e <= 150L, s"cnt $c - err $e above true 150")
+  }
 }
