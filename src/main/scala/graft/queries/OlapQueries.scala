@@ -330,6 +330,42 @@ object OlapQueries {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty_c DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
 
+    // Bloom-filter semi-join pruning (Bloom.mightContain) — the explicit
+    // runtime-filter: lineitem rows are dropped ROW-LOCALLY (plan-literal
+    // bitmap, codegen, pre-shuffle) unless their orderkey might be in the
+    // selective high-price order subset. The PASS SET (true matches +
+    // md5-deterministic false positives) is itself the oracle-checked
+    // output: the oracle reproduces membership against the distinct
+    // bit-position set, which equals the bitmap without replaying the
+    // 64-bit word packing (DuckDB raises on 1<<63 where the JVM wraps).
+    QueryDef("q91_bloom_semijoin",
+      (s, d) => {
+        val dim = Tables.orders(s, d)
+          .where(col("o_totalprice") > 470000.0)
+          .select(col("o_orderkey").as("key")).distinct()
+        val bloom = graft.operators.Bloom.buildBitmap(dim, "key",
+          bits = 4096, k = 5)
+        Tables.lineitem(s, d)
+          .where(graft.operators.Bloom.mightContain(bloom,
+            col("l_orderkey"), k = 5))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_pass"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH dim AS (SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_totalprice > 470000),
+        |bloomset AS (SELECT DISTINCT CAST('0x'||substr(md5('bf0:'||CAST(key AS VARCHAR)), 1+6*CAST(i AS INT), 6) AS BIGINT) % 4096 AS p
+        |  FROM dim, range(0,5) t(i)),
+        |probe AS (SELECT k.l_orderkey,
+        |    CAST('0x'||substr(md5('bf0:'||CAST(k.l_orderkey AS VARCHAR)), 1+6*CAST(i AS INT), 6) AS BIGINT) % 4096 AS p
+        |  FROM (SELECT DISTINCT l_orderkey FROM lineitem) k, range(0,5) t(i)),
+        |pass AS (SELECT l_orderkey FROM probe JOIN bloomset USING (p)
+        |  GROUP BY 1 HAVING COUNT(*) = 5)
+        |SELECT l_returnflag, COUNT(*) AS n_pass,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN pass USING (l_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Typo-level similarity over the name VOCABULARY (the SymSpell shape:
     // spell-correction pairs distinct words, then weights by occurrence
     // count — pairing occurrences directly is output-quadratic in the
