@@ -187,6 +187,10 @@ object AnnQuality {
     md.append("2k, `src/datanode/handler.py:364`) is what the MLlib tier applies.\n\n")
     md.append(s"| tier | mean recall@$k |\n|---|---|\n")
     results.foreach { case (t, r) => md.append(f"| $t | $r%.3f |\n") }
+    // the serving-economics section is measured by graft.NswServeBench,
+    // not here — emit it from this generator so a recall re-run cannot
+    // silently drop it (it once did); re-run NswServeBench to refresh.
+    md.append(servingEconomics)
     md.append("\nEmbedding near-dup (every row's single nearest neighbor — the\n")
     md.append("q20 semantics) via multi-probe LSH candidates + exact re-rank,\n")
     md.append("measured against the quadratic all-pairs ground truth:\n\n")
@@ -206,4 +210,33 @@ object AnnQuality {
     println(s"written: $out")
     spark.stop()
   }
+
+  /** Last `graft.NswServeBench` measurements (see that main to refresh). */
+  private val servingEconomics: String =
+    """
+      |## NSW serving economics (steady state)
+      |
+      |Measured by `graft.NswServeBench` (store ingest → compact →
+      |`buildNswIndex` once → 20 single-query serves, each a separate
+      |action; m=8, efC=64, efSearch=64, 8 partitions, local[32]):
+      |
+      || corpus | build once | artifact serve (`searchNsw`) | rebuild-per-call (`searchNswLive`) | break-even |
+      ||---|---|---|---|---|
+      || sf0.1 embeddings (2 000 × 64d) | 2.35 s | 0.303 s/query | 0.608 s/query | 8 queries |
+      || 16× replicated (32 000 × 64d) | 5.01 s | 0.320 s/query | 2.423 s/query | 3 queries |
+      |
+      |Artifact serve time is FLAT in corpus size (the 0.3 s floor is
+      |local-mode job overhead; the beam itself reads efSearch·degree
+      |nodes) while per-call rebuild grows with per-partition n — the
+      |gap is 2× at 2k rows, 7.6× at 32k, and keeps widening: this is
+      |why the reference builds at checkpoint and serves every query
+      |from the built index (`src/datanode/handler.py:86-120`), and why
+      |`searchNsw`+`buildNswIndex` is the serving path with
+      |`searchNswLive` reserved for ad-hoc one-shots. Serving off a
+      |FRESH index (no writes since build — the steady state between
+      |rebuilds) also skips the newest-version window and the liveness
+      |semi-join entirely (two shuffles, provably no-ops; plan- and
+      |parity-pinned in VectorStoreSpec), which is the 0.65→0.30 s/query
+      |step visible in the serve floor.
+      |""".stripMargin
 }

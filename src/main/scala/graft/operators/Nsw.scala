@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   * index once and serving many searches.
   *
   * Single layer (NSW, Malkov et al. 2014) rather than hierarchical: the
-  * hierarchy only improves the entry-point hop count, which a few extra
-  * beam steps cover at partition scale; single-layer keeps construction
-  * deterministic and dependency-free.
+  * hierarchy's job is starting the layer-0 beam NEAR the query instead
+  * of at a fixed node, and a deterministic ~sqrt(n) stride-sampled seed
+  * scan does that job with ZERO derived state (see [[Index.search]]) —
+  * at a 10M-vector shard that is ~3k extra distance evals per search,
+  * trivial next to the beam, with no persisted layers to maintain and
+  * construction still deterministic and dependency-free.
   *
   * Determinism: insertion order is ascending id within the partition,
   * every candidate ordering tie-breaks (distance, id), and neighbor
@@ -96,9 +99,32 @@ object Nsw {
       val visited = new java.util.BitSet(vecs.length)
       val frontier = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse) // min-heap
       val best = mutable.PriorityQueue.empty[(Double, Int)](ord)             // max-heap
-      val e0 = (d2(q, vecs(0)), 0)
-      visited.set(0); frontier.enqueue(e0)
-      if (allowed == null || allowed.get(0)) best.enqueue(e0)
+      // Multi-restart entry seeding — the hierarchy's job without the
+      // hierarchy: HNSW's upper layers exist to start the layer-0 beam
+      // NEAR the query instead of at a fixed node. A deterministic
+      // stride sample of ~sqrt(n) nodes enters the beam at EVERY seed
+      // (NSW's multi-search restarts, made deterministic): one seed
+      // alone can strand the search in a locally sparse DIRECTED region
+      // (pruning keeps each adjacency to the m closest, so deep nodes
+      // are far less back-linked than the early hub), while spread
+      // seeds both cover disconnected regions and put one entry near
+      // the query. sqrt(n) distance evals — trivial next to the beam at
+      // any n; data-independent stride keeps search a pure function of
+      // (graph, query); node 0 is always a seed so tiny graphs behave
+      // exactly as before.
+      val nSeeds = math.max(1, math.sqrt(vecs.length.toDouble).toInt)
+      val stride = math.max(1, vecs.length / nSeeds)
+      var s = 0
+      while (s < vecs.length) {
+        val sd = (d2(q, vecs(s)), s)
+        visited.set(s)
+        frontier.enqueue(sd)
+        if (allowed == null || allowed.get(s)) {
+          best.enqueue(sd)
+          if (best.size > ef) best.dequeue()
+        }
+        s += stride
+      }
       while (frontier.nonEmpty) {
         val (cd, ci) = frontier.dequeue()
         if (best.size >= ef && cd > best.head._1) { frontier.clear() }
