@@ -104,4 +104,65 @@ object Bloom {
     val bloom = buildBitmap(small, keyCol, bits, k)
     big.where(mightContain(bloom, col(keyCol), k)).join(small, Seq(keyCol))
   }
+
+  // ---- persisted artifact lifecycle (build once / append / serve) ----
+  // The same discipline as the IVF and NSW artifacts: membership state
+  // built at write time, maintained INCREMENTALLY at ingest (bit-OR is a
+  // semilattice — append(A);append(B) is bit-identical to build(A∪B),
+  // property-pinned in BloomSpec), loaded cheaply at serve time. The
+  // deployable form of "have we seen this key/hash/benchmark-gram
+  // before" for continuous-ingest dedup and decontamination.
+
+  private def metaFile(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_bloom_meta.json")
+
+  /** Persist a bitmap as (w, word) rows + a (bits, k) sidecar. */
+  def saveBitmap(spark: org.apache.spark.sql.SparkSession,
+      bitmap: Array[Long], k: Int, path: String): Unit = {
+    import spark.implicits._
+    bitmap.zipWithIndex.collect { case (w, i) if w != 0L => (i, w) }
+      .toSeq.toDF("w", "word")
+      .repartition(1).write.mode("overwrite").parquet(path)
+    val p = metaFile(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"""{"bits":${bitmap.length * 64},"k":$k}"""
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a persisted bitmap: (bitmap, k). */
+  def loadBitmap(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Long], Int) = {
+    val p = metaFile(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"bloom artifact at $path has no ${p.getName} " +
+      "sidecar — was it written by saveBitmap?")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def field(name: String): Int = {
+      val m = s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(text)
+      require(m.isDefined, s"bloom meta sidecar at $p is missing '$name'")
+      m.get.group(1).toInt
+    }
+    val bits = field("bits")
+    val arr = new Array[Long](bits / 64)
+    spark.read.parquet(path).collect()
+      .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    (arr, field("k"))
+  }
+
+  /** OR a new batch's keys into a persisted bitmap — incremental
+    * membership maintenance at ingest, no rebuild: the bitmap of A∪B is
+    * exactly bitmap(A) | bitmap(B).
+    */
+  def appendToBitmap(df: DataFrame, keyCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (existing, k) = loadBitmap(spark, path)
+    val delta = buildBitmap(df, keyCol, existing.length * 64, k)
+    var i = 0
+    while (i < existing.length) { existing(i) |= delta(i); i += 1 }
+    saveBitmap(spark, existing, k, path)
+  }
 }

@@ -133,6 +133,48 @@ object PipelineQueries {
         |SELECT component, COUNT(*) AS n_members, MAX(id) AS max_id
         |FROM cc GROUP BY component ORDER BY component ASC""".stripMargin)),
 
+    // Cross-source duplication report — the pipeline question behind
+    // dedup: WHICH corpus pair is leaking into which ("how much of
+    // source X re-appears in source Y")? Same minhash band-join pair
+    // generation as q64 (never n²), then each near-dup pair maps to its
+    // unordered (source, source) cell via two doc_id lookups and one
+    // hash-agg. At 100 TB the pair list is candidate-bounded and the
+    // report is |sources|² cells at most — tiny, whatever the corpus.
+    QueryDef("q92_cross_source_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.withMinhashPairs(docs, "doc_id", "text") { pairs =>
+          pairs.where(col("jac") >= 0.5)
+            .join(src.select(col("doc_id").as("a"), col("source").as("sa")),
+              Seq("a"))
+            .join(src.select(col("doc_id").as("b"), col("source").as("sb")),
+              Seq("b"))
+            .groupBy(least(col("sa"), col("sb")).as("source_a"),
+              greatest(col("sa"), col("sb")).as("source_b"))
+            .agg(count(lit(1)).as("n_pairs"))
+        }.orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS shingles FROM documents),
+        |hv AS (SELECT doc_id, shingles, list_transform(shingles, s -> CAST('0x'||substr(md5(s),25,8) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(range(0,16), k -> list_min(list_transform(hs, x -> (x*(2*k+1) + (1000000007*k+17)) % 4294967311))) AS sg FROM hv),
+        |bands AS (SELECT doc_id, j AS band_idx,
+        |  CAST(sg[4*CAST(j AS INT)+1] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+2] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+3] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+4] AS VARCHAR) AS band_key
+        |  FROM sig, range(0,4) t(j)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+        |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT c.a, c.b,
+        |  CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |    (length(sa.shingles) + length(sb.shingles) - length(list_intersect(sa.shingles, sb.shingles))) AS jac
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+        |pr AS (SELECT a, b FROM pairs WHERE jac >= 0.5)
+        |SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b,
+        |  COUNT(*) AS n_pairs
+        |FROM pr JOIN documents da ON da.doc_id = pr.a
+        |  JOIN documents db ON db.doc_id = pr.b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Lexical relevance: BM25 (Lucene idf, k1=1.2, b=0.75) of a 3-term
     // keyword query over documents — the keyword half of hybrid search.
     // Scores hash-match because per-doc contributions fold in sorted term

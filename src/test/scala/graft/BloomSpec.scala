@@ -64,6 +64,23 @@ class BloomSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("artifact lifecycle: save/load round-trip; append == rebuild bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-").toString
+    val a = (1 to 150).map(i => s"a$i").toDF("k")
+    val b = (1 to 90).map(i => s"b$i").toDF("k")
+    val built = Bloom.buildBitmap(a, "k", bits = 2048, k = 5)
+    Bloom.saveBitmap(spark, built, k = 5, dir)
+    val (loaded, k) = Bloom.loadBitmap(spark, dir)
+    assert(k === 5 && loaded.toSeq === built.toSeq)
+    // bit-OR semilattice: append(B) over build(A) == build(A ∪ B)
+    Bloom.appendToBitmap(b, "k", dir)
+    val (merged, _) = Bloom.loadBitmap(spark, dir)
+    val direct = Bloom.buildBitmap(a.union(b), "k", bits = 2048, k = 5)
+    assert(merged.toSeq === direct.toSeq)
+    // and the appended keys are now members (no false negatives)
+    assert(b.where(Bloom.mightContain(merged, col("k"), 5)).count() === 90L)
+  }
+
   test("numeric keys hash via their canonical string form") {
     val bloom = Bloom.buildBitmap(
       (1L to 100L).toDF("k"), "k", bits = 2048, k = 4)
