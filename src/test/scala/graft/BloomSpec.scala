@@ -81,6 +81,18 @@ class BloomSpec extends SparkSpec {
     assert(b.where(Bloom.mightContain(merged, col("k"), 5)).count() === 90L)
   }
 
+  test("generated code compiles — probe runs with codegen fallback disabled") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val bloom = Bloom.buildBitmap(
+        (1 to 50).map(i => s"k$i").toDF("k"), "k", bits = 1024, k = 5)
+      val n = (1 to 500).map(i => s"k$i").toDF("k")
+        .where(Bloom.mightContain(bloom, col("k"), 5)).count()
+      assert(n >= 50L) // the 50 members pass; fps may add a few
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("numeric keys hash via their canonical string form") {
     val bloom = Bloom.buildBitmap(
       (1L to 100L).toDF("k"), "k", bits = 2048, k = 4)

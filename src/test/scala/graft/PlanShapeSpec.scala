@@ -192,4 +192,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("q91 bloom probe is a row-local codegen filter — no join, no exchange before the agg") {
+    val plan = executed("q91_bloom_semijoin")
+    // the probe is the BloomContains expression inside the scan's filter —
+    // NOT a join against the dimension and NOT a shuffle of lineitem; the
+    // only exchange is the final 3-group aggregate's
+    assert(plan.contains("Filter bloom_contains"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("q90 hll register build is one hash-agg — no distinct pre-shuffle of values") {
+    val plan = executed("q90_hll_registers")
+    // one partial_max + final max over (lang, b): shuffled state is
+    // bounded by groups×m, never one row per distinct token
+    assert(plan.contains("partial_max") || plan.contains("partial max"),
+      plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("q89 bigram counts combine map-side before the score join") {
+    val plan = executed("q89_bigram_novelty")
+    // corpus counts must partial-aggregate (shuffle bounded by vocabulary,
+    // not corpus) and pair via equi-join on bigram — never a nested loop
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
