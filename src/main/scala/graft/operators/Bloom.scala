@@ -45,13 +45,17 @@ object Bloom {
   }
 
   /** Build the bitmap over the build side's keys: bits/64 longs,
-    * driver-collected (artifact-sized — 128 KiB at 2^20 bits; the gate
-    * rejects > 2^26 bits = 8 MiB, past which keep the (word, bits) rows
-    * distributed and use the join form instead of a plan literal).
+    * driver-collected (artifact-sized — 128 KiB at 2^20 bits, 2 MiB at
+    * the 2^24 gate; past that keep the (word, bits) rows distributed and
+    * probe via equi-join on the word index instead of a mapper-resident
+    * bitmap).
     */
   def buildBitmap(df: DataFrame, keyCol: String, bits: Int, k: Int): Array[Long] = {
     require(bits >= 64 && bits % 64 == 0, s"bits $bits must be a positive multiple of 64")
-    require(bits <= (1 << 26), s"bits $bits past the plan-literal gate (2^26)")
+    // 2^24 = the digest-slice ceiling in positions(); the 2 MiB bitmap it
+    // implies is also comfortably within reference-object range (Spark's
+    // own runtime bloom caps at 2^26 bits for the same reason)
+    require(bits <= (1 << 24), s"bits $bits past the 24-bit digest slice")
     require(k >= 1 && k <= 16, s"k $k outside 1..16")
     val pos = positions(col(keyCol), bits, k)
     val words = df.select(explode(array(pos: _*)).as("p"))
