@@ -57,6 +57,58 @@ object StreamDedup {
     * horizon, trading cross-horizon recall for bounded state, the same
     * trade [[graft.store.VectorStore.compact]] documents for tombstone GC.
     */
+  /** INFINITE-horizon exact dedup with BOUNDED state — the bloom-state
+    * complement to [[exactKeepFirst]]: where the watermark variant drops
+    * state past the horizon (and so re-admits a duplicate arriving after
+    * it), this keeps a per-shard bloom BITMAP forever — `shards ×
+    * bitsPerShard/8` bytes total (512 KiB at 64 × 2^16 defaults), at ANY
+    * stream length — and drops every row whose normalized text was ever
+    * seen. The price is the bloom trade: a false positive drops a NOVEL
+    * document (rate ≈ (inserted·k/bits)^k per shard — size bits to the
+    * expected corpus; the standard production trade for never-forget
+    * dedup, vs. state growing with the distinct corpus forever).
+    *
+    * Bit positions come from the SAME [[graft.operators.Bloom.positions]]
+    * slices as the batch bloom artifacts (computed in-plan, codegen);
+    * rows process in ascending `idCol` order within a (micro-batch,
+    * shard), so within-batch duplicates also collapse deterministically.
+    * Emits only surviving rows: (idCol, norm_text), Append mode.
+    */
+  def bloomKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+      shards: Int = 64, bitsPerShard: Int = 1 << 16, k: Int = 5): DataFrame = {
+    require(shards >= 1, s"shards $shards must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = bitsPerShard / 64
+    val norm = lower(trim(col(textCol)))
+    val pos = array(graft.operators.Bloom.positions(norm, bitsPerShard, k): _*)
+    docs
+      .select(col(idCol).cast("long"),
+        graft.functions.TextFunctions.md5Bucket(norm, shards, salt = "bd:")
+          .cast("int").as("__shard"),
+        pos.as("__pos"), norm.as("norm_text"))
+      .as[(Long, Int, Seq[Long], String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Array[Long], (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val bm = state.getOption.getOrElse(new Array[Long](words))
+          val out = rows.toSeq.sortBy(_._1).iterator.flatMap {
+            case (id, _, ps, text) =>
+              val seen = ps.forall(p =>
+                (bm((p >> 6).toInt) & (1L << (p & 63L))) != 0L)
+              if (seen) Iterator.empty
+              else {
+                ps.foreach(p => bm((p >> 6).toInt) |= 1L << (p & 63L))
+                Iterator.single((id, text))
+              }
+          }.toVector
+          state.update(bm)
+          out.iterator
+      }
+      .toDF(idCol, "norm_text")
+  }
+
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): Dataset[Candidate] = {
     val spark = docs.sparkSession

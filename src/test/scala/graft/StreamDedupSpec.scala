@@ -79,4 +79,43 @@ class StreamDedupSpec extends SparkSpec {
     assert(pairs.subsetOf(batchPairs),
       s"streaming emitted pairs the batch band join never generates: ${pairs -- batchPairs}")
   }
+
+  test("bloom dedup drops cross-wave duplicates with bounded state and no fp at this load") {
+    val dir = writeDocs()
+    val out = StreamDedup.bloomKeepFirst(docStream(dir), "doc_id", "text",
+      shards = 8, bitsPerShard = 1 << 12, k = 5)
+    val q = out.writeStream.format("memory").queryName("sd_bloom")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdbloom-ckpt-").toString).start()
+    q.awaitTermination(60000)
+    val kept = spark.table("sd_bloom").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 3 is the case-normalized duplicate of doc 1 (different wave —
+    // the state carried); 4 fp-drop-free at 4 texts into 2^12 bits
+    assert(kept === Set(1L, 2L, 4L, 5L))
+  }
+
+  test("bloom dedup collapses within-batch duplicates and survives heavy load fp-free") {
+    val dir = Files.createTempDirectory("graft-sdbloom2-").toString
+    // 300 distinct texts, each duplicated 3x (ids interleaved), ONE wave:
+    // within-batch dedup must keep exactly the smallest id per text
+    val rows = (0 until 900).map { i =>
+      val t = i % 300
+      s"""{"doc_id":${i + 1},"text":"document number $t with some distinct content","ts":${i + 1}}"""
+    }
+    Files.write(Paths.get(s"$dir/all.json"), rows.mkString("", "\n", "\n").getBytes)
+    val out = StreamDedup.bloomKeepFirst(docStream(dir), "doc_id", "text",
+      shards = 8, bitsPerShard = 1 << 14, k = 5)
+    val q = out.writeStream.format("memory").queryName("sd_bloom2")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdbloom2-ckpt-").toString).start()
+    q.awaitTermination(60000)
+    val kept = spark.table("sd_bloom2").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // smallest id per text = ids 1..300; 300 texts * 5 bits into 8 shards
+    // of 2^14 bits -> fp probability ~1e-10 per doc, structurally zero here
+    assert(kept === (1L to 300L).toSet)
+  }
 }
