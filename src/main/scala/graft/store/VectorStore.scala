@@ -203,6 +203,52 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     */
   def scan: DataFrame = compacted
 
+  /** The newest append sequence this handle knows of — the token a
+    * training run pins so [[scanAsOf]] reproduces its exact corpus later.
+    */
+  def currentSeq: Long = lastSeq
+
+  /** TIME TRAVEL — the read half the retained snapshots/WAL were kept
+    * for ([[compact]] keeps both precisely so history stays replayable):
+    * the live table exactly as [[scan]] returned it when `seq` was the
+    * newest append. Serving shape mirrors [[compacted]]: newest trusted
+    * snapshot at-or-before `seq` ∪ the WAL window (snapshot, seq] —
+    * `batch_seq` bounds are partition-directory pruning on both ends, so
+    * an as-of read near a snapshot opens almost nothing. With no usable
+    * snapshot it replays the WAL prefix from zero (WAL partitions are
+    * never deleted — slower, never wrong). Two caveats, both explicit
+    * retention trades: `compact(gcTombstonesBefore)` folds history (an
+    * as-of read older than a GC'd tombstone can resurrect the deleted
+    * key), and a deployment that GCs old WAL dirs bounds how far back
+    * `seq` may reach.
+    */
+  def scanAsOf(seq: Long): DataFrame = {
+    val trusted = readPos() // a torn snapshot_<tip> from a crashed
+                            // compact sits PAST the pointer — never read
+    val snapPos = snapshotPositions.filter(p => p <= seq && p <= trusted)
+      .sorted.lastOption
+    val snap = snapPos.map(p => spark.read.parquet(s"${snapDirBase}_$p"))
+      .getOrElse(emptyOps)
+    val delta = walOps(afterSeq = snapPos.getOrElse(-1L))
+      .where(col("batch_seq") <= seq).drop("node_id")
+    lwwWinners(snap, delta)
+      .where(col("op_type") === "PUT")
+      .select(col("key"), col("vector"), col("metadata"),
+        col("timestamp").as("ts"))
+  }
+
+  /** Every completed snapshot position on disk (directory names only). */
+  private def snapshotPositions: Seq[Long] = {
+    val p = Paths.get(baseDir)
+    if (!Files.exists(p)) return Seq.empty
+    val stream = Files.list(p)
+    try stream.toArray.map(_.toString.split('/').last)
+      .filter(_.startsWith("snapshot_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("snapshot_").toLong).toOption)
+      .toSeq
+    finally stream.close()
+  }
+
   /** KNN over the live table with the full SearchRequest surface. */
   def search(req: Knn.SearchRequest): DataFrame = Knn.searchStore(compacted, req)
 

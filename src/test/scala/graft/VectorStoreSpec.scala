@@ -264,6 +264,35 @@ class VectorStoreSpec extends SparkSpec {
     assert(served === collectPairs(store.search(freq)))
   }
 
+  test("scanAsOf: time travel to any append point, across compaction and reopen") {
+    val dir = tmpDir()
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(batch(rec("a", Array(1f, 0f), 10), rec("b", Array(0f, 1f), 10)))
+    val s1 = store.currentSeq
+    store.put(batch(rec("a", Array(9f, 9f), 20))) // overwrite a
+    val s2 = store.currentSeq
+    store.delete(Seq("b"), ts = 30)
+    val s3 = store.currentSeq
+    store.compact()
+    store.put(batch(rec("c", Array(5f, 5f), 40)))
+    val s4 = store.currentSeq
+    def view(s: Long) = store.scanAsOf(s).collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).head)).toMap
+    assert(view(s1) === Map("a" -> 1.0, "b" -> 0.0))
+    assert(view(s2) === Map("a" -> 9.0, "b" -> 0.0))
+    assert(view(s3) === Map("a" -> 9.0))
+    assert(view(s4) === Map("a" -> 9.0, "c" -> 5.0))
+    // the present as-of equals the live scan
+    assert(store.scanAsOf(store.currentSeq).collect().map(_.getString(0)).toSet
+      === store.scan.collect().map(_.getString(0)).toSet)
+    // history is a pure function of the files: a cold reopen agrees,
+    // including for seqs OLDER than the snapshot position (WAL replay)
+    val re = new VectorStore(spark, dir, dim = 2)
+    assert(re.scanAsOf(s2).collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).head)).toMap
+      === Map("a" -> 9.0, "b" -> 0.0))
+  }
+
   test("NSW fresh-index fast path: shuffle-free plan, parity with the full discipline") {
     val dir = tmpDir()
     val store = new VectorStore(spark, dir, dim = 2)
