@@ -149,4 +149,81 @@ class PropertySpec extends SparkSpec {
     def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
     assert(agree(sigs(1L), sigs(2L)) > agree(sigs(1L), sigs(3L)))
   }
+
+  test("bloom membership: no false negatives on seeded random key sets, any (bits, k)") {
+    import graft.operators.Bloom
+    (1 to 4).foreach { trial =>
+      val bits = 64 << rnd.nextInt(6)            // 64..2048
+      val k = 1 + rnd.nextInt(7)                 // 1..7
+      val n = 1 + rnd.nextInt(300)
+      val keys = (0 until n).map(_ => rnd.alphanumeric.take(3 + rnd.nextInt(12)).mkString)
+      val df = keys.toDF("k")
+      val bloom = Bloom.buildBitmap(df, "k", bits, k)
+      val pass = df.where(Bloom.mightContain(bloom, col("k"), k)).count()
+      assert(pass === keys.distinct.length.toLong || pass === n.toLong,
+        s"trial $trial (bits=$bits k=$k n=$n): members failed membership")
+      assert(df.distinct()
+        .where(Bloom.mightContain(bloom, col("k"), k)).count()
+        === keys.distinct.length.toLong,
+        s"trial $trial: a member key tested negative — impossible for a bloom")
+    }
+  }
+
+  test("hll merge is commutative, associative-shaped, and idempotent on random shards") {
+    import graft.operators.Sketch
+    val shards = (0 until 3).map { s =>
+      (0 until 150).map(_ => ("g", s"v${rnd.nextInt(400)}-$s")).toDF("g", "v")
+    }
+    val regs = shards.map(df => Sketch.hllRegisters(df, "g", "v", p = 7))
+    def collectRegs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val ab = collectRegs(Sketch.hllMerge(regs(0), regs(1), "g"))
+    val ba = collectRegs(Sketch.hllMerge(regs(1), regs(0), "g"))
+    assert(ab === ba) // commutative
+    val abc1 = collectRegs(Sketch.hllMerge(
+      Sketch.hllMerge(regs(0), regs(1), "g"), regs(2), "g"))
+    val abc2 = collectRegs(Sketch.hllMerge(
+      regs(0), Sketch.hllMerge(regs(1), regs(2), "g"), "g"))
+    assert(abc1 === abc2) // associative
+    val aa = collectRegs(Sketch.hllMerge(regs(0), regs(0), "g"))
+    assert(aa === collectRegs(regs(0))) // idempotent
+  }
+
+  test("spaceSaving invariant holds for EVERY tracked item on a seeded random stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamSketch
+    val dir = Files.createTempDirectory("graft-prop-ss-").toString
+    // zipfish stream: item j with frequency ~ 1/(j+1)
+    val rows = (0 until 2000).map { _ =>
+      val j = math.min(39, (math.pow(rnd.nextDouble(), 2.0) * 40).toInt)
+      s"""{"g":"g","v":"item$j"}"""
+    }
+    Files.write(java.nio.file.Paths.get(s"$dir/all.json"),
+      rows.mkString("", "\n", "\n").getBytes)
+    val truth = rows.groupBy(identity).map { case (r, rs) =>
+      (r.split("\"")(7), rs.size.toLong) } // {"g":"g","v":"itemJ"} -> itemJ
+    val out = StreamSketch.spaceSaving(
+      spark.readStream.schema("g STRING, v STRING").json(dir),
+      "g", "v", capacity = 12, emitK = 12)
+    val q = out.writeStream.format("memory").queryName("prop_ss")
+      .outputMode(StreamSketch.outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-prop-ss-ckpt-").toString)
+      .start()
+    q.awaitTermination(60000)
+    val tracked = spark.table("prop_ss").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(tracked.nonEmpty && tracked.length <= 12)
+    tracked.foreach { case (item, cnt, err) =>
+      val t = truth.getOrElse(item, 0L)
+      assert(cnt >= t, s"$item: cnt $cnt below true $t (upper bound broken)")
+      assert(cnt - err <= t, s"$item: cnt-err ${cnt - err} above true $t")
+    }
+    // the guaranteed-resident heavy hitter: freq > N/capacity
+    val n = rows.size
+    truth.filter(_._2 > n / 12).keys.foreach { heavy =>
+      assert(tracked.exists(_._1 == heavy), s"$heavy exceeded N/capacity but is absent")
+    }
+  }
 }
