@@ -149,14 +149,22 @@ object Dedup {
       shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val newMh = minhashed(newDf, idCol, textCol, shingleN, numHashes, bands)
     val oldMh = minhashed(oldDf, idCol, textCol, shingleN, numHashes, bands)
-    // the CORPUS side's shingles ride through the band join (it streams
-    // against the broadcast batch band keys, so the corpus is scanned
-    // exactly once and its shingles never re-join); the broadcast stays
-    // lean — band keys only. Only the small BATCH side pays a second
-    // shingle pass, joined back broadcast over the few candidates.
-    val nb = newMh.select(col(idCol).as("a"),
-      posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
     val ob = oldMh.select(col(idCol).as("b"), col("shingles").as("shb"),
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+    crossPairsAgainst(newMh, ob, idCol)
+  }
+
+  /** The batch-vs-corpus band join both [[minhashPairsAgainst]] and
+    * [[pairsAgainstIndex]] share: the CORPUS side's shingles ride through
+    * the band join (it streams against the broadcast batch band keys, so
+    * the corpus is scanned exactly once and its shingles never re-join);
+    * the broadcast stays lean — band keys only. Only the small BATCH side
+    * pays a second shingle pass, joined back broadcast over the few
+    * candidates.
+    */
+  private def crossPairsAgainst(newMh: DataFrame, ob: DataFrame,
+      idCol: String): DataFrame = {
+    val nb = newMh.select(col(idCol).as("a"),
       posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
     val cand = ob.join(broadcast(nb), Seq("band_idx", "band_key"))
       .select(col("a"), col("b"), col("shb"))
@@ -167,6 +175,94 @@ object Dedup {
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           (size(col("sha")) + size(col("shb")) -
             size(array_intersect(col("sha"), col("shb"))))).as("jac"))
+  }
+
+  // ---- persisted signature index (build once / append / check) ----
+  // The write-time half the incremental check's scaladoc promises: at
+  // 100 TB, checking an arriving batch against the corpus must not
+  // re-shingle the corpus — its banded signature rows are computed ONCE
+  // at ingest and persisted, and every later check is a scan of hash
+  // rows (never corpus text). Same artifact discipline as the IVF/NSW/
+  // bloom index families; append is trivially exact (signature rows are
+  // per-document — no cross-row state to maintain).
+
+  private def sigMetaFile(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_minhash_meta.json")
+
+  private case class SigMeta(shingleN: Int, numHashes: Int, bands: Int)
+
+  private def writeSigMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: SigMeta): Unit = {
+    val p = sigMetaFile(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"shingleN":${m.shingleN},"numHashes":${m.numHashes},"bands":${m.bands}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSigMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): SigMeta = {
+    val p = sigMetaFile(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"signature index at $path has no ${p.getName} " +
+      "sidecar — was it written by buildSignatureIndex?")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def field(name: String): Int = {
+      val m = s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(text)
+      require(m.isDefined, s"signature-index meta at $p is missing '$name'")
+      m.get.group(1).toInt
+    }
+    SigMeta(field("shingleN"), field("numHashes"), field("bands"))
+  }
+
+  /** Persist the corpus's banded signature rows — (id, shingles,
+    * band_idx, band_key), one row per (document, band), partitioned by
+    * `band_idx`. Shingle/hash parameters land in a sidecar so appends
+    * and checks can never silently mix geometries.
+    */
+  def buildSignatureIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingleN: Int = 5, numHashes: Int = 16,
+      bands: Int = 4): Unit = {
+    minhashed(df, idCol, textCol, shingleN, numHashes, bands)
+      .select(col(idCol).as("id"), col("shingles"),
+        posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+      .write.partitionBy("band_idx").mode("overwrite").parquet(path)
+    writeSigMeta(df.sparkSession, path, SigMeta(shingleN, numHashes, bands))
+  }
+
+  /** Index a NEW batch into the persisted signature index at ingest —
+    * per-document rows, so append IS exact: check-after-append equals a
+    * full rebuild over the union (spec-pinned).
+    */
+  def appendToSignatureIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val m = readSigMeta(df.sparkSession, path)
+    minhashed(df, idCol, textCol, m.shingleN, m.numHashes, m.bands)
+      .select(col(idCol).as("id"), col("shingles"),
+        posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+      .write.partitionBy("band_idx").mode("append").parquet(path)
+  }
+
+  /** [[minhashPairsAgainst]] served from the PERSISTED index: the corpus
+    * side is a scan of precomputed signature rows — no corpus text is
+    * read, no shingling or hashing re-runs; the arriving batch is the
+    * only thing hashed. Output contract identical to
+    * [[minhashPairsAgainst]] (a = new id, b = indexed id, exact jac).
+    */
+  def pairsAgainstIndex(newDf: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    val spark = newDf.sparkSession
+    val m = readSigMeta(spark, path)
+    val newMh = minhashed(newDf, idCol, textCol, m.shingleN, m.numHashes,
+      m.bands)
+    val ob = spark.read.parquet(path)
+      .select(col("id").as("b"), col("shingles").as("shb"),
+        col("band_idx"), col("band_key"))
+    crossPairsAgainst(newMh, ob, idCol)
   }
 
   private def minhashPairsImpl(df: DataFrame, idCol: String, textCol: String,

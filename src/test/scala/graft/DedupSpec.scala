@@ -283,4 +283,40 @@ class DedupSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)).toSeq === Seq((10L, 1L), (11L, 1L)))
     assert(got.forall(_._3 > 0.8), got.mkString(", "))
   }
+
+  test("signature index: check from the artifact == live check; append == rebuild") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpusA = Seq(
+      (1L, base),
+      (2L, "completely different corpus content nothing shared with anything here")
+    ).toDF("doc_id", "text")
+    val corpusB = Seq(
+      (3L, "a second ingest wave with its own unique phrasing throughout")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, base + " x"),
+      (11L, "a second ingest wave with its own unique phrasing throughout ok"),
+      (12L, "fresh novel text with zero overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigidx-").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    Dedup.buildSignatureIndex(corpusA, "doc_id", "text", dir)
+    // artifact check == live check, exactly (incl. jac values)
+    assert(rows(Dedup.pairsAgainstIndex(newDocs, "doc_id", "text", dir))
+      === rows(Dedup.minhashPairsAgainst(newDocs, corpusA, "doc_id", "text")))
+    // append wave B at ingest: check == live check against the UNION
+    Dedup.appendToSignatureIndex(corpusB, "doc_id", "text", dir)
+    val fromIndex = rows(Dedup.pairsAgainstIndex(newDocs, "doc_id", "text", dir))
+    assert(fromIndex ===
+      rows(Dedup.minhashPairsAgainst(newDocs, corpusA.union(corpusB), "doc_id", "text")))
+    // the wave-B near-dup is actually found through the artifact
+    assert(fromIndex.map(t => (t._1, t._2)).contains((11L, 3L)))
+    // a pathless dir fails fast with a real message
+    val e = intercept[IllegalArgumentException] {
+      Dedup.pairsAgainstIndex(newDocs, "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("graft-sigidx-none-").toString)
+    }
+    assert(e.getMessage.contains("buildSignatureIndex"))
+  }
 }
