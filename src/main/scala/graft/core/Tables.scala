@@ -19,13 +19,32 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` — so `ts`
-    * surfaces as BIGINT nanoseconds since epoch here. That is a feature for
-    * oracle parity: long-ns ordering/comparison is bit-exact against
-    * DuckDB's TIMESTAMP_NS with zero truncation.
+  /** `events.ts` surfaces as BIGINT nanoseconds since epoch, whatever
+    * width the parquet writer used — the engine's one event-time
+    * representation (long-ns ordering/comparison is bit-exact across
+    * engines; oracles read the same instants via `epoch_us(ts)`):
+    *
+    *  - TIMESTAMP(NANOS) data arrives as LongType already (the
+    *    `nanosAsLong` session conf) and passes through untouched;
+    *  - TIMESTAMP(MICROS)/(MILLIS) data (the driver's current fixture
+    *    width) arrives as TIMESTAMP_NTZ and is converted exactly:
+    *    wall-clock in the UTC session → `unix_micros × 1000`.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(load(spark, sfDir, "events"))
+
+  /** The ts-to-long-nanos normalization, exposed for every other reader
+    * of an events-shaped frame (streaming file sources, specs, demos) so
+    * the representation can't fork.
+    */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn(tsCol,
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col(tsCol).cast("timestamp")) *
+          org.apache.spark.sql.functions.lit(1000L))
+    }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")

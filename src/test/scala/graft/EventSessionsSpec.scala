@@ -35,17 +35,18 @@ class EventSessionsSpec extends SparkSpec {
     }
     val schema = spark.read.parquet(dir).schema
 
-    val streamed = EventSessions.sessionize(
+    val streamed = EventSessions.sessionize(graft.core.Tables.normalizeTs(
       spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir))
+        .option("maxFilesPerTrigger", "1").parquet(dir)))
     val q = streamed.writeStream.format("memory").queryName("sessions")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
-    val batch = EventSessions.sessionize(spark.read.parquet(dir))
+    val batch = EventSessions.sessionize(
+      graft.core.Tables.normalizeTs(spark.read.parquet(dir)))
     // append emits only sessions the final watermark closed; compare that
     // region (final watermark = max event time - 1 hour)
-    val cutoff = spark.read.parquet(dir)
+    val cutoff = graft.core.Tables.normalizeTs(spark.read.parquet(dir))
       .select(timestamp_micros(expr("max(ts div 1000) - 3600000000")))
       .head().getTimestamp(0)
     def key(df: org.apache.spark.sql.DataFrame) = df

@@ -18,9 +18,10 @@ class EventStreamSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val eventsStream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
+    val eventsStream = graft.core.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString))
     val counts = eventsStream
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
@@ -33,7 +34,7 @@ class EventStreamSpec extends SparkSpec {
 
     val streamed = spark.table("ev_win")
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
-    val batch = spark.read.parquet(s"$sf0001/events.parquet")
+    val batch = graft.core.Tables.events(spark, sf0001)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
