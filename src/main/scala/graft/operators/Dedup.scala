@@ -657,4 +657,77 @@ object Dedup {
       .where(col("rn") === 1)
       .select(col("a").as(idCol), col("b").as("nn_id"), col("cos_sim"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): hash every positional character k-gram, slide a
+    * window of `w` consecutive hashes, keep each window's MINIMUM — the
+    * guarantee is that any shared substring of length ≥ w+k−1 between
+    * two documents yields at least one SHARED fingerprint, at ~2/(w+1)
+    * the density of full k-gram hashing. The copy-detection primitive
+    * between exact chunk dedup (alignment-sensitive) and minhash
+    * (whole-document).
+    *
+    * Determinism: the selected value is the single integer
+    * `hash·2²⁰ + pos` (md5-low-32 k-gram hash, leftmost-minimum
+    * tie-break via the pos low bits — one total order, no argmin
+    * ambiguity), so both engines pick identical fingerprints; texts
+    * longer than 2²⁰ chars are rejected rather than silently aliased.
+    * Shape: one explode (≈ len rows/doc), one windowed min partitioned
+    * by doc (single shuffle), distinct. Output: (id, fp) distinct pairs;
+    * fp still carries the position bits — the paper's (0-mod-p
+    * document-positioned) fingerprint form.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing needs k >= 1, w >= 1 (got $k, $w)")
+    val n0 = greatest(length(col(textCol)).cast("long") - (k - 1), lit(1L))
+    // guard in the row path (q70 discipline): pos bits alias past 2^20
+    val n = when(length(col(textCol)) < lit(1 << 20), n0)
+      .otherwise(raise_error(concat(lit("winnowing: doc "),
+        col(idCol).cast("string"),
+        lit(" exceeds 2^20 chars — pos bits would alias"))))
+    val grams = df
+      .select(col(idCol), n.as("n"), col(textCol).as("__t"))
+      .select(col(idCol), col("n"),
+        posexplode(transform(sequence(lit(1L), col("n")), p =>
+          md5Low32(col("__t").substr(p.cast("int"), lit(k)))))
+          .as(Seq("pos0", "h")))
+      .select(col(idCol), col("n"), (col("pos0") + 1).cast("long").as("pos"),
+        (col("h") * lit(1L << 20) + col("pos0").cast("long") + 1L).as("hp"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
+      .rowsBetween(0, w - 1)
+    grams.withColumn("fp", min(col("hp")).over(win))
+      // keep only FULL windows (the last w-1 positions start short ones);
+      // docs with fewer than w grams keep their single truncated window
+      .where(col("pos") <= greatest(col("n") - (w - 1), lit(1L)))
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
+  /** Winnowing overlap pairs — MOSS's actual report: documents ranked by
+    * how many distinct fingerprint HASHES they share. Matching divides
+    * the position bits back out of the selected fingerprints (matching
+    * on content, not layout — a copy shifted by any offset still
+    * matches, which is the point of the w+k−1 guarantee). Hashes hotter
+    * than `maxDocFreq` docs (site boilerplate) are dropped BEFORE the
+    * pair join — the same cap discipline as the n-gram Jaccard capped
+    * join; the join key is a long, so the shuffle never carries text.
+    * Output: (a, b, n_shared) with a < b.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxDocFreq: Int = 20): DataFrame = {
+    val hs = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol), expr("fp div 1048576").as("h"))
+      .distinct()
+    val cool = hs.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("dfreq"))
+      .where(col("dfreq") <= maxDocFreq)
+      .select("h")
+    val kept = hs.join(cool, Seq("h"))
+    kept.as("x").join(kept.as("y"),
+        col("x.h") === col("y.h") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

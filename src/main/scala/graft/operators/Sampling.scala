@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Weight-aware sampling — the curation stage between uniform subsampling
+  * (q41/q57) and mixture allocation (q72): pick rows with probability
+  * proportional to a quality/size weight, reproducibly.
+  *
+  * Algorithm: priority sampling (Duffield, Lund & Thorup, JACM 2007).
+  * Each row gets priority `w / u` with `u` uniform in (0,1]; the n
+  * highest-priority rows per group are the sample. The estimator's
+  * variance is near-optimal among weighted schemes, and — unlike
+  * sequential reservoir algorithms — the priority is a PURE PER-ROW
+  * function, so the "reservoir" is just a per-group top-n: map-side
+  * heaps + one shuffle, no sequential state, no driver pass. That is
+  * what makes it the 100-TB form of weighted sampling.
+  *
+  * Determinism discipline: `u` is the md5-low-32 coin of the row id
+  * (TextFunctions.md5Unit's integer form, salted), and the comparison
+  * key is computed in EXACT integer arithmetic —
+  * `(w << 32) div (u32 + 1)` — so every engine ranks identically;
+  * a float `w / u` could differ in the last ulp across libms and flip a
+  * borderline selection. `w` must be a non-negative BIGINT; rows with
+  * w <= 0 never sample (w/u = 0 sorts last, ties broken by id).
+  */
+object Sampling {
+
+  /** Top-`n` rows per group by deterministic priority-sampling rank.
+    * Output = input columns + `rk` (1-based within group), rows with
+    * rk <= n, priority descending. `weightCol` must be LONG-typed and
+    * < 2^31 or the shifted product overflows — milli-scaled money and
+    * token counts fit comfortably.
+    */
+  def prioritySample(df: DataFrame, groupCols: Seq[String], idCol: String,
+      weightCol: String, n: Int, salt: String = ""): DataFrame = {
+    require(n >= 1, s"prioritySample: n $n must be >= 1")
+    // exact-integer priority key: (w * 2^32) div (u32 + 1) — a Long
+    // because w < 2^31 and the divisor >= 1; monotone in w/u, so ranking
+    // by it IS ranking by the Duffield-Lund-Thorup priority
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__pri").desc, col(idCol).asc)
+    df.withColumn("__w2", col(weightCol) * lit(4294967296L))
+      .withColumn("__u1",
+        TextFunctions.md5Low32(concat(lit(salt), col(idCol).cast("string"))) +
+          lit(1L))
+      .withColumn("__pri", expr("__w2 div __u1"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= n)
+      .drop("__w2", "__u1", "__pri")
+  }
+}

@@ -538,6 +538,63 @@ object OlapQueries {
         |  COUNT(CASE WHEN (CAST(st.n AS HUGEINT) * m.v_m - st.s) * (CAST(st.n AS HUGEINT) * m.v_m - st.s)
         |    > 4 * (CAST(st.n AS HUGEINT) * st.s2 - CAST(st.s AS HUGEINT) * st.s) THEN 1 END) AS n_outliers
         |FROM m JOIN st USING (event_type)
-        |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin))
+        |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin)),
+
+    // Incremental view maintenance: the per-event-type stats view
+    // refreshed by MERGING partial states — state(base) ⊕ state(delta)
+    // with base = pre-cutoff events and delta = the rest — instead of
+    // rescanning. Count/sum/min/max are Long monoids, so the merged
+    // view is bit-identical to the full recompute the oracle runs; at
+    // 100 TB the refresh reads O(delta + groups), never the corpus
+    // (Ivm.refreshAggView is the persisted-artifact form of this plan).
+    QueryDef("q95_ivm_merge",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"), col("ts"),
+          floor(col("value") * 1000).cast("long").as("v_m"))
+        val cut = 1705276800000000000L // 2024-01-15, the q14 checkpoint
+        val base  = graft.operators.Ivm.aggState(
+          ev.where(col("ts") <= cut), Seq("event_type"), "v_m")
+        val delta = graft.operators.Ivm.aggState(
+          ev.where(col("ts") > cut), Seq("event_type"), "v_m")
+        graft.operators.Ivm.mergeStates(Seq(base, delta), Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s,
+        |  MIN(CAST(floor(value * 1000) AS BIGINT)) AS mn,
+        |  MAX(CAST(floor(value * 1000) AS BIGINT)) AS mx
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Triangle counting over the part co-purchase graph (parts sharing an
+    // order; one quarter of shipdates keeps the sf-scaled edge density
+    // constant). The engine orients edges by (degree, id) rank so the
+    // wedge join is bounded by each edge's LOWER degree — the
+    // O(m^{3/2}) Suri-Vassilvitskii shape that survives hub nodes at
+    // 100 TB. The oracle counts the same triangles by id-ordered 3-way
+    // self-join (a<b<c) — orientation-invariant, so counts hash-match.
+    QueryDef("q93_triangle_counts",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
+            col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        Graph.triangleCounts(pairs, "a", "b")
+          .orderBy(col("triangles").desc, col("id").asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
+        |ORDER BY triangles DESC, id ASC LIMIT 20""".stripMargin))
   )
 }

@@ -656,6 +656,27 @@ object PipelineQueries {
         |  FROM embeddings em, ra, q)
         |SELECT vec_id, score FROM sc ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin)),
 
+    // Binary-quantization tier (Bq.bqTopK): sign-bit pack → Hamming
+    // (XOR+popcount over dim/32 words, 32× fewer bytes than the float
+    // scan) → top-50 candidates → exact L2 re-rank → top-5. The modern
+    // retrieval stack's first-pass filter; Hamming is pack-invariant, so
+    // the oracle counts sign mismatches dimension-wise and the re-rank
+    // is the engine's standard bit-exact fold — full hash-match.
+    QueryDef("q96_ann_binary",
+      (s, d) => graft.operators.Bq.bqTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64, queryId = 0L, k = 5,
+        rerankFrom = 50),
+      Some(s"""WITH q AS (SELECT list_transform(embedding, e -> CAST(e AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id = 0),
+        |h AS (SELECT e.vec_id, list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) > 0) <> (q.qe[i] > 0)
+        |         THEN 1 ELSE 0 END)) AS ham
+        |  FROM embeddings e, q),
+        |cand AS (SELECT vec_id FROM h ORDER BY ham ASC, vec_id ASC LIMIT 50),
+        |sc AS (SELECT e.vec_id, ${duckL2Zip.format("e.embedding", "q.qe")} AS score
+        |  FROM embeddings e JOIN cand USING (vec_id), q)
+        |SELECT vec_id, score FROM sc ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin)),
+
     // IVF-SQ8 composed tier (FAISS `IVF8,SQ8`): prune to the query's 2
     // nearest cells, score byte codes inside them — nprobe/K of a 4×-
     // smaller corpus. Deterministic centroids + order-free SQ ranges
@@ -899,6 +920,33 @@ object PipelineQueries {
         |WHERE c.doc_id < 500
         |ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing (MOSS) overlap report: k-gram hashes → sliding-window
+    // minima (guaranteed to catch any shared run of w+k−1 = 8 chars) →
+    // doc pairs ranked by shared fingerprints. Fingerprint selection is
+    // one integer total order (hash·2²⁰+pos), so both engines keep
+    // identical minima; hot fingerprints are capped (maxDocFreq = 20)
+    // before the pair join, the q36 discipline. Shuffles carry longs.
+    QueryDef("q97_winnow_overlap",
+      (s, d) => graft.operators.Dedup.winnowOverlapPairs(
+          Tables.documents(s, d), "doc_id", "text", k = 5, w = 4,
+          maxDocFreq = 20)
+        .orderBy(col("n_shared").desc, col("a").asc, col("b").asc)
+        .limit(10),
+      Some("""WITH d0 AS (SELECT doc_id, text, greatest(length(text) - 4, 1) AS n FROM documents),
+        |g0 AS (SELECT doc_id, n, list_transform(range(0, n), i ->
+        |    CAST('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)), 25, 8) AS BIGINT) * 1048576 + i + 1) AS hps
+        |  FROM d0),
+        |g AS (SELECT doc_id, n, CAST(generate_subscripts(hps, 1) AS BIGINT) AS pos, unnest(hps) AS hp FROM g0),
+        |w AS (SELECT doc_id, n, pos, min(hp) OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g),
+        |f AS (SELECT DISTINCT doc_id, fp // 1048576 AS h FROM w WHERE pos <= greatest(n - 3, 1)),
+        |cool AS (SELECT h FROM f GROUP BY h HAVING COUNT(DISTINCT doc_id) <= 20),
+        |k AS (SELECT doc_id, f.h FROM f JOIN cool USING (h)),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+        |  FROM k x JOIN k y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, n_shared FROM p
+        |ORDER BY n_shared DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
     // PII scrub: dirty text synthesized deterministically from customer
     // rows (email from the name, a separated phone, a URL with a digit
     // path, an IP) — IDENTICAL construction on both engines — then
@@ -1023,6 +1071,31 @@ object PipelineQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) AS rk
         |  FROM documents)
         |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
+
+    // Weighted sampling by priority (Duffield-Lund-Thorup): 5 orders per
+    // order-priority class, picked with probability ∝ total price. The
+    // priority key is EXACT integer arithmetic over the md5 coin —
+    // (w << 32) div (u+1) — so selection is bit-portable; a float w/u
+    // could flip a borderline pick between engines. Per-group top-n =
+    // map-side heaps + one shuffle (WindowGroupLimit), no sequential
+    // reservoir state — the weighted-sampling form that scales.
+    QueryDef("q94_weighted_sample",
+      (s, d) => graft.operators.Sampling.prioritySample(
+          Tables.orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+            floor(col("o_totalprice") * 1000).cast("long").as("w_m")),
+          Seq("o_orderpriority"), "o_orderkey", "w_m", n = 5, salt = "ps:")
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("w_m"))
+        .orderBy("o_orderpriority", "rk"),
+      Some("""WITH w AS (SELECT o_orderpriority, o_orderkey,
+        |  CAST(floor(o_totalprice * 1000) AS BIGINT) AS w_m,
+        |  CAST('0x' || substr(md5('ps:' || CAST(o_orderkey AS VARCHAR)), 25, 8) AS BIGINT) AS u
+        |  FROM orders),
+        |r AS (SELECT o_orderpriority, o_orderkey, w_m,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY (w_m * 4294967296) // (u + 1) DESC, o_orderkey ASC) AS INT) AS rk
+        |  FROM w)
+        |SELECT o_orderpriority, rk, o_orderkey, w_m FROM r
+        |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin)),
 
     // Real BPE tokenizer training (Sennrich et al. 2016): distributed
     // word count (one shuffle), driver merge loop over the tiny vocab,

@@ -319,4 +319,58 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("buildSignatureIndex"))
   }
+
+  /** JVM mirror of winnowing selection: md5-low-32 k-gram hashes,
+    * hp = hash·2²⁰ + pos, window minima over full windows, distinct.
+    */
+  private def winnowNaive(text: String, k: Int, w: Int): Set[Long] = {
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(24, 32), 16)
+    }
+    val n = math.max(text.length - (k - 1), 1)
+    val hps = (1 to n).map(p =>
+      h32(text.substring(p - 1, math.min(p - 1 + k, text.length))) *
+        1048576L + p)
+    val full = math.max(n - (w - 1), 1)
+    (1 to full).map(p => hps.slice(p - 1, p - 1 + w).min).toSet
+  }
+
+  test("winnowFingerprints matches a driver-side recomputation") {
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(d, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set(1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "abc", 3L -> "").flatMap { case (id, t) =>
+      winnowNaive(t, 5, 4).map(id -> _)
+    }
+    assert(got === want)
+    // short docs still yield exactly one fingerprint
+    assert(got.count(_._1 == 2L) === 1)
+    assert(got.count(_._1 == 3L) === 1)
+  }
+
+  test("winnowing guarantee: a shifted copy of a long run still pairs") {
+    val base = "conclusions are drawn from the replicated paragraph body"
+    val d = Seq(
+      (1L, s"AAAA $base"),
+      (2L, s"zzzzzzzzzzzz $base"), // same run at a different offset
+      (3L, "entirely unrelated content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(d, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing hot-fingerprint cap drops boilerplate from pairing") {
+    val boiler = "this exact boilerplate sentence appears everywhere"
+    val d = (1L to 6L).map(i => (i, s"doc $i says $boiler")).toDF("doc_id", "text")
+    // cap below the corpus size: every shared hash is 6-doc-hot → no pairs
+    val capped = Dedup.winnowOverlapPairs(d, "doc_id", "text",
+      k = 5, w = 4, maxDocFreq = 3)
+    assert(capped.where(col("n_shared") > 0).count() === 0L)
+  }
 }

@@ -200,6 +200,44 @@ class GraphSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("triangleCounts: known graph, exact per-node counts") {
+    // K4 on {1,2,3,4} = 4 triangles, each node in 3; pendant 5-1 in none
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 :+ (5L, 1L)).toDF("a", "b")
+    val got = Graph.triangleCounts(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("triangleCounts: duplicates, reversed edges and self-loops collapse") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (1L, 1L)).toDF("a", "b")
+    val got = Graph.triangleCounts(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("triangleCounts: degree-ordered orientation matches a naive " +
+      "id-ordered count on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(160)((rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // naive: canonical a<b edges, triangles by a<b<c three-way join
+    val und = edges.where($"a" =!= $"b")
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val naive = (for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (id, xs) => (id, xs.size.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(got === naive)
+  }
+
   test("no cached blocks remain after the run") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     Graph.connectedComponents(edges, "a", "b").collect()

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ivm
+
+class IvmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = Seq(
+    ("a", 5L), ("a", -3L), ("a", 7L),
+    ("b", 100L), ("b", 100L),
+    ("c", 0L))
+
+  test("merge of any split equals the full recompute, group-wise exact") {
+    val df = rows.toDF("g", "v")
+    val full = Ivm.aggState(df, Seq("g"), "v")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    // every 2-way split of the 6 rows by index parity/prefix
+    for (cut <- 0 to rows.size) {
+      val base = rows.take(cut).toDF("g", "v")
+      val delta = rows.drop(cut).toDF("g", "v")
+      val merged = Ivm.mergeStates(
+          Seq(Ivm.aggState(base, Seq("g"), "v"),
+            Ivm.aggState(delta, Seq("g"), "v")),
+          Seq("g"))
+        .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(merged === full, s"split at $cut diverged")
+    }
+  }
+
+  test("groups present on only one side pass through unchanged") {
+    val a = Ivm.aggState(Seq(("x", 1L)).toDF("g", "v"), Seq("g"), "v")
+    val b = Ivm.aggState(Seq(("y", 2L)).toDF("g", "v"), Seq("g"), "v")
+    val got = Ivm.mergeStates(Seq(a, b), Seq("g"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("x", 1L, 1L, 1L, 1L), ("y", 1L, 2L, 2L, 2L)))
+  }
+
+  test("persisted view lifecycle: build, refresh with delta, read — " +
+      "equals full recompute; versions advance") {
+    val dir = Files.createTempDirectory("ivm").toString
+    val base = rows.take(4).toDF("g", "v")
+    val delta = rows.drop(4).toDF("g", "v")
+    Ivm.buildAggView(base, Seq("g"), "v", dir)
+    Ivm.refreshAggView(delta, Seq("g"), "v", dir)
+    val got = Ivm.readAggView(spark, dir)
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    val full = Ivm.aggState(rows.toDF("g", "v"), Seq("g"), "v")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === full)
+    // both versions exist on disk (v1 build, v2 refresh)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/v1")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/v2")))
+  }
+
+  test("reading an unbuilt view fails loudly") {
+    val dir = Files.createTempDirectory("ivm-empty").toString
+    intercept[IllegalArgumentException] {
+      Ivm.readAggView(spark, dir)
+    }
+  }
+}

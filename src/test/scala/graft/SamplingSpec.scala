@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-JVM mirror of the md5-low-32 coin + integer priority key. */
+  private def priority(salt: String, id: Long, w: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val u = java.lang.Long.parseLong(hex.substring(24, 32), 16)
+    (w * 4294967296L) / (u + 1L)
+  }
+
+  private val data = Seq(
+    ("g1", 1L, 500L), ("g1", 2L, 10L), ("g1", 3L, 10000L), ("g1", 4L, 7L),
+    ("g1", 5L, 900L), ("g2", 6L, 1L), ("g2", 7L, 2L), ("g2", 8L, 3L))
+
+  test("selection matches a driver-side recomputation of the DLT priority") {
+    val got = Sampling.prioritySample(data.toDF("g", "id", "w"),
+        Seq("g"), "id", "w", n = 2, salt = "t:")
+      .select("g", "rk", "id").orderBy("g", "rk")
+      .as[(String, Int, Long)].collect().toSeq
+    val expected = data.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      rows.map { case (_, id, w) => (id, priority("t:", id, w)) }
+        .sortBy { case (id, p) => (-p, id) }
+        .take(2).zipWithIndex
+        .map { case ((id, _), i) => (g, i + 1, id) }
+    }.sorted
+    assert(got === expected)
+  }
+
+  test("result is invariant to input partitioning") {
+    val df = data.toDF("g", "id", "w")
+    val one = Sampling.prioritySample(df.coalesce(1), Seq("g"), "id", "w", 3)
+      .select("g", "rk", "id").orderBy("g", "rk").collect().toSeq
+    val many = Sampling.prioritySample(df.repartition(7), Seq("g"), "id", "w", 3)
+      .select("g", "rk", "id").orderBy("g", "rk").collect().toSeq
+    assert(one === many)
+  }
+
+  test("zero/negative weights never outrank positive ones") {
+    val df = Seq(("g", 1L, 0L), ("g", 2L, -5L), ("g", 3L, 1L))
+      .toDF("g", "id", "w")
+    val got = Sampling.prioritySample(df, Seq("g"), "id", "w", n = 1)
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(3L))
+  }
+
+  test("n beyond the group size returns the whole group, ranked") {
+    val df = Seq(("g", 1L, 5L), ("g", 2L, 9L)).toDF("g", "id", "w")
+    val got = Sampling.prioritySample(df, Seq("g"), "id", "w", n = 10)
+    assert(got.count() === 2L)
+    assert(got.agg(max("rk")).head().getInt(0) === 2)
+  }
+}
