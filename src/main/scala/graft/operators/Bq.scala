@@ -30,19 +30,25 @@ import graft.functions.VectorFunctions.l2SqFold
   */
 object Bq {
 
-  /** Sign bits packed into dim/32 long-held 32-bit words (bit i of word
-    * w set iff vec[w·32+i] > 0). 32-bit words keep every intermediate
-    * positive — no sign-bit overflow under ANSI arithmetic — while
-    * XOR/popcount semantics are identical to a 64-bit pack. Built
-    * MSB-first by acc·2+bit folds: pure codegen'd array lambdas, no UDF.
+  /** Sign bits packed into ceil(dim/32) long-held 32-bit words (bit i of
+    * word w set iff vec[w·32+i] > 0; the tail word's high bits stay 0).
+    * 32-bit words keep every intermediate positive — no sign-bit
+    * overflow under ANSI arithmetic — while XOR/popcount semantics are
+    * identical to a 64-bit pack. Built MSB-first by acc·2+bit folds:
+    * pure codegen'd array lambdas, no UDF; the element access sits in a
+    * lazily-evaluated CASE branch so out-of-range tail positions are
+    * never read.
     */
   def packBits(vec: Column, dim: Int): Column = {
-    require(dim % 32 == 0, s"packBits: dim $dim must be a multiple of 32")
-    transform(sequence(lit(0), lit(dim / 32 - 1)), w =>
-      aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L), (acc, i) =>
-        acc * 2 + when(
-          element_at(vec, (w * 32 + i + 1).cast("int")) > lit(0.0), lit(1L))
-          .otherwise(lit(0L))))
+    require(dim >= 1, s"packBits: dim $dim must be >= 1")
+    transform(sequence(lit(0), lit((dim + 31) / 32 - 1)), w =>
+      aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L), (acc, i) => {
+        val idx = w * 32 + i + 1
+        acc * 2 + when(idx <= lit(dim),
+          when(element_at(vec, idx.cast("int")) > lit(0.0), lit(1L))
+            .otherwise(lit(0L)))
+          .otherwise(lit(0L))
+      }))
   }
 
   /** Hamming distance between two packed arrays: Σ popcount(a XOR b). */

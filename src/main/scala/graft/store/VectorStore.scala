@@ -508,6 +508,75 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
       .limit(req.topK)
   }
 
+  private val bqDataDir = s"$baseDir/bq_data"
+
+  /** Build + persist the binary-quantization index: the live table packed
+    * to sign bits (dim/32 words per key — a 32× smaller scan than the
+    * float corpus) alongside the indexed metadata and ts. Rebuild-only
+    * build cost is one map-only pass; [[appendToBqIndex]] extends it
+    * incrementally. Requires dim % 32 == 0 (packBits contract).
+    */
+  def buildBqIndex(): Unit =
+    compacted.select(col("key"),
+        graft.operators.Bq.packBits(col("vector"), dim).as("bits"),
+        col("metadata"), col("ts"))
+      .write.mode("overwrite").parquet(bqDataDir)
+
+  /** Incrementally pack a NEW batch into the persisted BQ index — the
+    * `add_items` analog, like [[appendToIvfIndex]]: map-only pack +
+    * append, the corpus is never rescanned. Re-put keys gain a second
+    * packed row; [[searchBq]]'s (key, ts) discipline serves only the
+    * live version. Records must carry (key, vector, metadata, ts).
+    */
+  def appendToBqIndex(records: DataFrame): Unit =
+    records.select(col("key"),
+        graft.operators.Bq.packBits(col("vector"), dim).as("bits"),
+        col("metadata"), col("ts"))
+      .write.mode("append").parquet(bqDataDir)
+
+  /** ANN search through the persisted BQ index: Hamming top-`rerankFrom`
+    * over the packed words (XOR+popcount, 1/32 the bytes), then exact
+    * squared-L2 re-rank against the live table's full vectors — the
+    * [[searchPq]] overfetch discipline on a far cheaper first pass.
+    * SearchRequest surface and soft-delete discipline exactly as
+    * [[searchIvf]]: metadata filter pre-rank on the INDEXED metadata,
+    * newest indexed version per key wins, liveness GLOBAL on (key, ts) —
+    * a stale version of a re-put key is never served and never eats
+    * re-rank budget; threshold applies to the exact re-rank score.
+    */
+  def searchBq(req: Knn.SearchRequest, rerankFrom: Int = 50): DataFrame = {
+    require(req.queryVector.length == dim,
+      s"searchBq: query dim ${req.queryVector.length} != store dim $dim")
+    val packed = spark.read.parquet(bqDataDir)
+    val w = Window.partitionBy(col("key")).orderBy(col("ts").desc)
+    val newest = packed.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val live = newest.join(compacted.select("key", "ts"), Seq("key", "ts"),
+      "left_semi")
+    val corpus = Knn.metadataFilter(live, "metadata", req.filter)
+    val qbits = packQueryBits(req.queryVector)
+    val cand = corpus
+      .select(col("key"),
+        graft.operators.Bq.hamming(col("bits"), typedLit(qbits)).as("ham"))
+      .orderBy(col("ham").asc, col("key").asc)
+      .limit(rerankFrom.max(req.topK))
+      .select("key")
+    val scored = compacted.join(cand, "key")
+      .select(col("key"),
+        VectorFunctions.l2Sq(col("vector"), typedLit(req.queryVector)).as("score"))
+    req.threshold.map(t => scored.where(col("score") <= lit(t))).getOrElse(scored)
+      .orderBy(col("score").asc, col("key").asc)
+      .limit(req.topK)
+  }
+
+  /** Driver-side query pack — bit i of word w set iff v(w·32+i) > 0,
+    * the exact [[graft.operators.Bq.packBits]] layout (spec-pinned).
+    */
+  private def packQueryBits(v: Array[Double]): Seq[Long] =
+    v.grouped(32).map(_.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+      if (x > 0) acc | (1L << i) else acc
+    }).toSeq
+
   /** Materialize the compaction (checkpoint, S5): write a new snapshot
     * covering everything up to the current WAL tip, then advance
     * `wal_pos.txt`. Old snapshots/WAL files stay for time travel; a real

@@ -486,4 +486,45 @@ class VectorStoreSpec extends SparkSpec {
       plan.take(2000))
     assert(probe1.collect().nonEmpty)
   }
+
+  test("BQ index artifact: full-overfetch equals exact; request surface honored") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(
+      rec("near", Array(0.5f, 1f), 10, tag = "keep"),
+      rec("mid", Array(0.5f, 3f), 10, tag = "keep"),
+      rec("far", Array(9f, 9f), 10, tag = "keep"),
+      rec("dropme", Array(0.5f, 0.6f), 10, tag = "drop")))
+    store.buildBqIndex()
+    // rerankFrom covering the corpus → exact ordering must hold
+    val req = Knn.SearchRequest(Array(0.5, 0.0), topK = 3,
+      filter = Map("tag" -> "keep"), threshold = Some(20.0))
+    val got = store.searchBq(req, rerankFrom = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val exact = store.search(req)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got === exact)
+    // far (score 153.25) exceeds the threshold; dropme is filtered out
+    assert(got.map(_._1) === Array("near", "mid"))
+    // dim-mismatched query fails loudly
+    val e = intercept[IllegalArgumentException] {
+      store.searchBq(Knn.SearchRequest(Array(1.0), topK = 1))
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
+  test("BQ append + LWW + soft-delete: stale packed rows never served") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(rec("a", Array(1f, 0f), 10), rec("b", Array(0f, 1f), 10)))
+    store.buildBqIndex()
+    // re-put a with a new vector, append the batch to the index
+    store.put(batch(rec("a", Array(-5f, -5f), 20)))
+    store.appendToBqIndex(batch(rec("a", Array(-5f, -5f), 20)))
+    // delete b entirely (index still holds its packed row)
+    store.delete(Seq("b"), ts = 30)
+    val got = store.searchBq(Knn.SearchRequest(Array(0.0, 0.0), topK = 5),
+        rerankFrom = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // only live `a`, scored from its NEW vector (50.0), b gone
+    assert(got === Array(("a", 50.0)))
+  }
 }
