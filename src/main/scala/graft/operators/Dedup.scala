@@ -658,6 +658,60 @@ object Dedup {
       .select(col("a").as(idCol), col("b").as("nn_id"), col("cos_sim"))
   }
 
+  /** Prefix-filtered set-similarity self-join (AllPairs / PPJoin family:
+    * Bayardo et al. 2007; the MapReduce form is Vernica, Carey & Li
+    * 2010): all document pairs with word-set Jaccard ≥ tNum/tDen. The
+    * LOSSLESS index-shrinking trick: order every document's tokens by
+    * GLOBAL document frequency ascending (rarest first, token
+    * tie-break), and index only each document's first
+    * |x| − ⌈t·|x|⌉ + 1 tokens — any pair meeting the threshold is
+    * guaranteed to collide on at least one prefix token, so candidates
+    * come from an inverted index over a small fraction of the corpus
+    * tokens (at t=0.8, ~1/5th) whose postings are SHORT by construction
+    * (prefix tokens are the rare ones — the n-gram cap's goal achieved
+    * without dropping recall). Verification is per-pair array
+    * intersection over collected token sets — no token-level re-join.
+    *
+    * The threshold is a RATIONAL tNum/tDen and every comparison is
+    * integer (⌈t·sz⌉ = (tNum·sz + tDen − 1) div tDen; the output filter
+    * is inter·tDen ≥ tNum·union), so prefix lengths and the qualifying
+    * pair set are bit-portable — a float t·sz could round the prefix a
+    * token short and silently lose a pair. Output: (a, b, jac) with
+    * a < b, jac ≥ t exact-division double.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold $tNum/$tDen must be a rational in (0, 1]")
+    val toks = df.select(col(idCol),
+        explode(array_distinct(wsTokens(col(textCol)))).as("tok"))
+      .where(col("tok") =!= "")
+    val sized = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val wOrd = Window.partitionBy(col(idCol))
+      .orderBy(col("dfreq").asc, col("tok").asc)
+    val prefix = toks.join(dfreq, "tok").join(sized, idCol)
+      .withColumn("pos", row_number().over(wOrd))
+      .where(col("pos") <=
+        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
+      .select(col(idCol), col("tok"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.tok") === col("y.tok") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    val sets = toks.groupBy(idCol)
+      .agg(sort_array(collect_set(col("tok"))).as("set"))
+    cand
+      .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
+      .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("union", size(col("sa")) + size(col("sb")) - col("inter"))
+      .where(col("inter") * tDen >= col("union") * tNum)
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / col("union")).as("jac"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
     * MOSS algorithm): hash every positional character k-gram, slide a
     * window of `w` consecutive hashes, keep each window's MINIMUM — the

@@ -70,24 +70,64 @@ object Ivm {
       .write.mode("overwrite").parquet(s"$path/v${nextVersion(path)}")
   }
 
-  /** The newest persisted state. */
+  /** The newest COMPLETE persisted state — completeness is parquet's own
+    * `_SUCCESS` marker, so a version dir torn by a crashed writer is
+    * never read (the VectorStore snapshot-pointer discipline, here for
+    * free from the commit protocol).
+    */
   def readAggView(spark: SparkSession, path: String): DataFrame = {
-    val v = versions(path)
+    val v = completeVersions(path)
     require(v.nonEmpty, s"no agg view at $path — call buildAggView first")
-    spark.read.parquet(s"$path/v${v.max}")
+    spark.read.parquet(versionDirs(path).filter(_._1 == v.max).head._2)
   }
 
-  private def versions(path: String): Seq[Long] = {
+  /** Idempotent streaming merge step — the `foreachBatch` body of
+    * [[graft.streaming.StreamIvm]]: merge this micro-batch's state into
+    * the view UNLESS a complete version already carries this `batchId`
+    * (foreachBatch is at-least-once; a retry of a batch that already
+    * committed must be a no-op or counts double). The batch id rides in
+    * the version dir name (`v<n>_b<id>`), so the dedup ledger IS the
+    * artifact listing — no side state.
+    */
+  def mergeBatch(delta: DataFrame, groupCols: Seq[String], valueCol: String,
+      path: String, batchId: Long): Unit = {
+    if (completeBatchIds(path).contains(batchId)) return
+    val cur = readAggView(delta.sparkSession, path)
+    mergeStates(Seq(cur, aggState(delta, groupCols, valueCol)), groupCols)
+      .write.mode("overwrite")
+      .parquet(s"$path/v${nextVersion(path)}_b$batchId")
+  }
+
+  /** (version, dir, batchId?) for every version dir on disk, torn or not. */
+  private def versionDirs(path: String): Seq[(Long, String, Option[Long])] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) return Seq.empty
     val stream = Files.list(p)
-    try stream.toArray.map(_.toString.split('/').last)
-      .filter(_.startsWith("v"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
-      .toSeq
+    try stream.toArray.map(_.toString)
+      .filter(_.split('/').last.startsWith("v"))
+      .flatMap { dir =>
+        val name = dir.split('/').last.stripPrefix("v")
+        val parts = name.split("_b", 2)
+        scala.util.Try(parts(0).toLong).toOption.map { v =>
+          (v, dir, parts.lift(1).flatMap(b => scala.util.Try(b.toLong).toOption))
+        }
+      }.toSeq
     finally stream.close()
   }
 
+  private def isComplete(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "_SUCCESS"))
+
+  private def completeVersions(path: String): Seq[Long] =
+    versionDirs(path).filter(d => isComplete(d._2)).map(_._1)
+
+  private def completeBatchIds(path: String): Set[Long] =
+    versionDirs(path).filter(d => isComplete(d._2)).flatMap(_._3).toSet
+
+  /** Next version number — counts TORN dirs too, so a crashed write's
+    * number is never reused (its leftover dir can't shadow a newer
+    * complete one).
+    */
   private def nextVersion(path: String): Long =
-    versions(path).foldLeft(0L)(math.max) + 1L
+    versionDirs(path).map(_._1).foldLeft(0L)(math.max) + 1L
 }

@@ -920,6 +920,28 @@ object PipelineQueries {
         |WHERE c.doc_id < 500
         |ORDER BY doc_id""".stripMargin)),
 
+    // Prefix-filtered set-similarity join (AllPairs/PPJoin, MapReduce
+    // form per Vernica et al. 2010): all pairs with word-set Jaccard
+    // ≥ 2/5, candidates ONLY from each doc's |x|−⌈t|x|⌉+1 globally-
+    // rarest tokens. The oracle computes the full quadratic join — the
+    // hash-match PROVES the prefix filter is lossless, not just fast.
+    // Threshold arithmetic is all-integer (rational 2/5), so prefix
+    // lengths and the qualifying set are bit-portable.
+    QueryDef("q98_jaccard_prefix",
+      (s, d) => graft.operators.Dedup.jaccardPairsPrefix(
+          Tables.documents(s, d), "doc_id", "text", tNum = 2, tDen = 5)
+        .orderBy(col("jac").desc, col("a").asc, col("b").asc)
+        .limit(20),
+      Some("""WITH tk AS (SELECT doc_id, list_distinct(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS sz FROM tk WHERE length(toks) > 0),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
+        |    CAST(length(list_intersect(x.toks, y.toks)) AS BIGINT) AS inter
+        |  FROM s x JOIN s y ON x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(inter AS DOUBLE) / (sa + sb - inter) AS jac
+        |FROM p WHERE inter * 5 >= 2 * (sa + sb - inter)
+        |ORDER BY jac DESC, a ASC, b ASC LIMIT 20""".stripMargin)),
+
     // Winnowing (MOSS) overlap report: k-gram hashes → sliding-window
     // minima (guaranteed to catch any shared run of w+k−1 = 8 chars) →
     // doc pairs ranked by shared fingerprints. Fingerprint selection is

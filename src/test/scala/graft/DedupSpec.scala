@@ -365,6 +365,42 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("jaccardPairsPrefix is lossless vs the naive quadratic join") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),     // jac 4/6 with 1
+      (3L, "alpha beta unrelated words here"), // jac 2/8 with 1
+      (4L, "gamma delta epsilon alpha beta"),  // same set as 1 → jac 1
+      (5L, "totally disjoint vocabulary document"),
+      (6L, "   "), (7L, "")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(d, "doc_id", "text", tNum = 1, tDen = 3)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // naive: all pairs over distinct word sets
+    val sets = Map(1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta zeta", 3L -> "alpha beta unrelated words here",
+      4L -> "gamma delta epsilon alpha beta",
+      5L -> "totally disjoint vocabulary document")
+      .map { case (k, v) => k -> v.split("\\s+").toSet }
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if inter * 3 >= uni * 1
+    } yield (a, b, inter.toDouble / uni)).toSeq.sorted
+    assert(got === naive)
+    assert(got.contains((1L, 4L, 1.0))) // permuted copy found at jac 1
+  }
+
+  test("jaccardPairsPrefix: boundary pair exactly at the threshold is kept") {
+    val d = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // inter 2, union 4 → jac exactly 1/2
+    val at = Dedup.jaccardPairsPrefix(d, "doc_id", "text", 1, 2).collect()
+    assert(at.length === 1 && at.head.getDouble(2) === 0.5)
+    val above = Dedup.jaccardPairsPrefix(d, "doc_id", "text", 51, 100).collect()
+    assert(above.isEmpty)
+  }
+
   test("winnowing hot-fingerprint cap drops boilerplate from pairing") {
     val boiler = "this exact boilerplate sentence appears everywhere"
     val d = (1L to 6L).map(i => (i, s"doc $i says $boiler")).toDF("doc_id", "text")
