@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the `ANALYZE`/data-quality pass of a warehouse: one
@@ -50,5 +51,41 @@ object Profile {
       .select(col("col_name"), col("n_nonnull"), col("n_null"),
         col("n_distinct"), col("min_v"), col("max_v"))
       .orderBy(col("col_name"))
+  }
+
+  /** Robust per-group outlier stats on a LONG column: median, MAD
+    * (median absolute deviation) and the count of rows beyond
+    * `k·MAD` of the median — the outlier detector that, unlike the
+    * mean/σ rule (q76), a few extreme values cannot drag: breakdown
+    * point 50% vs 0%. Entirely integer-exact: "median" is the LOWER
+    * median (the (n+1) div 2-th smallest — a value that exists in the
+    * data, no interpolated float), deviations are Long |v−med|, and the
+    * cut is an integer comparison, so every engine computes identical
+    * stats. Shape: two ranked passes (window row_number per group) over
+    * group-local sorts + one counting join — at cluster scale each pass
+    * is one shuffle on the group key. Output: (groupCol, med, mad,
+    * n_out).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 3): DataFrame = {
+    val byV = Window.partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+    val byG = Window.partitionBy(col(groupCol))
+    val med = df
+      .withColumn("__rn", row_number().over(byV))
+      .withColumn("__n", count(lit(1)).over(byG))
+      .where(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(groupCol), col(valueCol).as("med"))
+    val byD = Window.partitionBy(col(groupCol)).orderBy(col("__d").asc)
+    val mad = df.join(med, groupCol)
+      .withColumn("__d", abs(col(valueCol) - col("med")))
+      .withColumn("__rn", row_number().over(byD))
+      .withColumn("__n", count(lit(1)).over(byG))
+      .where(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(groupCol), col("med"), col("__d").as("mad"))
+    df.join(mad, groupCol)
+      .groupBy(groupCol)
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        count(when(abs(col(valueCol) - col("med")) > col("mad") * k, lit(1)))
+          .as("n_out"))
   }
 }

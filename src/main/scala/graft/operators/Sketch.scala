@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.md5Bucket
@@ -174,5 +175,55 @@ object Sketch {
     val zeros = m - regs.count { case (_, r) => r > 0 }
     if (e <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
     else e
+  }
+
+  /** Equi-width histogram sketch of a LONG column over a declared
+    * [lo, hi) domain: per-group bucket counts. The quantile companion to
+    * the distinct sketches above — state is at most `buckets` rows per
+    * group whatever the data volume, counts are Long monoids (bucket
+    * counts ADD, so the sketch rides [[Ivm]] merges and streaming
+    * refresh unchanged), and everything is integer arithmetic:
+    * bucket = (v−lo)·B div (hi−lo), clamped into [0, B) so domain
+    * stragglers land in the edge buckets instead of erroring. Output:
+    * (groupCol, bucket, n).
+    */
+  def histogramBuckets(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Long, hi: Long, buckets: Int): DataFrame = {
+    require(hi > lo, s"domain [$lo, $hi) is empty")
+    require(buckets >= 1, s"buckets $buckets must be >= 1")
+    df.select(col(groupCol),
+        greatest(lit(0L), least(lit(buckets - 1L),
+          expr(s"((${valueCol} - ${lo}L) * ${buckets}L) div ${hi - lo}L")))
+          .as("bucket"))
+      .groupBy(groupCol, "bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Percentile read off the histogram sketch: the smallest bucket whose
+    * cumulative count reaches fraction pNum/pDen of the group, reported
+    * as the bucket's UPPER edge — the conservative bound "at least p of
+    * the group is ≤ this value", error ≤ one bucket width. The rational
+    * p and the integer cumulative comparison (cum·pDen ≥ pNum·total)
+    * make the answer bit-portable; a float p·n cutoff could flip a
+    * boundary bucket between engines. One windowed cumsum over the
+    * |groups|·B sketch rows — the corpus is never re-read. Output:
+    * (groupCol, p_edge).
+    */
+  def histogramPercentile(hist: DataFrame, groupCol: String,
+      lo: Long, hi: Long, buckets: Int, pNum: Int, pDen: Int): DataFrame = {
+    require(pNum >= 0 && pDen > 0 && pNum <= pDen,
+      s"percentile $pNum/$pDen must be a rational in [0, 1]")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(tot))
+      .where(col("cum") * pDen >= col("total") * pNum)
+      .groupBy(groupCol)
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col(groupCol),
+        (lit(lo) + expr(s"((bucket + 1L) * ${hi - lo}L) div ${buckets}L"))
+          .as("p_edge"))
   }
 }

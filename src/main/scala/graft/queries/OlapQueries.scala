@@ -540,6 +540,31 @@ object OlapQueries {
         |FROM m JOIN st USING (event_type)
         |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin)),
 
+    // Robust outliers by median/MAD (Profile.madOutliers): the detector
+    // a few extreme values cannot drag, unlike q76's mean/σ (breakdown
+    // 50% vs 0%). Lower medians are actual data values — no interpolated
+    // floats — deviations and the 3·MAD cut are Long comparisons, so
+    // every stat hash-matches. Two ranked passes + one counting join,
+    // each one shuffle on event_type.
+    QueryDef("q100_mad_outliers",
+      (s, d) => graft.operators.Profile.madOutliers(
+          Tables.events(s, d).select(col("event_type"),
+            floor(col("value") * 1000).cast("long").as("v_m")),
+          "event_type", "v_m", k = 3)
+        .orderBy("event_type"),
+      Some("""WITH m AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, v, row_number() OVER (PARTITION BY event_type ORDER BY v ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM m),
+        |med AS (SELECT event_type, v AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT m.event_type, med.med, abs(m.v - med.med) AS dv FROM m JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, med, dv, row_number() OVER (PARTITION BY event_type ORDER BY dv ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mad AS (SELECT event_type, med, dv AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT m.event_type, MIN(mad.med) AS med, MIN(mad.mad) AS mad,
+        |  COUNT(CASE WHEN abs(m.v - mad.med) > 3 * mad.mad THEN 1 END) AS n_out
+        |FROM m JOIN mad USING (event_type)
+        |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin)),
+
     // Incremental view maintenance: the per-event-type stats view
     // refreshed by MERGING partial states — state(base) ⊕ state(delta)
     // with base = pre-cutoff events and delta = the rest — instead of

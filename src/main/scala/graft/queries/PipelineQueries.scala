@@ -1227,6 +1227,32 @@ object PipelineQueries {
         |                ELSE 52 - length(bin(h // 256)) + 1 END) AS BIGINT) AS reg
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Histogram-sketch percentile: per-lang p95 of document length read
+    // off a 64-bucket equi-width histogram over [0, 1024) — state is
+    // ≤ 64 rows per group whatever the corpus size, bucket counts are
+    // Long monoids (the sketch rides Ivm merges/streaming unchanged),
+    // and both the bucketing and the p95 cutoff are integer arithmetic
+    // (cum·100 ≥ total·95), so sketch AND answer hash-match. The
+    // conservative upper-edge read is "≥95% of docs are ≤ p_edge",
+    // error ≤ one bucket width (16 chars).
+    QueryDef("q99_hist_percentile",
+      (s, d) => {
+        val h = graft.operators.Sketch.histogramBuckets(
+          Tables.documents(s, d), "lang", "n_chars",
+          lo = 0L, hi = 1024L, buckets = 64)
+        graft.operators.Sketch.histogramPercentile(h, "lang",
+            lo = 0L, hi = 1024L, buckets = 64, pNum = 95, pDen = 100)
+          .orderBy("lang")
+      },
+      Some("""WITH h AS (SELECT lang, greatest(0, least(63, (n_chars * 64) // 1024)) AS bucket,
+        |    COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, bucket,
+        |    SUM(n) OVER (PARTITION BY lang ORDER BY bucket ASC ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n) OVER (PARTITION BY lang) AS total FROM h),
+        |q AS (SELECT lang, MIN(bucket) AS bucket FROM c WHERE cum * 100 >= total * 95 GROUP BY lang)
+        |SELECT lang, CAST(((bucket + 1) * 1024) // 64 AS BIGINT) AS p_edge
+        |FROM q ORDER BY lang""".stripMargin)),
+
     // RAG / long-document chunking: fixed 200-char windows, 150-char
     // stride (50 overlap) — the retrieval-corpus preparation stage. Pure
     // substring arithmetic (TextFunctions.charWindows), one narrow

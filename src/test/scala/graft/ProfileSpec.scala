@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("madOutliers: hand-checked medians, MAD and the 3·MAD cut") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 100L))
+      .toDF("g", "v")
+    // lower median of [1,2,3,4,100] = 3; |v−3| = [2,1,0,1,97], lower
+    // median = 1; outliers beyond 3·1: only 100 (97 > 3)
+    val got = Profile.madOutliers(df, "g", "v")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("g", 3L, 1L, 1L)))
+  }
+
+  test("madOutliers: even group takes the LOWER median; no interpolation") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L)).toDF("g", "v")
+    // (4+1) div 2 = 2nd smallest → med 2; d sorted [0,1,1,2] → mad 1
+    val got = Profile.madOutliers(df, "g", "v")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("g", 2L, 1L, 0L)))
+  }
+
+  test("madOutliers: constant group has MAD 0 and zero outliers") {
+    val df = Seq.fill(7)(("g", 42L)).toDF("g", "v")
+    val got = Profile.madOutliers(df, "g", "v")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("g", 42L, 0L, 0L)))
+  }
+
+  test("madOutliers is robust where mean/σ is not: one wild value moves nothing") {
+    val base = (1L to 99L).map(("g", _))
+    val wild = base :+ (("g", 1000000L))
+    val a = Profile.madOutliers(base.toDF("g", "v"), "g", "v").head()
+    val b = Profile.madOutliers(wild.toDF("g", "v"), "g", "v").head()
+    assert(a.getLong(1) === 50L && b.getLong(1) === 50L) // median unmoved
+    assert(a.getLong(2) === 25L && b.getLong(2) === 25L) // MAD unmoved
+    assert(b.getLong(3) === 1L) // the wild value itself is the one outlier
+  }
+}

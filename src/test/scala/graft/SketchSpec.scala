@@ -126,4 +126,41 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(r13 === regs.sorted)
   }
+
+  test("histogramBuckets: assignment incl. clamped domain stragglers") {
+    val df = Seq(("g", -5L), ("g", 0L), ("g", 9L), ("g", 10L), ("g", 15L),
+      ("g", 99L), ("g", 100L), ("g", 1000L)).toDF("g", "v")
+    val got = Sketch.histogramBuckets(df, "g", "v", lo = 0L, hi = 100L,
+        buckets = 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // -5 clamps to 0; 100 and 1000 clamp to 9; 9→0, 10→1, 15→1, 99→9
+    assert(got === Seq((0L, 3L), (1L, 2L), (9L, 3L)))
+  }
+
+  test("histogram sketch is mergeable: hist(a ∪ b) == summed hists") {
+    val rnd = new scala.util.Random(3)
+    val a = Seq.fill(60)(("x", rnd.nextInt(200).toLong)).toDF("g", "v")
+    val b = Seq.fill(40)(("x", rnd.nextInt(300).toLong - 50)).toDF("g", "v")
+    def h(df: org.apache.spark.sql.DataFrame) =
+      Sketch.histogramBuckets(df, "g", "v", 0L, 100L, 8)
+    val merged = h(a).unionByName(h(b))
+      .groupBy("g", "bucket").agg(sum("n").as("n"))
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val full = h(a.unionByName(b))
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === full)
+  }
+
+  test("histogramPercentile reads the conservative upper edge") {
+    // values 0..9 in [0,10) with 10 buckets: one value per bucket
+    val df = (0L to 9L).map(("g", _)).toDF("g", "v")
+    val h = Sketch.histogramBuckets(df, "g", "v", 0L, 10L, 10)
+    def p(num: Int, den: Int) =
+      Sketch.histogramPercentile(h, "g", 0L, 10L, 10, num, den)
+        .head().getLong(1)
+    assert(p(1, 2) === 5L)   // cum 5 of 10 at bucket 4 → edge 5
+    assert(p(95, 100) === 10L) // 9.5 of 10 needs bucket 9 → edge 10
+    assert(p(1, 10) === 1L)
+  }
 }
