@@ -110,6 +110,16 @@ object AnnQuality {
         graft.operators.Sq.sq8TopK(emb, "vec_id", "embedding", qid, k,
           ranges = Some(sqRanges)).collect().map(_.getLong(0))))
     } ++ {
+      // BQ tier: sign-bit Hamming candidates + exact re-rank; the
+      // overfetch budget is the recall dial (1/32 the scan bytes)
+      Seq(
+        recallOf(s"bq (sign bits, hamming top-${2 * k}, exact re-rank)", qid =>
+          graft.operators.Bq.bqTopK(emb, "vec_id", "embedding", dim = 64,
+            qid, k, rerankFrom = 2 * k).collect().map(_.getLong(0))),
+        recallOf(s"bq (sign bits, hamming top-${10 * k}, exact re-rank, ~10% reads)", qid =>
+          graft.operators.Bq.bqTopK(emb, "vec_id", "embedding", dim = 64,
+            qid, k, rerankFrom = 10 * k).collect().map(_.getLong(0))))
+    } ++ {
       // PQ tiers: trained codebooks (8 subspaces × 16 words → 8 codes/row,
       // a 32x footprint cut on this 64-float fixture); pure ADC vs
       // ADC + exact re-rank of the top-4k candidates

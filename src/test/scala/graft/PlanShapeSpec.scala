@@ -220,4 +220,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("q93 triangle wedges pair via equi-joins only — never a nested loop") {
+    val plan = executed("q93_triangle_counts")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the closing step is the semi-join against oriented edges
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+  }
+
+  test("q94 weighted sample prunes below the per-group sort (WindowGroupLimit)") {
+    val plan = executed("q94_weighted_sample")
+    // rk <= 5 must push into the window sort as a group limit, so each
+    // task keeps 5-row heaps instead of sorting whole groups
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("q96 BQ hamming leg is one codegen scan into a top-k heap merge") {
+    val plan = executed("q96_ann_binary")
+    // pack + XOR/popcount fuse into whole-stage codegen over the scan;
+    // the candidate cut is TakeOrderedAndProject (per-partition heaps),
+    // never a global sort exchange
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q98 prefix-filter join is token-equi-keyed, never quadratic") {
+    val plan = executed("q98_jaccard_prefix")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q99 histogram percentile aggregates map-side; state ≤ groups×buckets") {
+    val plan = executed("q99_hist_percentile")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
 }
