@@ -678,14 +678,37 @@ object Dedup {
     * pair set are bit-portable — a float t·sz could round the prefix a
     * token short and silently lose a pair. Output: (a, b, jac) with
     * a < b, jac ≥ t exact-division double.
+    *
+    * `gramN`: the set element — 1 = word sets, n>1 = word n-gram sets
+    * (the q19 unit). MATCH THE ELEMENT TO THE CORPUS: on a templated
+    * corpus where most documents share most of their VOCABULARY, every
+    * pair passes any word-set threshold and the join's output is
+    * inherently quadratic no matter how good the candidate filter is —
+    * n-grams (n ≥ 3) separate true near-dups from vocabulary overlap.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      tNum: Int, tDen: Int): DataFrame = {
+      tNum: Int, tDen: Int, gramN: Int = 1): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold $tNum/$tDen must be a rational in (0, 1]")
+    require(gramN >= 1, s"gramN $gramN must be >= 1")
+    val elems =
+      if (gramN == 1) array_distinct(wsTokens(col(textCol)))
+      else array_distinct(ngramsOfTokens(wsTokens(col(textCol)), gramN))
+    // elements shuffle as 60-bit md5 hashes, never strings (the
+    // chunkDedup discipline): every downstream join/window/intersect
+    // keys on longs. The oracle mirrors the hash, so set sizes and
+    // intersections agree by construction (a 60-bit in-doc collision
+    // would merge two elements on BOTH engines identically).
+    // persisted: the hashed-element relation feeds FIVE plan legs
+    // (size, doc-frequency, prefix base, and both verification sides) —
+    // without the cache each leg re-runs tokenize+gram+md5 over the
+    // corpus. Bench/driver clear the cache between queries; callers
+    // wanting owned lifetime wrap in their own persist scope.
     val toks = df.select(col(idCol),
-        explode(array_distinct(wsTokens(col(textCol)))).as("tok"))
-      .where(col("tok") =!= "")
+        explode(filter(elems, _ =!= "")).as("tokS"))
+      .select(col(idCol), md5Low60(col("tokS")).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = toks.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
     val wOrd = Window.partitionBy(col(idCol))
@@ -694,10 +717,14 @@ object Dedup {
       .withColumn("pos", row_number().over(wOrd))
       .where(col("pos") <=
         col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-      .select(col(idCol), col("tok"))
+      .select(col(idCol), col("tok"), col("sz"))
+    // length filter (also lossless): jac ≥ t forces t·|x| ≤ |y| ≤ |x|/t,
+    // so size-mismatched collisions drop before the distinct
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.tok") === col("y.tok") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
+          col(s"x.$idCol") < col(s"y.$idCol") &&
+          col("y.sz") * tDen >= col("x.sz") * tNum &&
+          col("x.sz") * tDen >= col("y.sz") * tNum)
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
     val sets = toks.groupBy(idCol)

@@ -921,25 +921,34 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin)),
 
     // Prefix-filtered set-similarity join (AllPairs/PPJoin, MapReduce
-    // form per Vernica et al. 2010): all pairs with word-set Jaccard
-    // ≥ 2/5, candidates ONLY from each doc's |x|−⌈t|x|⌉+1 globally-
-    // rarest tokens. The oracle computes the full quadratic join — the
+    // form per Vernica et al. 2010): all pairs with 3-gram-set Jaccard
+    // ≥ 1/2, candidates ONLY from each doc's |x|−⌈t|x|⌉+1 globally-
+    // rarest grams. The oracle computes the full quadratic join — the
     // hash-match PROVES the prefix filter is lossless, not just fast.
-    // Threshold arithmetic is all-integer (rational 2/5), so prefix
-    // lengths and the qualifying set are bit-portable.
+    // Threshold arithmetic is all-integer (rational 1/2), so prefix
+    // lengths and the qualifying set are bit-portable. 3-grams, not
+    // words: this corpus is templated (most docs share most VOCABULARY,
+    // so any word-set threshold passes ~80% of ALL pairs and the output
+    // itself is quadratic — measured 10.4M pairs at sf0.1); gram sets
+    // keep the qualifying pairs to the true near-dups (256 at sf0.1).
     QueryDef("q98_jaccard_prefix",
       (s, d) => graft.operators.Dedup.jaccardPairsPrefix(
-          Tables.documents(s, d), "doc_id", "text", tNum = 2, tDen = 5)
+          Tables.documents(s, d), "doc_id", "text", tNum = 1, tDen = 2,
+          gramN = 3)
         .orderBy(col("jac").desc, col("a").asc, col("b").asc)
         .limit(20),
-      Some("""WITH tk AS (SELECT doc_id, list_distinct(list_filter(
-        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS toks FROM documents),
-        |s AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS sz FROM tk WHERE length(toks) > 0),
+      Some("""WITH g AS (SELECT doc_id, list_filter(list_distinct(list_transform(
+        |    range(0, greatest(length(regexp_split_to_array(trim(text), '\s+'))-2, 1)),
+        |    i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), CAST(i+1 AS INT), CAST(i+3 AS INT)), ' '))),
+        |    x -> x <> '') AS grams FROM documents),
+        |h AS (SELECT doc_id, list_distinct(list_transform(grams,
+        |    x -> CAST('0x' || substr(md5(x), 18, 15) AS BIGINT))) AS toks FROM g),
+        |s AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS sz FROM h WHERE length(toks) > 0),
         |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
         |    CAST(length(list_intersect(x.toks, y.toks)) AS BIGINT) AS inter
         |  FROM s x JOIN s y ON x.doc_id < y.doc_id)
         |SELECT a, b, CAST(inter AS DOUBLE) / (sa + sb - inter) AS jac
-        |FROM p WHERE inter * 5 >= 2 * (sa + sb - inter)
+        |FROM p WHERE inter * 2 >= 1 * (sa + sb - inter)
         |ORDER BY jac DESC, a ASC, b ASC LIMIT 20""".stripMargin)),
 
     // Winnowing (MOSS) overlap report: k-gram hashes → sliding-window
