@@ -56,6 +56,50 @@ object Bq {
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** Batch KNN join over a PRE-PACKED corpus: top-k for EVERY query row,
+    * Hamming first pass (packed corpus scan — 1/32 the bytes — with
+    * broadcast query bits, map-side `TopK.SmallestK` heaps keeping
+    * `rerankFrom` per query), exact squared-L2 re-rank of the survivors
+    * against the full-vector corpus, final per-query top-k heaps. The
+    * multi-query form [[bqTopK]] is the single-query slice of; packing
+    * is the write-side cost ([[packBits]] at index build), so serving
+    * never touches vectors until the re-rank join. Output: (qid, id,
+    * score) ascending (score, id) within each qid.
+    */
+  def bqKnnJoin(packedCorpus: DataFrame, fullCorpus: DataFrame,
+      queries: DataFrame, corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, dim: Int, k: Int,
+      rerankFrom: Int = 50): DataFrame = {
+    val spark = packedCorpus.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(queryId).cast("long").as("qid"),
+      packBits(col(queryVec), dim).as("qbits"),
+      col(queryVec).cast("array<double>").as("qv"))
+    val hscored = packedCorpus
+      .select(col(corpusId).cast("long").as("id"), col("bits"))
+      .crossJoin(broadcast(qs.select("qid", "qbits")))
+      .select(col("qid").as("key"), col("id"),
+        hamming(col("bits"), col("qbits")).cast("double").as("score"))
+      .as[TopK.Scored]
+    val cand = hscored.groupByKey(_.key)
+      .agg(new TopK.SmallestK(rerankFrom.max(k)).toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), explode(col("topk")).as("n"))
+      .select(col("qid"), col("n.id").as("id"))
+    val rescored = cand
+      .join(fullCorpus.select(col(corpusId).cast("long").as("id"),
+        col(corpusVec).as("cv")), "id")
+      .join(broadcast(qs.select("qid", "qv")), "qid")
+      .select(col("qid").as("key"), col("id"),
+        l2SqFold(col("cv").cast("array<double>"), col("qv")).as("score"))
+      .as[TopK.Scored]
+    rescored.groupByKey(_.key)
+      .agg(new TopK.SmallestK(k).toColumn.name("topk"))
+      .toDF("qid", "topk")
+      .select(col("qid"), explode(col("topk")).as("n"))
+      .select(col("qid"), col("n.id").as("id"), col("n.score").as("score"))
+  }
+
   /** Binary-quantized top-k with exact re-rank: Hamming top-`rerankFrom`
     * candidates (ties → id) from the packed corpus, exact squared-L2 on
     * the survivors, top-k. `filter`/`threshold` give the tier the same

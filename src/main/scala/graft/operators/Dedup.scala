@@ -797,6 +797,10 @@ object Dedup {
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, maxDocFreq: Int = 20): DataFrame = {
+    // NOT persisted, unlike the q98 element relation: measured at sf0.1
+    // the cache write of the ~3M-row fingerprint frame costs more than
+    // the recompute it saves (the gram pipeline here is one explode +
+    // one windowed min — cheap; q98's five-leg tokenize+gram+md5 isn't)
     val hs = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol), expr("fp div 1048576").as("h"))
       .distinct()

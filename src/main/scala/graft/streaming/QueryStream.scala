@@ -70,6 +70,33 @@ object QueryStream {
         }
       }
 
+  /** BQ serving: like [[servePq]], but the first pass scans PACKED SIGN
+    * BITS ([[graft.operators.Bq.packBits]], 1/32 the corpus bytes, paid
+    * once at index build) with XOR+popcount Hamming, then exact-re-ranks
+    * the `rerankFrom` survivors per query against the full-vector
+    * corpus. The cheapest first-pass of the serving tiers; QPS is
+    * bounded by packed-scan throughput.
+    */
+  def serveBq(
+      queries: DataFrame,      // streaming: (queryId LONG, queryVec ARRAY<numeric>)
+      packedCorpus: DataFrame, // static: (corpusId, bits) from Bq.packBits
+      fullCorpus: DataFrame,   // static: (corpusId, vec) for the re-rank
+      corpusId: String, corpusVec: String, dim: Int,
+      k: Int, rerankFrom: Int = 50,
+      queryId: String = "qid", queryVec: String = "qvec",
+      trigger: Trigger = Trigger.ProcessingTime(0L))(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val answers = graft.operators.Bq.bqKnnJoin(packedCorpus,
+            fullCorpus, batch, corpusId, corpusVec, queryId, queryVec,
+            dim, k, rerankFrom)
+          sink(answers, epochId)
+        }
+      }
+
   /** NSW graph serving: like [[serve]], but each micro-batch is answered
     * by the per-partition NSW graph ([[graft.operators.Nsw]]) — the
     * streaming face of the reference's always-on HNSW search. The arriving

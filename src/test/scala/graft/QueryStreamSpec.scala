@@ -139,4 +139,41 @@ class QueryStreamSpec extends SparkSpec {
       batch.sortBy(t => (t._1, t._3, t._2)).toSeq)
     assert(collected.size === 8) // 2 queries x k=4
   }
+
+  test("BQ serving: full-overfetch streamed answers equal exact KNN") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = emb.count().toInt
+    val packed = emb.select(col("vec_id"),
+      graft.operators.Bq.packBits(col("embedding"), 64).as("bits"))
+    val tmp  = Files.createTempDirectory("graft-bqstream-").toString
+    val qdir = s"$tmp/queries"
+    emb.where(col("vec_id").isin(0L, 19L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .write.parquet(qdir)
+    val qstream = spark.readStream
+      .schema(spark.read.parquet(qdir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(qdir)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val writer = QueryStream.serveBq(qstream, packed, emb, "vec_id",
+      "embedding", dim = 64, k = 3, rerankFrom = n,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()) {
+      (answers, _) =>
+        collected ++= answers.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    val q = writer.option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+
+    // rerankFrom = corpus → exact: compare against the exact batch join
+    val batch = graft.operators.TopK.knnJoin(emb,
+        emb.where(col("vec_id").isin(0L, 19L))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "vec_id", "embedding", "qid", "qvec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(collected.sortBy(t => (t._1, t._3, t._2)) ===
+      batch.sortBy(t => (t._1, t._3, t._2)).toSeq)
+    assert(collected.size === 6) // 2 queries x k=3
+  }
 }
