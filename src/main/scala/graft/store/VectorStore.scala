@@ -605,6 +605,34 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * the horizon arriving later WOULD resurrect the key, which is exactly
     * the trade every retention policy makes). None = keep all tombstones.
     */
+  /** Policy-driven compaction — the reference's automatic cadence
+    * (rebuild every 200k puts / checkpoint every 2k,
+    * `datanode/handler.py:313-317`) re-expressed as thresholds a caller
+    * can run after every ingest batch: compact when the un-snapshotted
+    * WAL has at least `minWalOps` ops, OR when tombstone winners exceed
+    * `tombstoneRatio` of all winners (the dead-weight every read's LWW
+    * window re-pays until a rewrite). Both probes are cheap relative to
+    * a compaction: the op count scans only post-snapshot WAL partitions
+    * (directory pruning), the ratio is one hash-agg over the winners.
+    * Returns true if it compacted.
+    */
+  def compactIfNeeded(minWalOps: Long = 200000L,
+      tombstoneRatio: Double = 0.2,
+      gcTombstonesBefore: Option[Long] = None): Boolean = {
+    val walCount = walOps().count()
+    val due = walCount >= minWalOps || {
+      walCount > 0 && {
+        val r = lwwWinners(snapshotOps, walOps().drop("node_id"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("op_type") === "DELETE", lit(1))).as("d"))
+          .head()
+        r.getLong(0) > 0 && r.getLong(1).toDouble / r.getLong(0) >= tombstoneRatio
+      }
+    }
+    if (due) compact(gcTombstonesBefore)
+    due
+  }
+
   def compact(gcTombstonesBefore: Option[Long] = None): Unit = {
     val tip = lastSeq.max(walTip())
     if (tip <= readPos()) return // idempotent: nothing new since the last

@@ -487,6 +487,26 @@ class VectorStoreSpec extends SparkSpec {
     assert(probe1.collect().nonEmpty)
   }
 
+  test("compactIfNeeded: op-count and tombstone-ratio triggers, no-op otherwise") {
+    val dir = tmpDir()
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(batch(rec("a", Array(1f, 1f), 10), rec("b", Array(2f, 2f), 10)))
+    // below both thresholds → no compaction
+    assert(!store.compactIfNeeded(minWalOps = 100, tombstoneRatio = 0.9))
+    assert(!Files.exists(Paths.get(s"$dir/snapshot_${store.currentSeq}")))
+    // op-count trigger
+    assert(store.compactIfNeeded(minWalOps = 2, tombstoneRatio = 0.9))
+    val posAfter = store.currentSeq
+    assert(Files.exists(Paths.get(s"$dir/snapshot_$posAfter")))
+    // nothing new → not due again
+    assert(!store.compactIfNeeded(minWalOps = 1, tombstoneRatio = 0.9))
+    // tombstone-ratio trigger: delete 1 of 2 keys → ratio 1/3 of winners
+    store.delete(Seq("a"), ts = 20)
+    assert(store.compactIfNeeded(minWalOps = 1000, tombstoneRatio = 0.3))
+    // state unchanged by compaction
+    assert(store.scan.select("key").collect().map(_.getString(0)).toSeq === Seq("b"))
+  }
+
   test("BQ index artifact: full-overfetch equals exact; request surface honored") {
     val store = new VectorStore(spark, tmpDir(), dim = 2)
     store.put(batch(
