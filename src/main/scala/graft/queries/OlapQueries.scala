@@ -590,6 +590,57 @@ object OlapQueries {
         |  MAX(CAST(floor(value * 1000) AS BIGINT)) AS mx
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Gaps-and-islands: per user, runs of CONSECUTIVE active days via
+    // the rn-difference trick (day − row_number is constant within an
+    // island) — batch sessionization at day granularity, one window
+    // pass + two hash-aggs, all integer day arithmetic. The analytic
+    // twin of q29's session_window.
+    QueryDef("q101_gaps_islands",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("day").asc)
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .distinct()
+          .withColumn("grp", col("day") - row_number().over(w))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest"))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS rn FROM d),
+        |i AS (SELECT user_id, day - rn AS grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands, CAST(MAX(len) AS BIGINT) AS longest
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Sequential pattern mining, order-1: the top event-type transitions
+    // (lag over each user's (ts, event_id)-ordered stream, then one
+    // hash-agg) — the Markov-transition profile of the event log. The
+    // tie-broken total order makes `prev` deterministic, so transition
+    // counts hash-match.
+    QueryDef("q102_event_bigrams",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .where(col("prev").isNotNull)
+          .groupBy(col("prev").as("a"), col("event_type").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(10)
+      },
+      Some("""WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events)
+        |SELECT prev AS a, event_type AS b, COUNT(*) AS n FROM s
+        |WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
     // Triangle counting over the part co-purchase graph (parts sharing an
     // order; one quarter of shipdates keeps the sf-scaled edge density
     // constant). The engine orients edges by (degree, id) rank so the
