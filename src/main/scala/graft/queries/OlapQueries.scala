@@ -590,6 +590,26 @@ object OlapQueries {
         |  MAX(CAST(floor(value * 1000) AS BIGINT)) AS mx
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Semi-structured extraction (F8 on the real fixture column): the
+    // events `props` JSON string parsed in the row path
+    // (get_json_object — codegen'd Jackson walk, no UDF) and aggregated
+    // as exact integers. At 100 TB this is THE schema-on-read pattern:
+    // the parse cost rides the scan once, the shuffle carries 4-row
+    // partial aggs.
+    QueryDef("q103_props_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Gaps-and-islands: per user, runs of CONSECUTIVE active days via
     // the rn-difference trick (day − row_number is constant within an
     // island) — batch sessionization at day granularity, one window
