@@ -279,6 +279,59 @@ object Graph {
     } finally { eDeg.unpersist(); if (nodes != null) nodes.unpersist() }
   }
 
+  /** Bounded k-core peeling (Seidman 1983; the distributed peel loop is
+    * the standard iterated-filter form): each round drops every node
+    * whose CURRENT degree is below `k` and restricts the graph to the
+    * survivors — cascades included, because a neighbor's removal lowers
+    * your degree next round. Run to `maxRounds`; at fixpoint the result
+    * is THE k-core (maximal induced subgraph with all degrees ≥ k), and
+    * a bounded run is the "r peels" prefix — deterministic, so an
+    * unrolled fixed-round SQL oracle matches exactly (q104's hook, the
+    * q88 unrolling trick applied to graphs). Each round is two shuffles
+    * (degree hash-agg + survivor semi-joins) with the frontier
+    * materialized — plan stays O(1) per round, [[connectedComponents]]'
+    * discipline; rounds stop early when a peel removes nothing (further
+    * rounds would be no-ops on both engines).
+    *
+    * Output: (id, deg) for every node with ≥1 edge in the peeled
+    * subgraph — the degree is IN-CORE degree, the standard coreness
+    * evidence. Why a curation engine carries this: k-core is the
+    * community-density filter (link-farm detection, seed-set selection)
+    * that triangle counts approximate locally.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(maxRounds >= 0, s"maxRounds $maxRounds must be >= 0")
+    val und = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    var sym = materialize(
+      und.select(col("a").as("s"), col("b").as("d"))
+        .union(und.select(col("b").as("s"), col("a").as("d"))),
+      checkpointDir)
+    var nEdges = sym.count()
+    var r = 0
+    var stable = nEdges == 0L
+    while (!stable && r < maxRounds) {
+      val keep = sym.groupBy("s").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("s")
+      val next = materialize(
+        sym.join(keep, Seq("s"), "left_semi")
+          .join(keep.select(col("s").as("d")), Seq("d"), "left_semi"),
+        checkpointDir)
+      val n2 = next.count()
+      stable = n2 == nEdges // nothing peeled → fixpoint
+      sym = next
+      nEdges = n2
+      r += 1
+    }
+    sym.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering signal (spam rings and boilerplate mirror-farms show up
     * as abnormally triangle-dense neighborhoods in a co-occurrence

@@ -590,6 +590,36 @@ object OlapQueries {
         |  MAX(CAST(floor(value * 1000) AS BIGINT)) AS mx
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Bounded k-core peeling over the full part co-purchase graph
+    // (Graph.kCore, 2 peel rounds at k=80): the community-density
+    // filter, with the cascade visible — a neighbor peeled in round 1
+    // lowers your degree for round 2. The oracle unrolls both rounds in
+    // CTEs (the q88 trick on a graph loop), so the distributed peel is
+    // hash-pinned, not just rows-counted. Each round = one degree
+    // hash-agg + two semi-joins, frontier materialized (O(1) plan).
+    QueryDef("q104_kcore_peel",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
+            col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        Graph.kCore(pairs, "a", "b", k = 80, maxRounds = 2)
+          .orderBy(col("deg").desc, col("id").asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk a, y.pk b FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |s0 AS (SELECT a s, b d FROM e UNION ALL SELECT b, a FROM e),
+        |d0 AS (SELECT s, COUNT(*) deg FROM s0 GROUP BY s),
+        |k0 AS (SELECT s FROM d0 WHERE deg >= 80),
+        |s1 AS (SELECT e.s, e.d FROM s0 e JOIN k0 x ON e.s = x.s JOIN k0 y ON e.d = y.s),
+        |d1 AS (SELECT s, COUNT(*) deg FROM s1 GROUP BY s),
+        |k1 AS (SELECT s FROM d1 WHERE deg >= 80),
+        |s2 AS (SELECT e.s, e.d FROM s1 e JOIN k1 x ON e.s = x.s JOIN k1 y ON e.d = y.s),
+        |d2 AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM s2 GROUP BY s)
+        |SELECT id, deg FROM d2 ORDER BY deg DESC, id ASC LIMIT 20""".stripMargin)),
+
     // Semi-structured extraction (F8 on the real fixture column): the
     // events `props` JSON string parsed in the row path
     // (get_json_object — codegen'd Jackson walk, no UDF) and aggregated

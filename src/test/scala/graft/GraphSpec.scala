@@ -200,6 +200,34 @@ class GraphSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("kCore: fixpoint peels the pendant chain, keeps K4; cascade works") {
+    // K4 {1,2,3,4} + chain 4-5-6: peeling 6 (deg 1) drops 5 to deg 1 →
+    // the cascade removes both; fixpoint 2-core = K4
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val core = Graph.kCore(edges, "a", "b", k = 2, maxRounds = 10)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(core === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    assert(core.forall(_._2 >= 2)) // the k-core invariant
+  }
+
+  test("kCore: bounded rounds stop mid-cascade (the unrolled-oracle form)") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val oneRound = Graph.kCore(edges, "a", "b", k = 2, maxRounds = 1)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // only 6 peeled so far; 5 survives this round with in-subgraph deg 1
+    assert(oneRound === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 4L), (5L, 1L)))
+  }
+
+  test("kCore: k above the densest core yields empty; self-loops/dups ignored") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.kCore(edges, "a", "b", k = 3, maxRounds = 5).count() === 0L)
+    val two = Graph.kCore(edges, "a", "b", k = 1, maxRounds = 5)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(two === Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
   test("triangleCounts: known graph, exact per-node counts") {
     // K4 on {1,2,3,4} = 4 triangles, each node in 3; pendant 5-1 in none
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
