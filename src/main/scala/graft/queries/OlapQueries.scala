@@ -590,6 +590,29 @@ object OlapQueries {
         |  MAX(CAST(floor(value * 1000) AS BIGINT)) AS mx
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Cohort retention: users bucketed by first-activity week, then the
+    // (cohort, week-offset) activity matrix — the product-analytics
+    // staple. Two hash-aggs + one broadcast-able join, integer week
+    // arithmetic end to end; rows are already distinct per (user, week)
+    // so the matrix cell is a plain count.
+    QueryDef("q105_cohort_retention",
+      (s, d) => {
+        val wk = Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+          .distinct()
+        val cohort = wk.groupBy("user_id").agg(min(col("week")).as("cohort"))
+        wk.join(cohort, "user_id")
+          .groupBy(col("cohort"), (col("week") - col("cohort")).as("wk_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort", "wk_offset")
+      },
+      Some("""WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort FROM wk GROUP BY user_id)
+        |SELECT c.cohort, wk.week - c.cohort AS wk_offset, COUNT(*) AS n_active
+        |FROM wk JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, wk_offset""".stripMargin)),
+
     // Bounded k-core peeling over the full part co-purchase graph
     // (Graph.kCore, 2 peel rounds at k=80): the community-density
     // filter, with the cascade visible — a neighbor peeled in round 1
