@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -330,6 +331,54 @@ object Graph {
       r += 1
     }
     sym.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, the LPA
+    * community detector): every node starts labeled with its own id;
+    * each round every node adopts the MOST FREQUENT label among its
+    * neighbors' previous-round labels (ties → smallest label — the
+    * determinism the async/random variant gives up). Where
+    * [[connectedComponents]]' min-label finds CONNECTIVITY, the
+    * mode-label finds DENSITY: a bridge edge between two near-cliques
+    * cannot outvote either clique's internal majority, so the cliques
+    * keep distinct labels — communities, not components.
+    *
+    * Bounded `rounds` (LPA has no convergence guarantee — labels can
+    * oscillate on bipartite-ish structures; fixed rounds is the
+    * deterministic contract, and lets an unrolled-CTE oracle hash-pin
+    * the loop, q106). Each round = one join + one count hash-agg + one
+    * argmax window, all keyed on node id; frontier materialized (O(1)
+    * plan per round). Output: (id, label) after `rounds` rounds; nodes
+    * with no edges absent.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    val sym = e.union(e.select(col("d").as("s"), col("s").as("d")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = materialize(
+        sym.select(col("s").as("id")).distinct()
+          .select(col("id"), col("id").as("label")),
+        checkpointDir)
+      for (_ <- 1 to rounds) {
+        val counts = sym.join(labels, sym("s") === labels("id"))
+          .groupBy(sym("d").as("id"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("cnt").desc, col("label").asc)
+        labels = materialize(
+          counts.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1)
+            .select(col("id"), col("label")),
+          checkpointDir)
+      }
+      labels
+    } finally sym.unpersist()
   }
 
   /** Per-node triangle counts over an undirected edge list — the local

@@ -590,6 +590,44 @@ object OlapQueries {
         |  MAX(CAST(floor(value * 1000) AS BIGINT)) AS mx
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Label-propagation communities (Graph.labelPropagation, 2 sync
+    // rounds): mode-of-neighbors labeling over the quarter-filtered
+    // part co-purchase graph — density finds communities where min-label
+    // CC (q64's engine) finds connectivity. Deterministic by the
+    // (count desc, label asc) tie-break; the oracle unrolls both rounds
+    // in CTEs, hash-pinning the loop. Output: community-size histogram.
+    QueryDef("q106_label_prop",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
+            col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        Graph.labelPropagation(pairs, "a", "b", rounds = 2)
+          .groupBy("label").agg(count(lit(1)).as("size"))
+          .orderBy(col("size").desc, col("label").asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'),
+        |e AS (SELECT DISTINCT x.pk a, y.pk b FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |sym AS (SELECT a s, b d FROM e UNION SELECT b, a FROM e),
+        |l0 AS (SELECT DISTINCT s AS id, s AS label FROM sym),
+        |c1 AS (SELECT sym.d AS id, l0.label, COUNT(*) AS cnt
+        |  FROM sym JOIN l0 ON sym.s = l0.id GROUP BY 1, 2),
+        |l1 AS (SELECT id, label FROM (SELECT id, label,
+        |    row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT sym.d AS id, l1.label, COUNT(*) AS cnt
+        |  FROM sym JOIN l1 ON sym.s = l1.id GROUP BY 1, 2),
+        |l2 AS (SELECT id, label FROM (SELECT id, label,
+        |    row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM c2) WHERE rn = 1)
+        |SELECT label, COUNT(*) AS size FROM l2 GROUP BY label
+        |ORDER BY size DESC, label ASC LIMIT 20""".stripMargin)),
+
     // Cohort retention: users bucketed by first-activity week, then the
     // (cohort, week-offset) activity matrix — the product-analytics
     // staple. Two hash-aggs + one broadcast-able join, integer week

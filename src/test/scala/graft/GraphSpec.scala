@@ -200,6 +200,50 @@ class GraphSpec extends SparkSpec {
     assert(one === many)
   }
 
+  /** Plain-Scala mirror of synchronous LPA with the (cnt desc, label asc)
+    * tie-break, for parity checks on arbitrary graphs.
+    */
+  private def lpaNaive(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val nbrs = sym.groupBy(_._2).map { case (n, es) => n -> es.map(_._1) }
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = nbrs.map { case (n, ns) =>
+        val counts = ns.map(labels).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: bridged cliques keep distinct labels (density, " +
+      "not connectivity)") {
+    // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10: one
+    // component, but LPA keeps two communities (the bridge is outvoted)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(10L) === got(11L) && got(11L) === got(12L))
+    assert(got(1L) !== got(10L))
+    // CC on the same graph: ONE component — the contrast that makes LPA
+    assert(Graph.connectedComponents(edges, "a", "b")
+      .select("component").distinct().count() === 1L)
+  }
+
+  test("labelPropagation matches the naive synchronous mirror on random graphs") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    for (rounds <- Seq(1, 2, 3)) {
+      val got = Graph.labelPropagation(edges.toDF("a", "b"), "a", "b", rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === lpaNaive(edges, rounds), s"rounds=$rounds")
+    }
+  }
+
   test("kCore: fixpoint peels the pendant chain, keeps K4; cascade works") {
     // K4 {1,2,3,4} + chain 4-5-6: peeling 6 (deg 1) drops 5 to deg 1 →
     // the cascade removes both; fixpoint 2-core = K4
