@@ -1128,19 +1128,25 @@ object PipelineQueries {
         |SELECT o_orderpriority, rk, o_orderkey, w_m FROM r
         |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin)),
 
-    // Real BPE tokenizer training (Sennrich et al. 2016): distributed
-    // word count (one shuffle), driver merge loop over the tiny vocab,
-    // top-20 learned merges as rows. Rows-only like q35: the merge loop
-    // is deterministic but not SQL-expressible; BpeSpec hand-checks the
-    // textbook corpus and cross-partition tokenize determinism.
+    // Real BPE tokenizer training (Sennrich et al. 2016) END-TO-END,
+    // oracle-pinned: distributed word count (one shuffle), driver merge
+    // loop over the tiny vocab, all 8 learned merges as rows. The oracle
+    // UNROLLS all 8 (pair-count → argmax → apply-merge) iterations in SQL
+    // via [[bpeUnrolledOracle]] — the q88 wrapped-symbol/replace() trick,
+    // generated per stage — so the FULL training run is (rows, schema,
+    // hash)-checked, not just its first rounds. 8 merges keeps the
+    // unrolled oracle tractable while exercising deep-round incremental
+    // pair-delta maintenance (rounds 4-8 touch pairs created by earlier
+    // merges); q88's hand-written 3-stage SQL stays as an independent
+    // cross-check that the generator emits the audited shape.
     QueryDef("q56_bpe_merges",
       (s, d) => {
         import s.implicits._
-        graft.operators.Bpe.train(Tables.documents(s, d), "text", numMerges = 20)
+        graft.operators.Bpe.train(Tables.documents(s, d), "text", numMerges = 8)
           .zipWithIndex.map { case (m, i) => (i, m.a, m.b) }
-          .toDF("rank", "a", "b").orderBy("rank")
+          .toDF("rk", "a", "b").orderBy("rk")
       },
-      None),
+      Some(bpeUnrolledOracle(8))),
 
     // The DISTRIBUTED half of the BPE trainer, oracle-checked: the
     // word-frequency table (Bpe.wordCounts — the trainer's one shuffle,
@@ -1432,4 +1438,45 @@ object PipelineQueries {
   private lazy val duckSeries =
     """SELECT user_id, list_slice(array_agg(value ORDER BY ts, event_id, value), 1, 8) AS series
       |  FROM events GROUP BY user_id HAVING COUNT(*) >= 8""".stripMargin
+
+  /** Generate the `n`-stage unrolled BPE-training oracle: q88's
+    * wrapped-symbol scheme (each symbol as chr(1)||sym||chr(2), so SQL
+    * replace()'s left-to-right non-overlapping scan IS BPE's greedy
+    * fusion, including a==b runs) emitted per merge round. Stage i:
+    * p_i counts adjacent symbol pairs of state s_{i-1} weighted by word
+    * frequency (same vocab cut, same minPairCount>=2 HAVING as
+    * Bpe.train); m_i takes the (count desc, pair asc) argmax — the
+    * trainer's exact tie-break; s_i applies the merge. An empty m_i
+    * (no pair reaches 2) empties every later stage via the cross join,
+    * mirroring the trainer's early stop. The final UNION ALL is the
+    * rank-by-rank argmax trace — (rows, schema, hash) against the real
+    * driver loop.
+    */
+  private def bpeUnrolledOracle(n: Int): String = {
+    def pairStage(i: Int): String =
+      s"""p$i AS (SELECT a, b, SUM(cnt) AS pc FROM (
+         |    SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT)+1] AS b, cnt FROM (
+         |      SELECT cnt, l, unnest(range(1, len(l))) AS i FROM (
+         |        SELECT cnt, string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)) AS l FROM s${i - 1})))
+         |  GROUP BY a, b HAVING SUM(cnt) >= 2),
+         |m$i AS (SELECT a, b FROM p$i ORDER BY pc DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+    def applyStage(i: Int): String =
+      s"""s$i AS (SELECT cnt, replace(s, chr(1)||m$i.a||chr(2)||chr(1)||m$i.b||chr(2),
+         |         chr(1)||m$i.a||m$i.b||chr(2)) AS s FROM s${i - 1}, m$i)""".stripMargin
+    val stages = (1 to n).map { i =>
+      if (i < n) pairStage(i) + ",\n" + applyStage(i) else pairStage(i)
+    }.mkString(",\n")
+    val trace = (1 to n).map { i =>
+      val sep = if (i == 1) "" else "UNION ALL "
+      s"${sep}SELECT ${i - 1} AS rk, a, b FROM m$i"
+    }.mkString("\n  ")
+    s"""WITH toks AS (SELECT unnest($duckToks) AS word FROM documents),
+       |wc AS (SELECT word, COUNT(*) AS cnt FROM toks WHERE word <> ''
+       |       GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 65536),
+       |s0 AS (SELECT cnt, array_to_string(list_transform(range(1, length(word)+1),
+       |         i -> chr(1)||substr(word, CAST(i AS INT), 1)||chr(2)), '') AS s FROM wc),
+       |$stages
+       |SELECT rk, a, b FROM (
+       |  $trace) ORDER BY rk""".stripMargin
+  }
 }
