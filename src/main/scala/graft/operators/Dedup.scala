@@ -685,12 +685,34 @@ object Dedup {
     * pair passes any word-set threshold and the join's output is
     * inherently quadratic no matter how good the candidate filter is —
     * n-grams (n ≥ 3) separate true near-dups from vocabulary overlap.
+    *
+    * `maxPrefixFreq`: skew guard (the q36 `maxDocFreq` / winnowing-cap
+    * discipline). Rarest-first prefix selection makes hot prefix tokens
+    * unlikely on a natural corpus, but a pathological one (thousands of
+    * IDENTICAL documents) puts the same gram in every prefix and the
+    * candidate self-join goes quadratic in that one bucket. Prefix
+    * tokens appearing in more than `maxPrefixFreq` documents' prefixes
+    * are dropped from the index, bounding any bucket's candidate
+    * contribution at maxPrefixFreq²/2; the number of capped tokens and
+    * the upper bound on skipped candidate pairs are WARN-logged, because
+    * capping (unlike the prefix filter itself) breaks the losslessness
+    * contract — near-dup pairs whose ONLY shared prefix tokens are hot
+    * ones are missed. The default is far above any natural prefix
+    * frequency (q98 stays hash-identical to the full quadratic oracle)
+    * while still bounding the adversarial corpus.
+    *
+    * Lifetime: the hashed-token relation feeds five plan legs, so it is
+    * persisted for the computation and UNPERSISTED before return; the
+    * returned pair list (bounded by construction) is persisted eagerly
+    * instead — callers own `result.unpersist()` when done.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      tNum: Int, tDen: Int, gramN: Int = 1): DataFrame = {
+      tNum: Int, tDen: Int, gramN: Int = 1,
+      maxPrefixFreq: Int = 10000): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold $tNum/$tDen must be a rational in (0, 1]")
     require(gramN >= 1, s"gramN $gramN must be >= 1")
+    require(maxPrefixFreq >= 1, s"maxPrefixFreq $maxPrefixFreq must be >= 1")
     val elems =
       if (gramN == 1) array_distinct(wsTokens(col(textCol)))
       else array_distinct(ngramsOfTokens(wsTokens(col(textCol)), gramN))
@@ -713,11 +735,31 @@ object Dedup {
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
     val wOrd = Window.partitionBy(col(idCol))
       .orderBy(col("dfreq").asc, col("tok").asc)
-    val prefix = toks.join(dfreq, "tok").join(sized, idCol)
+    val prefixAll = toks.join(dfreq, "tok").join(sized, idCol)
       .withColumn("pos", row_number().over(wOrd))
       .where(col("pos") <=
         col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
       .select(col(idCol), col("tok"), col("sz"))
+    // skew cap: tokens in too many PREFIXES leave the index. The hot set
+    // is tiny by pigeonhole (≤ total-prefix-rows / maxPrefixFreq), so the
+    // anti-join broadcasts; the count is an eager action over the already
+    // persisted token relation — it doubles as the cache materializer.
+    val pfreq = prefixAll.groupBy("tok")
+      .agg(count(lit(1)).as("pfreq"))
+      .where(col("pfreq") > maxPrefixFreq)
+    val hotStats = pfreq
+      .agg(count(lit(1)).as("n_hot"),
+        coalesce(sum(expr("pfreq * (pfreq - 1) div 2")), lit(0L)).as("skipped"))
+      .collect()(0)
+    if (hotStats.getLong(0) > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"jaccardPairsPrefix: capped ${hotStats.getLong(0)} hot prefix " +
+          s"tokens (pfreq > $maxPrefixFreq); up to ${hotStats.get(1)} " +
+          "candidate pairs skipped — pairs whose only shared prefix " +
+          "tokens were hot may be MISSED (losslessness broken by cap)")
+    val prefix =
+      if (hotStats.getLong(0) == 0) prefixAll
+      else prefixAll.join(broadcast(pfreq.select("tok")), Seq("tok"), "left_anti")
     // length filter (also lossless): jac ≥ t forces t·|x| ≤ |y| ≤ |x|/t,
     // so size-mismatched collisions drop before the distinct
     val cand = prefix.as("x").join(prefix.as("y"),
@@ -729,7 +771,7 @@ object Dedup {
       .distinct()
     val sets = toks.groupBy(idCol)
       .agg(sort_array(collect_set(col("tok"))).as("set"))
-    cand
+    val out = cand
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
@@ -737,6 +779,10 @@ object Dedup {
       .where(col("inter") * tDen >= col("union") * tNum)
       .select(col("a"), col("b"),
         (col("inter").cast("double") / col("union")).as("jac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the bounded pair list, then free the big input
+    toks.unpersist()
+    out
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the

@@ -401,6 +401,25 @@ class DedupSpec extends SparkSpec {
     assert(above.isEmpty)
   }
 
+  test("jaccardPairsPrefix: hot-prefix cap bounds the pathological corpus") {
+    // 200 IDENTICAL documents — rarest-first prefix selection degenerates
+    // (every doc's prefix is the same gram, pfreq = corpus size) and the
+    // uncapped candidate join would be 200²/2 in one bucket
+    val d = (0L until 200L).map(i => (i, "aaa bbb ccc ddd eee fff"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairsPrefix(d, "doc_id", "text",
+      tNum = 4, tDen = 5, gramN = 3, maxPrefixFreq = 20)
+    // every prefix token is hot → the capped index is empty: candidates
+    // bounded (losslessness knowingly broken, WARN-logged with counts)
+    assert(capped.count() === 0L)
+    capped.unpersist()
+    // a cap above the corpus size keeps the operator lossless: all pairs
+    val full = Dedup.jaccardPairsPrefix(d, "doc_id", "text",
+      tNum = 4, tDen = 5, gramN = 3, maxPrefixFreq = 10000)
+    assert(full.count() === 200L * 199L / 2L)
+    full.unpersist()
+  }
+
   test("winnowing hot-fingerprint cap drops boilerplate from pairing") {
     val boiler = "this exact boilerplate sentence appears everywhere"
     val d = (1L to 6L).map(i => (i, s"doc $i says $boiler")).toDF("doc_id", "text")
