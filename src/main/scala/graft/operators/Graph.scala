@@ -50,6 +50,23 @@ object Graph {
     case None => df.localCheckpoint(eager = true)
   }
 
+  /** Free the block-manager storage behind a [[materialize]]d frame once
+    * the NEXT round's frame is materialized — without this every round of
+    * an iterative loop leaves its localCheckpoint blocks cached for the
+    * session's lifetime (the executor-storage twin of a lineage leak).
+    * A checkpointed Dataset's plan is a single [[LogicalRDD]] leaf whose
+    * `rdd` holds the persisted blocks; reliable checkpoints live in
+    * checkpoint FILES, for which unpersisting the RDD handle is a no-op
+    * on the data — harmless either way. Only call on frames no LIVE frame
+    * derives from lazily (i.e. after the successor was eagerly copied).
+    */
+  private def freeMaterialized(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** (id, component) for every node incident to an edge; `component` is
     * the minimum node id reachable from `id`. Nodes not mentioned in
     * `edges` are absent (singletons are their own component trivially).
@@ -96,6 +113,7 @@ object Graph {
               least(col("old"), coalesce(col("nbr"), col("old"))).as("component")),
           checkpointDir)
         changed = next.where(col("component") =!= col("old")).count()
+        freeMaterialized(labels) // next is an eager copy — old blocks are dead
         labels = next.select("id", "component")
         iter += 1
       }
@@ -184,6 +202,7 @@ object Graph {
       val nextCount = next.count()
       converged = nextCount == eCount &&
         next.join(e, Seq("s", "d"), "left_anti").isEmpty
+      freeMaterialized(e) // after the convergence join — e's last live use
       e = next
       eCount = nextCount
       iter += 1
@@ -253,6 +272,7 @@ object Graph {
     try {
       val base = scale * (100L - damp) / 100L
       var rank: DataFrame = null
+      var lastMat: DataFrame = null
       for (i <- 1 to iters) {
         // round 1's rank is the CONSTANT `scale` for every node, so the
         // first rank-join is algebraically a projection of eDeg — one
@@ -274,7 +294,15 @@ object Graph {
         // eagerly only every 8th round — plan-depth guard for long runs —
         // and at the END, which both truncates lineage and frees the
         // returned frame from the eDeg cache before the finally unpersists
-        if (i % 8 == 0 || i == iters) rank = materialize(rank, checkpointDir)
+        if (i % 8 == 0 || i == iters) {
+          val m = materialize(rank, checkpointDir)
+          // only frames THIS run materialized are freed (never the lazy
+          // chain — its leaves include the caller's input plan, whose
+          // storage the caller owns)
+          if (lastMat != null) freeMaterialized(lastMat)
+          lastMat = m
+          rank = m
+        }
       }
       rank
     } finally { eDeg.unpersist(); if (nodes != null) nodes.unpersist() }
@@ -326,6 +354,7 @@ object Graph {
         checkpointDir)
       val n2 = next.count()
       stable = n2 == nEdges // nothing peeled → fixpoint
+      freeMaterialized(sym) // next is an eager copy — the old round's blocks are dead
       sym = next
       nEdges = n2
       r += 1
@@ -371,11 +400,13 @@ object Graph {
           .agg(count(lit(1)).as("cnt"))
         val w = Window.partitionBy(col("id"))
           .orderBy(col("cnt").desc, col("label").asc)
-        labels = materialize(
+        val next = materialize(
           counts.withColumn("__rn", row_number().over(w))
             .where(col("__rn") === 1)
             .select(col("id"), col("label")),
           checkpointDir)
+        freeMaterialized(labels) // next is an eager copy — old blocks are dead
+        labels = next
       }
       labels
     } finally sym.unpersist()
