@@ -105,6 +105,14 @@ object Bq {
     * the survivors, top-k. `filter`/`threshold` give the tier the same
     * SearchRequest surface as the others (filter pre-rank, threshold on
     * the exact re-rank score).
+    *
+    * ORACLE/SELF-CONTAINED form only: this packs the corpus INSIDE the
+    * query, paying the pack cost per call. The serving economics of BQ
+    * live in the write-side packed artifact — use
+    * [[graft.store.VectorStore.buildBqIndex]] /
+    * [[graft.store.VectorStore.searchBq]] for repeated queries, where
+    * packing happens once at index build and the scan reads 1/32 the
+    * bytes with no per-query pack.
     */
   def bqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       queryId: Long, k: Int, rerankFrom: Int = 50,

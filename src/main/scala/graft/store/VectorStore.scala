@@ -514,7 +514,10 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * to sign bits (dim/32 words per key — a 32× smaller scan than the
     * float corpus) alongside the indexed metadata and ts. Rebuild-only
     * build cost is one map-only pass; [[appendToBqIndex]] extends it
-    * incrementally. Requires dim % 32 == 0 (packBits contract).
+    * incrementally. Any dim works: a non-multiple-of-32 tail packs into
+    * a final partial word whose unused high bits stay 0 on both the
+    * corpus ([[graft.operators.Bq.packBits]]) and query
+    * ([[packQueryBits]]) sides, so Hamming distances never see them.
     */
   def buildBqIndex(): Unit =
     compacted.select(col("key"),
@@ -548,7 +551,11 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     require(req.queryVector.length == dim,
       s"searchBq: query dim ${req.queryVector.length} != store dim $dim")
     val packed = spark.read.parquet(bqDataDir)
-    val w = Window.partitionBy(col("key")).orderBy(col("ts").desc)
+    // newest-version window with a deterministic content tie-break (the
+    // lwwWinners discipline): a key appended twice with equal ts must
+    // resolve the same way on every run, not by partition order
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, xxhash64(to_json(struct(col("bits")))).desc)
     val newest = packed.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
     val live = newest.join(compacted.select("key", "ts"), Seq("key", "ts"),
