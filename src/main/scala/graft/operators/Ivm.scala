@@ -30,24 +30,63 @@ object Ivm {
 
   /** Per-group partial aggregate state of `valueCol` (LONG): one row per
     * group — (groups..., n, s, mn, mx). The mergeable unit.
+    *
+    * `hllCol`: optionally carry a DISTINCT-COUNT sketch in the same
+    * state row — a dense `hll` array of 2^p HyperLogLog registers over
+    * the column's values ([[Sketch.hllBucketRank]] hashing, so the
+    * registers are exact integers and the merged view hash-matches a
+    * full recompute). Registers are a max semilattice, so the sketch
+    * rides the SAME ⊕ as the scalar monoids and a materialized view
+    * refreshes per-group distinct counts incrementally — the one
+    * statistic count/sum/min/max can't express. Built in two hash-aggs:
+    * (groups, bucket) partials first — every scalar is a monoid, so
+    * re-aggregating the partials is exact — then one fold into the
+    * dense array.
     */
-  def aggState(df: DataFrame, groupCols: Seq[String],
-      valueCol: String): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
-        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+  def aggState(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      hllCol: Option[String] = None, p: Int = 8): DataFrame = hllCol match {
+    case None =>
+      df.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+          min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    case Some(hc) =>
+      val m = 1 << p
+      val (b, r) = graft.operators.Sketch.hllBucketRank(col(hc), p)
+      df.select((groupCols.map(col) :+ col(valueCol) :+ b.as("__b") :+ r.as("__r")): _*)
+        .groupBy((groupCols.map(col) :+ col("__b")): _*)
+        .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+          min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"),
+          max(col("__r")).as("__reg"))
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+          aggregate(collect_list(struct(col("__b"), col("__reg"))),
+            array_repeat(lit(0L), m),
+            (acc, e) => transform(acc, (v, i) =>
+              when(i.cast("long") === e.getField("__b"),
+                greatest(v, e.getField("__reg"))).otherwise(v))).as("hll"))
+  }
 
   /** ⊕ — merge state frames group-wise: counts and sums add, extrema
-    * take min/max. Groups absent on one side pass through (the monoid
-    * identity). One hash-agg over the concatenated states — the states
-    * are |groups|-sized, so this never touches source data.
+    * take min/max, HLL registers (when the states carry an `hll` column)
+    * take bucket-wise max. Groups absent on one side pass through (the
+    * monoid identity). One hash-agg over the concatenated states — the
+    * states are |groups|-sized, so this never touches source data.
     */
   def mergeStates(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
     require(states.nonEmpty, "mergeStates: need at least one state frame")
-    states.reduce(_.unionByName(_))
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
-        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    val u = states.reduce(_.unionByName(_))
+    val scalars = Seq(sum(col("n")).as("n"), sum(col("s")).as("s"),
+      min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    val aggs =
+      if (!u.columns.contains("hll")) scalars
+      // fold the group's register arrays bucket-wise; the empty-array
+      // init works because zip_with pads the shorter side with nulls and
+      // greatest skips them — the first merge step just adopts the row
+      else scalars :+ aggregate(collect_list(col("hll")),
+        array().cast("array<bigint>"),
+        (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as("hll")
+    u.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Build + persist the view artifact (versioned dir, newest-wins —
@@ -55,8 +94,8 @@ object Ivm {
     * build time.
     */
   def buildAggView(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      path: String): Unit =
-    aggState(df, groupCols, valueCol)
+      path: String, hllCol: Option[String] = None, p: Int = 8): Unit =
+    aggState(df, groupCols, valueCol, hllCol, p)
       .write.mode("overwrite").parquet(s"$path/v${nextVersion(path)}")
 
   /** Refresh the persisted view with a delta batch: read the current
@@ -64,9 +103,11 @@ object Ivm {
     * ALONE), write the next version. The base corpus is never read.
     */
   def refreshAggView(delta: DataFrame, groupCols: Seq[String],
-      valueCol: String, path: String): Unit = {
+      valueCol: String, path: String, hllCol: Option[String] = None,
+      p: Int = 8): Unit = {
     val cur = readAggView(delta.sparkSession, path)
-    mergeStates(Seq(cur, aggState(delta, groupCols, valueCol)), groupCols)
+    mergeStates(Seq(cur, aggState(delta, groupCols, valueCol, hllCol, p)),
+        groupCols)
       .write.mode("overwrite").parquet(s"$path/v${nextVersion(path)}")
   }
 
@@ -90,10 +131,12 @@ object Ivm {
     * artifact listing — no side state.
     */
   def mergeBatch(delta: DataFrame, groupCols: Seq[String], valueCol: String,
-      path: String, batchId: Long): Unit = {
+      path: String, batchId: Long, hllCol: Option[String] = None,
+      p: Int = 8): Unit = {
     if (completeBatchIds(path).contains(batchId)) return
     val cur = readAggView(delta.sparkSession, path)
-    mergeStates(Seq(cur, aggState(delta, groupCols, valueCol)), groupCols)
+    mergeStates(Seq(cur, aggState(delta, groupCols, valueCol, hllCol, p)),
+        groupCols)
       .write.mode("overwrite")
       .parquet(s"$path/v${nextVersion(path)}_b$batchId")
   }

@@ -782,6 +782,49 @@ object OlapQueries {
         |corners AS (SELECT x AS id FROM tri
         |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
-        |ORDER BY triangles DESC, id ASC LIMIT 20""".stripMargin))
+        |ORDER BY triangles DESC, id ASC LIMIT 20""".stripMargin)),
+
+    // IVM with a SKETCH column riding the merge: the per-lang documents
+    // view carries count/sum/min/max of n_chars AND the q90 HLL register
+    // array over DISTINCT text — refreshed through the PERSISTED
+    // artifact lifecycle (buildAggView on the even-doc base,
+    // refreshAggView with the odd-doc delta; the base corpus is never
+    // re-read at refresh). Registers are a max semilattice, so the
+    // merged view is bit-identical to a full recompute — the oracle
+    // computes exactly that full recompute, and the hash-match proves
+    // the distinct-count sketch refreshes incrementally with the same
+    // exactness contract as the scalar monoids (q95's property, extended
+    // to the one statistic scalars can't express). Output: the dense
+    // register array exploded back to q90's sparse (b, reg > 0) rows
+    // alongside the scalar state.
+    QueryDef("q108_ivm_hll",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-q108-").toString
+        val docs = Tables.documents(s, d)
+        graft.operators.Ivm.buildAggView(docs.where(col("doc_id") % 2 === 0),
+          Seq("lang"), "n_chars", dir, hllCol = Some("text"), p = 8)
+        graft.operators.Ivm.refreshAggView(docs.where(col("doc_id") % 2 =!= 0),
+          Seq("lang"), "n_chars", dir, hllCol = Some("text"), p = 8)
+        graft.operators.Ivm.readAggView(s, dir)
+          .select(col("lang"), col("n"), col("s"), col("mn"), col("mx"),
+            posexplode(col("hll")).as(Seq("b", "reg")))
+          .where(col("reg") > 0)
+          .select(col("lang"), col("n"), col("s"), col("mn"), col("mx"),
+            col("b").cast("long").as("b"), col("reg"))
+          .orderBy("lang", "b")
+      },
+      Some("""WITH h AS (SELECT DISTINCT lang,
+        |        CAST('0x'||substr(md5('hll:'||text),18,15) AS BIGINT) AS h
+        |      FROM documents),
+        |regs AS (SELECT lang, h % 256 AS b,
+        |    CAST(MAX(CASE WHEN h // 256 = 0 THEN 53
+        |                  ELSE 52 - length(bin(h // 256)) + 1 END) AS BIGINT) AS reg
+        |  FROM h GROUP BY 1, 2),
+        |sc AS (SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s,
+        |    MIN(n_chars) AS mn, MAX(n_chars) AS mx
+        |  FROM documents GROUP BY lang)
+        |SELECT sc.lang AS lang, n, s, mn, mx, regs.b, regs.reg
+        |FROM sc JOIN regs ON sc.lang = regs.lang
+        |ORDER BY sc.lang, regs.b""".stripMargin))
   )
 }

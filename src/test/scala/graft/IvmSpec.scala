@@ -62,4 +62,57 @@ class IvmSpec extends SparkSpec {
       Ivm.readAggView(spark, dir)
     }
   }
+
+  private def hllRows = Seq(
+    ("a", 5L, "u1"), ("a", -3L, "u2"), ("a", 7L, "u1"), // u1 repeats
+    ("b", 100L, "u3"), ("b", 100L, "u4"),
+    ("c", 0L, "u5"))
+
+  test("hll column: merge of any split equals the full recompute " +
+      "(registers AND scalars)") {
+    val full = Ivm.aggState(hllRows.toDF("g", "v", "u"), Seq("g"), "v",
+        hllCol = Some("u"), p = 4)
+      .orderBy("g").as[(String, Long, Long, Long, Long, Seq[Long])]
+      .collect().toSeq
+    assert(full.forall(_._6.length === 16)) // dense 2^p register array
+    for (cut <- 0 to hllRows.size) {
+      val merged = Ivm.mergeStates(
+          Seq(Ivm.aggState(hllRows.take(cut).toDF("g", "v", "u"),
+              Seq("g"), "v", hllCol = Some("u"), p = 4),
+            Ivm.aggState(hllRows.drop(cut).toDF("g", "v", "u"),
+              Seq("g"), "v", hllCol = Some("u"), p = 4)),
+          Seq("g"))
+        .orderBy("g").as[(String, Long, Long, Long, Long, Seq[Long])]
+        .collect().toSeq
+      assert(merged === full, s"split at $cut diverged")
+    }
+  }
+
+  test("hll column: registers match Sketch.hllRegisters' sparse form") {
+    val df = hllRows.toDF("g", "v", "u")
+    val dense = Ivm.aggState(df, Seq("g"), "v", hllCol = Some("u"), p = 4)
+      .select(col("g"), posexplode(col("hll")).as(Seq("b", "reg")))
+      .where(col("reg") > 0)
+      .select(col("g"), col("b").cast("long").as("b"), col("reg"))
+      .orderBy("g", "b").as[(String, Long, Long)].collect().toSeq
+    val sparse = graft.operators.Sketch.hllRegisters(df, "g", "u", p = 4)
+      .orderBy("g", "b").as[(String, Long, Long)].collect().toSeq
+    assert(dense === sparse)
+  }
+
+  test("hll column: persisted view refresh carries the sketch through") {
+    val dir = Files.createTempDirectory("ivm-hll").toString
+    Ivm.buildAggView(hllRows.take(3).toDF("g", "v", "u"), Seq("g"), "v",
+      dir, hllCol = Some("u"), p = 4)
+    Ivm.refreshAggView(hllRows.drop(3).toDF("g", "v", "u"), Seq("g"), "v",
+      dir, hllCol = Some("u"), p = 4)
+    val got = Ivm.readAggView(spark, dir)
+      .orderBy("g").as[(String, Long, Long, Long, Long, Seq[Long])]
+      .collect().toSeq
+    val full = Ivm.aggState(hllRows.toDF("g", "v", "u"), Seq("g"), "v",
+        hllCol = Some("u"), p = 4)
+      .orderBy("g").as[(String, Long, Long, Long, Long, Seq[Long])]
+      .collect().toSeq
+    assert(got === full)
+  }
 }
