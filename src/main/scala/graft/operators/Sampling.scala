@@ -43,7 +43,16 @@ object Sampling {
     // by it IS ranking by the Duffield-Lund-Thorup priority
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__pri").desc, col(idCol).asc)
-    df.withColumn("__w2", col(weightCol) * lit(4294967296L))
+    // row-path guard (the winnowing 2^20 discipline): the w*2^32 shift
+    // overflows Long at w >= 2^31, which would silently corrupt the
+    // ranking (non-ANSI) or fail with an opaque arithmetic error (ANSI) —
+    // fail loud with the offending weight instead
+    df.withColumn("__w2",
+        when(col(weightCol) < lit(1L << 31),
+          col(weightCol) * lit(4294967296L))
+          .otherwise(raise_error(concat(
+            lit(s"prioritySample: $weightCol "), col(weightCol).cast("string"),
+            lit(" >= 2^31 — the shifted priority product overflows Long")))))
       .withColumn("__u1",
         TextFunctions.md5Low32(concat(lit(salt), col(idCol).cast("string"))) +
           lit(1L))

@@ -183,18 +183,24 @@ object Sketch {
     * group whatever the data volume, counts are Long monoids (bucket
     * counts ADD, so the sketch rides [[Ivm]] merges and streaming
     * refresh unchanged), and everything is integer arithmetic:
-    * bucket = (v−lo)·B div (hi−lo), clamped into [0, B) so domain
-    * stragglers land in the edge buckets instead of erroring. Output:
+    * bucket = (clamped(v)−lo)·B div (hi−lo) — the VALUE is clamped into
+    * [lo, hi−1] BEFORE the multiply, so domain stragglers land in the
+    * edge buckets without the (v−lo)·B product ever leaving
+    * [0, (hi−lo−1)·B]; clamping after the multiply would let a value far
+    * outside the declared domain overflow Long first (error under ANSI,
+    * silent wrap otherwise). The only overflow surface left is the
+    * domain declaration itself, checked eagerly. Output:
     * (groupCol, bucket, n).
     */
   def histogramBuckets(df: DataFrame, groupCol: String, valueCol: String,
       lo: Long, hi: Long, buckets: Int): DataFrame = {
     require(hi > lo, s"domain [$lo, $hi) is empty")
     require(buckets >= 1, s"buckets $buckets must be >= 1")
+    require(hi - lo > 0 && (hi - lo) <= Long.MaxValue / buckets,
+      s"domain width ${hi - lo} * $buckets buckets overflows Long")
     df.select(col(groupCol),
-        greatest(lit(0L), least(lit(buckets - 1L),
-          expr(s"((${valueCol} - ${lo}L) * ${buckets}L) div ${hi - lo}L")))
-          .as("bucket"))
+        expr(s"((greatest(${lo}L, least(${hi - 1}L, ${valueCol})) - ${lo}L)" +
+          s" * ${buckets}L) div ${hi - lo}L").as("bucket"))
       .groupBy(groupCol, "bucket")
       .agg(count(lit(1)).as("n"))
   }

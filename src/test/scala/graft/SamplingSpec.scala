@@ -57,4 +57,18 @@ class SamplingSpec extends SparkSpec {
     assert(got.count() === 2L)
     assert(got.agg(max("rk")).head().getInt(0) === 2)
   }
+
+  test("a weight at or past 2^31 fails loud, not silently corrupt") {
+    val df = Seq(("g", 1L, 1L << 31), ("g", 2L, 1L)).toDF("g", "id", "w")
+    val e = intercept[Exception] {
+      Sampling.prioritySample(df, Seq("g"), "id", "w", n = 1).collect()
+    }
+    assert(e.getMessage.contains("2^31") ||
+      Option(e.getCause).exists(_.getMessage.contains("2^31")),
+      s"unexpected error: ${e.getMessage}")
+    // and the guard's boundary itself is safe: 2^31 - 1 ranks fine
+    val ok = Seq(("g", 1L, (1L << 31) - 1), ("g", 2L, 1L)).toDF("g", "id", "w")
+    assert(Sampling.prioritySample(ok, Seq("g"), "id", "w", n = 1)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
 }

@@ -163,4 +163,20 @@ class SketchSpec extends SparkSpec {
     assert(p(95, 100) === 10L) // 9.5 of 10 needs bucket 9 → edge 10
     assert(p(1, 10) === 1L)
   }
+
+  test("histogramBuckets: values far outside the domain clamp to edge " +
+      "buckets without overflowing the bucket product") {
+    // pre-clamp arithmetic would compute (MaxValue - 0) * 64 → Long wrap
+    val df = Seq(("g", Long.MaxValue), ("g", Long.MinValue), ("g", 5L))
+      .toDF("g", "v")
+    val got = Sketch.histogramBuckets(df, "g", "v", lo = 0L, hi = 64L,
+        buckets = 64)
+      .orderBy("bucket").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("g", 0L, 1L), ("g", 5L, 1L), ("g", 63L, 1L)))
+    // declaring a domain whose width * buckets cannot fit a Long is the
+    // caller's error, caught eagerly
+    intercept[IllegalArgumentException] {
+      Sketch.histogramBuckets(df, "g", "v", 0L, Long.MaxValue, 64)
+    }
+  }
 }
