@@ -95,6 +95,28 @@ object WalStream {
             col("metadata"), col("timestamp").as("ts")))
       }
 
+  /** The reference's compaction CADENCE as a streaming sink — its
+    * datanode checkpoints the store every 2k applied puts
+    * (`datanode/handler.py:316-317`, `src/utils/wal_manager.py`); here
+    * every micro-batch of WAL ops re-probes
+    * [[graft.store.VectorStore.compactIfNeeded]], whose op-count probe
+    * scans only post-snapshot WAL partitions (directory pruning), so
+    * sustained writes snapshot every ~`minWalOps` ops and an idle stream
+    * costs one cheap probe per trigger. The probe-then-compact runs
+    * driver-side in foreachBatch — exactly where the reference's counter
+    * lives — and snapshots are atomic (pointer-file commit), so readers
+    * through [[graft.store.VectorStore.compacted]] never see a torn
+    * rewrite; a replayed micro-batch at worst re-probes (compact itself
+    * is idempotent past the pointer).
+    */
+  def compactionMaintenance(ops: DataFrame, store: graft.store.VectorStore,
+      minWalOps: Long, tombstoneRatio: Double = 0.2,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
+    ops.writeStream.trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { store.compactIfNeeded(minWalOps, tombstoneRatio); () }
+      }
+
   /** Stream-stream interval self-join: every DELETE matched to the PUT(s)
     * it tombstones within `horizon` of event time — a live audit of the
     * reference's tombstone set (`datanode/handler.py:43`) as a join

@@ -139,4 +139,39 @@ class StreamingSpec extends SparkSpec {
     // delete within the horizon; a's PUTs must not surface
     assert(rows.toSeq === Seq(("b", 11L, 30L)))
   }
+
+  test("streaming compaction cadence: sustained puts snapshot every ~minWalOps") {
+    val dir = Files.createTempDirectory("graft-compmaint-").toString
+    val store = new VectorStore(spark, dir, dim = 1)
+    def snapshots(): Int = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.toArray.map(_.toString.split('/').last)
+        .count(_.startsWith("snapshot_"))
+      finally s.close()
+    }
+    // 6 batches of 50 puts; the probe counts POST-SNAPSHOT WAL ops, so
+    // every second batch crosses minWalOps=100 — the reference's
+    // every-2k-puts checkpoint cadence scaled down. Driving each batch
+    // through processAllAvailable makes the count at each probe exact.
+    // Batch 0 lands before start(): the file source needs the WAL dir
+    // to exist, exactly like a real deployment tailing a live store.
+    def putBatch(b: Int): Unit =
+      store.put((0 until 50).map(i =>
+        (s"k${b}_$i", Array(i.toFloat), Map.empty[String, String],
+          (b * 50 + i).toLong))
+        .toDF("key", "vector", "metadata", "ts"))
+    putBatch(0)
+    val q = WalStream.compactionMaintenance(
+        WalStream.source(spark, s"$dir/wal"), store, minWalOps = 100)
+      .option("checkpointLocation", s"$dir/comp_ckpt")
+      .start()
+    for (b <- 1 until 6) {
+      putBatch(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(snapshots() === 3, s"expected 3 snapshots, saw ${snapshots()}")
+    // the compacted view is unchanged by WHEN snapshots happened
+    assert(store.scan.count() === 300L)
+  }
 }
