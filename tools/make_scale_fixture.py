@@ -52,8 +52,25 @@ def main(base, out, n):
         FROM read_parquet('{base}/embeddings.parquet'),
              (SELECT unnest(range({n})) AS r)
       ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+    # lineitem replicates with key-shifted order/part/supp ids so the
+    # co-purchase graph queries (q70 pagerank, q104/q106) see N disjoint
+    # copies of the base graph — N-times nodes and edges, same density.
+    # Strides are PER COLUMN: one shared max would push suppkeys past
+    # q70's 1e6 node-id packing boundary (its row-path guard fires).
+    ok, pk, sk = con.execute(f"""SELECT MAX(l_orderkey) + 1, MAX(l_partkey) + 1,
+      MAX(l_suppkey) + 1 FROM read_parquet('{base}/lineitem.parquet')""").fetchone()
+    con.execute(f"""
+      COPY (
+        SELECT l_orderkey + r * {ok} AS l_orderkey,
+               l_partkey + r * {pk} AS l_partkey,
+               l_suppkey + r * {sk} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+               l_returnflag, l_linestatus, l_shipdate
+        FROM read_parquet('{base}/lineitem.parquet'),
+             (SELECT unnest(range({n})) AS r)
+      ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"]:
+              "events"]:
         src = f"{base}/{t}.parquet"
         if os.path.exists(src):
             shutil.copyfile(src, f"{out}/{t}.parquet")
