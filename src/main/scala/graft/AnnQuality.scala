@@ -248,5 +248,35 @@ object AnnQuality {
       |semi-join entirely (two shuffles, provably no-ops; plan- and
       |parity-pinned in VectorStoreSpec), which is the 0.65→0.30 s/query
       |step visible in the serve floor.
+      |
+      |## 2-layer hierarchy experiment: a documented NEGATIVE result
+      |
+      |Measured by `graft.NswHierBench` (one graph, m=8, efC=32, 32
+      |queries, recall@5; "2-layer" builds a small NSW over the SAME √n
+      |stride sample and beams it for layer-0 entries instead of seeding
+      |at all √n samples):
+      |
+      || n | mode | ef=16 recall / evals | ef=64 recall / evals |
+      ||---|---|---|---|
+      || 2 000 | flat √n seeds | 0.638 / 165 | 0.819 / 417 |
+      || 2 000 | 2-layer (efUpper=8) | 0.656 / 162 | 0.806 / 419 |
+      || 20 000 | flat √n seeds | 0.194 / 190 | 0.263 / 302 |
+      || 20 000 | 2-layer (efUpper=4) | 0.169 / 91 | 0.169 / 188 |
+      || 20 000 | 2-layer (efUpper=8) | 0.175 / 119 | 0.206 / 222 |
+      |
+      |The hierarchy does what it promises mechanically — entry evals go
+      |~constant instead of √n (20k: 91 vs 190 at ef=16) — but recall
+      |drops more than the savings buy back: at MATCHED eval budgets
+      |(flat ef=16 @ 190 evals vs 2-layer ef=64/efUpper=4 @ 188) flat
+      |seeding wins 0.194 vs 0.169. Cause: this fixture is near-uniform
+      |random directions, where greedy graph navigation has little
+      |gradient to follow (the same geometry note as the near-dup
+      |section), so the few hierarchy-chosen entries are barely better
+      |than random while the √n spread covers pruning-induced sparse
+      |directed regions. On clusterable corpora (real embeddings) the
+      |hierarchy should fare better, but on the evidence available the
+      |flat multi-restart stays the production seeding; the 2-layer path
+      |remains in `Nsw.Index.searchHier` for re-evaluation against a
+      |structured corpus.
       |""".stripMargin
 }

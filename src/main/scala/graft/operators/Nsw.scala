@@ -68,7 +68,14 @@ object Nsw {
       adj.foreach(a => nbrs += mutable.ArrayBuffer.from(a))
     }
 
+    /** Distance evaluations so far — the ANN cost unit (the beam's work
+      * is all here; a Long increment is noise next to the dim-length
+      * loop). Read by the seeding experiment to compare entry policies.
+      */
+    var evals: Long = 0L
+
     private def d2(a: Array[Double], b: Array[Double]): Double = {
+      evals += 1
       var acc = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
@@ -82,7 +89,8 @@ object Nsw {
       * collected), so a full-width beam stays exhaustive-over-allowed.
       */
     def search(q: Array[Double], ef: Int,
-        allowed: java.util.BitSet = null): mutable.ArrayBuffer[(Double, Int)] = {
+        allowed: java.util.BitSet = null,
+        seeds: Array[Int] = null): mutable.ArrayBuffer[(Double, Int)] = {
       val out = mutable.ArrayBuffer.empty[(Double, Int)]
       if (vecs.isEmpty) return out
       require(q.length == vecs(0).length,
@@ -112,10 +120,10 @@ object Nsw {
       // any n; data-independent stride keeps search a pure function of
       // (graph, query); node 0 is always a seed so tiny graphs behave
       // exactly as before.
-      val nSeeds = math.max(1, math.sqrt(vecs.length.toDouble).toInt)
-      val stride = math.max(1, vecs.length / nSeeds)
-      var s = 0
-      while (s < vecs.length) {
+      // an explicit seed list (the 2-layer path, [[searchHier]]) replaces
+      // the stride sample; node 0 always seeds either way so the early
+      // hub's back-links stay reachable on tiny or adversarial graphs
+      def enterAt(s: Int): Unit = if (!visited.get(s)) {
         val sd = (d2(q, vecs(s)), s)
         visited.set(s)
         frontier.enqueue(sd)
@@ -123,7 +131,15 @@ object Nsw {
           best.enqueue(sd)
           if (best.size > ef) best.dequeue()
         }
-        s += stride
+      }
+      if (seeds != null) {
+        enterAt(0)
+        seeds.foreach(s => enterAt(s))
+      } else {
+        val nSeeds = math.max(1, math.sqrt(vecs.length.toDouble).toInt)
+        val stride = math.max(1, vecs.length / nSeeds)
+        var s = 0
+        while (s < vecs.length) { enterAt(s); s += stride }
       }
       while (frontier.nonEmpty) {
         val (cd, ci) = frontier.dequeue()
@@ -151,6 +167,45 @@ object Nsw {
       out ++= best.dequeueAll.reverseIterator // ascending (dist, id)
       out
     }
+
+    // ---- optional 2-layer hierarchy (experimental, measured) ----
+    // HNSW's upper layers exist to find a near-query ENTRY cheaply; the
+    // flat index gets the same benefit from √n stride seeds at √n
+    // distance evals per query. The hierarchy amortizes that: a small
+    // NSW over the SAME √n stride sample is built once, and each query
+    // beams through it (~ef·m evals, independent of n) to pick entries
+    // for the layer-0 beam. Break-even is when √n outgrows the upper
+    // beam's constant — the 10M-vector shard regime the docs cite.
+    private var upperIds: Array[Int] = null
+    private var upperIdx: Index = null
+
+    /** Build the upper layer over the stride sample (call after inserts;
+      * rebuild after appends — it is √n small, so rebuild is cheap).
+      */
+    def buildUpperLayer(): Unit = {
+      val n = vecs.length
+      if (n == 0) return
+      val nSeeds = math.max(1, math.sqrt(n.toDouble).toInt)
+      val stride = math.max(1, n / nSeeds)
+      upperIds = (0 until n by stride).toArray
+      upperIdx = new Index(m, efConstruction)
+      upperIds.foreach(i => upperIdx.insert(vecs(i)))
+    }
+
+    /** 2-layer search: beam the upper graph for `efUpper` entries, then
+      * run the layer-0 beam seeded there (+ node 0). Same output contract
+      * as [[search]]; recall/evals trade measured by NswHierBench.
+      */
+    def searchHier(q: Array[Double], ef: Int, efUpper: Int = 8,
+        allowed: java.util.BitSet = null): mutable.ArrayBuffer[(Double, Int)] = {
+      require(upperIdx != null, "searchHier before buildUpperLayer")
+      val entries = upperIdx.search(q, efUpper).map(t => upperIds(t._2)).toArray
+      search(q, ef, allowed, seeds = entries)
+    }
+
+    /** Evals including the upper layer's — the comparable cost figure. */
+    def totalEvals: Long =
+      evals + (if (upperIdx != null) upperIdx.evals else 0L)
 
     /** Insert, linking to the `m` nearest of an efConstruction-beam search
       * and back, pruning every adjacency list to the closest `m`
@@ -641,5 +696,44 @@ object Nsw {
       efSearch)
       .select(col(idCol), col("score"))
       .orderBy(col("score").asc, col(idCol).asc)
+  }
+
+  /** Entry-seeding experiment (dev, driven by `graft.NswHierBench`):
+    * build ONE graph over `rows`, then measure recall@k and per-query
+    * distance evaluations for (a) the production flat √n-stride seeding
+    * and (b) the 2-layer hierarchy at each `efUpper`. Ground truth is a
+    * driver-side exhaustive scan per query (not counted in evals).
+    * Returns (mode, efSearch, recall@k mean, evals/query mean).
+    */
+  def seedingExperiment(rows: Array[(Long, Array[Double])],
+      queries: Seq[Array[Double]], k: Int, m: Int, efConstruction: Int,
+      efSearch: Seq[Int], efUpper: Seq[Int]): Seq[(String, Int, Double, Double)] = {
+    val index = new Index(m, efConstruction)
+    rows.foreach { case (_, v) => index.insert(v) }
+    index.buildUpperLayer()
+    def truth(q: Array[Double]): Set[Int] =
+      rows.indices.map { i =>
+        val v = rows(i)._2
+        var acc = 0.0; var j = 0
+        while (j < v.length) { val d = v(j) - q(j); acc += d * d; j += 1 }
+        (acc, i)
+      }.sorted.take(k).map(_._2).toSet
+    val truths = queries.map(truth)
+    def measure(mode: String, ef: Int)(
+        run: Array[Double] => Seq[(Double, Int)]): (String, Int, Double, Double) = {
+      val before = index.totalEvals
+      val recalls = queries.zip(truths).map { case (q, t) =>
+        val got = run(q).take(k).map(_._2).toSet
+        (t intersect got).size.toDouble / k
+      }
+      (mode, ef, recalls.sum / recalls.length,
+        (index.totalEvals - before).toDouble / queries.length)
+    }
+    efSearch.flatMap { ef =>
+      measure(s"flat sqrt(n) seeds", ef)(q => index.search(q, ef).toSeq) +:
+        efUpper.map(eu =>
+          measure(s"2-layer efUpper=$eu", ef)(q =>
+            index.searchHier(q, ef, eu).toSeq))
+    }
   }
 }

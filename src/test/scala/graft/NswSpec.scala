@@ -171,4 +171,19 @@ class NswSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(viaNsw === viaIvf)
   }
+
+  test("seeding experiment: both entry policies are exact at full-width " +
+      "beam, and the hierarchy reports its own evals") {
+    val rows = (0L until 50L).map(i =>
+      (i, Array(i.toDouble, (i * 7 % 50).toDouble))).toArray
+    val queries = Seq(Array(3.0, 21.0), Array(40.0, 40.0))
+    val res = Nsw.seedingExperiment(rows, queries, k = 3, m = 4,
+      efConstruction = 8, efSearch = Seq(50), efUpper = Seq(4))
+    // ef >= n: the exactness shortcut holds for flat AND hierarchical
+    // entry (exactness must never depend on where the beam starts)
+    res.foreach { case (mode, _, recall, evals) =>
+      assert(recall === 1.0, s"$mode not exact at full-width beam")
+      assert(evals > 0, s"$mode reported no distance evals")
+    }
+  }
 }
