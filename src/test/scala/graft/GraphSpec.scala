@@ -320,4 +320,21 @@ class GraphSpec extends SparkSpec {
       .filter(_.name.contains("sym"))
     assert(leaked.isEmpty)
   }
+
+  test("iterative loops free each round's checkpoint blocks") {
+    // a path graph forces MANY rounds: without per-round cleanup the
+    // persistent-RDD count grows with rounds; with it, at most the
+    // final frame (owned by the returned lineage) stays
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    val base = persisted()
+    Graph.kCore(chain, "a", "b", k = 2, maxRounds = 30).collect()
+    val afterKcore = persisted()
+    assert(afterKcore - base <= 1,
+      s"kCore leaked ${afterKcore - base} round frames")
+    Graph.labelPropagation(chain, "a", "b", rounds = 8).collect()
+    val afterLpa = persisted()
+    assert(afterLpa - afterKcore <= 1,
+      s"labelPropagation leaked ${afterLpa - afterKcore} round frames")
+  }
 }
