@@ -88,4 +88,33 @@ object Profile {
         count(when(abs(col(valueCol) - col("med")) > col("mad") * k, lit(1)))
           .as("n_out"))
   }
+
+  /** Vocabulary-growth (Heaps'-law) curve: distinct tokens seen so far
+    * after each `bucketDocs`-document prefix of the corpus in `idCol`
+    * order — the corpus diagnostic that tells a tokenizer-training or
+    * dedup run whether vocabulary is still growing (fresh content) or
+    * saturating (template/boilerplate dominated). A corpus whose curve
+    * flattens early is near-dup-heavy before any pair join runs.
+    *
+    * Exact and scale-shaped: each token's FIRST document is one hash-agg
+    * (min over its occurrences — map-side combinable); bucketing firsts
+    * and the cumulative sum then run over |vocab|/bucketDocs rows — the
+    * single-partition window is over the tiny bucket relation, never the
+    * corpus. Output: (bucket, new_tokens, cum_vocab), bucket =
+    * first_doc div bucketDocs.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucketDocs: Long): DataFrame = {
+    require(bucketDocs >= 1, s"bucketDocs $bucketDocs must be >= 1")
+    val w = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col(idCol),
+        explode(array_distinct(
+          graft.functions.TextFunctions.wsTokens(col(textCol)))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(min(col(idCol)).as("first_doc"))
+      .groupBy(expr(s"first_doc div ${bucketDocs}L").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+  }
 }

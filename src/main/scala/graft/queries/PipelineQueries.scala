@@ -1412,7 +1412,83 @@ object PipelineQueries {
       Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, ${duckL2Zip.format("e.embedding", "q.qe")} AS score
         |FROM embeddings e, q
-        |ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin))
+        |ORDER BY score ASC, vec_id ASC LIMIT 5""".stripMargin)),
+
+    // Vocabulary-growth (Heaps'-law) curve: cumulative distinct-token
+    // count after each 100-document prefix — the tokenizer-training /
+    // curation diagnostic for "is this corpus still producing new
+    // vocabulary or is it template-saturated". Per-token first-document
+    // is one map-side-combinable hash-agg; the window runs over the tiny
+    // bucket relation only.
+    QueryDef("q109_vocab_growth",
+      (s, d) => graft.operators.Profile.vocabGrowth(
+          Tables.documents(s, d), "doc_id", "text", bucketDocs = 100)
+        .orderBy("bucket"),
+      Some(s"""WITH t AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS tok FROM documents),
+        |f AS (SELECT tok, MIN(doc_id) AS first_doc FROM t WHERE tok <> '' GROUP BY tok),
+        |b AS (SELECT first_doc // 100 AS bucket, COUNT(*) AS new_tokens FROM f GROUP BY 1)
+        |SELECT bucket, new_tokens,
+        |  CAST(SUM(new_tokens) OVER (ORDER BY bucket ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |FROM b ORDER BY bucket""".stripMargin)),
+
+    // IDF-weighted shared-term pairs (Dedup.idfOverlapPairs): the "rare
+    // words in common" document-pair signal with an INTEGER idf
+    // surrogate (N div df — log-idf is not bit-stable cross-engine;
+    // divergence documented at the operator). Only df ≤ 20 terms enter
+    // the inverted-index join — the cap cuts cost exactly where idf
+    // weight is weakest, so the capped join IS the full-signal answer.
+    QueryDef("q110_idf_overlap",
+      (s, d) => graft.operators.Dedup.idfOverlapPairs(
+          Tables.documents(s, d), "doc_id", "text", maxDocFreq = 20)
+        .orderBy(col("score").desc, col("a").asc, col("b").asc)
+        .limit(20),
+      Some(s"""WITH t AS (SELECT DISTINCT doc_id, CAST('0x'||substr(md5(tok),18,15) AS BIGINT) AS tok
+        |  FROM (SELECT doc_id, unnest(list_distinct($duckToks)) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |r AS (SELECT tok, COUNT(*) AS dfreq FROM t GROUP BY tok
+        |      HAVING COUNT(*) <= 20 AND COUNT(*) >= 2),
+        |w AS (SELECT tok, (n_docs // dfreq) * (n_docs // dfreq) AS w2 FROM r, n),
+        |i AS (SELECT t.doc_id, t.tok, w.w2 FROM t JOIN w USING (tok)),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(SUM(x.w2) AS BIGINT) AS score
+        |  FROM i x JOIN i y ON x.tok = y.tok AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, score FROM p
+        |ORDER BY score DESC, a ASC, b ASC LIMIT 20""".stripMargin)),
+
+    // Set-F1 verification over winnow candidates (Dedup.winnowF1Pairs):
+    // candidates from q97's capped fingerprint join (never all pairs),
+    // verified as exact 5-gram-set F1 = 2·|A∩B|/(|A|+|B|) — one exact
+    // division of exact Longs, so the REPORT metric (how much overlap)
+    // hash-matches, not just the pair list. The dedup-audit companion
+    // to q97's yes/no.
+    QueryDef("q111_winnow_f1",
+      (s, d) => graft.operators.Dedup.winnowF1Pairs(
+          Tables.documents(s, d), "doc_id", "text", k = 5, w = 4,
+          maxDocFreq = 20, minShared = 2L)
+        .orderBy(col("f1").desc, col("a").asc, col("b").asc)
+        .limit(20),
+      Some("""WITH d0 AS (SELECT doc_id, text, greatest(length(text) - 4, 1) AS n FROM documents),
+        |g0 AS (SELECT doc_id, n, list_transform(range(0, n), i ->
+        |    CAST('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)), 25, 8) AS BIGINT) * 1048576 + i + 1) AS hps
+        |  FROM d0),
+        |g AS (SELECT doc_id, n, CAST(generate_subscripts(hps, 1) AS BIGINT) AS pos, unnest(hps) AS hp FROM g0),
+        |win AS (SELECT doc_id, n, pos, min(hp) OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g),
+        |f AS (SELECT DISTINCT doc_id, fp // 1048576 AS h FROM win WHERE pos <= greatest(n - 3, 1)),
+        |cool AS (SELECT h FROM f GROUP BY h HAVING COUNT(DISTINCT doc_id) <= 20),
+        |kk AS (SELECT doc_id, f.h FROM f JOIN cool USING (h)),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+        |  FROM kk x JOIN kk y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(length(text) - 4, 1)),
+        |    i -> CAST('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)), 25, 8) AS BIGINT))) AS st
+        |  FROM documents),
+        |v AS (SELECT p.a, p.b,
+        |    CAST(len(list_intersect(x.st, y.st)) AS BIGINT) AS inter,
+        |    CAST(len(x.st) AS BIGINT) AS na, CAST(len(y.st) AS BIGINT) AS nb
+        |  FROM p JOIN sets x ON x.doc_id = p.a JOIN sets y ON y.doc_id = p.b
+        |  WHERE p.n_shared >= 2)
+        |SELECT a, b, inter, 2 * inter / (na + nb) AS f1 FROM v
+        |ORDER BY f1 DESC, a ASC, b ASC LIMIT 20""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

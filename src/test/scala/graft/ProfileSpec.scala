@@ -39,4 +39,24 @@ class ProfileSpec extends SparkSpec {
     assert(a.getLong(2) === 25L && b.getLong(2) === 25L) // MAD unmoved
     assert(b.getLong(3) === 1L) // the wild value itself is the one outlier
   }
+
+  test("vocabGrowth: first-occurrence bucketing and cumulative vocabulary") {
+    val docs = Seq(
+      (0L, "a b"),        // bucket 0: a, b new
+      (1L, "a c"),        // bucket 0: c new
+      (2L, "b c d"),      // bucket 1: d new
+      (3L, "e e a"))      // bucket 1: e new (dups inside a doc count once)
+      .toDF("doc_id", "text")
+    val got = Profile.vocabGrowth(docs, "doc_id", "text", bucketDocs = 2)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 3L, 3L), (1L, 2L, 5L)))
+  }
+
+  test("vocabGrowth: a template-saturated corpus flattens after bucket 0") {
+    val docs = (0L until 40L).map(i => (i, "same words every time"))
+      .toDF("doc_id", "text")
+    val got = Profile.vocabGrowth(docs, "doc_id", "text", bucketDocs = 10)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 4L, 4L))) // all vocabulary in the first bucket
+  }
 }
