@@ -831,6 +831,76 @@ object Dedup {
       .distinct()
   }
 
+  /** IDF-weighted shared-term similarity pairs — the "rare words in
+    * common" signal BM25 (operators/Rank.scala) applies query-side,
+    * here as a document-pair join: score(a, b) = Σ over shared terms of
+    * w(t)², with w(t) = N div df(t) — an INTEGER idf surrogate
+    * (deliberately not log-idf: log() is not bit-stable cross-engine,
+    * and any monotone-decreasing-in-df weight ranks rare-term overlap
+    * the same way; the divergence from textbook tf-idf is the price of
+    * a hash-checkable oracle and is documented here, not hidden).
+    *
+    * Scale shape is the q36/q97 cap discipline: only terms with
+    * df ≤ maxDocFreq enter the inverted-index self-join — exactly the
+    * terms that carry idf weight anyway, so the cap cuts cost where the
+    * signal is weakest; hot terms contribute near-zero weight and are
+    * dropped with the candidate explosion. Terms shuffle as 60-bit
+    * hashes. Output: (a, b, score) with a < b, score > 0.
+    */
+  def idfOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int = 20): DataFrame = {
+    require(maxDocFreq >= 2, s"maxDocFreq $maxDocFreq must be >= 2")
+    val toks = df.select(col(idCol),
+        explode(filter(array_distinct(wsTokens(col(textCol))), _ =!= ""))
+          .as("tokS"))
+      .select(col(idCol), md5Low60(col("tokS")).as("tok"))
+      .distinct()
+    val n = df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val rare = toks.groupBy("tok")
+      .agg(count(lit(1)).as("dfreq"))
+      .where(col("dfreq") <= maxDocFreq && col("dfreq") >= 2)
+      .crossJoin(broadcast(n))
+      .select(col("tok"), expr("(n_docs div dfreq) * (n_docs div dfreq)").as("w2"))
+    val indexed = toks.join(rare, "tok")
+    indexed.as("x").join(indexed.as("y"),
+        col("x.tok") === col("y.tok") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .agg(sum(col("x.w2")).as("score"))
+  }
+
+  /** Set-F1 verification over winnowing candidates: for every pair
+    * sharing ≥ `minShared` winnow fingerprint hashes, the exact k-gram
+    * set overlap as F1 = 2·|A∩B| / (|A|+|B|) — the dedup-REPORT metric
+    * (how much do they overlap) where the pair joins above answer only
+    * whether they do. Candidates come from [[winnowOverlapPairs]]'s
+    * capped fingerprint join (never all pairs); verification joins each
+    * candidate to two collected gram-hash sets, the q98 shape. F1 is one
+    * exact division of exact Long counts — portable. Output:
+    * (a, b, inter, f1).
+    */
+  def winnowF1Pairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxDocFreq: Int = 20,
+      minShared: Long = 2L): DataFrame = {
+    val cand = winnowOverlapPairs(df, idCol, textCol, k, w, maxDocFreq)
+      .where(col("n_shared") >= minShared)
+      .select("a", "b")
+    val count = greatest(length(col(textCol)).cast("long") - (k - 1), lit(1L))
+    val sets = df.select(col(idCol),
+        array_distinct(transform(sequence(lit(1L), count),
+          p => md5Low32(col(textCol).substr(p.cast("int"), lit(k))))).as("set"))
+      .select(col(idCol), sort_array(col("set")).as("set"))
+    cand
+      .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
+      .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("inter") * 2 / (size(col("sa")) + size(col("sb"))).cast("double"))
+          .as("f1"))
+  }
+
   /** Winnowing overlap pairs — MOSS's actual report: documents ranked by
     * how many distinct fingerprint HASHES they share. Matching divides
     * the position bits back out of the selected fingerprints (matching

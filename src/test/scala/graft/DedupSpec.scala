@@ -401,6 +401,46 @@ class DedupSpec extends SparkSpec {
     assert(above.isEmpty)
   }
 
+  test("idfOverlapPairs: rare shared terms outweigh many common ones") {
+    // docs 1,2 share ONE rare term (df=2); docs 3,4 share three common
+    // terms (df=4 each, present in every doc) — but common terms are
+    // also in 1,2, so the rare pair must score strictly higher
+    val d = Seq(
+      (1L, "zebra common1 common2 common3"),
+      (2L, "zebra common1 common2 common3"),
+      (3L, "common1 common2 common3 other1"),
+      (4L, "common1 common2 common3 other2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.idfOverlapPairs(d, "doc_id", "text", maxDocFreq = 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // n=4; zebra df=2 w=2 w2=4; common df=4 w=1 w2=1 each
+    assert(got((1L, 2L)) === 4L + 3L) // zebra + 3 commons
+    assert(got((3L, 4L)) === 3L)      // 3 commons only
+    assert(got((1L, 2L)) > got((3L, 4L)))
+  }
+
+  test("idfOverlapPairs: singleton and hot terms never generate candidates") {
+    val d = Seq(
+      (1L, "unique1 hot"), (2L, "unique2 hot"), (3L, "unique3 hot"))
+      .toDF("doc_id", "text")
+    // df=1 terms can't pair; 'hot' df=3 > cap=2 → no pairs at all
+    assert(Dedup.idfOverlapPairs(d, "doc_id", "text", maxDocFreq = 2)
+      .count() === 0L)
+  }
+
+  test("winnowF1Pairs: identical docs verify at f1 = 1.0, partial copies below") {
+    val shared = "the winnowing fingerprints select shared substrings reliably"
+    val d = Seq(
+      (1L, shared),
+      (2L, shared),
+      (3L, s"prefix text then $shared and then a long unrelated tail of words"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowF1Pairs(d, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got((1L, 2L)) === 1.0) // identical gram sets
+    assert(got.get((1L, 3L)).exists(f => f > 0.0 && f < 1.0))
+  }
+
   test("jaccardPairsPrefix: hot-prefix cap bounds the pathological corpus") {
     // 200 IDENTICAL documents — rarest-first prefix selection degenerates
     // (every doc's prefix is the same gram, pfreq = corpus size) and the
