@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -116,5 +118,44 @@ object Profile {
       .groupBy(expr(s"first_doc div ${bucketDocs}L").as("bucket"))
       .agg(count(lit(1)).as("new_tokens"))
       .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+  }
+
+  /** Zipf coverage curve: what fraction of the corpus's total token MASS
+    * the top-k most frequent types cover, for each requested k — the
+    * companion diagnostic to [[vocabGrowth]] (Heaps' law counts TYPES;
+    * this weighs them). The number that sizes a tokenizer vocabulary:
+    * "64k types cover 99.2% of tokens" is this query's row.
+    *
+    * Scale shape: one map-side-combinable hash-agg to type counts, then
+    * `orderBy.limit(max k)` — a distributed TakeOrderedAndProject, never
+    * a global sort of the vocabulary — so the single-partition ranking
+    * window only ever sees max-k rows. Counts stay exact Longs; the
+    * coverage ratio is the single IEEE division at the end.
+    * Output: (k, top_cnt, total_cnt, coverage), ascending k.
+    */
+  def zipfCoverage(df: DataFrame, textCol: String, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks $ks must be >= 1")
+    val counts = df
+      .select(explode(
+        graft.functions.TextFunctions.wsTokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total_cnt"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("tok").asc).limit(ks.max.toInt)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc)))
+    val kRel = df.sparkSession.createDataFrame(
+      ks.sorted.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    top.join(broadcast(kRel), col("rank") <= col("k"))
+      .groupBy("k").agg(sum(col("cnt")).as("top_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("top_cnt"), col("total_cnt"),
+        (col("top_cnt").cast("double") / col("total_cnt").cast("double"))
+          .as("coverage"))
+      .orderBy("k")
   }
 }

@@ -234,6 +234,54 @@ object ExtendedQueries {
         |    x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))*(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE)))) AS score
         |  FROM embeddings e JOIN cand USING (vec_id), q)
         |SELECT lpad(CAST(vec_id AS VARCHAR), 6, '0') AS key, score
-        |FROM sc ORDER BY score ASC, key ASC LIMIT 5""".stripMargin))
+        |FROM sc ORDER BY score ASC, key ASC LIMIT 5""".stripMargin)),
+
+    // SNAPSHOT DIFF (VectorStore.diff): the CDC delta between two as-of
+    // positions. Batch 1 puts even-event_id rows (position A), batch 2
+    // puts the odds, batch 3 applies the delete-typed tombstones
+    // (position B); the diff classifies every key as added (live only at
+    // B), deleted (tombstone won by B) or updated (winning ts moved) and
+    // EMITS NOTHING for unchanged keys. Oracle = the same two event-time
+    // LWW states in SQL, full-outer-joined. µs timestamps as in q27;
+    // (user_id, µs) is collision-free in the fixtures.
+    QueryDef("q116_snapshot_diff",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-q116-").toString
+        val store = new VectorStore(s, dir, dim = 1)
+        val ev = Tables.events(s, d)
+        val puts = ev.where(col("event_type") =!= "delete")
+        def putHalf(pred: org.apache.spark.sql.Column): Unit = {
+          store.put(puts.where(pred).select(
+            col("user_id").cast("string").as("key"),
+            array(col("value")).as("vector"),
+            map(lit("event_type"), col("event_type")).as("metadata"),
+            col("ts")))
+          ()
+        }
+        putHalf(col("event_id") % 2 === 0)
+        val seqA = store.currentSeq
+        putHalf(col("event_id") % 2 === 1)
+        store.delete(ev.where(col("event_type") === "delete")
+          .select(col("user_id").cast("string").as("key"), col("ts")))
+        store.diff(seqA, store.currentSeq)
+          .select(col("key"), col("change"),
+            expr("ts_a div 1000").as("ts_a_us"),
+            expr("ts_b div 1000").as("ts_b_us"))
+          .orderBy("key")
+      },
+      Some("""WITH sa AS (SELECT user_id, ts FROM (
+        |    SELECT user_id, ts, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |    FROM events WHERE event_id % 2 = 0 AND event_type <> 'delete') WHERE rn = 1),
+        |sb0 AS (SELECT user_id, ts, event_type FROM (
+        |    SELECT user_id, ts, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |sbl AS (SELECT user_id, ts FROM sb0 WHERE event_type <> 'delete'),
+        |d AS (SELECT COALESCE(sa.user_id, sbl.user_id) AS uid, sa.ts AS tsa, sbl.ts AS tsb
+        |  FROM sa FULL OUTER JOIN sbl ON sa.user_id = sbl.user_id)
+        |SELECT CAST(uid AS VARCHAR) AS key,
+        |  CASE WHEN tsa IS NULL THEN 'added' WHEN tsb IS NULL THEN 'deleted' ELSE 'updated' END AS change,
+        |  CAST(epoch_us(tsa) AS BIGINT) AS ts_a_us, CAST(epoch_us(tsb) AS BIGINT) AS ts_b_us
+        |FROM d WHERE tsa IS NULL OR tsb IS NULL OR tsa <> tsb
+        |ORDER BY key""".stripMargin))
   )
 }

@@ -1488,7 +1488,121 @@ object PipelineQueries {
         |  FROM p JOIN sets x ON x.doc_id = p.a JOIN sets y ON y.doc_id = p.b
         |  WHERE p.n_shared >= 2)
         |SELECT a, b, inter, 2 * inter / (na + nb) AS f1 FROM v
-        |ORDER BY f1 DESC, a ASC, b ASC LIMIT 20""".stripMargin))
+        |ORDER BY f1 DESC, a ASC, b ASC LIMIT 20""".stripMargin)),
+
+    // Contrastive triplet mining (Contrastive.triplets): for each anchor
+    // (vec_id < 4), the 5 nearest corpus vectors of a DIFFERENT label
+    // (hard negatives — the gradient-rich half of a triplet loss) plus
+    // the single farthest SAME-label vector (the hardest positive the
+    // margin must still pull in). One corpus pass: anchors broadcast,
+    // negatives reduce map-side through the KNN heap, the positive is a
+    // max(struct) hash-agg — no per-anchor corpus materialization.
+    QueryDef("q112_triplet_mining",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.Contrastive.triplets(
+          emb, emb.where(col("vec_id") < 4),
+          "vec_id", "embedding", "label", "vec_id", "embedding", "label", k = 5)
+      },
+      Some(s"""WITH a AS (SELECT vec_id AS qid, embedding AS qe, label AS ql FROM embeddings WHERE vec_id < 4),
+        |neg AS (SELECT qid, 'neg' AS role, id, score FROM (
+        |    SELECT a.qid AS qid, e.vec_id AS id, ${duckL2Zip.format("e.embedding", "a.qe")} AS score
+        |    FROM embeddings e, a WHERE e.label <> a.ql)
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score ASC, id ASC) <= 5),
+        |pos AS (SELECT qid, 'pos' AS role, id, score FROM (
+        |    SELECT a.qid AS qid, e.vec_id AS id, ${duckL2Zip.format("e.embedding", "a.qe")} AS score
+        |    FROM embeddings e, a WHERE e.label = a.ql AND e.vec_id <> a.qid)
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, id DESC) = 1)
+        |SELECT qid, role, id, score FROM (SELECT * FROM neg UNION ALL SELECT * FROM pos)
+        |ORDER BY qid ASC, role ASC, score ASC, id ASC""".stripMargin)),
+
+    // Zipf coverage curve (Profile.zipfCoverage): fraction of total token
+    // MASS the top-k types cover, k in {10, 100, 1000} — the number that
+    // sizes a tokenizer vocabulary, companion to q109's type-count curve.
+    // Top-k types via a distributed TakeOrderedAndProject (never a global
+    // vocab sort); the ranking window sees max-k rows only.
+    QueryDef("q113_zipf_coverage",
+      (s, d) => graft.operators.Profile.zipfCoverage(
+        Tables.documents(s, d), "text", Seq(10L, 100L, 1000L)),
+      Some(s"""WITH t AS (SELECT unnest($duckToks) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM t WHERE tok <> '' GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_cnt FROM c),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank FROM c),
+        |k AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT CAST(k.k AS BIGINT) AS k, CAST(SUM(r.cnt) AS BIGINT) AS top_cnt, tot.total_cnt,
+        |  CAST(CAST(SUM(r.cnt) AS BIGINT) AS DOUBLE) / CAST(tot.total_cnt AS DOUBLE) AS coverage
+        |FROM r JOIN k ON r.rank <= k.k, tot GROUP BY k.k, tot.total_cnt ORDER BY k""".stripMargin)),
+
+    // Gopher-style quality rule-pack (Quality.rejectionReport): hard
+    // boolean gates (length / mean-word-length / symbol-ratio / stopword
+    // presence, Rae et al. 2021 §A1.1) over exact integers, aggregated
+    // into the per-source rejection matrix a curator reads before
+    // committing a mixture. The FILTER stage; q22 is the soft SCORE.
+    QueryDef("q114_quality_rules",
+      (s, d) => graft.operators.Quality.rejectionReport(
+        Tables.documents(s, d), "source", "text"),
+      Some(s"""WITH t AS (SELECT source, text, $duckToks AS toks FROM documents),
+        |m AS (SELECT source,
+        |  CAST(length(toks) AS BIGINT) AS n_tok,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+        |  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym,
+        |  CAST(${duckMarker(Seq("the", "a", "is", "of", "and"))} AS BIGINT) AS c_stop,
+        |  CAST(length(text) AS BIGINT) AS len FROM t),
+        |f AS (SELECT source,
+        |  (n_tok >= 15 AND n_tok <= 500) AS pass_len,
+        |  (3 * n_tok <= sum_len AND sum_len <= 8 * n_tok) AS pass_wordlen,
+        |  (100 * len > 1000 * n_sym) AS pass_symbol,
+        |  (c_stop >= 1) AS pass_stop FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN pass_len AND pass_wordlen AND pass_symbol AND pass_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(CASE WHEN pass_len THEN 0 ELSE 1 END) AS BIGINT) AS fail_len,
+        |  CAST(SUM(CASE WHEN pass_wordlen THEN 0 ELSE 1 END) AS BIGINT) AS fail_wordlen,
+        |  CAST(SUM(CASE WHEN pass_symbol THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol,
+        |  CAST(SUM(CASE WHEN pass_stop THEN 0 ELSE 1 END) AS BIGINT) AS fail_stop
+        |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Length-bucketed batching padding audit: per language, fixed
+    // batches of 8 docs padded to the batch max token count — the wasted
+    // pad tokens under LENGTH-SORTED batching vs ARRIVAL (doc_id) order,
+    // and the saving sorting buys. The measurement behind "bucket by
+    // length before batching" in every training dataloader; q44 PACKS
+    // greedily, this one QUANTIFIES the padding economics. All Longs:
+    // pad(batch) = count·max(n_tok) − Σ n_tok. Two per-lang window
+    // passes + tiny hash-aggs; no corpus-wide sort.
+    QueryDef("q115_padding_waste",
+      (s, d) => {
+        val toked = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            size(wsTokens(col("text"))).cast("long").as("n_tok"))
+        def pads(tag: String, order: Seq[org.apache.spark.sql.Column]) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(order: _*)
+          toked.withColumn("rn", row_number().over(w))
+            .withColumn("batch", expr("(rn - 1) div 8"))
+            .groupBy("lang", "batch")
+            .agg((count(lit(1)) * max(col("n_tok")) - sum(col("n_tok"))).as("pad"))
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n_batches"), sum(col("pad")).as(tag))
+        }
+        val sorted = pads("pad_sorted", Seq(col("n_tok").desc, col("doc_id").asc))
+        val arrival = pads("pad_arrival", Seq(col("doc_id").asc))
+          .drop("n_batches")
+        sorted.join(arrival, "lang")
+          .select(col("lang"), col("n_batches"), col("pad_sorted"),
+            col("pad_arrival"),
+            (col("pad_arrival") - col("pad_sorted")).as("saving"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT lang, doc_id, CAST(length($duckToks) AS BIGINT) AS n_tok FROM documents),
+        |srt AS (SELECT lang, n_tok, (row_number() OVER (PARTITION BY lang ORDER BY n_tok DESC, doc_id ASC) - 1) // 8 AS batch FROM t),
+        |arr AS (SELECT lang, n_tok, (row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) - 1) // 8 AS batch FROM t),
+        |sb AS (SELECT lang, batch, CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad FROM srt GROUP BY 1, 2),
+        |ab AS (SELECT lang, batch, CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad FROM arr GROUP BY 1, 2),
+        |sg AS (SELECT lang, COUNT(*) AS n_batches, CAST(SUM(pad) AS BIGINT) AS pad_sorted FROM sb GROUP BY lang),
+        |ag AS (SELECT lang, CAST(SUM(pad) AS BIGINT) AS pad_arrival FROM ab GROUP BY lang)
+        |SELECT sg.lang, sg.n_batches, sg.pad_sorted, ag.pad_arrival,
+        |  ag.pad_arrival - sg.pad_sorted AS saving
+        |FROM sg JOIN ag ON sg.lang = ag.lang ORDER BY sg.lang""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

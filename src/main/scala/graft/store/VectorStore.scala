@@ -237,6 +237,28 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
         col("timestamp").as("ts"))
   }
 
+  /** SNAPSHOT DIFF — the CDC delta between two [[scanAsOf]] positions:
+    * which keys a consumer that synced at `seqA` must apply to reach
+    * `seqB`. `added` = live only at B, `deleted` = live only at A (a
+    * newer tombstone won), `updated` = live at both with a different
+    * winning timestamp; keys whose winning record is identical are NOT
+    * emitted (a true delta, not a join dump). One full-outer equi-join
+    * on the key — the diff costs two as-of reads plus one key shuffle
+    * regardless of how many batches lie between the two positions.
+    * Output: (key, change, ts_a, ts_b), store-native ns timestamps.
+    */
+  def diff(seqA: Long, seqB: Long): DataFrame = {
+    val a = scanAsOf(seqA).select(col("key"), col("ts").as("ts_a"))
+    val b = scanAsOf(seqB).select(col("key"), col("ts").as("ts_b"))
+    a.join(b, Seq("key"), "full_outer")
+      .withColumn("change",
+        when(col("ts_a").isNull, "added")
+          .when(col("ts_b").isNull, "deleted")
+          .when(col("ts_a") =!= col("ts_b"), "updated"))
+      .where(col("change").isNotNull)
+      .select("key", "change", "ts_a", "ts_b")
+  }
+
   /** Every completed snapshot position on disk (directory names only). */
   private def snapshotPositions: Seq[Long] = {
     val p = Paths.get(baseDir)

@@ -59,4 +59,29 @@ class ProfileSpec extends SparkSpec {
       .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((0L, 4L, 4L))) // all vocabulary in the first bucket
   }
+
+  test("zipfCoverage: hand-checked mass coverage at each k") {
+    // frequencies: a×6, b×3, c×1 → total 10
+    val docs = Seq((0L, "a a a b"), (1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = Profile.zipfCoverage(docs, "text", Seq(1L, 2L, 3L))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 6L, 10L, 0.6), (2L, 9L, 10L, 0.9), (3L, 10L, 10L, 1.0)))
+  }
+
+  test("zipfCoverage: frequency ties rank alphabetically; k beyond vocab saturates") {
+    val docs = Seq((0L, "b a b a")).toDF("doc_id", "text")
+    val got = Profile.zipfCoverage(docs, "text", Seq(1L, 99L))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // a and b tie at 2 — rank 1 is 'a'; k=99 covers everything
+    assert(got === Seq((1L, 2L, 4L, 0.5), (99L, 4L, 4L, 1.0)))
+  }
+
+  test("zipfCoverage: the ranking never globally sorts the vocabulary") {
+    val docs = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val plan = Profile.zipfCoverage(docs, "text", Seq(3L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a distributed top-k, got:\n$plan")
+  }
 }

@@ -293,6 +293,35 @@ class VectorStoreSpec extends SparkSpec {
       === Map("a" -> 9.0, "b" -> 0.0))
   }
 
+  test("diff: added/deleted/updated classification; unchanged keys silent") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(
+      rec("upd", Array(1f, 0f), 10), rec("del", Array(0f, 1f), 10),
+      rec("same", Array(2f, 2f), 10)))
+    val sA = store.currentSeq
+    store.put(batch(rec("upd", Array(9f, 9f), 20), rec("new", Array(3f, 3f), 20)))
+    store.delete(Seq("del"), ts = 30)
+    val got = store.diff(sA, store.currentSeq).collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got === Map(
+      "new" -> (("added", None, Some(20L))),
+      "del" -> (("deleted", Some(10L), None)),
+      "upd" -> (("updated", Some(10L), Some(20L)))))
+    // 'same' never appears — the diff is a delta, not a join dump
+    assert(!got.contains("same"))
+    // diff at identical positions is empty
+    assert(store.diff(store.currentSeq, store.currentSeq).count() === 0)
+    // an OLDER tombstone does not delete a newer put (event-time LWW
+    // carries into the diff): put wins, key shows as updated not deleted
+    store.put(batch(rec("upd", Array(7f, 7f), 50)))
+    store.delete(Seq("upd"), ts = 40) // late tombstone, older event time
+    val d2 = store.diff(sA, store.currentSeq).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(d2("upd") === "updated")
+  }
+
   test("NSW fresh-index fast path: shuffle-free plan, parity with the full discipline") {
     val dir = tmpDir()
     val store = new VectorStore(spark, dir, dim = 2)
