@@ -257,4 +257,32 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(3000))
     assert(!plan.contains("Join"), plan.take(3000))
   }
+
+  test("q112 triplet mining broadcasts anchors; corpus never shuffles whole") {
+    val plan = executed("q112_triplet_mining")
+    // both legs pair corpus×anchors via a broadcast, never a shuffled join
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+    // the positive leg's max(struct) combines map-side
+    assert(plan.contains("partial_max") || plan.contains("partial max"),
+      plan.take(3000))
+  }
+
+  test("q114 quality gates are scan-side; only the report's tiny agg shuffles") {
+    val plan = executed("q114_quality_rules")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(3000))
+  }
+
+  test("q115 padding audit: per-lang windows, never a corpus-wide sort") {
+    val plan = executed("q115_padding_waste")
+    // every Sort in the plan is window-local (per-lang partitions); the
+    // final 5-row orderBy is fine — what must NOT appear is a rangepartition
+    // of the corpus relation feeding a window (global sort)
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
