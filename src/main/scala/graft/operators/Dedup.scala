@@ -931,4 +931,52 @@ object Dedup {
       .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** DIRECTED containment (quote/excerpt detection): winnow candidates
+    * verified as exact k-gram-set containment |src ∩ dst| / |src| — the
+    * asymmetric twin of [[winnowF1Pairs]]'s symmetric F1. A short doc
+    * pasted inside a long one scores ~1.0 as src→dst while the reverse
+    * direction stays low, which is exactly what F1 (normalized by BOTH
+    * sizes) washes out — this is the "which side is the quote" report.
+    *
+    * Each unordered candidate pair is judged in both directions; a
+    * direction survives when 1000·inter >= minMille·|src| — the
+    * threshold as a cross-multiplied Long comparison, no float in the
+    * gate. `containment` itself is the one exact division at the end.
+    * Candidates come from the capped fingerprint join (never all
+    * pairs); both directions reuse ONE verification join. Output:
+    * (src, dst, inter, n_src, containment).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxDocFreq: Int = 20,
+      minShared: Long = 2L, minMille: Long = 500L): DataFrame = {
+    val cand = winnowOverlapPairs(df, idCol, textCol, k, w, maxDocFreq)
+      .where(col("n_shared") >= minShared)
+      .select("a", "b")
+    val count = greatest(length(col(textCol)).cast("long") - (k - 1), lit(1L))
+    val sets = df.select(col(idCol),
+        array_distinct(transform(sequence(lit(1L), count),
+          p => md5Low32(col(textCol).substr(p.cast("int"), lit(k))))).as("set"))
+      .select(col(idCol), sort_array(col("set")).as("set"))
+    val verified = cand
+      .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
+      .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"))
+    // both directions from ONE row via explode — a unionAll of two
+    // selects would plan the whole candidate+verification subtree twice
+    verified.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"),
+          col("inter"), col("na").as("n_src")),
+        struct(col("b").as("src"), col("a").as("dst"),
+          col("inter"), col("nb").as("n_src")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.inter").as("inter"), col("e.n_src").as("n_src"))
+      .where(lit(1000L) * col("inter") >= lit(minMille) * col("n_src"))
+      .select(col("src"), col("dst"), col("inter"), col("n_src"),
+        (col("inter").cast("double") / col("n_src").cast("double"))
+          .as("containment"))
+  }
 }

@@ -158,4 +158,33 @@ object Profile {
           .as("coverage"))
       .orderBy("k")
   }
+
+  /** Exact-integer least-squares TREND per group: for Long-valued (x, y)
+    * rows, the slope of the best-fit line as an exact rational —
+    * numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)², both in
+    * decimal(38,0) so nothing wraps at any group size (the q76 cleared-
+    * denominator discipline applied to regression). The numerator is
+    * also n² times the covariance, so its SIGN alone answers "is this
+    * metric drifting up or down" with zero float ops; callers divide
+    * only at the very end, if at all.
+    *
+    * One map-side-combinable hash-agg over five Long monoid sums — the
+    * same single-shuffle shape as a plain groupBy count, so it runs at
+    * scan speed on any corpus. Output: (group, n, slope_num, slope_den).
+    */
+  def trendExact(df: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(col(groupCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col(groupCol), col("n"),
+        (col("n").cast(dec) * col("sxy").cast(dec) -
+          col("sx").cast(dec) * col("sy").cast(dec)).as("slope_num"),
+        (col("n").cast(dec) * col("sxx").cast(dec) -
+          col("sx").cast(dec) * col("sx").cast(dec)).as("slope_den"))
+  }
 }

@@ -825,6 +825,37 @@ object OlapQueries {
         |  FROM documents GROUP BY lang)
         |SELECT sc.lang AS lang, n, s, mn, mx, regs.b, regs.reg
         |FROM sc JOIN regs ON sc.lang = regs.lang
-        |ORDER BY sc.lang, regs.b""".stripMargin))
+        |ORDER BY sc.lang, regs.b""".stripMargin)),
+
+    // Exact-integer regression trend (Profile.trendExact): per event
+    // type, the least-squares slope of milli-scaled value vs hour-of-day
+    // as an exact rational — numerator n·Σxy − Σx·Σy, denominator
+    // n·Σx² − (Σx)², decimal(38,0) internally (q76's cleared-denominator
+    // discipline applied to regression; the numerator's sign IS the
+    // drift direction, no float anywhere). One map-side-combinable
+    // hash-agg over five Long sums. Outputs cast to BIGINT for the
+    // compare (they fit at every test SF; the operator itself carries
+    // decimal38 so nothing wraps at cluster scale).
+    QueryDef("q117_value_trend",
+      (s, d) => {
+        val m = Tables.events(s, d).select(col("event_type"),
+          expr("(ts div 3600000000000) % 24").as("x"),
+          floor(col("value") * 1000).cast("long").as("y"))
+        graft.operators.Profile.trendExact(m, "event_type", "x", "y")
+          .select(col("event_type"), col("n"),
+            col("slope_num").cast("long").as("slope_num"),
+            col("slope_den").cast("long").as("slope_den"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (SELECT event_type,
+        |  (epoch_us(ts) // 3600000000) % 24 AS x,
+        |  CAST(floor(value * 1000) AS BIGINT) AS y FROM events),
+        |st AS (SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |  CAST(SUM(x * y) AS HUGEINT) AS sxy, CAST(SUM(x * x) AS HUGEINT) AS sxx
+        |  FROM m GROUP BY event_type)
+        |SELECT event_type, n, CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+        |FROM st ORDER BY event_type""".stripMargin))
   )
 }

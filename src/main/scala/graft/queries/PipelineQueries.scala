@@ -1602,7 +1602,46 @@ object PipelineQueries {
         |ag AS (SELECT lang, CAST(SUM(pad) AS BIGINT) AS pad_arrival FROM ab GROUP BY lang)
         |SELECT sg.lang, sg.n_batches, sg.pad_sorted, ag.pad_arrival,
         |  ag.pad_arrival - sg.pad_sorted AS saving
-        |FROM sg JOIN ag ON sg.lang = ag.lang ORDER BY sg.lang""".stripMargin))
+        |FROM sg JOIN ag ON sg.lang = ag.lang ORDER BY sg.lang""".stripMargin)),
+
+    // DIRECTED containment / quote detection (Dedup.containmentPairs):
+    // q97's winnow candidates judged in BOTH directions as exact
+    // k-gram-set containment |src∩dst| / |src| — the asymmetric signal
+    // q111's F1 washes out (a short doc pasted in a long one scores ~1.0
+    // src→dst only). Gate is a cross-multiplied Long comparison
+    // (1000·inter >= 500·|src|); the division happens once, at output.
+    QueryDef("q118_containment",
+      (s, d) => graft.operators.Dedup.containmentPairs(
+          Tables.documents(s, d), "doc_id", "text", k = 5, w = 4,
+          maxDocFreq = 20, minShared = 2L, minMille = 500L)
+        .orderBy(col("containment").desc, col("src").asc, col("dst").asc)
+        .limit(20),
+      Some("""WITH d0 AS (SELECT doc_id, text, greatest(length(text) - 4, 1) AS n FROM documents),
+        |g0 AS (SELECT doc_id, n, list_transform(range(0, n), i ->
+        |    CAST('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)), 25, 8) AS BIGINT) * 1048576 + i + 1) AS hps
+        |  FROM d0),
+        |g AS (SELECT doc_id, n, CAST(generate_subscripts(hps, 1) AS BIGINT) AS pos, unnest(hps) AS hp FROM g0),
+        |win AS (SELECT doc_id, n, pos, min(hp) OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g),
+        |f AS (SELECT DISTINCT doc_id, fp // 1048576 AS h FROM win WHERE pos <= greatest(n - 3, 1)),
+        |cool AS (SELECT h FROM f GROUP BY h HAVING COUNT(DISTINCT doc_id) <= 20),
+        |kk AS (SELECT doc_id, f.h FROM f JOIN cool USING (h)),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+        |  FROM kk x JOIN kk y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |sets AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(length(text) - 4, 1)),
+        |    i -> CAST('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)), 25, 8) AS BIGINT))) AS st
+        |  FROM documents),
+        |v AS (SELECT p.a, p.b,
+        |    CAST(len(list_intersect(x.st, y.st)) AS BIGINT) AS inter,
+        |    CAST(len(x.st) AS BIGINT) AS na, CAST(len(y.st) AS BIGINT) AS nb
+        |  FROM p JOIN sets x ON x.doc_id = p.a JOIN sets y ON y.doc_id = p.b
+        |  WHERE p.n_shared >= 2),
+        |dirs AS (SELECT a AS src, b AS dst, inter, na AS n_src FROM v
+        |  UNION ALL SELECT b AS src, a AS dst, inter, nb AS n_src FROM v)
+        |SELECT src, dst, inter, n_src,
+        |  CAST(inter AS DOUBLE) / CAST(n_src AS DOUBLE) AS containment
+        |FROM dirs WHERE 1000 * inter >= 500 * n_src
+        |ORDER BY containment DESC, src ASC, dst ASC LIMIT 20""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

@@ -441,6 +441,37 @@ class DedupSpec extends SparkSpec {
     assert(got.get((1L, 3L)).exists(f => f > 0.0 && f < 1.0))
   }
 
+  test("containmentPairs: a quoted short doc scores 1.0 one way only") {
+    val short = "the winnowing fingerprints select shared substrings reliably"
+    val d = Seq(
+      (1L, short),
+      (2L, s"$short followed by a very long unrelated tail that keeps going " +
+        "with many more words than the quoted fragment itself contains here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // every 5-gram of the short doc appears in the long one: src=1 → 1.0
+    val (inter, nSrc, c) = got((1L, 2L))
+    assert(c === 1.0 && inter === nSrc)
+    // the reverse direction (long contained in short) fails the 0.5 gate
+    assert(!got.contains((2L, 1L)))
+  }
+
+  test("containmentPairs: identical docs pass both directions; gate is inclusive") {
+    val t = "identical fingerprint content in both of these documents"
+    val d = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val both = Dedup.containmentPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(both.toSet === Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+    // minMille = 1000 keeps exact-full containment (1000·inter >= 1000·n)
+    assert(Dedup.containmentPairs(d, "doc_id", "text", minMille = 1000L)
+      .count() === 2L)
+    // an impossible gate (> 100%) drops everything
+    assert(Dedup.containmentPairs(d, "doc_id", "text", minMille = 1001L)
+      .count() === 0L)
+  }
+
   test("jaccardPairsPrefix: hot-prefix cap bounds the pathological corpus") {
     // 200 IDENTICAL documents — rarest-first prefix selection degenerates
     // (every doc's prefix is the same gram, pfreq = corpus size) and the

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Profile
 
 class ProfileSpec extends SparkSpec {
@@ -83,5 +85,38 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected a distributed top-k, got:\n$plan")
+  }
+
+  private def trend(rows: Seq[(String, Long, Long)]) =
+    Profile.trendExact(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .select(col("g"), col("n"), col("slope_num").cast("long"),
+        col("slope_den").cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+
+  test("trendExact: hand-checked slope rational on a perfect line") {
+    // y = 2x over x ∈ {0,1,2}: num = 3·10 − 3·6 = 12, den = 3·5 − 3² = 6
+    val got = trend(Seq(("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 4L)))
+    assert(got === Seq(("g", 3L, 12L, 6L)))
+  }
+
+  test("trendExact: constant y is zero drift; descending y is negative") {
+    val got = trend(Seq(
+      ("flat", 0L, 7L), ("flat", 1L, 7L), ("flat", 2L, 7L),
+      ("down", 0L, 9L), ("down", 1L, 6L), ("down", 2L, 3L)))
+    assert(got === Seq(("down", 3L, -18L, 6L), ("flat", 3L, 0L, 6L)))
+  }
+
+  test("trendExact: a single-x group degenerates to den 0, never a crash") {
+    val got = trend(Seq(("g", 5L, 1L), ("g", 5L, 9L)))
+    assert(got === Seq(("g", 2L, 0L, 0L))) // vertical: undefined slope, exact 0/0
+  }
+
+  test("trendExact aggregates map-side (one shuffle, partial sums below it)") {
+    val df = Seq(("g", 1L, 2L)).toDF("g", "x", "y")
+    val plan = Profile.trendExact(df, "g", "x", "y")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
   }
 }
