@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
-import graft.operators.{Decontaminate, Scrub}
+import graft.operators.{Decontaminate, Quality, Scrub}
 
 /** Streaming faces of the curation operators — the continuous-ingest
   * deployment: documents arrive as a stream (crawl drops, WAL CDC) and
@@ -18,6 +18,24 @@ object StreamCuration {
     */
   def scrubStream(docs: DataFrame, textCol: String): DataFrame =
     Scrub.scrub(docs, textCol)
+
+  /** Quality rule-pack gate on a streaming document table: only rows
+    * passing every Gopher-style gate flow on. Like [[scrubStream]], the
+    * gates are stateless row-local integer comparisons
+    * ([[Quality.ruleFlags]]), so the same plan runs in append mode with
+    * no state and no watermark — this method pins that contract.
+    */
+  def qualityGateStream(docs: DataFrame, textCol: String,
+      minTok: Long = 15L, maxTok: Long = 500L,
+      loLen: Long = 3L, hiLen: Long = 8L,
+      symPermille: Long = 100L, minStop: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Quality.ruleFlags(docs, textCol, minTok, maxTok, loLen, hiLen,
+        symPermille, minStop)
+      .where(col("pass"))
+      .drop("n_tok", "sum_len", "n_sym", "c_stop",
+        "pass_len", "pass_wordlen", "pass_symbol", "pass_stop", "pass")
+  }
 
   /** Decontaminate a streaming corpus against a STATIC benchmark table:
     * each micro-batch drops docs sharing >= minShared word-n-grams with

@@ -32,6 +32,32 @@ class StreamCurationSpec extends SparkSpec {
       (1L, "mail <EMAIL> now"), (2L, "visit <URL>"), (3L, "clean row")))
   }
 
+  test("quality gate runs stateless inside a stream; survivors == batch pass set") {
+    val tmp = Files.createTempDirectory("graft-qstream-").toString
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "x"),                                  // fails length
+      (3L, "uno dos tres cuatro cinco"),          // fails stopword
+      (4L, "the cat sat on a mat near the old barn door"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema(docs.schema).option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val gated = StreamCuration.qualityGateStream(stream, "text", minTok = 3L)
+    assert(gated.isStreaming)
+    assert(gated.columns.toSeq === Seq("doc_id", "text")) // flags stripped
+    val q = gated.writeStream.format("memory").queryName("quality_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("quality_out")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val batch = graft.operators.Quality.ruleFlags(docs, "text", minTok = 3L)
+      .where(col("pass")).select("doc_id").as[Long].collect().toSeq.sorted
+    assert(streamed === batch)
+    assert(streamed === Seq(1L, 4L))
+  }
+
   test("streaming decontamination drops the same docs as the batch path") {
     val tmp = Files.createTempDirectory("graft-decstream-").toString
     val corpus = Seq(
