@@ -1641,7 +1641,145 @@ object PipelineQueries {
         |SELECT src, dst, inter, n_src,
         |  CAST(inter AS DOUBLE) / CAST(n_src AS DOUBLE) AS containment
         |FROM dirs WHERE 1000 * inter >= 500 * n_src
-        |ORDER BY containment DESC, src ASC, dst ASC LIMIT 20""".stripMargin))
+        |ORDER BY containment DESC, src ASC, dst ASC LIMIT 20""".stripMargin)),
+
+    // Classifier evaluation at corpus scale: q21's language-ID run
+    // against the labeled lang column as a CONFUSION MATRIX — one extra
+    // hash-agg over the prediction relation, the model-eval primitive
+    // (per-class precision/recall fall out of the matrix row/column
+    // sums). Counts only, so the report is bit-portable.
+    QueryDef("q119_langid_confusion",
+      (s, d) => {
+        val toked = Tables.documents(s, d)
+          .select(col("lang"), wsTokens(col("text")).as("toks"))
+        val counts = LangMarkers.map { case (lang, words) =>
+          markerCount(col("toks"), words).as(s"c_$lang")
+        }
+        val df = toked.select(col("lang") +: counts: _*)
+        val pred = when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
+            col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
+          .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
+            col("c_de") >= col("c_zh"), "de")
+          .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_zh"), "es")
+          .when(col("c_fr") >= col("c_zh"), "fr")
+          .otherwise("zh")
+        df.select(col("lang"), pred.as("pred_lang"))
+          .groupBy("lang", "pred_lang").agg(count(lit(1)).as("cnt"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some(s"""WITH t AS (SELECT lang, $duckToks AS toks FROM documents),
+        |c AS (SELECT lang,
+        |  ${duckMarker(Seq("the", "a", "is", "of", "and"))} AS c_en,
+        |  ${duckMarker(Seq("der", "die", "und", "ist", "das"))} AS c_de,
+        |  ${duckMarker(Seq("el", "la", "de", "los", "que"))} AS c_es,
+        |  ${duckMarker(Seq("le", "les", "des", "et", "une"))} AS c_fr,
+        |  ${duckMarker(Seq("的", "是", "在", "了", "和"))} AS c_zh
+        |  FROM t),
+        |p AS (SELECT lang,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_fr >= c_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |  FROM c)
+        |SELECT lang, pred_lang, COUNT(*) AS cnt
+        |FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin)),
+
+    // TF-IDF keyword extraction: top-3 terms per doc (first 20 docs) by
+    // tf · (N div df)² — q110's integer idf surrogate applied to the
+    // classic per-document keyword report. The df table is corpus-wide
+    // (one hash-agg); the tf leg filters to the requested docs BEFORE
+    // aggregating; the per-doc ranking is a WindowGroupLimit (top-3
+    // pruned below the sort). All Longs until nothing.
+    QueryDef("q120_keywords",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs.where(col("doc_id") < 20)
+          .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfr = docs
+          .select(explode(array_distinct(wsTokens(col("text")))).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+        tf.join(dfr, "tok").crossJoin(broadcast(nDocs))
+          .select(col("doc_id"), col("tok"), col("tf"),
+            (col("tf") * expr("n_docs div df") * expr("n_docs div df"))
+              .as("score"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest($duckToks) AS tok FROM documents WHERE doc_id < 20)
+        |  WHERE tok <> '' GROUP BY doc_id, tok),
+        |dfr AS (SELECT tok, COUNT(*) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct($duckToks)) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.tok, tf.tf,
+        |  tf.tf * (n.n_docs // dfr.df) * (n.n_docs // dfr.df) AS score
+        |  FROM tf JOIN dfr USING (tok), n)
+        |SELECT doc_id, tok, tf, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS INT) AS rank
+        |FROM sc QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // Leakage-safe train/heldout split: near-dup CLUSTERS (q64's
+    // minhash + CC machinery) are the atomic split unit — every member
+    // of a duplicate cluster lands on the same side, so the heldout set
+    // can never contain a near-copy of a training doc (the eval-
+    // contamination failure mode of naive per-doc splitting). The coin
+    // is q42's deterministic md5 bucket, thrown on the CLUSTER id.
+    QueryDef("q121_leakage_safe_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.withMinhashPairs(docs, "doc_id", "text") { pairs =>
+          val cc = Graph.connectedComponents(
+            pairs.where(col("jac") >= 0.5), "a", "b")
+          val clustered = docs.select(col("doc_id"))
+            .join(cc.select(col("id").as("doc_id"), col("component")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("component"), col("doc_id")).as("cluster"))
+          val b = graft.functions.TextFunctions.md5Bucket(
+            col("cluster").cast("string"), 100, salt = "leak:")
+          clustered
+            .groupBy(when(b < 80, "train").otherwise("heldout").as("split"))
+            .agg(count(lit(1)).as("n_docs"),
+              countDistinct(col("cluster")).as("n_clusters"))
+            .orderBy("split")
+        }
+      },
+      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS shingles FROM documents),
+        |hv AS (SELECT doc_id, shingles, list_transform(shingles, s -> CAST('0x'||substr(md5(s),25,8) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(range(0,16), k -> list_min(list_transform(hs, x -> (x*(2*k+1) + (1000000007*k+17)) % 4294967311))) AS sg FROM hv),
+        |bands AS (SELECT doc_id, j AS band_idx,
+        |  CAST(sg[4*CAST(j AS INT)+1] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+2] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+3] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+4] AS VARCHAR) AS band_key
+        |  FROM sig, range(0,4) t(j)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+        |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT c.a, c.b,
+        |  CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |    (length(sa.shingles) + length(sb.shingles) - length(list_intersect(sa.shingles, sb.shingles))) AS jac
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+        |pr AS (SELECT a, b FROM pairs WHERE jac >= 0.5),
+        |e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |clu AS (SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        |bk AS (SELECT cluster,
+        |  CAST(CAST('0x' || substr(md5('leak:' || CAST(cluster AS VARCHAR)), 25, 8) AS BIGINT) % 100 AS BIGINT) AS b
+        |  FROM clu)
+        |SELECT CASE WHEN b < 80 THEN 'train' ELSE 'heldout' END AS split,
+        |  COUNT(*) AS n_docs, CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+        |FROM bk GROUP BY 1 ORDER BY split""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values
