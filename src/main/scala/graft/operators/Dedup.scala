@@ -785,6 +785,45 @@ object Dedup {
     out
   }
 
+  /** Overlap-span ATTRIBUTION — the explainability report behind a
+    * near-dup verdict: for each winnow-candidate pair, WHERE the shared
+    * material sits in each document, as the covering character span
+    * [lo, hi] (1-based, inclusive) of the shared fingerprints' grams.
+    * The evidence a curator reads before believing a dedup DELETE, and
+    * the input to span-level redaction ("cut the quoted block, keep the
+    * rest").
+    *
+    * Positions ride the fingerprints the winnowing already carries
+    * (fp = hash·2²⁰ + pos — zero extra passes over the text); a hash
+    * occurring at several positions pins its FIRST occurrence per doc
+    * (min pos — deterministic, oracle-expressible). Same maxDocFreq
+    * boilerplate cap and long-only shuffles as [[winnowOverlapPairs]].
+    * Output: (a, b, n_shared, a_lo, a_hi, b_lo, b_hi), a < b.
+    */
+  def overlapSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxDocFreq: Int = 20,
+      minShared: Long = 2L): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol), expr("fp div 1048576").as("h"),
+        expr("fp % 1048576").as("pos"))
+      .groupBy(idCol, "h").agg(min(col("pos")).as("pos"))
+    val cool = fps.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("dfreq"))
+      .where(col("dfreq") <= maxDocFreq)
+      .select("h")
+    val kept = fps.join(cool, Seq("h"))
+    kept.as("x").join(kept.as("y"),
+        col("x.h") === col("y.h") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("x.pos")).as("a_lo"),
+        (max(col("x.pos")) + (k - 1)).as("a_hi"),
+        min(col("y.pos")).as("b_lo"),
+        (max(col("y.pos")) + (k - 1)).as("b_hi"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
     * MOSS algorithm): hash every positional character k-gram, slide a
     * window of `w` consecutive hashes, keep each window's MINIMUM — the

@@ -1779,7 +1779,38 @@ object PipelineQueries {
         |  FROM clu)
         |SELECT CASE WHEN b < 80 THEN 'train' ELSE 'heldout' END AS split,
         |  COUNT(*) AS n_docs, CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
-        |FROM bk GROUP BY 1 ORDER BY split""".stripMargin))
+        |FROM bk GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // Overlap-span attribution (Dedup.overlapSpans): WHERE the shared
+    // material sits — per winnow-candidate pair, the covering character
+    // span of shared fingerprints in EACH doc. The evidence report
+    // behind a dedup verdict (and the input to span-level redaction);
+    // positions ride the fingerprints winnowing already carries, zero
+    // extra text passes.
+    QueryDef("q122_overlap_spans",
+      (s, d) => graft.operators.Dedup.overlapSpans(
+          Tables.documents(s, d), "doc_id", "text", k = 5, w = 4,
+          maxDocFreq = 20, minShared = 2L)
+        .orderBy(col("n_shared").desc, col("a").asc, col("b").asc)
+        .limit(20),
+      Some("""WITH d0 AS (SELECT doc_id, text, greatest(length(text) - 4, 1) AS n FROM documents),
+        |g0 AS (SELECT doc_id, n, list_transform(range(0, n), i ->
+        |    CAST('0x' || substr(md5(substr(text, CAST(i + 1 AS INT), 5)), 25, 8) AS BIGINT) * 1048576 + i + 1) AS hps
+        |  FROM d0),
+        |g AS (SELECT doc_id, n, CAST(generate_subscripts(hps, 1) AS BIGINT) AS pos, unnest(hps) AS hp FROM g0),
+        |win AS (SELECT doc_id, n, pos, min(hp) OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM g),
+        |f AS (SELECT doc_id, fp // 1048576 AS h, CAST(MIN(fp % 1048576) AS BIGINT) AS gpos
+        |  FROM win WHERE pos <= greatest(n - 3, 1) GROUP BY 1, 2),
+        |cool AS (SELECT h FROM f GROUP BY h HAVING COUNT(DISTINCT doc_id) <= 20),
+        |kk AS (SELECT doc_id, f.h, f.gpos FROM f JOIN cool USING (h)),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared,
+        |    MIN(x.gpos) AS a_lo, MAX(x.gpos) + 4 AS a_hi,
+        |    MIN(y.gpos) AS b_lo, MAX(y.gpos) + 4 AS b_hi
+        |  FROM kk x JOIN kk y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a, b, n_shared, a_lo, a_hi, b_lo, b_hi FROM p
+        |WHERE n_shared >= 2
+        |ORDER BY n_shared DESC, a ASC, b ASC LIMIT 20""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

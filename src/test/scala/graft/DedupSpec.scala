@@ -441,6 +441,38 @@ class DedupSpec extends SparkSpec {
     assert(got.get((1L, 3L)).exists(f => f > 0.0 && f < 1.0))
   }
 
+  test("overlapSpans: identical docs report identical covering spans") {
+    val t = "the winnowing fingerprints select shared substrings reliably"
+    val d = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val rows = Dedup.overlapSpans(d, "doc_id", "text").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getLong(3) === r.getLong(5) && r.getLong(4) === r.getLong(6))
+    assert(r.getLong(4) <= t.length.toLong) // span inside the document
+  }
+
+  test("overlapSpans: a planted shared block is localized in BOTH docs") {
+    // disjoint vocabularies around the shared middle, so every shared
+    // fingerprint gram lies strictly inside the planted block
+    val shared = "common duplicated sentence material that winnowing must localize"
+    val a = s"alpha beta gamma delta epsilon $shared zeta eta theta iota kappa"
+    val b = s"uno dos tres cuatro $shared cinco seis siete ocho nueve diez"
+    // the spaces flanking the block are themselves shared content, so a
+    // gram may legitimately extend one char past either edge
+    val startA = a.indexOf(shared); val endA = startA + shared.length + 1L
+    val startB = b.indexOf(shared); val endB = startB + shared.length + 1L
+    val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val rows = Dedup.overlapSpans(d, "doc_id", "text").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(2) >= 2L) // several shared fingerprints
+    assert(r.getLong(3) >= startA && r.getLong(4) <= endA,
+      s"A span [${r.getLong(3)}, ${r.getLong(4)}] outside planted [$startA, $endA]")
+    assert(r.getLong(5) >= startB && r.getLong(6) <= endB,
+      s"B span [${r.getLong(5)}, ${r.getLong(6)}] outside planted [$startB, $endB]")
+  }
+
   test("containmentPairs: a quoted short doc scores 1.0 one way only") {
     val short = "the winnowing fingerprints select shared substrings reliably"
     val d = Seq(
