@@ -232,4 +232,59 @@ object Sketch {
         (lit(lo) + expr(s"((bucket + 1L) * ${hi - lo}L) div ${buckets}L"))
           .as("p_edge"))
   }
+
+  /** KMV / Theta sketch sample (Beyer et al. 2007; the DataSketches
+    * Theta family): per group, the k MINIMUM distinct md5-hash values of
+    * the keys — the sketch for SET OPERATIONS. Linear counting and HLL
+    * answer "how many distinct", but neither can answer "how many
+    * distinct IN BOTH groups"; the KMV sample can, because the bottom-k
+    * of a uniform hash is a uniform random sample of the distinct keys.
+    * State is ≤ k rows per group forever; merge of shards = bottom-k of
+    * the union (same total order, so shard-merge ≡ direct build).
+    *
+    * Shape: distinct (group, h) — one hash-agg — then a per-group ranked
+    * window that WindowGroupLimit prunes to k rows below the sort.
+    * Deterministic md5 everywhere: the SAMPLE ITSELF is the
+    * oracle-checkable artifact. Output: (group, pos, h), pos 1..k
+    * ascending h.
+    */
+  def kmvSample(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2 (got $k)")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h").asc)
+    df.select(col(groupCol),
+        graft.functions.TextFunctions.md5Low32(col(keyCol).cast("string"))
+          .as("h"))
+      .distinct()
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= k)
+  }
+
+  /** Distinct-INTERSECTION estimate for every group pair from one KMV
+    * sample relation (the Theta-sketch a-and-b estimator): with
+    * θ = min(kth_A, kth_B), every common sample value below θ is a
+    * uniform sample point of A∩B at inclusion probability θ/2³², so
+    * est(|A∩B|) = n_common · 2³² / θ. All integers until the one final
+    * division. Groups smaller than k degrade gracefully (their whole
+    * key set is the sample). Output: (ga, gb, theta, n_common,
+    * est_inter) for ga < gb.
+    */
+  def kmvIntersect(sample: DataFrame, groupCol: String): DataFrame = {
+    val kth = sample.groupBy(groupCol).agg(max(col("h")).as("kth"))
+    val pairs = kth.as("x").join(kth.as("y"),
+        col(s"x.$groupCol") < col(s"y.$groupCol"))
+      .select(col(s"x.$groupCol").as("ga"), col(s"y.$groupCol").as("gb"),
+        least(col("x.kth"), col("y.kth")).as("theta"))
+    val common = sample.as("sa").join(sample.as("sb"),
+        col("sa.h") === col("sb.h") &&
+          col(s"sa.$groupCol") < col(s"sb.$groupCol"))
+      .select(col(s"sa.$groupCol").as("ga"), col(s"sb.$groupCol").as("gb"),
+        col("sa.h").as("h"))
+    pairs.join(common, Seq("ga", "gb"), "left")
+      .groupBy("ga", "gb", "theta")
+      .agg(count(when(col("h") < col("theta"), lit(1))).as("n_common"))
+      .select(col("ga"), col("gb"), col("theta"), col("n_common"),
+        (col("n_common").cast("double") * lit(4294967296.0) /
+          col("theta").cast("double")).as("est_inter"))
+  }
 }

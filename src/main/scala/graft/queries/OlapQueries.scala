@@ -856,6 +856,51 @@ object OlapQueries {
         |  FROM m GROUP BY event_type)
         |SELECT event_type, n, CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
         |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
-        |FROM st ORDER BY event_type""".stripMargin))
+        |FROM st ORDER BY event_type""".stripMargin)),
+
+    // KMV/Theta sketch set-intersection (Sketch.kmvSample/kmvIntersect):
+    // "how many distinct users are in BOTH event types" from bounded
+    // ≤ k-row-per-group state — the set operation linear counting and
+    // HLL structurally cannot answer. Report = estimate vs exact truth
+    // per type pair (the q71 est-vs-true audit shape); the md5 bottom-k
+    // sample is deterministic, so sketch state AND estimate hash-match.
+    QueryDef("q123_kmv_intersect",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val est = Sketch.kmvIntersect(
+          Sketch.kmvSample(ev, "event_type", "user_id", k = 64), "event_type")
+        val u = ev.select(col("event_type"), col("user_id")).distinct()
+        val truth = u.as("a").join(u.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ga"), col("b.event_type").as("gb"))
+          .agg(count(lit(1)).as("true_inter"))
+        est.join(truth, Seq("ga", "gb"), "left")
+          .select(col("ga"), col("gb"), col("theta"), col("n_common"),
+            col("est_inter"),
+            coalesce(col("true_inter"), lit(0L)).as("true_inter"))
+          .orderBy("ga", "gb")
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+        |  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 25, 8) AS BIGINT) AS h FROM events),
+        |s AS (SELECT event_type, h FROM (
+        |    SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS pos FROM h)
+        |  WHERE pos <= 64),
+        |kth AS (SELECT event_type, MAX(h) AS kth FROM s GROUP BY event_type),
+        |p AS (SELECT x.event_type AS ga, y.event_type AS gb, least(x.kth, y.kth) AS theta
+        |  FROM kth x JOIN kth y ON x.event_type < y.event_type),
+        |c AS (SELECT sa.event_type AS ga, sb.event_type AS gb, sa.h AS h
+        |  FROM s sa JOIN s sb ON sa.h = sb.h AND sa.event_type < sb.event_type),
+        |nc AS (SELECT p.ga, p.gb, p.theta,
+        |    COUNT(CASE WHEN c.h < p.theta THEN 1 END) AS n_common
+        |  FROM p LEFT JOIN c ON c.ga = p.ga AND c.gb = p.gb GROUP BY 1, 2, 3),
+        |u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |tr AS (SELECT a.event_type AS ga, b.event_type AS gb, COUNT(*) AS true_inter
+        |  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT nc.ga, nc.gb, nc.theta, nc.n_common,
+        |  CAST(nc.n_common AS DOUBLE) * 4294967296.0 / CAST(nc.theta AS DOUBLE) AS est_inter,
+        |  COALESCE(tr.true_inter, 0) AS true_inter
+        |FROM nc LEFT JOIN tr ON tr.ga = nc.ga AND tr.gb = nc.gb
+        |ORDER BY nc.ga, nc.gb""".stripMargin))
   )
 }

@@ -143,6 +143,42 @@ object StreamSketch {
       .toDF(groupCol, "item", "cnt", "err")
   }
 
+  /** Streaming KMV/Theta sample — the bounded-state SET-OPERATION sketch
+    * completing the quartet (cardinality = [[linearCount]]/[[hll]],
+    * frequency = [[spaceSaving]], set intersection = this; the live face
+    * of [[graft.operators.Sketch.kmvSample]]): per group, the k minimum
+    * distinct md5 hash values of the keys, ≤ k Longs of state forever.
+    * The update (set-union then keep the k smallest) is associative,
+    * commutative and idempotent, so the streamed sample equals the batch
+    * sample over the same rows regardless of arrival order or batching
+    * (parity-pinned in StreamSketchSpec). Hashes are computed IN-PLAN by
+    * the same md5Low32 column as the batch sketch. Feed emitted samples
+    * to [[graft.operators.Sketch.kmvIntersect]] for live "distinct in
+    * BOTH groups" estimates. Emits (groupCol STRING, hs ARRAY<LONG>
+    * ascending) per trigger, Update mode.
+    */
+  def kmv(values: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2 (got $k)")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val keyed: Dataset[(String, Long)] = values
+      .select(col(groupCol).cast("string"),
+        graft.functions.TextFunctions.md5Low32(col(keyCol).cast("string")))
+      .as[(String, Long)]
+    keyed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (g, it, state) =>
+          val cur = state.getOption.getOrElse(Array.empty[Long])
+          val merged = (cur.toSet ++ it.map(_._2))
+            .toSeq.sorted.take(k).toArray
+          state.update(merged)
+          (g, merged.toSeq)
+      }
+      .toDF(groupCol, "hs")
+  }
+
   /** The only output mode `mapGroupsWithState` supports. */
   val outputMode: OutputMode = OutputMode.Update()
 }

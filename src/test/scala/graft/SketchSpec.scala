@@ -179,4 +179,58 @@ class SketchSpec extends SparkSpec {
       Sketch.histogramBuckets(df, "g", "v", 0L, Long.MaxValue, 64)
     }
   }
+
+  private def jvmH32(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(24, 32), 16)
+  }
+
+  test("kmvSample: bottom-k of the md5 order, bit-equal to a JVM mirror") {
+    val keys = (0L until 500L)
+    val df = keys.map(("g", _)).toDF("g", "k")
+    val got = Sketch.kmvSample(df, "g", "k", k = 16)
+      .orderBy("pos").as[(String, Long, Int)].collect().toSeq
+    val want = keys.map(x => jvmH32(x.toString)).distinct.sorted.take(16)
+    assert(got.map(_._2) === want)
+    assert(got.map(_._3) === (1 to 16)) // positions ascend with h
+  }
+
+  test("kmvSample: state bounded at k rows per group, whatever the cardinality") {
+    val df = (0L until 3000L).map(x => (s"g${x % 3}", x)).toDF("g", "k")
+    val s = Sketch.kmvSample(df, "g", "k", k = 32)
+    assert(s.groupBy("g").count().as[(String, Long)].collect()
+      .forall(_._2 === 32L))
+  }
+
+  test("kmvSample: shard-merge == direct build (bottom-k of unioned samples)") {
+    val all = (0L until 2000L).map(("g", _))
+    val (s1, s2) = all.splitAt(900)
+    val direct = Sketch.kmvSample(all.toDF("g", "k"), "g", "k", k = 64)
+      .select("g", "h")
+    // merge = bottom-k of the UNION of the two shard samples
+    val merged = Sketch.kmvSample(s1.toDF("g", "k"), "g", "k", k = 64)
+      .select("g", "h")
+      .unionAll(Sketch.kmvSample(s2.toDF("g", "k"), "g", "k", k = 64)
+        .select("g", "h"))
+      .orderBy(col("h").asc).limit(64)
+    assert(direct.orderBy("h").as[(String, Long)].collect().toSeq
+      === merged.orderBy("h").as[(String, Long)].collect().toSeq)
+  }
+
+  test("kmvIntersect: disjoint groups estimate zero; planted overlap lands near truth") {
+    // A = [0, 5000), B = [2500, 7500): |A∩B| = 2500; C disjoint
+    val rows = (0L until 5000L).map(("A", _)) ++
+      (2500L until 7500L).map(("B", _)) ++
+      (100000L until 101000L).map(("C", _))
+    val s = Sketch.kmvSample(rows.toDF("g", "k"), "g", "k", k = 256)
+    val est = Sketch.kmvIntersect(s, "g")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = est(("A", "B"))
+    assert(math.abs(ab._5 - 2500.0) / 2500.0 < 0.35,
+      s"A∩B estimate ${ab._5} too far from 2500")
+    assert(est(("A", "C"))._4 === 0L && est(("A", "C"))._5 === 0.0)
+    assert(est(("B", "C"))._4 === 0L && est(("B", "C"))._5 === 0.0)
+  }
 }

@@ -101,6 +101,37 @@ class StreamSketchSpec extends SparkSpec {
     assert(math.abs(est - trueEn) / trueEn < 0.15, s"est $est vs $trueEn")
   }
 
+  test("streamed kmv sample equals the batch sample over all waves") {
+    val dir = writeWaves()
+    val stream = spark.readStream
+      .schema("g STRING, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(dir)
+    val out = StreamSketch.kmv(stream, "g", "v", k = 32)
+    val q = out.writeStream.format("memory").queryName("ss_kmv")
+      .outputMode(StreamSketch.outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sskmv-ckpt-").toString)
+      .start()
+    q.awaitTermination(60000)
+    // memory sink in Update mode: the FINAL emit per group dominates —
+    // the sample only improves (length non-decreasing; at equal length,
+    // element-wise smaller), so max(struct(n, -hs…)) selects it
+    val streamed = spark.table("ss_kmv")
+      .groupBy("g").agg(max(struct(size(col("hs")).as("n"),
+        transform(col("hs"), x => -x).as("neg"), col("hs").as("hs"))).as("m"))
+      .select(col("g"), col("m.hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val batchDf = spark.read.schema("g STRING, v STRING").json(dir)
+    val batch = Sketch.kmvSample(batchDf, "g", "v", k = 32)
+      .groupBy("g").agg(sort_array(collect_list(col("h"))).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(streamed === batch)
+    assert(streamed.values.forall(_.length <= 32)) // bounded state
+    assert(streamed.values.forall(hs => hs == hs.sorted)) // ascending emit
+  }
+
   test("spaceSaving: exact and order-invariant while distinct <= capacity") {
     val dir = writeWaves()
     val stream = spark.readStream
