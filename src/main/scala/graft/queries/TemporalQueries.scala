@@ -107,6 +107,83 @@ object TemporalQueries {
         |FROM (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
         |        CAST(floor(value * 1000) AS BIGINT) AS v_m
         |      FROM events WHERE user_id < 10)
-        |ORDER BY user_id, us""".stripMargin))
+        |ORDER BY user_id, us""".stripMargin)),
+
+    // Last-touch attribution: each purchase credited to the user's most
+    // recent view/click within a 7-day lookback, else 'none' — the
+    // marketing-attribution report. ONE per-user window pass (a running
+    // max over a filtered (us, event_id, type) struct — no join at all),
+    // where the oracle does it the join-and-rank way: two independent
+    // implementations of the same semantics agreeing bit-for-bit.
+    QueryDef("q124_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          expr("ts div 1000").as("us"), col("event_id"), col("event_type"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val m = when(col("event_type").isin("view", "click"),
+          struct(col("us"), col("event_id"), col("event_type")))
+        ev.withColumn("lastm", max(m).over(w))
+          .where(col("event_type") === "purchase")
+          .select(when(col("lastm").isNotNull &&
+                col("us") - col("lastm.us") <= lit(604800000000L),
+              col("lastm.event_type")).otherwise("none").as("channel"))
+          .groupBy("channel").agg(count(lit(1)).as("n_purchases"))
+          .orderBy("channel")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id, event_type FROM events),
+        |p AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'purchase'),
+        |m AS (SELECT user_id, us, event_id, event_type FROM e WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.user_id, p.event_id AS pid, m.event_type AS mtype,
+        |    row_number() OVER (PARTITION BY p.user_id, p.event_id ORDER BY m.us DESC, m.event_id DESC) AS rn
+        |  FROM p JOIN m ON m.user_id = p.user_id
+        |    AND (m.us < p.us OR (m.us = p.us AND m.event_id < p.event_id))
+        |    AND p.us - m.us <= 604800000000),
+        |att AS (SELECT p.user_id, p.event_id, COALESCE(j1.mtype, 'none') AS channel
+        |  FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j1
+        |    ON j1.user_id = p.user_id AND j1.pid = p.event_id)
+        |SELECT channel, COUNT(*) AS n_purchases FROM att
+        |GROUP BY channel ORDER BY channel""".stripMargin)),
+
+    // SCD2 dimension build: each user's event_type history collapsed to
+    // CHANGE-only versioned rows with [valid_from, valid_to) intervals
+    // (valid_to null = current) — the slowly-changing-dimension modeling
+    // pass of a warehouse, from the raw event log in two window passes
+    // (run detection + lead) and one hash-agg. All integer µs.
+    QueryDef("q125_scd2_intervals",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ver").asc)
+        Tables.events(s, d).where(col("user_id") < 20)
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .withColumn("chg", when(col("prev").isNull ||
+            col("prev") =!= col("event_type"), 1L).otherwise(0L))
+          .withColumn("ver", sum(col("chg")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "ver")
+          .agg(min(col("event_type")).as("value"),
+            min(col("us")).as("valid_from_us"))
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+          .orderBy("user_id", "ver")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id, event_type
+        |  FROM events WHERE user_id < 20),
+        |x AS (SELECT user_id, us, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |v AS (SELECT user_id, us, event_type,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ver FROM x),
+        |r AS (SELECT user_id, ver, MIN(event_type) AS value, MIN(us) AS valid_from_us
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, ver, value, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver ASC) AS valid_to_us
+        |FROM r ORDER BY user_id, ver""".stripMargin))
   )
 }
