@@ -226,4 +226,79 @@ class PropertySpec extends SparkSpec {
       assert(tracked.exists(_._1 == heavy), s"$heavy exceeded N/capacity but is absent")
     }
   }
+
+  test("trendExact: slope denominator is non-negative on any random data (Cauchy-Schwarz)") {
+    val rows = (0 until 400).map { _ =>
+      (s"g${rnd.nextInt(6)}", rnd.nextInt(1000).toLong,
+        rnd.nextInt(2000000).toLong - 1000000L)
+    }
+    val got = graft.operators.Profile.trendExact(
+        rows.toDF("g", "x", "y"), "g", "x", "y")
+      .select(col("g"), col("slope_den").cast("long"))
+      .as[(String, Long)].collect()
+    got.foreach { case (g, den) =>
+      assert(den >= 0L, s"group $g: n·Σx²−(Σx)² = $den < 0")
+    }
+    // and the driver-side recomputation agrees exactly, per group
+    val byG = rows.groupBy(_._1)
+    val gotFull = graft.operators.Profile.trendExact(
+        rows.toDF("g", "x", "y"), "g", "x", "y")
+      .select(col("g"), col("n"), col("slope_num").cast("long"),
+        col("slope_den").cast("long"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    byG.foreach { case (g, rs) =>
+      val n = rs.size.toLong
+      val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+      val sxy = rs.map(r => r._2 * r._3).sum; val sxx = rs.map(r => r._2 * r._2).sum
+      assert(gotFull(g) === ((g, n, n * sxy - sx * sy, n * sxx - sx * sx)))
+    }
+  }
+
+  test("zipfCoverage: coverage is monotone in k and reaches 1.0 at full vocab") {
+    val words = (0 until 30).map(i => s"w$i")
+    val docs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(20)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val ks = Seq(1L, 3L, 10L, 30L, 1000L)
+    val got = graft.operators.Profile.zipfCoverage(docs, "text", ks)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 <= b._4, s"coverage not monotone: $a then $b")
+    }
+    assert(got.last._4 === 1.0)
+    assert(got.forall(r => r._2 <= r._3)) // top mass never exceeds total
+  }
+
+  test("quality gates are monotone: loosening any threshold never drops a survivor") {
+    val docs = (0 until 120).map { i =>
+      val toks = Seq.fill(3 + rnd.nextInt(30))(
+        Seq("the", "a", "uno", "verylongwordindeed", "x!", "ok")(rnd.nextInt(6)))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    def passSet(minTok: Long, hiLen: Long, symPermille: Long, minStop: Long) =
+      graft.operators.Quality.ruleFlags(docs, "text", minTok = minTok,
+          hiLen = hiLen, symPermille = symPermille, minStop = minStop)
+        .where(col("pass")).select("doc_id").as[Long].collect().toSet
+    val strict = passSet(5L, 6L, 50L, 1L)
+    val loose = passSet(2L, 12L, 300L, 0L)
+    assert(strict.subsetOf(loose),
+      s"loosening lost survivors: ${strict -- loose}")
+  }
+
+  test("kmv intersect estimate is exact when both samples cover their sets") {
+    // tiny sets (< k): the sample IS the set, theta = max hash of the
+    // smaller-max group, and every common value below theta is counted —
+    // for nested sets A ⊂ B the estimate denominator-cancels to truth
+    // only statistically; what IS exact: n_common counts true common
+    // hashes below theta, never more than min(|A|, |B|)
+    val a = (0L until 40L).map(("A", _))
+    val b = (20L until 60L).map(("B", _))
+    val s = graft.operators.Sketch.kmvSample(
+      (a ++ b).toDF("g", "k"), "g", "k", k = 256)
+    val r = graft.operators.Sketch.kmvIntersect(s, "g")
+      .as[(String, String, Long, Long, Double)].collect().head
+    assert(r._4 <= 40L) // bounded by the smaller set
+    assert(r._4 >= 1L)  // the 20-key overlap must surface below theta
+    assert(r._5 >= 0.0)
+  }
 }
