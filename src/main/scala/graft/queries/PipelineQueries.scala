@@ -1810,7 +1810,65 @@ object PipelineQueries {
         |  FROM kk x JOIN kk y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2)
         |SELECT a, b, n_shared, a_lo, a_hi, b_lo, b_hi FROM p
         |WHERE n_shared >= 2
-        |ORDER BY n_shared DESC, a ASC, b ASC LIMIT 20""".stripMargin))
+        |ORDER BY n_shared DESC, a ASC, b ASC LIMIT 20""".stripMargin)),
+
+    // Per-source DATA CARD: the one-row-per-corpus datasheet a curator
+    // publishes — volume (docs, tokens), language spread (distinct +
+    // modal lang), quality pass count (q114's gates) and exact-dup count
+    // (docs minus distinct normalized texts), composed as FOUR tiny
+    // hash-aggs equi-joined on source in ONE declarative plan. All
+    // integers; every ingredient is an operator already oracle-pinned
+    // on its own (q114, q15, q23).
+    QueryDef("q126_source_datacard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(wsTokens(col("text"))).cast("long")).as("sum_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(lower(trim(col("text")))).as("n_uniq"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("cnt").desc, col("lang").asc)
+        val top = docs.groupBy("source", "lang")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(wTop))
+          .where(col("rk") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        val qual = graft.operators.Quality.ruleFlags(docs, "text")
+          .groupBy("source")
+          .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+        base.join(top, "source").join(qual, "source")
+          .select(col("source"), col("n_docs"), col("sum_tokens"),
+            col("n_langs"), col("top_lang"), col("n_pass"),
+            (col("n_docs") - col("n_uniq")).as("n_exact_dups"))
+          .orderBy("source")
+      },
+      Some(s"""WITH base AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(length($duckToks)) AS BIGINT) AS sum_tokens,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(DISTINCT lower(trim(text))) AS BIGINT) AS n_uniq
+        |  FROM documents GROUP BY source),
+        |top AS (SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang, COUNT(*) AS cnt,
+        |      row_number() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang ASC) AS rk
+        |    FROM documents GROUP BY source, lang) WHERE rk = 1),
+        |m AS (SELECT source,
+        |    CAST(length(toks) AS BIGINT) AS n_tok,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym,
+        |    CAST(${duckMarker(Seq("the", "a", "is", "of", "and"))} AS BIGINT) AS c_stop,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM (SELECT source, text, $duckToks AS toks FROM documents)),
+        |qual AS (SELECT source, CAST(SUM(CASE WHEN
+        |    (n_tok >= 15 AND n_tok <= 500) AND
+        |    (3 * n_tok <= sum_len AND sum_len <= 8 * n_tok) AND
+        |    (100 * len > 1000 * n_sym) AND (c_stop >= 1)
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_pass FROM m GROUP BY source)
+        |SELECT base.source, n_docs, sum_tokens, n_langs, top_lang, n_pass,
+        |  n_docs - n_uniq AS n_exact_dups
+        |FROM base JOIN top ON top.source = base.source
+        |  JOIN qual ON qual.source = base.source
+        |ORDER BY base.source""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values
