@@ -44,27 +44,63 @@ object Ivm {
     * dense array.
     */
   def aggState(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      hllCol: Option[String] = None, p: Int = 8): DataFrame = hllCol match {
-    case None =>
-      df.groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
-          min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
-    case Some(hc) =>
-      val m = 1 << p
-      val (b, r) = graft.operators.Sketch.hllBucketRank(col(hc), p)
-      df.select((groupCols.map(col) :+ col(valueCol) :+ b.as("__b") :+ r.as("__r")): _*)
-        .groupBy((groupCols.map(col) :+ col("__b")): _*)
-        .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
-          min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"),
-          max(col("__r")).as("__reg"))
-        .groupBy(groupCols.map(col): _*)
-        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
-          min(col("mn")).as("mn"), max(col("mx")).as("mx"),
-          aggregate(collect_list(struct(col("__b"), col("__reg"))),
+      hllCol: Option[String] = None, p: Int = 8,
+      xCol: Option[String] = None): DataFrame = {
+    // optional regression-trend sums: with an x column, the state also
+    // carries (sx, sxy, sxx) — three more Long monoids, so a refreshed
+    // view reads out the exact least-squares drift ([[trendOf]]) without
+    // ever rescanning the base. Row-level products stay in Long (the
+    // Profile.trendExact contract); the CLEARED-denominator widening to
+    // decimal38 happens only at read time.
+    val trendAggs = xCol.toSeq.flatMap { xc =>
+      Seq(sum(col(xc)).as("sx"),
+        sum(col(xc) * col(valueCol)).as("sxy"),
+        sum(col(xc) * col(xc)).as("sxx"))
+    }
+    hllCol match {
+      case None =>
+        val aggs = Seq(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+          min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx")) ++
+          trendAggs
+        df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      case Some(hc) =>
+        val m = 1 << p
+        val (b, r) = graft.operators.Sketch.hllBucketRank(col(hc), p)
+        val keep = groupCols.map(col) ++ Seq(col(valueCol)) ++
+          xCol.map(col).toSeq ++ Seq(b.as("__b"), r.as("__r"))
+        val partial = Seq(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+          min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx")) ++
+          trendAggs ++ Seq(max(col("__r")).as("__reg"))
+        val resum = Seq(sum(col("n")).as("n"), sum(col("s")).as("s"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx")) ++
+          xCol.toSeq.flatMap(_ => Seq(sum(col("sx")).as("sx"),
+            sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))) ++
+          Seq(aggregate(collect_list(struct(col("__b"), col("__reg"))),
             array_repeat(lit(0L), m),
             (acc, e) => transform(acc, (v, i) =>
               when(i.cast("long") === e.getField("__b"),
                 greatest(v, e.getField("__reg"))).otherwise(v))).as("hll"))
+        df.select(keep: _*)
+          .groupBy((groupCols.map(col) :+ col("__b")): _*)
+          .agg(partial.head, partial.tail: _*)
+          .groupBy(groupCols.map(col): _*)
+          .agg(resum.head, resum.tail: _*)
+    }
+  }
+
+  /** Exact least-squares drift read out of a state/view frame that
+    * carries the trend sums: (group..., n, slope_num, slope_den) —
+    * num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)², decimal(38,0). The IVM
+    * face of [[Profile.trendExact]]: same rational, but computed from a
+    * persisted view that refreshed in O(delta).
+    */
+  def trendOf(state: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val dec = "decimal(38,0)"
+    state.select((groupCols.map(col) :+ col("n") :+
+      (col("n").cast(dec) * col("sxy").cast(dec) -
+        col("sx").cast(dec) * col("s").cast(dec)).as("slope_num") :+
+      (col("n").cast(dec) * col("sxx").cast(dec) -
+        col("sx").cast(dec) * col("sx").cast(dec)).as("slope_den")): _*)
   }
 
   /** ⊕ — merge state frames group-wise: counts and sums add, extrema
@@ -76,8 +112,13 @@ object Ivm {
   def mergeStates(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
     require(states.nonEmpty, "mergeStates: need at least one state frame")
     val u = states.reduce(_.unionByName(_))
-    val scalars = Seq(sum(col("n")).as("n"), sum(col("s")).as("s"),
+    val scalars0 = Seq(sum(col("n")).as("n"), sum(col("s")).as("s"),
       min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    // trend sums (when the states carry them) add like every other sum
+    val scalars =
+      if (!u.columns.contains("sx")) scalars0
+      else scalars0 ++ Seq(sum(col("sx")).as("sx"),
+        sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))
     val aggs =
       if (!u.columns.contains("hll")) scalars
       // fold the group's register arrays bucket-wise; the empty-array
@@ -94,8 +135,9 @@ object Ivm {
     * build time.
     */
   def buildAggView(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      path: String, hllCol: Option[String] = None, p: Int = 8): Unit =
-    aggState(df, groupCols, valueCol, hllCol, p)
+      path: String, hllCol: Option[String] = None, p: Int = 8,
+      xCol: Option[String] = None): Unit =
+    aggState(df, groupCols, valueCol, hllCol, p, xCol)
       .write.mode("overwrite").parquet(s"$path/v${nextVersion(path)}")
 
   /** Refresh the persisted view with a delta batch: read the current
@@ -104,9 +146,9 @@ object Ivm {
     */
   def refreshAggView(delta: DataFrame, groupCols: Seq[String],
       valueCol: String, path: String, hllCol: Option[String] = None,
-      p: Int = 8): Unit = {
+      p: Int = 8, xCol: Option[String] = None): Unit = {
     val cur = readAggView(delta.sparkSession, path)
-    mergeStates(Seq(cur, aggState(delta, groupCols, valueCol, hllCol, p)),
+    mergeStates(Seq(cur, aggState(delta, groupCols, valueCol, hllCol, p, xCol)),
         groupCols)
       .write.mode("overwrite").parquet(s"$path/v${nextVersion(path)}")
   }
@@ -132,10 +174,10 @@ object Ivm {
     */
   def mergeBatch(delta: DataFrame, groupCols: Seq[String], valueCol: String,
       path: String, batchId: Long, hllCol: Option[String] = None,
-      p: Int = 8): Unit = {
+      p: Int = 8, xCol: Option[String] = None): Unit = {
     if (completeBatchIds(path).contains(batchId)) return
     val cur = readAggView(delta.sparkSession, path)
-    mergeStates(Seq(cur, aggState(delta, groupCols, valueCol, hllCol, p)),
+    mergeStates(Seq(cur, aggState(delta, groupCols, valueCol, hllCol, p, xCol)),
         groupCols)
       .write.mode("overwrite")
       .parquet(s"$path/v${nextVersion(path)}_b$batchId")

@@ -115,4 +115,67 @@ class IvmSpec extends SparkSpec {
       .collect().toSeq
     assert(got === full)
   }
+
+  private def xyRows = Seq(
+    ("a", 0L, 10L), ("a", 1L, 13L), ("a", 2L, 16L), ("a", 3L, 19L),
+    ("b", 0L, 9L), ("b", 5L, 4L), ("b", 10L, -1L),
+    ("c", 7L, 7L))
+
+  test("trend sums: merge of any split equals the full recompute") {
+    val full = Ivm.aggState(xyRows.toDF("g", "x", "v"), Seq("g"), "v",
+        xCol = Some("x"))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    for (cut <- 0 to xyRows.size) {
+      val merged = Ivm.mergeStates(
+          Seq(Ivm.aggState(xyRows.take(cut).toDF("g", "x", "v"), Seq("g"), "v",
+              xCol = Some("x")),
+            Ivm.aggState(xyRows.drop(cut).toDF("g", "x", "v"), Seq("g"), "v",
+              xCol = Some("x"))),
+          Seq("g"))
+        .orderBy("g")
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(merged === full, s"split at $cut diverged")
+    }
+  }
+
+  test("trendOf on a refreshed view equals Profile.trendExact on all rows") {
+    val dir = Files.createTempDirectory("ivm-trend").toString
+    val base = xyRows.take(5).toDF("g", "x", "v")
+    val delta = xyRows.drop(5).toDF("g", "x", "v")
+    Ivm.buildAggView(base, Seq("g"), "v", dir, xCol = Some("x"))
+    Ivm.refreshAggView(delta, Seq("g"), "v", dir, xCol = Some("x"))
+    val got = Ivm.trendOf(Ivm.readAggView(spark, dir), Seq("g"))
+      .select(col("g"), col("n"), col("slope_num").cast("long"),
+        col("slope_den").cast("long"))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    val want = graft.operators.Profile.trendExact(
+        xyRows.toDF("g", "x", "v"), "g", "x", "v")
+      .select(col("g"), col("n"), col("slope_num").cast("long"),
+        col("slope_den").cast("long"))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    // sanity: group a is y = 3x + 10 exactly → slope rational reduces to 3
+    val a = got.find(_._1 == "a").get
+    assert(a._3 === 3L * a._4 && a._4 > 0L)
+  }
+
+  test("trend sums ride the hll variant too (both optional columns at once)") {
+    val rows = Seq(("g", 1L, 2L, "u1"), ("g", 2L, 4L, "u2"), ("g", 3L, 6L, "u1"))
+    val full = Ivm.aggState(rows.toDF("g", "x", "v", "u"), Seq("g"), "v",
+        hllCol = Some("u"), p = 4, xCol = Some("x"))
+    assert(full.columns.toSeq ===
+      Seq("g", "n", "s", "mn", "mx", "sx", "sxy", "sxx", "hll"))
+    val merged = Ivm.mergeStates(Seq(
+        Ivm.aggState(rows.take(1).toDF("g", "x", "v", "u"), Seq("g"), "v",
+          hllCol = Some("u"), p = 4, xCol = Some("x")),
+        Ivm.aggState(rows.drop(1).toDF("g", "x", "v", "u"), Seq("g"), "v",
+          hllCol = Some("u"), p = 4, xCol = Some("x"))),
+      Seq("g"))
+    assert(merged.select("g", "n", "s", "mn", "mx", "sx", "sxy", "sxx", "hll")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Seq[Long])]
+      .collect().toSeq ===
+      full.as[(String, Long, Long, Long, Long, Long, Long, Long, Seq[Long])]
+        .collect().toSeq)
+  }
 }
