@@ -590,6 +590,44 @@ object OlapQueries {
         |  MAX(CAST(floor(value * 1000) AS BIGINT)) AS mx
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // q117's drift rational served from the INCREMENTAL view: base/delta
+    // states split at the q14 cutoff each carry the (sx, sxy, sxx) trend
+    // monoids, merge like every other sum, and Ivm.trendOf reads the
+    // exact least-squares slope out of the merged state — the oracle
+    // recomputes it from scratch over ALL rows. Hash-match proves a
+    // view refreshed in O(delta) serves the same drift answer as a full
+    // rescan (q95 ⊕ q117: the IVM face of exact regression).
+    QueryDef("q127_ivm_trend",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_type"),
+          col("ts"), expr("(ts div 3600000000000) % 24").as("x"),
+          floor(col("value") * 1000).cast("long").as("v_m"))
+        val cut = 1705276800000000000L
+        val base = graft.operators.Ivm.aggState(
+          ev.where(col("ts") <= cut), Seq("event_type"), "v_m",
+          xCol = Some("x"))
+        val delta = graft.operators.Ivm.aggState(
+          ev.where(col("ts") > cut), Seq("event_type"), "v_m",
+          xCol = Some("x"))
+        graft.operators.Ivm.trendOf(
+            graft.operators.Ivm.mergeStates(Seq(base, delta),
+              Seq("event_type")), Seq("event_type"))
+          .select(col("event_type"), col("n"),
+            col("slope_num").cast("long").as("slope_num"),
+            col("slope_den").cast("long").as("slope_den"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (SELECT event_type,
+        |  (epoch_us(ts) // 3600000000) % 24 AS x,
+        |  CAST(floor(value * 1000) AS BIGINT) AS y FROM events),
+        |st AS (SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |  CAST(SUM(x * y) AS HUGEINT) AS sxy, CAST(SUM(x * x) AS HUGEINT) AS sxx
+        |  FROM m GROUP BY event_type)
+        |SELECT event_type, n, CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+        |FROM st ORDER BY event_type""".stripMargin)),
+
     // Label-propagation communities (Graph.labelPropagation, 2 sync
     // rounds): mode-of-neighbors labeling over the quarter-filtered
     // part co-purchase graph — density finds communities where min-label
