@@ -24,13 +24,19 @@ object StreamIvm {
     * already exist ([[Ivm.buildAggView]] over the base corpus — the one
     * full scan); `checkpointDir` is the streaming source position store.
     */
+  /** `hllCol`/`xCol` flow through to [[Ivm.aggState]]: the streamed view
+    * can carry the distinct-count registers and the least-squares trend
+    * sums — all three optional statistics ride the same idempotent ⊕.
+    */
   def maintain(stream: DataFrame, groupCols: Seq[String], valueCol: String,
       path: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      hllCol: Option[String] = None, p: Int = 8,
+      xCol: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        Ivm.mergeBatch(batch, groupCols, valueCol, path, id)
+        Ivm.mergeBatch(batch, groupCols, valueCol, path, id, hllCol, p, xCol)
       }
       .trigger(trigger)
       .start()

@@ -34,6 +34,33 @@ class StreamIvmSpec extends SparkSpec {
     assert(got === full)
   }
 
+  test("streamed view with trend sums: Ivm.trendOf == batch trendExact") {
+    val base = Seq(("a", 0L, 10L), ("a", 1L, 13L), ("b", 0L, 9L))
+      .toDF("g", "x", "v")
+    val delta = Seq(("a", 2L, 16L), ("a", 3L, 19L), ("b", 5L, 4L),
+      ("b", 10L, -1L)).toDF("g", "x", "v")
+    val viewDir = Files.createTempDirectory("ivm-tview").toString
+    Ivm.buildAggView(base, Seq("g"), "v", viewDir, xCol = Some("x"))
+    val deltaDir = Files.createTempDirectory("ivm-tdelta").toString
+    delta.repartition(2).write.mode("overwrite").parquet(deltaDir)
+    val q = StreamIvm.maintain(
+      spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(deltaDir),
+      Seq("g"), "v", viewDir,
+      Files.createTempDirectory("ivm-tckpt").toString, xCol = Some("x"))
+    q.awaitTermination(120000)
+    val got = Ivm.trendOf(Ivm.readAggView(spark, viewDir), Seq("g"))
+      .select(col("g"), col("n"), col("slope_num").cast("long"),
+        col("slope_den").cast("long"))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    val want = graft.operators.Profile.trendExact(
+        base.unionByName(delta), "g", "x", "v")
+      .select(col("g"), col("n"), col("slope_num").cast("long"),
+        col("slope_den").cast("long"))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
   test("mergeBatch replay of a committed batch id is a no-op") {
     val dir = Files.createTempDirectory("ivm-replay").toString
     Ivm.buildAggView(Seq(("g", 1L)).toDF("g", "v"), Seq("g"), "v", dir)
