@@ -132,6 +132,54 @@ class StreamSketchSpec extends SparkSpec {
     assert(streamed.values.forall(hs => hs == hs.sorted)) // ascending emit
   }
 
+  test("sketch state survives a checkpoint RESTART: a new query on the same " +
+      "checkpoint resumes mid-corpus and converges to the batch answer") {
+    val dir = Files.createTempDirectory("graft-ssrestart-").toString
+    val ckpt = Files.createTempDirectory("graft-ssrestart-ckpt-").toString
+    def put(name: String, rows: Seq[(String, String)]): Unit = {
+      val json = rows.map { case (g, v) => s"""{"g":"$g","v":"$v"}""" }
+        .mkString("", "\n", "\n")
+      Files.write(Paths.get(s"$dir/$name"), json.getBytes)
+      ()
+    }
+    // foreachBatch sink: the memory sink refuses checkpoint recovery,
+    // but a foreachBatch query restarts from the same checkpoint — the
+    // production shape of a sketch-maintenance job that dies mid-corpus
+    def runOnce(): Seq[Seq[Long]] = {
+      val emits = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      val stream = spark.readStream.schema("g STRING, v STRING")
+        .option("maxFilesPerTrigger", "1").json(dir)
+      val q = StreamSketch.hll(stream, "g", "v", p = 6)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          emits.synchronized {
+            emits ++= batch.collect().map(_.getSeq[Long](1).toSeq)
+          }
+          ()
+        }
+        .outputMode(StreamSketch.outputMode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(60000)
+      emits.toSeq
+    }
+    put("wave1.json", (1 to 200).map(i => ("en", s"tok${i % 90}")))
+    runOnce() // first life: processes wave 1, then terminates
+    put("wave2.json", (1 to 200).map(i => ("en", s"tok${45 + (i % 90)}")))
+    val second = runOnce() // second life: SAME checkpoint — resume, not replay
+    // the second life saw ONLY wave 2 (offsets restored): one emit
+    assert(second.length === 1L,
+      s"expected exactly one wave-2 emit, got ${second.length}")
+    val streamed = second.head.zipWithIndex.collect {
+      case (reg, b) if reg > 0 => (b.toLong, reg)
+    }.toSet
+    val batch = Sketch.hllRegisters(
+        spark.read.schema("g STRING, v STRING").json(dir), "g", "v", p = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch,
+      "restarted query lost or double-counted mapGroupsWithState state")
+  }
+
   test("spaceSaving: exact and order-invariant while distinct <= capacity") {
     val dir = writeWaves()
     val stream = spark.readStream
