@@ -10,7 +10,7 @@ object SparkEntry {
   private def registry: Seq[graft.queries.QueryDef] =
     CoreQueries.all ++ graft.queries.PipelineQueries.all ++
       graft.queries.ExtendedQueries.all ++ graft.queries.TemporalQueries.all ++
-      graft.queries.OlapQueries.all
+      graft.queries.OlapQueries.all ++ graft.queries.SelectionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * DQ2: exact top-5 KNN by squared L2 — the reference's entire query path

@@ -61,4 +61,32 @@ object Sampling {
       .where(col("rk") <= n)
       .drop("__w2", "__u1", "__pri")
   }
+
+  /** GLOBAL priority sample — same exact-integer Duffield-Lund-Thorup
+    * priority as [[prioritySample]], but top-`n` over the whole frame
+    * via `orderBy().limit()` ⇒ TakeOrderedAndProject (map-side heaps +
+    * driver merge of n·partitions rows), NOT a single-partition window —
+    * an empty `partitionBy` would funnel the entire corpus through one
+    * task, the one shape that cannot survive 100 TB. The deterministic
+    * `priority` stays in the output: it IS the selection evidence, and
+    * any engine computing the same md5 coin reproduces the ranking
+    * bit-for-bit.
+    */
+  def priorityTopN(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, salt: String = ""): DataFrame = {
+    require(n >= 1, s"priorityTopN: n $n must be >= 1")
+    df.withColumn("__w2",
+        when(col(weightCol) < lit(1L << 31),
+          col(weightCol) * lit(4294967296L))
+          .otherwise(raise_error(concat(
+            lit(s"priorityTopN: $weightCol "), col(weightCol).cast("string"),
+            lit(" >= 2^31 — the shifted priority product overflows Long")))))
+      .withColumn("__u1",
+        TextFunctions.md5Low32(concat(lit(salt), col(idCol).cast("string"))) +
+          lit(1L))
+      .withColumn("priority", expr("__w2 div __u1"))
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(n)
+      .drop("__w2", "__u1")
+  }
 }

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Dsir
+
+/** DSIR data-selection queries (Xie et al. 2023) — the importance-
+  * resampling curation stage, oracle-checked end-to-end in exact integer
+  * arithmetic. Target distribution = English documents (`lang = 'en'`,
+  * the corpus's dominant coherent subset); raw = the whole corpus. Three
+  * queries pin the three passes independently: the bounded score table
+  * (q128), the row-local per-document weights (q129), and the priority
+  * resample (q130). The paper-faithful log-ratio scorer is float-typed
+  * and therefore ScalaTest-pinned (DsirSpec), per FIXTURES.md §3.
+  */
+object SelectionQueries {
+
+  private val B = 4096
+  private val SCALE = 10000L
+
+  /** DuckDB twin of [[Dsir.grams]] + [[TextFunctions.md5Bucket]]: every
+    * unigram + bigram occurrence (multiplicity kept) hashed to a bucket.
+    * Yields relation (doc_id, lang, bucket).
+    */
+  private val duckGramBuckets =
+    s"""t AS (SELECT doc_id, lang,
+      |  regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, lang, unnest(list_concat(toks,
+      |    CASE WHEN len(toks) >= 2
+      |         THEN list_transform(range(1, len(toks)),
+      |                i -> toks[i] || ' ' || toks[i+1])
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+      |b AS (SELECT doc_id, lang,
+      |  CAST('0x' || substr(md5('dsir:' || gram), 25, 8) AS BIGINT) % $B
+      |    AS bucket FROM g)""".stripMargin
+
+  /** Score table CTE on top of `b`: add-1-smoothed integer frequency
+    * ratio per bucket — DuckDB `//` and Spark `div` agree on positives.
+    */
+  private val duckScores =
+    s"""sc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc,
+      |  CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tc,
+      |  ((CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) + 1)
+      |    * $SCALE) // (CAST(COUNT(*) AS BIGINT) + 1) AS score
+      |  FROM b GROUP BY bucket)""".stripMargin
+
+  /** Per-doc weight CTE on top of `b` + `sc`. */
+  private val duckWeights =
+    """w AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(sc.score) AS BIGINT) AS weight
+      |  FROM b JOIN sc USING (bucket) GROUP BY b.doc_id)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // DSIR pass 1+2: the bounded per-bucket statistics — raw count,
+    // target count, smoothed integer ratio. Top-20 most target-
+    // distinctive buckets; state is <= 4096 rows at ANY corpus size.
+    QueryDef("q128_dsir_buckets",
+      (s, d) => Dsir.bucketScoreTable(Tables.documents(s, d), "text",
+          col("lang") === "en", buckets = B, scale = SCALE)
+        .orderBy(col("score").desc, col("bucket").asc)
+        .limit(20),
+      Some(s"""WITH $duckGramBuckets,
+        |$duckScores
+        |SELECT bucket, rc, tc, score FROM sc
+        |ORDER BY score DESC, bucket ASC LIMIT 20""".stripMargin)),
+
+    // DSIR pass 3: row-local per-document importance weights (sum of
+    // bucket scores over the doc's own gram occurrences, mean-normalized
+    // by length). Top-20 most English-like documents. The Spark side
+    // carries the score table as ONE literal array — the scoring scan
+    // has zero Exchange (plan-pinned in DsirSpec).
+    QueryDef("q129_dsir_weights",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val table = Dsir.bucketScoreTable(docs, "text",
+          col("lang") === "en", buckets = B, scale = SCALE)
+        val scores = Dsir.collectScores(table, B, SCALE)
+        Dsir.importanceWeights(docs, "doc_id", "text", scores)
+          .orderBy(col("mean_score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some(s"""WITH $duckGramBuckets,
+        |$duckScores,
+        |$duckWeights
+        |SELECT doc_id, n_grams, weight, weight // n_grams AS mean_score
+        |FROM w ORDER BY mean_score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // End-to-end DSIR selection: importance weights -> priority RESAMPLE
+    // (Duffield-Lund-Thorup with the exact-integer md5 coin — the
+    // reproducible Gumbel-top-k step). 10 winners; `priority` is the
+    // selection evidence, reproduced bit-for-bit by the oracle.
+    QueryDef("q130_dsir_select",
+      (s, d) => Dsir.select(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", n = 10, buckets = B, scale = SCALE)
+        .orderBy(col("priority").desc, col("doc_id").asc),
+      Some(s"""WITH $duckGramBuckets,
+        |$duckScores,
+        |$duckWeights,
+        |m AS (SELECT doc_id, n_grams, weight,
+        |  weight // n_grams AS mean_score FROM w),
+        |p AS (SELECT *, (mean_score * 4294967296)
+        |  // (CAST('0x' || substr(md5('dsir:rs:' ||
+        |       CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT) + 1) AS priority
+        |  FROM m)
+        |SELECT doc_id, n_grams, weight, mean_score, priority FROM p
+        |ORDER BY priority DESC, doc_id ASC LIMIT 10""".stripMargin)))
+}
