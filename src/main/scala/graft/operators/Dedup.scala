@@ -88,6 +88,56 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** FIRST-OCCURRENCE-KEPT span dedup — the other half of the Lee et al.
+    * (2022) exact-substring policy: where [[chunkDedup]] deletes a
+    * boilerplate chunk from EVERY document, this keeps each duplicated
+    * k-token chunk's EARLIEST corpus occurrence (minimum (id, pos)) and
+    * removes only the later copies — corpus content survives exactly
+    * once, so no text is lost, only repetition (the RefinedWeb /
+    * dedup-before-training discipline).
+    *
+    * Same scale shape as [[chunkDedup]]: chunk hash → one hash-key
+    * shuffle for the min-occurrence agg, an equi-join back on the same
+    * key, one groupBy(id) reassembly — never all-pairs. The occurrence
+    * order is the exact integer `id·posCap + pos` (`idCol` must be a
+    * non-negative integral id); the row-path guard fails loud on
+    * `pos >= posCap` or an id large enough to overflow the composite,
+    * rather than silently mis-ranking. Output: (id, n_chunks,
+    * n_dropped, clean_text) — [[chunkDedup]]'s contract.
+    */
+  def chunkDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      k: Int, posCap: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"chunkDedupKeepFirst: k $k must be >= 1")
+    require(posCap >= 2, s"chunkDedupKeepFirst: posCap $posCap must be >= 2")
+    val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+    val base = toks.select(col(idCol),
+      greatest(((size(col("toks")) + (k - 1)) / k).cast("long"), lit(1L))
+        .as("n_chunks"))
+    val idL = col(idCol).cast("long")
+    val chunks = toks
+      .select(col(idCol), posexplode(chunksOfTokens(col("toks"), k)).as(Seq("pos", "chunk")))
+      .withColumn("ch", md5Low60(col("chunk")))
+      .withColumn("occ",
+        when(col("pos") < lit(posCap) && idL >= 0 &&
+            idL < lit(Long.MaxValue / posCap),
+          idL * lit(posCap) + col("pos"))
+          .otherwise(raise_error(concat(
+            lit(s"chunkDedupKeepFirst: (id, pos) = ("), idL.cast("string"),
+            lit(", "), col("pos").cast("string"),
+            lit(s") outside the posCap=$posCap composite-order domain")))))
+    val first = chunks.groupBy(col("ch")).agg(min(col("occ")).as("first_occ"))
+    val kept = chunks.join(first, Seq("ch"))
+      .where(col("occ") === col("first_occ"))
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("clean_text"))
+    base.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** MinHash signatures + LSH band keys for each row.
     * Output: (id, shingles, sig, bands). The signature is the codegen
     * [[graft.functions.expressions.MinHashSig]] — bit-identical to the

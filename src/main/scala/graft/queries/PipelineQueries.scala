@@ -920,6 +920,31 @@ object PipelineQueries {
         |WHERE c.doc_id < 500
         |ORDER BY doc_id""".stripMargin)),
 
+    // FIRST-OCCURRENCE-KEPT span dedup (Lee et al. 2022, RefinedWeb
+    // policy): every duplicated 8-token chunk survives at its EARLIEST
+    // corpus position (min doc_id·2^20 + pos, exact-integer order) and
+    // is removed from later copies — q52's delete-everywhere twin that
+    // loses repetition but never content. Same three hash-key shuffles.
+    QueryDef("q131_chunk_dedup_first",
+      (s, d) => Dedup.chunkDedupKeepFirst(Tables.documents(s, d), "doc_id",
+          "text", k = 8)
+        .where(col("doc_id") < 500)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, list_transform(range(0, greatest(CAST(ceil(length(toks)/8.0) AS BIGINT), 1)),
+        |  i -> array_to_string(list_slice(toks, CAST(i*8+1 AS INT), CAST(i*8+8 AS INT)), ' ')) AS chunks FROM t),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS pos, unnest(chunks) AS chunk FROM c),
+        |h AS (SELECT doc_id, pos, chunk, CAST('0x'||substr(md5(chunk),18,15) AS BIGINT) AS ch FROM e),
+        |f AS (SELECT ch, min(doc_id*1048576 + pos) AS fo FROM h GROUP BY ch),
+        |kept AS (SELECT h.* FROM h JOIN f ON h.ch = f.ch AND h.doc_id*1048576 + h.pos = f.fo),
+        |agg AS (SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(length(c.chunks) AS BIGINT) AS n_chunks,
+        |  CAST(length(c.chunks) AS BIGINT) - coalesce(a.n_kept, 0) AS n_dropped,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM c LEFT JOIN agg a USING (doc_id)
+        |WHERE c.doc_id < 500
+        |ORDER BY doc_id""".stripMargin)),
+
     // Prefix-filtered set-similarity join (AllPairs/PPJoin, MapReduce
     // form per Vernica et al. 2010): all pairs with 3-gram-set Jaccard
     // ≥ 1/2, candidates ONLY from each doc's |x|−⌈t|x|⌉+1 globally-

@@ -57,4 +57,37 @@ class ChunkDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(3000))
   }
+
+  test("keep-first: earliest occurrence survives, later copies drop") {
+    val got = Dedup.chunkDedupKeepFirst(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 0L, "x x a a"),   // first owner of "x x" keeps it
+      (2L, 2L, 1L, "b b"),       // later copy removed
+      (3L, 2L, 0L, "c c d d"),
+      (4L, 2L, 1L, "y y"),       // within-doc repeat collapses to first
+      (5L, 1L, 1L, "")))         // "x x" already owned by doc 1
+  }
+
+  test("keep-first preserves content: every distinct chunk survives once") {
+    val cleaned = Dedup.chunkDedupKeepFirst(docs, "doc_id", "text", k = 2)
+    val survivors = cleaned.where(col("clean_text") =!= "")
+      .select(explode(chunksOfTokens(wsTokens(col("clean_text")), 2)).as("c"))
+      .groupBy("c").count().collect()
+    // exactly the corpus's distinct chunks, each exactly once
+    val distinctChunks = docs
+      .select(explode(chunksOfTokens(wsTokens(col("text")), 2)).as("c"))
+      .distinct().count()
+    assert(survivors.length.toLong == distinctChunks)
+    survivors.foreach(r => assert(r.getLong(1) == 1L, r.toString))
+  }
+
+  test("keep-first guard: pos past posCap fails loud, not mis-ranked") {
+    val long = (1 to 12).map(_ => "t").mkString(" ")
+    val e = intercept[Exception] {
+      Dedup.chunkDedupKeepFirst(Seq((1L, long)).toDF("doc_id", "text"),
+        "doc_id", "text", k = 2, posCap = 4).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
