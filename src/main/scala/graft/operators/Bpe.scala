@@ -153,4 +153,40 @@ object Bpe {
         .flatMap(w => segment(w, ranks)))
     }.toDF(idCol, "tokens")
   }
+
+  /** DECLARATIVE tokenizer apply — the oracle-checkable twin of
+    * [[tokenize]]: the document rides the plan as a wrapped-symbol
+    * string (q88's `⟨sym⟩` trick: every symbol is `\u0001 sym \u0002`,
+    * words separated by `\u0003` so no merge crosses a word boundary)
+    * and each learned merge is ONE codegen `replace` — left-to-right
+    * non-overlapping, exactly the SQL `replace` semantics, applied in
+    * rank order. Zero shuffle, zero UDF, and any engine computing the
+    * same replaces matches byte-for-byte — which is what lets q132
+    * hash-pin BPE APPLY end-to-end (training oracle-pinned by q56).
+    *
+    * Rank-order-sequential apply equals [[segment]]'s
+    * lowest-rank-first loop whenever no later merge manufactures an
+    * earlier merge's symbol pair (true for tables learned from this
+    * corpus — BpeSpec cross-checks the two paths token-for-token on
+    * real data). Output: (idCol, n_bpe_tokens) — the per-document
+    * token count under the learned vocabulary, the number a batch
+    * packer or a cost model consumes.
+    */
+  def tokenizeInPlan(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val (soh, stx, ws) = ("\u0001", "\u0002", "\u0003")
+    val wrapWord = (w: org.apache.spark.sql.Column) =>
+      when(length(w) === 0, lit("")).otherwise(
+        array_join(transform(sequence(lit(1), greatest(length(w), lit(1))),
+          i => concat(lit(soh), w.substr(i, lit(1)), lit(stx))), ""))
+    val wrapped = array_join(
+      transform(wsTokens(col(textCol)), wrapWord), ws)
+    val applied = merges.foldLeft(wrapped)((s, m) =>
+      replace(s, lit(soh + m.a + stx + soh + m.b + stx),
+        lit(soh + m.a + m.b + stx)))
+    df.select(col(idCol), applied.as("__s"))
+      .select(col(idCol),
+        (length(col("__s")) - length(replace(col("__s"), lit(soh), lit(""))))
+          .cast("long").as("n_bpe_tokens"))
+  }
 }

@@ -1173,6 +1173,23 @@ object PipelineQueries {
       },
       Some(bpeUnrolledOracle(8))),
 
+    // BPE APPLY, oracle-checked end-to-end: train the same 8 merges
+    // (q56's loop), then tokenize EVERY document declaratively —
+    // Bpe.tokenizeInPlan replays each merge as one codegen replace over
+    // the wrapped-symbol document (chr(3) word separators), so the SQL
+    // twin is byte-identical by construction. Output = per-doc token
+    // count under the learned vocabulary (what a sequence packer or a
+    // token-budget cost model consumes). With q56 (training) this makes
+    // the whole BPE lifecycle hash-pinned: learn -> apply -> count.
+    QueryDef("q132_bpe_tokenize",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
+        graft.operators.Bpe.tokenizeInPlan(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      },
+      Some(bpeTokenizeOracle(8))),
+
     // The DISTRIBUTED half of the BPE trainer, oracle-checked: the
     // word-frequency table (Bpe.wordCounts — the trainer's one shuffle,
     // cut to the same top-maxVocab, same total order) feeds weighted
@@ -1933,7 +1950,12 @@ object PipelineQueries {
     * rank-by-rank argmax trace — (rows, schema, hash) against the real
     * driver loop.
     */
-  private def bpeUnrolledOracle(n: Int): String = {
+  /** The shared training CTE chain of the unrolled BPE oracles: word
+    * counts → wrapped-symbol vocab (s0) → n × (pair-count argmax m_i +
+    * apply stage s_i). m1..mn are the learned merges; the final apply
+    * stage is included so tokenize oracles can also reference sn.
+    */
+  private def bpeTrainStages(n: Int): String = {
     def pairStage(i: Int): String =
       s"""p$i AS (SELECT a, b, SUM(cnt) AS pc FROM (
          |    SELECT l[CAST(i AS INT)] AS a, l[CAST(i AS INT)+1] AS b, cnt FROM (
@@ -1947,17 +1969,43 @@ object PipelineQueries {
     val stages = (1 to n).map { i =>
       if (i < n) pairStage(i) + ",\n" + applyStage(i) else pairStage(i)
     }.mkString(",\n")
-    val trace = (1 to n).map { i =>
-      val sep = if (i == 1) "" else "UNION ALL "
-      s"${sep}SELECT ${i - 1} AS rk, a, b FROM m$i"
-    }.mkString("\n  ")
-    s"""WITH toks AS (SELECT unnest($duckToks) AS word FROM documents),
+    s"""toks AS (SELECT unnest($duckToks) AS word FROM documents),
        |wc AS (SELECT word, COUNT(*) AS cnt FROM toks WHERE word <> ''
        |       GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 65536),
        |s0 AS (SELECT cnt, array_to_string(list_transform(range(1, length(word)+1),
        |         i -> chr(1)||substr(word, CAST(i AS INT), 1)||chr(2)), '') AS s FROM wc),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  private def bpeUnrolledOracle(n: Int): String = {
+    val trace = (1 to n).map { i =>
+      val sep = if (i == 1) "" else "UNION ALL "
+      s"${sep}SELECT ${i - 1} AS rk, a, b FROM m$i"
+    }.mkString("\n  ")
+    s"""WITH ${bpeTrainStages(n)}
        |SELECT rk, a, b FROM (
        |  $trace) ORDER BY rk""".stripMargin
+  }
+
+  /** Unrolled BPE APPLY oracle: learn the n merges (same training CTEs),
+    * then wrap every DOCUMENT as word-boundary-separated symbols
+    * (chr(3) between words — no merge crosses it) and replay each merge
+    * as one left-to-right `replace` in rank order — byte-identical to
+    * [[graft.operators.Bpe.tokenizeInPlan]]. Token count = number of
+    * chr(1) symbol-open markers left standing.
+    */
+  private def bpeTokenizeOracle(n: Int): String = {
+    val docStages = (1 to n).map { i =>
+      s"""d$i AS (SELECT doc_id, replace(s, chr(1)||m$i.a||chr(2)||chr(1)||m$i.b||chr(2),
+         |         chr(1)||m$i.a||m$i.b||chr(2)) AS s FROM d${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainStages(n)},
+       |d0 AS (SELECT doc_id, array_to_string(list_transform($duckToks,
+       |         w -> array_to_string(list_transform(range(1, length(w)+1),
+       |           i -> chr(1)||substr(w, CAST(i AS INT), 1)||chr(2)), '')), chr(3)) AS s
+       |       FROM documents),
+       |$docStages
+       |SELECT doc_id, CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT)
+       |  AS n_bpe_tokens FROM d$n ORDER BY doc_id""".stripMargin
   }
 }

@@ -143,4 +143,29 @@ class BpeSpec extends SparkSpec {
     val m6 = Bpe.train(corpus, "text", numMerges = 6)
     assert(m6.take(3) === m3)
   }
+
+  // tokenizeInPlan applies merges rank-order-sequentially (replace-all
+  // per merge); segment() loops lowest-rank-first one fuse at a time.
+  // The two agree unless a later merge manufactures an earlier merge's
+  // pair — cross-checked here on the real trained table AND the
+  // driver corpus, token count for token count.
+  test("tokenizeInPlan count == typed tokenize count (both corpora)") {
+    for (df <- Seq(corpus,
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+      val merges = Bpe.train(df, "text", numMerges = 8)
+      val typed = Bpe.tokenize(df, "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n"))
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      val inPlan = Bpe.tokenizeInPlan(df, "doc_id", "text", merges)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(inPlan === typed)
+    }
+  }
+
+  test("tokenizeInPlan: zero Exchange — the apply pass never shuffles") {
+    val merges = Bpe.train(corpus, "text", numMerges = 4)
+    val plan = Bpe.tokenizeInPlan(corpus, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
 }
