@@ -48,6 +48,45 @@ object Decontaminate {
         .select(idCol),
       Seq(idCol), "left_anti")
 
+  /** EMBEDDING-level (semantic) decontamination — the modern complement
+    * to n-gram collision: flag every corpus vector whose cosine to ANY
+    * benchmark vector reaches `tau` (paraphrased or reformatted eval
+    * items share no n-grams but sit next to their source in embedding
+    * space). Eval sets are small by nature, so the benchmark rides the
+    * plan as ONE literal array of vectors and the whole pass is a
+    * row-local fold — zero shuffle, zero join, |bench|·d flops per
+    * corpus row, embarrassingly parallel over 100 TB. For a benchmark
+    * too big to inline (>~10⁵ vectors), generate candidates through the
+    * IVF index ([[Dedup.nearestNeighborPerRowIvf]]) instead.
+    *
+    * Float discipline (FIXTURES.md §3): cosine uses only
+    * correctly-rounded IEEE ops (+,·,/,sqrt) over index-order folds, and
+    * max is order-free — so the scores hash-match an engine computing
+    * the same folds, which is what lets q133 pin this end-to-end.
+    * Zero-norm corpus rows score −1 (never flagged) rather than NaN.
+    * Output: (idCol, max_cos_bench) for flagged rows.
+    */
+  def semanticFlags(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: Seq[Seq[Double]], tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(bench.nonEmpty, "semanticFlags: empty benchmark set")
+    require(bench.size <= (1 << 16),
+      s"semanticFlags: ${bench.size} bench vectors — inline literal path " +
+        "is for small eval sets; use the IVF candidate path instead")
+    val b = typedLit(bench)
+    corpus
+      .select(col(idCol), col(vecCol).as("__v"),
+        VectorFunctions.norm(col(vecCol)).as("__nv"))
+      .select(col(idCol),
+        when(col("__nv") === 0.0, lit(-1.0)).otherwise(
+          aggregate(b, lit(-2.0), (acc, bv) =>
+            greatest(acc,
+              VectorFunctions.dotFold(col("__v"), bv) /
+                (col("__nv") * sqrt(VectorFunctions.dotFold(bv, bv))))))
+          .as("max_cos_bench"))
+      .where(col("max_cos_bench") >= tau)
+  }
+
   /** (idCol, gh): one row per distinct word n-gram per doc, gram hashed to
     * its low-60-md5 Long. Tokens are materialized before the n-gram HOF
     * (lambda re-evaluation rule, see [[ngramsOfTokens]]).

@@ -896,6 +896,35 @@ object PipelineQueries {
         |GROUP BY h.doc_id
         |ORDER BY doc_id""".stripMargin)),
 
+    // SEMANTIC decontamination — q50's embedding-space complement: flag
+    // every corpus vector with cosine >= 0.9 to ANY "benchmark" vector
+    // (vec_id % 97 = 0 plays the eval set). The benchmark rides the plan
+    // as one literal (eval sets are tiny), so the scan is row-local —
+    // zero shuffle. Cosine = correctly-rounded IEEE ops over index-order
+    // folds and MAX is order-free, so the float scores hash-match; on
+    // this near-orthogonal fixture the flags are exactly the planted
+    // bench members themselves (cos = 1), pinning the whole scorer.
+    QueryDef("q133_semantic_decontam",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val bench = emb.where(col("vec_id") % 97 === 0)
+          .orderBy("vec_id").select("embedding")
+          .collect().map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+        Decontaminate.semanticFlags(emb, "vec_id", "embedding", bench,
+            tau = 0.9)
+          .orderBy("vec_id")
+      },
+      Some("""WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id % 97 = 0),
+        |e AS (SELECT vec_id, embedding AS v,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nv FROM embeddings),
+        |s AS (SELECT e.vec_id,
+        |  CASE WHEN e.nv = 0 THEN -1.0 ELSE MAX(
+        |    list_sum(list_transform(list_zip(e.v, b.bv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+        |    / (e.nv * sqrt(list_sum(list_transform(b.bv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))) END AS max_cos_bench
+        |  FROM e, b GROUP BY e.vec_id, e.nv)
+        |SELECT vec_id, max_cos_bench FROM s WHERE max_cos_bench >= 0.9
+        |ORDER BY vec_id""".stripMargin)),
+
     // Chunk-level exact substring dedup (Lee et al. 2022 approximated on
     // non-overlapping 8-token chunks): chunks appearing in >1 document are
     // boilerplate, cut everywhere, docs reassembled in order. The hot set

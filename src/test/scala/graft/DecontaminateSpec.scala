@@ -74,4 +74,34 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  // semantic decontamination: planted geometry — vec 1 IS a bench vector
+  // (cos 1), vec 2 is a scaled copy (cos 1: scale-invariant), vec 3 is a
+  // slightly-jittered near-paraphrase, vec 4 is orthogonal, vec 5 is zero
+  private def vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(3.0f, 0.0f, 0.0f, 0.0f)),
+    (3L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),
+    (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (5L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("semanticFlags: exact copies, scaled copies and paraphrases flag; orthogonal and zero do not") {
+    val benchV = Seq(Seq(1.0, 0.0, 0.0, 0.0))
+    val got = Decontaminate.semanticFlags(vecs, "vec_id", "embedding",
+        benchV, tau = 0.95)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"flags: $got")
+    assert(got(1L) == 1.0 && got(2L) == 1.0)
+    assert(got(3L) > 0.95 && got(3L) < 1.0)
+  }
+
+  test("semanticFlags is a row-local scan: zero Exchange, no join") {
+    val plan = Decontaminate.semanticFlags(vecs, "vec_id", "embedding",
+        Seq(Seq(1.0, 0.0, 0.0, 0.0)), tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(2000))
+  }
 }
