@@ -896,6 +896,29 @@ object PipelineQueries {
         |GROUP BY h.doc_id
         |ORDER BY doc_id""".stripMargin)),
 
+    // Curriculum ordering: every document's EXACT global training-order
+    // index under (token-count band asc, doc_id asc) — easy-to-hard —
+    // WITHOUT the global row_number window (which would funnel the
+    // corpus through one task): per-band counts -> tiny exclusive-offset
+    // window (band-cardinality rows) -> intra-band ranks partitioned BY
+    // band + broadcast offset. The oracle IS the naive global window, so
+    // the hash-match proves the decomposition exact.
+    QueryDef("q134_curriculum_order",
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) div 50")
+            .as("band"))
+        graft.operators.Curriculum.globalOrderIndex(t, "band", "doc_id")
+          .select(col("doc_id"), col("band"), col("ord"))
+          .orderBy("ord")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) // 50 AS band
+        |  FROM documents)
+        |SELECT doc_id, band,
+        |  CAST(row_number() OVER (ORDER BY band, doc_id) AS BIGINT) AS ord
+        |FROM t ORDER BY ord""".stripMargin)),
+
     // SEMANTIC decontamination — q50's embedding-space complement: flag
     // every corpus vector with cosine >= 0.9 to ANY "benchmark" vector
     // (vec_id % 97 = 0 plays the eval set). The benchmark rides the plan
