@@ -282,6 +282,42 @@ object ExtendedQueries {
         |  CASE WHEN tsa IS NULL THEN 'added' WHEN tsb IS NULL THEN 'deleted' ELSE 'updated' END AS change,
         |  CAST(epoch_us(tsa) AS BIGINT) AS ts_a_us, CAST(epoch_us(tsb) AS BIGINT) AS ts_b_us
         |FROM d WHERE tsa IS NULL OR tsb IS NULL OR tsa <> tsb
-        |ORDER BY key""".stripMargin))
+        |ORDER BY key""".stripMargin)),
+
+    // Late-interaction (ColBERT MaxSim) retrieval: pseudo-docs of 4
+    // consecutive vectors (doc = vec_id div 4), query = doc 0's vector
+    // set, score(D) = SUM over query vectors of MAX over D's vectors of
+    // the dot product. One groupBy(doc) shuffle (vector sets are
+    // doc-length-bounded), then row-local nested folds + TakeOrdered.
+    // Floats hash-match: index-order dot folds, order-free MAX, fixed
+    // query-order sum (m0+m1+m2+m3 on both engines).
+    QueryDef("q135_late_interaction",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.where(col("vec_id") < 4).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+        val docs = emb.where(col("vec_id") >= 4)
+          .select(expr("vec_id div 4").as("doc"), col("embedding"))
+        graft.operators.LateInteraction.maxSimTopK(docs, "doc", "embedding",
+          qv, k = 10)
+      },
+      Some {
+        val dz = (a: String, b: String) =>
+          s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+        s"""WITH e AS (SELECT vec_id // 4 AS doc, embedding FROM embeddings WHERE vec_id >= 4),
+          |q0 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+          |q1 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 1),
+          |q2 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 2),
+          |q3 AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 3),
+          |m AS (SELECT e.doc,
+          |  MAX(${dz("e.embedding", "q0.e")}) AS m0,
+          |  MAX(${dz("e.embedding", "q1.e")}) AS m1,
+          |  MAX(${dz("e.embedding", "q2.e")}) AS m2,
+          |  MAX(${dz("e.embedding", "q3.e")}) AS m3
+          |  FROM e, q0, q1, q2, q3 GROUP BY e.doc)
+          |SELECT doc, m0+m1+m2+m3 AS score FROM m
+          |ORDER BY score DESC, doc ASC LIMIT 10""".stripMargin
+      })
   )
 }
