@@ -154,6 +154,36 @@ object Bpe {
     }.toDF(idCol, "tokens")
   }
 
+  /** Persist a learned merge table as a versioned artifact (rank, a, b)
+    * — the tokenizer-vocabulary lifecycle every other index in this
+    * engine already has (IVF centroids, PQ codebooks, Ivm views):
+    * train ONCE on the corpus snapshot, then every later job loads the
+    * frozen vocabulary instead of retraining, which is both the cost
+    * model (training scans the corpus; loading reads a KB) and the
+    * correctness model (a mid-pipeline retrain on a moved corpus would
+    * silently change every token count). Versioned dirs with parquet's
+    * `_SUCCESS` gate — a torn write is never read, newest complete
+    * version wins (the Ivm/VectorStore snapshot discipline).
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case (m, i) => (i, m.a, m.b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/v${Ivm.nextVersion(path)}")
+  }
+
+  /** Newest complete persisted merge table, in rank order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] = {
+    val v = Ivm.completeVersions(path)
+    require(v.nonEmpty, s"no BPE vocabulary at $path — saveMerges first")
+    val dir = Ivm.versionDirs(path).filter(_._1 == v.max).head._2
+    spark.read.parquet(dir).orderBy("rank")
+      .collect().map(r => Merge(r.getString(1), r.getString(2))).toSeq
+  }
+
   /** DECLARATIVE tokenizer apply — the oracle-checkable twin of
     * [[tokenize]]: the document rides the plan as a wrapped-symbol
     * string (q88's `⟨sym⟩` trick: every symbol is `\u0001 sym \u0002`,

@@ -184,7 +184,7 @@ object Ivm {
   }
 
   /** (version, dir, batchId?) for every version dir on disk, torn or not. */
-  private def versionDirs(path: String): Seq[(Long, String, Option[Long])] = {
+  private[operators] def versionDirs(path: String): Seq[(Long, String, Option[Long])] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) return Seq.empty
     val stream = Files.list(p)
@@ -203,7 +203,7 @@ object Ivm {
   private def isComplete(dir: String): Boolean =
     Files.exists(Paths.get(dir, "_SUCCESS"))
 
-  private def completeVersions(path: String): Seq[Long] =
+  private[operators] def completeVersions(path: String): Seq[Long] =
     versionDirs(path).filter(d => isComplete(d._2)).map(_._1)
 
   private def completeBatchIds(path: String): Set[Long] =
@@ -213,6 +213,6 @@ object Ivm {
     * number is never reused (its leftover dir can't shadow a newer
     * complete one).
     */
-  private def nextVersion(path: String): Long =
+  private[operators] def nextVersion(path: String): Long =
     versionDirs(path).map(_._1).foldLeft(0L)(math.max) + 1L
 }

@@ -162,6 +162,27 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("vocabulary artifact: save/load round-trip, newest version wins, torn dirs skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-vocab").toString
+    val m1 = Bpe.train(corpus, "text", numMerges = 3)
+    Bpe.saveMerges(spark, m1, dir)
+    assert(Bpe.loadMerges(spark, dir) === m1)
+    val m2 = Bpe.train(corpus, "text", numMerges = 6)
+    Bpe.saveMerges(spark, m2, dir)
+    assert(Bpe.loadMerges(spark, dir) === m2, "newest version must win")
+    // a torn (no _SUCCESS) later version must never be served
+    val torn = new java.io.File(s"$dir/v99")
+    torn.mkdirs()
+    assert(Bpe.loadMerges(spark, dir) === m2, "torn dir must be skipped")
+    // frozen vocabulary tokenizes identically to the in-memory table
+    val a = Bpe.tokenizeInPlan(corpus, "doc_id", "text", m2)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = Bpe.tokenizeInPlan(corpus, "doc_id", "text",
+      Bpe.loadMerges(spark, dir))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
   test("tokenizeInPlan: zero Exchange — the apply pass never shuffles") {
     val merges = Bpe.train(corpus, "text", numMerges = 4)
     val plan = Bpe.tokenizeInPlan(corpus, "doc_id", "text", merges)
