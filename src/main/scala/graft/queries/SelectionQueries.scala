@@ -23,9 +23,9 @@ object SelectionQueries {
     * unigram + bigram occurrence (multiplicity kept) hashed to a bucket.
     * Yields relation (doc_id, lang, bucket).
     */
-  private val duckGramBuckets =
+  private def duckGramBucketsFrom(src: String) =
     s"""t AS (SELECT doc_id, lang,
-      |  regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+      |  regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src),
       |g AS (SELECT doc_id, lang, unnest(list_concat(toks,
       |    CASE WHEN len(toks) >= 2
       |         THEN list_transform(range(1, len(toks)),
@@ -34,6 +34,8 @@ object SelectionQueries {
       |b AS (SELECT doc_id, lang,
       |  CAST('0x' || substr(md5('dsir:' || gram), 25, 8) AS BIGINT) % $B
       |    AS bucket FROM g)""".stripMargin
+
+  private val duckGramBuckets = duckGramBucketsFrom("documents")
 
   /** Score table CTE on top of `b`: add-1-smoothed integer frequency
     * ratio per bucket — DuckDB `//` and Spark `div` agree on positives.
@@ -105,5 +107,76 @@ object SelectionQueries {
         |       CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT) + 1) AS priority
         |  FROM m)
         |SELECT doc_id, n_grams, weight, mean_score, priority FROM p
-        |ORDER BY priority DESC, doc_id ASC LIMIT 10""".stripMargin)))
+        |ORDER BY priority DESC, doc_id ASC LIMIT 10""".stripMargin)),
+
+    // THE WHOLE CURATION PIPELINE as one declarative oracle-checked
+    // plan — the q55/q87 composition discipline at full pipeline width:
+    //   exact dedup (keep-min survivor)
+    //   -> n-gram benchmark decontamination (bench = doc_id%10==7)
+    //   -> quality gate (>= 30 tokens)
+    //   -> DSIR selection (top-50 most-English by integer mean_score,
+    //      score table computed over the GATED corpus — self-contained)
+    //   -> curriculum order (two-level exact global index by token band).
+    // Every stage is individually oracle-pinned (q15/q50/q114/q128-130/
+    // q134); this pins their COMPOSITION — filters feeding filters,
+    // score tables trained on filtered corpora, ranks over selections.
+    QueryDef("q136_curation_pipeline",
+      (s, d) => {
+        import graft.operators.{Curriculum, Decontaminate, Dedup}
+        import graft.functions.TextFunctions
+        val docs = Tables.documents(s, d)
+        val bench = docs.where(col("doc_id") % 10 === 7)
+        val corpus0 = docs.where(col("doc_id") % 10 =!= 7)
+        val survivors = Dedup.exact(corpus0, "doc_id", "text")
+          .select("doc_id")
+        val dd = docs.join(survivors, Seq("doc_id"))
+        val clean = Decontaminate.cleanCorpus(dd, bench, "doc_id", "text",
+          n = 8)
+        val gated = clean
+          .withColumn("n_tok",
+            size(TextFunctions.wsTokens(col("text"))).cast("long"))
+          .where(col("n_tok") >= 30)
+        val table = Dsir.bucketScoreTable(gated, "text",
+          col("lang") === "en", buckets = B, scale = SCALE)
+        val sel = Dsir.importanceWeights(gated, "doc_id", "text",
+            Dsir.collectScores(table, B, SCALE))
+          .orderBy(col("mean_score").desc, col("doc_id").asc).limit(50)
+          .select("doc_id", "mean_score")
+        val withBand = sel.join(
+          gated.select(col("doc_id"), expr("n_tok div 50").as("band")),
+          Seq("doc_id"))
+        Curriculum.globalOrderIndex(withBand, "band", "doc_id")
+          .select(col("ord"), col("doc_id"), col("band"), col("mean_score"))
+          .orderBy("ord")
+      },
+      Some(s"""WITH c0 AS (SELECT * FROM documents WHERE doc_id % 10 != 7),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM c0 GROUP BY lower(trim(text))),
+        |dd AS (SELECT d.* FROM documents d JOIN ded USING (doc_id)),
+        |cg AS (SELECT doc_id, CAST('0x'||substr(md5(unnest(grams)),18,15) AS BIGINT) AS gh FROM
+        |  (SELECT doc_id, list_distinct(list_transform(
+        |     range(0, greatest(length(toks)-7, 1)),
+        |     i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS grams
+        |   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM dd))),
+        |bg AS (SELECT DISTINCT CAST('0x'||substr(md5(unnest(grams)),18,15) AS BIGINT) AS gh FROM
+        |  (SELECT list_distinct(list_transform(
+        |     range(0, greatest(length(toks)-7, 1)),
+        |     i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS grams
+        |   FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+        |         FROM documents WHERE doc_id % 10 = 7))),
+        |flagged AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gh)),
+        |gated AS (SELECT dd.*,
+        |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+        |  FROM dd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        |    AND length(regexp_split_to_array(trim(text), '\\s+')) >= 30),
+        |${duckGramBucketsFrom("gated")},
+        |$duckScores,
+        |$duckWeights,
+        |sel AS (SELECT doc_id, weight // n_grams AS mean_score FROM w
+        |        ORDER BY mean_score DESC, doc_id ASC LIMIT 50),
+        |fin AS (SELECT s.doc_id, s.mean_score, g2.n_tok // 50 AS band
+        |        FROM sel s JOIN gated g2 USING (doc_id))
+        |SELECT CAST(row_number() OVER (ORDER BY band, doc_id) AS BIGINT) AS ord,
+        |  doc_id, band, mean_score
+        |FROM fin ORDER BY ord""".stripMargin)))
 }
