@@ -37,6 +37,42 @@ object StreamCuration {
         "pass_len", "pass_wordlen", "pass_symbol", "pass_stop", "pass")
   }
 
+  /** DSIR importance gate on a streaming document table: score each
+    * arriving doc against a FROZEN score artifact (trained batch-side by
+    * [[graft.operators.Dsir.bucketScoreTable]]/`collectScores`, or read
+    * off the streaming-maintained Ivm view via `scoresFromState`) and
+    * pass docs whose integer `mean_score` clears `minMeanScore`. The
+    * scorer is the same zero-shuffle row-local literal-array fold as the
+    * batch path, so it is streaming-compatible as-is — stateless, no
+    * watermark, append mode; stream ≡ batch is spec-pinned. The
+    * freshness loop: [[StreamIvm.maintain]] keeps the score VIEW
+    * trailing the corpus while serving gates read a frozen snapshot of
+    * it — scores update per refresh, not per row, which is the
+    * reproducibility contract a training run wants.
+    */
+  def dsirGateStream(docs: DataFrame, idCol: String, textCol: String,
+      scores: Array[Long], minMeanScore: Long,
+      salt: String = "dsir:"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    import graft.operators.Dsir
+    val buckets = scores.length
+    val sc = lit(scores)
+    // inline projections, NOT a self-semi-join — joining the stream with
+    // its own derived frame would be a stateful stream-stream join; this
+    // stays a stateless narrow plan (tokens materialized before the HOF
+    // per the lambda re-evaluation rule)
+    docs
+      .withColumn("__toks", TextFunctions.wsTokens(col(textCol)))
+      .withColumn("__g", Dsir.grams(col("__toks")))
+      .withColumn("__w", aggregate(col("__g"), lit(0L), (acc, g) =>
+        acc + element_at(sc,
+          (TextFunctions.md5Bucket(g, buckets, salt) + 1L).cast("int"))))
+      .withColumn("mean_score", expr("__w div size(__g)"))
+      .where(col("mean_score") >= minMeanScore)
+      .drop("__toks", "__g", "__w")
+  }
+
   /** Decontaminate a streaming corpus against a STATIC benchmark table:
     * each micro-batch drops docs sharing >= minShared word-n-grams with
     * the bench set ([[Decontaminate.cleanCorpus]] per batch — the gram

@@ -81,4 +81,37 @@ class StreamCurationSpec extends SparkSpec {
     assert(kept.sorted.toSeq === batchKept.sorted)
     assert(kept.sorted.toSeq === Seq(2L)) // docs 1 and 3 share 4-grams with bench
   }
+
+  test("DSIR gate runs stateless inside a stream; survivors == batch gate") {
+    import graft.operators.Dsir
+    val tmp = Files.createTempDirectory("graft-dsirstream-").toString
+    // target vocabulary "alpha beta", noise "zeta eta"
+    val train = Seq(
+      (1L, "alpha beta alpha beta", "t"), (2L, "alpha beta beta", "t"),
+      (3L, "zeta eta zeta", "n"), (4L, "eta zeta eta eta", "n"))
+      .toDF("doc_id", "text", "kind")
+    val scores = Dsir.collectScores(
+      Dsir.bucketScoreTable(train, "text", col("kind") === "t", 256, 10000L),
+      256, 10000L)
+    val incoming = Seq(
+      (10L, "alpha beta alpha"), (11L, "zeta eta"), (12L, "beta alpha"))
+      .toDF("doc_id", "text")
+    incoming.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val gated = StreamCuration.dsirGateStream(stream, "doc_id", "text",
+      scores, minMeanScore = 10000L)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.format("memory").queryName("dsir_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dsir_out").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val batch = StreamCuration.dsirGateStream(incoming, "doc_id", "text",
+      scores, minMeanScore = 10000L).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed === Seq(10L, 12L), s"target-vocab docs pass: $streamed")
+  }
 }
