@@ -73,16 +73,27 @@ object Decontaminate {
     require(bench.size <= (1 << 16),
       s"semanticFlags: ${bench.size} bench vectors — inline literal path " +
         "is for small eval sets; use the IVF candidate path instead")
-    val b = typedLit(bench)
+    // bench norms hoisted to the driver — the same IEEE left fold the
+    // engine would run (index-order Σx², then sqrt), so values are
+    // bit-identical to the oracle's in-SQL norms while the per-pair work
+    // halves; the per-pair dot is the CODEGEN VectorDistance (eval'd
+    // inside the lambda — no zip_with array allocation per pair, the
+    // difference between ~1 s and ~90 s at 20k×200 pairs)
+    val withNorms = bench.map { b =>
+      (b, math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x * x)))
+    }
+    require(withNorms.forall(_._2 > 0.0),
+      "semanticFlags: zero-norm benchmark vector")
+    val bl = typedLit(withNorms)
     corpus
       .select(col(idCol), col(vecCol).as("__v"),
         VectorFunctions.norm(col(vecCol)).as("__nv"))
       .select(col(idCol),
         when(col("__nv") === 0.0, lit(-1.0)).otherwise(
-          aggregate(b, lit(-2.0), (acc, bv) =>
+          aggregate(bl, lit(-2.0), (acc, s) =>
             greatest(acc,
-              VectorFunctions.dotFold(col("__v"), bv) /
-                (col("__nv") * sqrt(VectorFunctions.dotFold(bv, bv))))))
+              VectorFunctions.dot(col("__v"), s.getField("_1")) /
+                (col("__nv") * s.getField("_2")))))
           .as("max_cos_bench"))
       .where(col("max_cos_bench") >= tau)
   }
