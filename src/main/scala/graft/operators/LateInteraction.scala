@@ -47,8 +47,10 @@ object LateInteraction {
     // of bit-stable dots — the whole score is engine-portable
     val score = queryVecs.map { q =>
       val ql = typedLit(q)
+      // codegen VectorDistance dot (bit-identical to the fold twin, no
+      // per-pair zip_with allocation when eval'd inside the lambda)
       aggregate(col("__vs"), lit(Double.NegativeInfinity),
-        (acc, v) => greatest(acc, VectorFunctions.dotFold(ql, v)))
+        (acc, v) => greatest(acc, VectorFunctions.dot(ql, v)))
     }.reduceLeft(_ + _)
     byDoc.select(col(docCol), score.as("score"))
       .orderBy(col("score").desc, col(docCol).asc)
