@@ -121,4 +121,41 @@ object Temporal {
       .where(col(rightTs).between(col(leftTs) + lit(lo), col(leftTs) + lit(hi)))
       .drop("__bkt", "__rbkt")
   }
+
+  /** Ordered-funnel analysis — the event-analytics staple: how many
+    * users complete step₀ → step₁ → … in STRICT time order. Per user,
+    * t₀ = earliest step₀ event; tᵢ = earliest stepᵢ event AFTER tᵢ₋₁
+    * (the standard earliest-chain semantics: greedy-earliest is optimal
+    * for pure ordering constraints — if any qualifying chain exists, the
+    * earliest-prefix one does). Output: (step, event_type, users) — the
+    * funnel report, one row per step.
+    *
+    * Scale shape: k steps = k filtered min-aggregations chained by
+    * equi-joins on the user key — every shuffle is a hash key, state per
+    * step is one (user, ts) row, nothing is ordered globally and no
+    * per-user event array is ever materialized (the collect_list
+    * sessionization trap). Join i's right side is step i−1's SHRINKING
+    * survivor set, so work decreases down the funnel.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    require(steps.distinct.size == steps.size, s"funnel: duplicate steps $steps")
+    var reached = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val stages = scala.collection.mutable.ArrayBuffer((steps.head, reached))
+    steps.drop(1).foreach { st =>
+      reached = events.where(col(typeCol) === st)
+        .join(reached.select(col(userCol), col("__t").as("__prev")),
+          Seq(userCol))
+        .where(col(tsCol) > col("__prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      stages += ((st, reached))
+    }
+    stages.zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i).cast("int").as("step"), lit(st).as("event_type"),
+          col("users"))
+    }.reduce(_.unionByName(_)).orderBy("step")
+  }
 }

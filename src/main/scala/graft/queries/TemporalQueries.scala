@@ -184,6 +184,25 @@ object TemporalQueries {
         |  FROM v GROUP BY 1, 2)
         |SELECT user_id, ver, value, valid_from_us,
         |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver ASC) AS valid_to_us
-        |FROM r ORDER BY user_id, ver""".stripMargin))
+        |FROM r ORDER BY user_id, ver""".stripMargin)),
+
+    // Ordered funnel: users completing view -> click -> purchase in
+    // STRICT time order (earliest-chain semantics — greedy-earliest is
+    // optimal for pure ordering constraints). k chained min-aggs on the
+    // user key; nanosecond vs microsecond timestamps don't matter — the
+    // chain uses only order, which the 1000x scaling preserves.
+    QueryDef("q137_funnel",
+      (s, d) => graft.operators.Temporal.funnel(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tu FROM events),
+        |s0 AS (SELECT user_id, min(tu) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(tu) AS t FROM e JOIN s0 USING (user_id)
+        |       WHERE event_type = 'click' AND tu > s0.t GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(tu) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tu > s1.t GROUP BY e.user_id)
+        |SELECT CAST(0 AS INT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s0) AS users
+        |UNION ALL SELECT CAST(1 AS INT), 'click', (SELECT COUNT(*) FROM s1)
+        |UNION ALL SELECT CAST(2 AS INT), 'purchase', (SELECT COUNT(*) FROM s2)
+        |ORDER BY step""".stripMargin))
   )
 }

@@ -106,4 +106,36 @@ class TemporalSpec extends SparkSpec {
       Temporal.rangeJoinBucketed(leftDf, b, "k", "rk", "lts", "rts", 10L, 0L)
     }
   }
+
+  // funnel fixture: u1 completes A->B->C in order; u2 has B BEFORE its
+  // first A (ordering must reject the early B, but a later B counts);
+  // u3 stops at A; u4 has B and C but no A (never enters)
+  private def funnelEvents = Seq(
+    (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+    (2L, "B", 5L), (2L, "A", 10L), (2L, "B", 15L),
+    (3L, "A", 10L),
+    (4L, "B", 10L), (4L, "C", 20L))
+    .toDF("user_id", "event_type", "ts")
+
+  test("funnel: strict ordering, early steps rejected, chain per user") {
+    val got = Temporal.funnel(funnelEvents, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"))
+      .as[(Int, String, Long)].collect().toSeq
+    // A: u1,u2,u3; B after A: u1 (20>10), u2 (15>10); C after B: u1 only
+    assert(got === Seq((0, "A", 3L), (1, "B", 2L), (2, "C", 1L)))
+  }
+
+  test("funnel: same-timestamp step does NOT advance (strict >)") {
+    val ev = Seq((1L, "A", 10L), (1L, "B", 10L)).toDF("user_id", "event_type", "ts")
+    val got = Temporal.funnel(ev, "user_id", "event_type", "ts", Seq("A", "B"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq((0, "A", 1L), (1, "B", 0L)))
+  }
+
+  test("funnel rejects duplicate steps") {
+    intercept[IllegalArgumentException] {
+      Temporal.funnel(funnelEvents, "user_id", "event_type", "ts",
+        Seq("A", "A"))
+    }
+  }
 }
