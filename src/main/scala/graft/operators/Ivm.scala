@@ -45,7 +45,21 @@ object Ivm {
     */
   def aggState(df: DataFrame, groupCols: Seq[String], valueCol: String,
       hllCol: Option[String] = None, p: Int = 8,
-      xCol: Option[String] = None): DataFrame = {
+      xCol: Option[String] = None,
+      histSpec: Option[(Long, Long, Int)] = None): DataFrame = {
+    // histSpec (lo, hi, buckets): carry a dense fixed-width HISTOGRAM of
+    // valueCol in the state row ([[Sketch.histogramBuckets]] bucketing,
+    // domain-clamped) — per-bucket counts are sum monoids, so the merged
+    // view serves exact bucket percentiles/MAD in O(delta + groups)
+    // ([[histogramOf]] reads it back out). One array statistic per view:
+    // compose hll + hist as two views sharing the same refresh cadence.
+    require(hllCol.isEmpty || histSpec.isEmpty,
+      "aggState: hllCol and histSpec are one-array-per-view — use two views")
+    histSpec.foreach { case (lo, hi, bk) =>
+      require(hi > lo && bk >= 1 && (hi - lo) <= Long.MaxValue / bk,
+        s"aggState: bad histogram domain [$lo, $hi) x $bk")
+      return aggStateWithHist(df, groupCols, valueCol, xCol, lo, hi, bk)
+    }
     // optional regression-trend sums: with an x column, the state also
     // carries (sx, sxy, sxx) — three more Long monoids, so a refreshed
     // view reads out the exact least-squares drift ([[trendOf]]) without
@@ -88,6 +102,54 @@ object Ivm {
     }
   }
 
+  /** Two-level histogram-state build (the hll pattern with SUM in place
+    * of register-max): partials by (groups, bucket) — every scalar is a
+    * monoid so re-aggregating is exact — then one fold into the dense
+    * per-group count array.
+    */
+  private def aggStateWithHist(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, xCol: Option[String], lo: Long, hi: Long,
+      bk: Int): DataFrame = {
+    val trendAggs = xCol.toSeq.flatMap { xc =>
+      Seq(sum(col(xc)).as("sx"),
+        sum(col(xc) * col(valueCol)).as("sxy"),
+        sum(col(xc) * col(xc)).as("sxx"))
+    }
+    val b = expr(s"((greatest(${lo}L, least(${hi - 1}L, `$valueCol`)) - ${lo}L)" +
+      s" * ${bk}L) div ${hi - lo}L")
+    val partial = Seq(count(lit(1)).as("n"), sum(col(valueCol)).as("s"),
+      min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx")) ++
+      trendAggs ++ Seq(count(lit(1)).as("__c"))
+    val resum = Seq(sum(col("n")).as("n"), sum(col("s")).as("s"),
+      min(col("mn")).as("mn"), max(col("mx")).as("mx")) ++
+      xCol.toSeq.flatMap(_ => Seq(sum(col("sx")).as("sx"),
+        sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))) ++
+      Seq(aggregate(collect_list(struct(col("__b"), col("__c"))),
+        array_repeat(lit(0L), bk),
+        (acc, e) => transform(acc, (v, i) =>
+          v + when(i.cast("long") === e.getField("__b"),
+            e.getField("__c")).otherwise(0L))).as("hist"))
+    df.select((groupCols.map(col) :+ col(valueCol) :+ b.as("__b")) ++
+        xCol.map(col).toSeq: _*)
+      .groupBy((groupCols.map(col) :+ col("__b")): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(resum.head, resum.tail: _*)
+  }
+
+  /** Bucket rows back out of a hist-carrying state/view:
+    * (groups…, bucket, n_bucket), empty buckets omitted — exactly the
+    * shape [[Sketch.histogramBuckets]] produces from a full scan, so the
+    * sketch's percentile/MAD readers run unchanged on the refreshed
+    * view.
+    */
+  def histogramOf(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state.select((groupCols.map(col) :+
+        posexplode(col("hist")).as(Seq("bucket", "n"))): _*)
+      .where(col("n") =!= 0L)
+      .select((groupCols.map(col) :+ col("bucket").cast("long").as("bucket") :+
+        col("n")): _*)
+
   /** Exact least-squares drift read out of a state/view frame that
     * carries the trend sums: (group..., n, slope_num, slope_den) —
     * num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)², decimal(38,0). The IVM
@@ -119,7 +181,7 @@ object Ivm {
       if (!u.columns.contains("sx")) scalars0
       else scalars0 ++ Seq(sum(col("sx")).as("sx"),
         sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))
-    val aggs =
+    val withHll =
       if (!u.columns.contains("hll")) scalars
       // fold the group's register arrays bucket-wise; the empty-array
       // init works because zip_with pads the shorter side with nulls and
@@ -127,6 +189,14 @@ object Ivm {
       else scalars :+ aggregate(collect_list(col("hll")),
         array().cast("array<bigint>"),
         (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as("hll")
+    val aggs =
+      if (!u.columns.contains("hist")) withHll
+      // histogram counts ADD bucket-wise (sum monoid; null-padding from
+      // the empty init coalesces to zero so the first step adopts)
+      else withHll :+ aggregate(collect_list(col("hist")),
+        array().cast("array<bigint>"),
+        (acc, x) => zip_with(acc, x,
+          (a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L)))).as("hist")
     u.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -136,8 +206,9 @@ object Ivm {
     */
   def buildAggView(df: DataFrame, groupCols: Seq[String], valueCol: String,
       path: String, hllCol: Option[String] = None, p: Int = 8,
-      xCol: Option[String] = None): Unit =
-    aggState(df, groupCols, valueCol, hllCol, p, xCol)
+      xCol: Option[String] = None,
+      histSpec: Option[(Long, Long, Int)] = None): Unit =
+    aggState(df, groupCols, valueCol, hllCol, p, xCol, histSpec)
       .write.mode("overwrite").parquet(s"$path/v${nextVersion(path)}")
 
   /** Refresh the persisted view with a delta batch: read the current
@@ -146,9 +217,11 @@ object Ivm {
     */
   def refreshAggView(delta: DataFrame, groupCols: Seq[String],
       valueCol: String, path: String, hllCol: Option[String] = None,
-      p: Int = 8, xCol: Option[String] = None): Unit = {
+      p: Int = 8, xCol: Option[String] = None,
+      histSpec: Option[(Long, Long, Int)] = None): Unit = {
     val cur = readAggView(delta.sparkSession, path)
-    mergeStates(Seq(cur, aggState(delta, groupCols, valueCol, hllCol, p, xCol)),
+    mergeStates(Seq(cur,
+        aggState(delta, groupCols, valueCol, hllCol, p, xCol, histSpec)),
         groupCols)
       .write.mode("overwrite").parquet(s"$path/v${nextVersion(path)}")
   }
@@ -174,10 +247,12 @@ object Ivm {
     */
   def mergeBatch(delta: DataFrame, groupCols: Seq[String], valueCol: String,
       path: String, batchId: Long, hllCol: Option[String] = None,
-      p: Int = 8, xCol: Option[String] = None): Unit = {
+      p: Int = 8, xCol: Option[String] = None,
+      histSpec: Option[(Long, Long, Int)] = None): Unit = {
     if (completeBatchIds(path).contains(batchId)) return
     val cur = readAggView(delta.sparkSession, path)
-    mergeStates(Seq(cur, aggState(delta, groupCols, valueCol, hllCol, p, xCol)),
+    mergeStates(Seq(cur,
+        aggState(delta, groupCols, valueCol, hllCol, p, xCol, histSpec)),
         groupCols)
       .write.mode("overwrite")
       .parquet(s"$path/v${nextVersion(path)}_b$batchId")

@@ -1362,6 +1362,30 @@ object PipelineQueries {
         |SELECT lang, CAST(((bucket + 1) * 1024) // 64 AS BIGINT) AS p_edge
         |FROM q ORDER BY lang""".stripMargin)),
 
+    // Incremental-percentile view: the q99 histogram as IVM state — the
+    // corpus is split in half, each half's dense per-lang bucket-count
+    // array is built independently (Ivm.aggState histSpec), the two
+    // states MERGE (bucket-wise sum monoid), and the merged view's
+    // bucket rows must hash-match a from-scratch full-corpus histogram.
+    // This is the artifact a nightly pipeline refreshes in O(delta):
+    // percentile/MAD readers (q99/q100) run unchanged on the view.
+    QueryDef("q138_ivm_percentile",
+      (s, d) => {
+        import graft.operators.Ivm
+        val docs = Tables.documents(s, d)
+        val spec = Some((0L, 1024L, 64))
+        val merged = Ivm.mergeStates(Seq(
+          Ivm.aggState(docs.where(col("doc_id") % 2 === 0), Seq("lang"),
+            "n_chars", histSpec = spec),
+          Ivm.aggState(docs.where(col("doc_id") % 2 === 1), Seq("lang"),
+            "n_chars", histSpec = spec)), Seq("lang"))
+        Ivm.histogramOf(merged, Seq("lang"))
+          .orderBy("lang", "bucket")
+      },
+      Some("""SELECT lang, greatest(0, least(63, (n_chars * 64) // 1024)) AS bucket,
+        |  COUNT(*) AS n FROM documents GROUP BY 1, 2
+        |ORDER BY lang, bucket""".stripMargin)),
+
     // RAG / long-document chunking: fixed 200-char windows, 150-char
     // stride (50 overlap) — the retrieval-corpus preparation stage. Pure
     // substring arithmetic (TextFunctions.charWindows), one narrow

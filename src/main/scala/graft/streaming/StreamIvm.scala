@@ -32,11 +32,13 @@ object StreamIvm {
       path: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       hllCol: Option[String] = None, p: Int = 8,
-      xCol: Option[String] = None): StreamingQuery =
+      xCol: Option[String] = None,
+      histSpec: Option[(Long, Long, Int)] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        Ivm.mergeBatch(batch, groupCols, valueCol, path, id, hllCol, p, xCol)
+        Ivm.mergeBatch(batch, groupCols, valueCol, path, id, hllCol, p, xCol,
+          histSpec)
       }
       .trigger(trigger)
       .start()

@@ -178,4 +178,65 @@ class IvmSpec extends SparkSpec {
       full.as[(String, Long, Long, Long, Long, Long, Long, Long, Seq[Long])]
         .collect().toSeq)
   }
+
+  private val histSpec = Some((0L, 16L, 4))
+
+  test("hist column: merge of any split equals the full recompute") {
+    val df = rows.toDF("g", "v")
+    val full = Ivm.aggState(df, Seq("g"), "v", histSpec = histSpec)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Seq[Long])].collect().toSeq
+    // out-of-domain values (-3, 100) clamp into edge buckets, never error
+    for (cut <- 0 to rows.size) {
+      val merged = Ivm.mergeStates(Seq(
+          Ivm.aggState(rows.take(cut).toDF("g", "v"), Seq("g"), "v",
+            histSpec = histSpec),
+          Ivm.aggState(rows.drop(cut).toDF("g", "v"), Seq("g"), "v",
+            histSpec = histSpec)),
+        Seq("g"))
+        .orderBy("g")
+        .as[(String, Long, Long, Long, Long, Seq[Long])].collect().toSeq
+      assert(merged === full, s"split at $cut diverged")
+    }
+    // bucket counts per group sum to n
+    full.foreach { case (_, n, _, _, _, h) => assert(h.sum == n) }
+  }
+
+  test("histogramOf matches Sketch.histogramBuckets on the same domain") {
+    val df = rows.toDF("g", "v")
+    val viaState = Ivm.histogramOf(
+        Ivm.aggState(df, Seq("g"), "v", histSpec = histSpec), Seq("g"))
+      .orderBy("g", "bucket")
+      .as[(String, Long, Long)].collect().toSeq
+    val direct = graft.operators.Sketch.histogramBuckets(df, "g", "v",
+        lo = 0L, hi = 16L, buckets = 4)
+      .orderBy("g", "bucket")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(viaState === direct)
+  }
+
+  test("hist column: persisted lifecycle + streaming batch merge carry it") {
+    val dir = Files.createTempDirectory("ivm-hist").toString
+    Ivm.buildAggView(rows.take(3).toDF("g", "v"), Seq("g"), "v", dir,
+      histSpec = histSpec)
+    Ivm.mergeBatch(rows.drop(3).toDF("g", "v"), Seq("g"), "v", dir,
+      batchId = 0L, histSpec = histSpec)
+    Ivm.mergeBatch(rows.drop(3).toDF("g", "v"), Seq("g"), "v", dir,
+      batchId = 0L, histSpec = histSpec) // replay must be a no-op
+    val got = Ivm.readAggView(spark, dir)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Seq[Long])].collect().toSeq
+    val full = Ivm.aggState(rows.toDF("g", "v"), Seq("g"), "v",
+        histSpec = histSpec)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Seq[Long])].collect().toSeq
+    assert(got === full)
+  }
+
+  test("hll + hist in one view is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Ivm.aggState(Seq(("g", 1L, "u")).toDF("g", "v", "u"), Seq("g"), "v",
+        hllCol = Some("u"), histSpec = histSpec)
+    }
+  }
 }
