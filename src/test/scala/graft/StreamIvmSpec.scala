@@ -61,6 +61,28 @@ class StreamIvmSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streamed view with histogram column == batch recompute") {
+    val base = Seq(("a", 5L), ("b", 2L), ("a", 1L)).toDF("g", "v")
+    val delta = Seq(("a", 15L), ("c", 7L), ("b", 3L)).toDF("g", "v")
+    val spec = Some((0L, 16L, 4))
+    val viewDir = Files.createTempDirectory("ivm-hview").toString
+    Ivm.buildAggView(base, Seq("g"), "v", viewDir, histSpec = spec)
+    val deltaDir = Files.createTempDirectory("ivm-hdelta").toString
+    delta.repartition(2).write.mode("overwrite").parquet(deltaDir)
+    val q = StreamIvm.maintain(
+      spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(deltaDir),
+      Seq("g"), "v", viewDir,
+      Files.createTempDirectory("ivm-hckpt").toString, histSpec = spec)
+    q.awaitTermination(120000)
+    val got = Ivm.readAggView(spark, viewDir).orderBy("g")
+      .as[(String, Long, Long, Long, Long, Seq[Long])].collect().toSeq
+    val full = Ivm.aggState(base.unionByName(delta), Seq("g"), "v",
+        histSpec = spec).orderBy("g")
+      .as[(String, Long, Long, Long, Long, Seq[Long])].collect().toSeq
+    assert(got === full)
+  }
+
   test("mergeBatch replay of a committed batch id is a no-op") {
     val dir = Files.createTempDirectory("ivm-replay").toString
     Ivm.buildAggView(Seq(("g", 1L)).toDF("g", "v"), Seq("g"), "v", dir)
