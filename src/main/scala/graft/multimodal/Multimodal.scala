@@ -296,6 +296,80 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) of an image — the perceptual
+    * fingerprint that survives re-encode/resize/minor edits where a
+    * byte-level hash breaks: area-average the decoded pixels onto a 9×8
+    * integer-grayscale grid, then bit (gy·8+gx) = grid[gy][gx] >
+    * grid[gy][gx+1] (horizontal gradient sign). Pure integer arithmetic
+    * after decode, so the hash is deterministic across JVMs. None when
+    * no decoder accepts the payload (same guard as [[imageFeatures]]).
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch {
+        case _: java.io.IOException | _: java.awt.color.CMMException |
+             _: IllegalArgumentException | _: IndexOutOfBoundsException |
+             _: NegativeArraySizeException => null
+      }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val (gw, gh) = (9, 8)
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val gy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(gw - 1, x * gw / w)
+        val cell = gy * gw + gx
+        val rgb = row(x)
+        // integer luma (Rec. 601 scaled by 1000) — no float rounding
+        sums(cell) += ((rgb >> 16) & 0xff) * 299L +
+          ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        val l = sums(gy * gw + gx) * math.max(1L, counts(gy * gw + gx + 1))
+        val r = sums(gy * gw + gx + 1) * math.max(1L, counts(gy * gw + gx))
+        // cross-multiplied averages — exact integer comparison, no division
+        if (l > r) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(hash)
+  }
+
+  /** (key, dhash) for the image rows of a media dataset — the input to
+    * [[graft.operators.Dedup.hammingPairsBucketed]] (64-bit, pigeonhole
+    * equi-join): near-duplicate IMAGE detection with the same capped,
+    * lossless scale shape as the text SimHash path. Undecodable rows are
+    * dropped (they can't be perceptually compared; byte-exact dedup
+    * still catches bit-identical copies).
+    */
+  def dHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap(r =>
+        if (r.mediaType != "image") None
+        else dHash64(r.bytes).map(hsh => (r.key, hsh)))
+    }.toDF("key", "dhash")
+  }
+
   /** REAL demux for MJPEG-in-AVI: walk the RIFF chunk tree and collect
     * the video-data chunks (fourcc `##dc`/`##db` — each holds one JPEG
     * in an MJPEG stream, decodable by [[imageFeatures]]). Returns Nil

@@ -442,28 +442,52 @@ object Dedup {
   def simhashPairsBucketed(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60, "maxHamming must be in [0, 60)")
+    hammingPairsBucketed(simhashed(df, idCol, textCol), idCol, "sh",
+      bits = 60, maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+  }
+
+  /** The pigeonhole Hamming join, factored over ANY precomputed
+    * `bits`-wide hash column (text SimHash, image dHash, audio chroma
+    * prints): split the hash into maxHamming+1 disjoint chunks — two
+    * hashes within distance d must agree on at least one chunk — equi-
+    * join on (chunk index, chunk value), verify the exact distance.
+    * Lossless for ≤ `maxHamming`; `maxBucketSize` caps pathological
+    * buckets (all-identical corpora). 64-bit hashes may be negative —
+    * chunk extraction uses the UNSIGNED shift, so the sign bit is just
+    * bit 63.
+    */
+  def hammingPairsBucketed(hashes: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits $bits out of [1, 64]")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming $maxHamming must be in [0, $bits)")
     val nChunks = maxHamming + 1
-    val sh = simhashed(df, idCol, textCol)
-    // chunk j covers bits [60j/n, 60(j+1)/n) — disjoint, exhaustive
+    // chunk j covers bits [bits·j/n, bits·(j+1)/n) — disjoint, exhaustive
     val chunks = (0 until nChunks).map { j =>
-      val lo = 60 * j / nChunks
-      val width = 60 * (j + 1) / nChunks - lo
+      val lo = bits * j / nChunks
+      val width = bits * (j + 1) / nChunks - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(j).as("cidx"),
-        (shiftright(col("sh"), lo).bitwiseAND(lit((1L << width) - 1))).as("ckey"))
+        (shiftrightunsigned(col(hashCol), lo).bitwiseAND(lit(mask)))
+          .as("ckey"))
     }
-    val exploded = sh
-      .select(col(idCol), col("sh"), explode(array(chunks: _*)).as("c"))
-      .select(col(idCol), col("sh"), col("c.cidx").as("cidx"), col("c.ckey").as("ckey"))
+    val exploded = hashes
+      .select(col(idCol), col(hashCol).as("__hh"),
+        explode(array(chunks: _*)).as("c"))
+      .select(col(idCol), col("__hh"), col("c.cidx").as("cidx"),
+        col("c.ckey").as("ckey"))
     val bucketed = boundedOrAll(exploded, Seq("cidx", "ckey"), maxBucketSize)
-    val a = bucketed.select(col(idCol).as("a"), col("sh").as("sha"),
+    val a = bucketed.select(col(idCol).as("a"), col("__hh").as("sha"),
       col("cidx"), col("ckey"))
-    val b = bucketed.select(col(idCol).as("b"), col("sh").as("shb"),
+    val b = bucketed.select(col(idCol).as("b"), col("__hh").as("shb"),
       col("cidx"), col("ckey"))
     a.join(b, Seq("cidx", "ckey"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), col("sha"), col("shb"))
       .distinct() // a pair may collide in several chunks
-      .select(col("a"), col("b"), hamming(col("sha"), col("shb")).cast("int").as("ham"))
+      .select(col("a"), col("b"),
+        hamming(col("sha"), col("shb")).cast("int").as("ham"))
       .where(col("ham") <= maxHamming)
   }
 

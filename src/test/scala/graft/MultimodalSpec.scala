@@ -122,6 +122,56 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.where(col("real_frame")).count() === 0)
   }
 
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("dHash64: gradient structure, re-encode stability, flat zero") {
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val asc = png(36, 32)((x, _) => gray(x * 7))         // brightens left->right
+    val desc = png(36, 32)((x, _) => gray(255 - x * 7))
+    val flat = png(36, 32)((_, _) => gray(128))
+    val ha = Multimodal.dHash64(asc).get
+    val hd = Multimodal.dHash64(desc).get
+    assert(ha === 0L, "ascending gradient: no cell brighter than its right")
+    assert(java.lang.Long.bitCount(hd) === 64, "descending: every bit set")
+    assert(Multimodal.dHash64(flat).get === 0L)
+    // lossless re-encode of identical pixels -> identical hash
+    assert(Multimodal.dHash64(png(36, 32)((x, _) => gray(x * 7))).get === ha)
+    assert(Multimodal.dHash64(Array[Byte](9, 9, 9)) === None)
+  }
+
+  test("image near-dup: dHashes + pigeonhole Hamming join find the edit") {
+    import graft.operators.Dedup
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    def base(x: Int, y: Int) = gray((x * 5 + y * 3) % 256)
+    val media = Seq(
+      Multimodal.MediaRecord("orig", "image", png(64, 64)(base), Map()),
+      // local edit: a small corner patch painted over
+      Multimodal.MediaRecord("edited", "image", png(64, 64)((x, y) =>
+        if (x < 6 && y < 6) gray(255) else base(x, y)), Map()),
+      Multimodal.MediaRecord("other", "image", png(64, 64)((x, y) =>
+        gray((255 - x * 11 + y * 17) % 256)), Map()),
+      Multimodal.MediaRecord("junk", "image", Array[Byte](1, 2), Map()),
+      Multimodal.MediaRecord("wav", "audio", Array[Byte](1, 2, 3), Map()))
+      .toDS()
+    val hashes = Multimodal.dHashes(media)
+    // undecodable + non-image rows dropped
+    assert(hashes.select("key").as[String].collect().sorted.toSeq ===
+      Seq("edited", "orig", "other"))
+    val pairs = Dedup.hammingPairsBucketed(hashes, "key", "dhash",
+        bits = 64, maxHamming = 8)
+      .select("a", "b").as[(String, String)].collect().toSet
+    assert(pairs.contains(("edited", "orig")), s"edit must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == "other" || p._2 == "other"),
+      s"unrelated image must not pair: $pairs")
+  }
+
   private def tinyJpeg(shade: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(4, 3,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
