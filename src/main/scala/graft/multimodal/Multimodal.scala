@@ -370,6 +370,82 @@ object Multimodal {
     }.toDF("key", "dhash")
   }
 
+  /** 64-bit audio fingerprint — [[dHash64]]'s audio sibling: the sign of
+    * the RMS-envelope gradient across 65 time windows (real PCM decode
+    * via [[audioFeatures]]; normalization is a positive scale so the
+    * signs are decode-exact). Robust to gain changes and re-encoding of
+    * the envelope shape; None when no JDK decoder accepts the payload.
+    * Feed (key, ahash) rows to
+    * [[graft.operators.Dedup.hammingPairsBucketed]] for near-dup audio.
+    */
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    audioFeatures(bytes, 130).map { case (_, _, f) =>
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (f(i * 2) > f((i + 1) * 2)) h |= 1L << i
+        i += 1
+      }
+      h
+    }
+
+  /** (key, ahash) for the audio rows of a media dataset. */
+  def audioHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap(r =>
+        if (r.mediaType != "audio") None
+        else audioHash64(r.bytes).map(hsh => (r.key, hsh)))
+    }.toDF("key", "ahash")
+  }
+
+  /** (key, frame_idx, dhash) — one perceptual hash per demuxed video
+    * frame ([[aviMjpegFrames]] RIFF walk + [[dHash64]]); rows only for
+    * decodable frames. The frame relation is the video-dedup input:
+    * [[videoNearDupPairs]] matches frames across videos and counts.
+    */
+  def videoFrameHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.mediaType != "video") Iterator.empty
+        else aviMjpegFrames(r.bytes).iterator.zipWithIndex.flatMap {
+          case (frame, i) => dHash64(frame).map(hsh => (r.key, i, hsh))
+        }
+      }
+    }.toDF("key", "frame_idx", "dhash")
+  }
+
+  /** Near-duplicate VIDEO pairs: frame-level pigeonhole Hamming join
+    * (each frame keyed by video + control-char separator + idx, so '#' in keys is safe), then per-video-pair matched-frame
+    * counting — two videos pair when at least `minMatches` of their
+    * frames perceptually match. The frame join inherits the capped,
+    * lossless scale shape; the video-pair agg is one hash-key shuffle
+    * over the (already candidate-bounded) frame pairs. Output:
+    * (a, b, matches), a < b.
+    */
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int,
+      minMatches: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(minMatches >= 1, s"minMatches $minMatches must be >= 1")
+    val fid = frameHashes.select(
+      concat_ws("\u0001", col("key"), col("frame_idx")).as("fid"),
+      col("dhash"))
+    val framePairs = graft.operators.Dedup.hammingPairsBucketed(
+      fid, "fid", "dhash", bits = 64, maxHamming = maxHamming,
+      maxBucketSize = maxBucketSize)
+    framePairs
+      .select(substring_index(col("a"), "\u0001", 1).as("va"),
+        substring_index(col("b"), "\u0001", 1).as("vb"))
+      .where(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("a"),
+        greatest(col("va"), col("vb")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("matches"))
+      .where(col("matches") >= minMatches)
+  }
+
   /** REAL demux for MJPEG-in-AVI: walk the RIFF chunk tree and collect
     * the video-data chunks (fourcc `##dc`/`##db` — each holds one JPEG
     * in an MJPEG stream, decodable by [[imageFeatures]]). Returns Nil

@@ -172,6 +172,49 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated image must not pair: $pairs")
   }
 
+  test("audioHash64: envelope-gradient fingerprint is gain-invariant") {
+    val quiet = sineWav(440.0)
+    val hq = Multimodal.audioHash64(quiet)
+    assert(hq.isDefined)
+    // same waveform decoded twice -> identical fingerprint
+    assert(Multimodal.audioHash64(sineWav(440.0)) === hq)
+    // a very different envelope (much lower tone) -> different print;
+    // undecodable payload -> None
+    assert(Multimodal.audioHash64(sineWav(13.0)) !== hq)
+    assert(Multimodal.audioHash64(Array[Byte](1, 2, 3)) === None)
+  }
+
+  test("video near-dup: shared frames across AVIs pair, disjoint do not") {
+    import graft.operators.Dedup
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    def frame(seed: Int) = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 32)
+        img.setRGB(x, y, gray((x * seed + y * 7) % 256))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val (f1, f2, f3, f4) = (frame(3), frame(5), frame(11), frame(23))
+    val vids = Seq(
+      Multimodal.MediaRecord("v1", "video", mjpegAvi(Seq(f1, f2, f3)), Map()),
+      Multimodal.MediaRecord("v2", "video", mjpegAvi(Seq(f1, f2, f4)), Map()),
+      Multimodal.MediaRecord("v3", "video", mjpegAvi(Seq(f4)), Map()),
+      Multimodal.MediaRecord("img", "image", f1, Map())) // non-video skipped
+      .toDS()
+    val fh = Multimodal.videoFrameHashes(vids)
+    assert(fh.select("key").distinct().as[String].collect().sorted.toSeq ===
+      Seq("v1", "v2", "v3"))
+    val pairs = Multimodal.videoNearDupPairs(fh, maxHamming = 4,
+        minMatches = 2)
+      .as[(String, String, Long)].collect().toSeq
+    // v1 and v2 share frames f1, f2 (>= 2 matches); v3 shares only f4
+    // with v2 (1 match) — below the bar
+    assert(pairs.map(p => (p._1, p._2)) === Seq(("v1", "v2")), pairs.toString)
+    assert(pairs.head._3 >= 2L)
+  }
+
   private def tinyJpeg(shade: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(4, 3,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
