@@ -62,6 +62,54 @@ object Sampling {
       .drop("__w2", "__u1", "__pri")
   }
 
+  /** Temperature-rebalanced allocation over groups — the multilingual
+    * pretraining step (XLM / mC4 exponential smoothing, here the
+    * classic α = 1/2): a group's sample quota grows like √(its size),
+    * boosting low-resource languages/sources without letting the head
+    * drown the tail. Quotas in exact integers: w_g = ⌊√(n_g·scale)⌋
+    * (sqrt is correctly-rounded IEEE — identical on any engine — and
+    * the ⌊·⌋ makes the weight an integer the rest of the arithmetic
+    * can't drift from), alloc_g = (total·w_g) div Σw. One tiny hash-agg
+    * (|groups| rows) + a broadcast of the totals row. Output:
+    * (groupCol, n, alloc).
+    *
+    * Precision note: n·scale above 2^53 rounds in the BIGINT→DOUBLE
+    * cast — identically on every IEEE engine, so determinism holds; the
+    * quota error is ≤ 1 part in 2^53.
+    */
+  def temperatureAllocation(df: DataFrame, groupCol: String, total: Long,
+      scale: Long = 1000000L): DataFrame = {
+    require(total >= 1 && scale >= 1,
+      s"temperatureAllocation: total $total / scale $scale must be >= 1")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        floor(sqrt(col("n").cast("double") * lit(scale.toDouble)))
+          .cast("long"))
+    val sums = counts.agg(sum(col("w")).as("__sw"))
+    counts.crossJoin(broadcast(sums))
+      .select(col(groupCol), col("n"),
+        expr(s"(${total}L * w) div __sw").as("alloc"))
+  }
+
+  /** The rebalanced sample itself: within each group, the `alloc_g`
+    * first rows under the deterministic md5 coin order (the q57
+    * reservoir discipline — same rows survive on every engine/run).
+    * Output: input columns + `rk` (1-based md5 rank within group).
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      total: Long, scale: Long = 1000000L,
+      salt: String = ""): DataFrame = {
+    val alloc = temperatureAllocation(df, groupCol, total, scale)
+      .select(col(groupCol), col("alloc"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(TextFunctions.md5Low32(
+        concat(lit(salt), col(idCol).cast("string"))).asc, col(idCol).asc)
+    df.join(broadcast(alloc), Seq(groupCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= col("alloc"))
+      .drop("alloc")
+  }
+
   /** GLOBAL priority sample — same exact-integer Duffield-Lund-Thorup
     * priority as [[prioritySample]], but top-`n` over the whole frame
     * via `orderBy().limit()` ⇒ TakeOrderedAndProject (map-side heaps +

@@ -178,5 +178,29 @@ object SelectionQueries {
         |        FROM sel s JOIN gated g2 USING (doc_id))
         |SELECT CAST(row_number() OVER (ORDER BY band, doc_id) AS BIGINT) AS ord,
         |  doc_id, band, mean_score
-        |FROM fin ORDER BY ord""".stripMargin)))
+        |FROM fin ORDER BY ord""".stripMargin)),
+
+    // Temperature-rebalanced multilingual sampling (XLM/mC4 alpha=1/2):
+    // each language's quota grows like sqrt(its size) — low-resource
+    // langs over-sampled relative to share, the head capped. Quotas are
+    // exact integers (floor(sqrt(n*1e6)) — IEEE sqrt is correctly
+    // rounded, identical on both engines); the within-lang pick is the
+    // q57 md5-coin reservoir. Output is quota-bounded (<= 100 rows) at
+    // ANY corpus size.
+    QueryDef("q139_temperature_sample",
+      (s, d) => graft.operators.Sampling.temperatureSample(
+          Tables.documents(s, d).select(col("lang"), col("doc_id")),
+          "lang", "doc_id", total = 100L, salt = "temp:")
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "rk"),
+      Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE) * 1000000)) AS BIGINT) AS w FROM c),
+        |t AS (SELECT SUM(w) AS sw FROM w),
+        |a AS (SELECT lang, (100 * w) // sw AS alloc FROM w, t),
+        |r AS (SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST('0x'||substr(md5('temp:'||CAST(doc_id AS VARCHAR)),25,8) AS BIGINT) ASC,
+        |             doc_id ASC) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT r.lang, r.doc_id, r.rk FROM r JOIN a USING (lang)
+        |WHERE r.rk <= a.alloc ORDER BY lang, rk""".stripMargin)))
 }

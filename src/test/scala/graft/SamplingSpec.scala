@@ -7,6 +7,31 @@ import graft.operators.Sampling
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("temperature allocation: sqrt-rebalanced quotas, head capped, tail boosted") {
+    import graft.operators.Sampling
+    // head lang 900 docs, tail lang 9: proportional share would be
+    // 99 vs 1; sqrt share is 30:3 -> ~91 vs 9 of 100
+    val df = ((1 to 900).map(i => ("en", i.toLong)) ++
+      (1001 to 1009).map(i => ("is", i.toLong))).toDF("lang", "id")
+    val a = Sampling.temperatureAllocation(df, "lang", total = 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a("en")._1 == 900L && a("is")._1 == 9L)
+    val (en, is) = (a("en")._2, a("is")._2)
+    assert(is > 1L, s"tail must be boosted above proportional: $a")
+    assert(en < 99L, s"head must be capped below proportional: $a")
+    assert(en + is <= 100L)
+    // deterministic sample honors quotas exactly and is reproducible
+    val s1 = Sampling.temperatureSample(df, "lang", "id", 100L, salt = "x:")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1("en") == en && s1("is") == is)
+    val ids = Sampling.temperatureSample(df, "lang", "id", 100L, salt = "x:")
+      .select("id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.temperatureSample(df.repartition(7), "lang", "id",
+      100L, salt = "x:").select("id").as[Long].collect().sorted.toSeq
+    assert(ids === ids2, "partitioning must not change the sample")
+  }
+
   /** Plain-JVM mirror of the md5-low-32 coin + integer priority key. */
   private def priority(salt: String, id: Long, w: Long): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
