@@ -301,4 +301,75 @@ class PropertySpec extends SparkSpec {
     assert(r._4 >= 1L)  // the 20-key overlap must surface below theta
     assert(r._5 >= 0.0)
   }
+
+  test("keep-first span dedup: content preserved exactly once on random corpora") {
+    import graft.functions.TextFunctions._
+    import graft.operators.Dedup
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    for (trial <- 1 to 3) {
+      val docs = (0 until 20).map { id =>
+        (id.toLong, (0 until 2 + rnd.nextInt(9))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val cleaned = Dedup.chunkDedupKeepFirst(docs, "doc_id", "text", k = 2)
+      val survivors = cleaned.where(col("clean_text") =!= "")
+        .select(explode(chunksOfTokens(wsTokens(col("clean_text")), 2)).as("c"))
+        .groupBy("c").count().collect()
+      val want = docs
+        .select(explode(chunksOfTokens(wsTokens(col("text")), 2)).as("c"))
+        .distinct().count()
+      assert(survivors.length.toLong == want, s"trial $trial")
+      survivors.foreach(r => assert(r.getLong(1) == 1L, s"trial $trial: $r"))
+    }
+  }
+
+  test("funnel counts are non-increasing down the funnel on random streams") {
+    import graft.operators.Temporal
+    val types = Vector("A", "B", "C", "D")
+    val ev = (0 until 400).map { i =>
+      (rnd.nextInt(30).toLong, types(rnd.nextInt(types.size)),
+        rnd.nextInt(1000).toLong)
+    }.toDF("user_id", "event_type", "ts")
+    val got = Temporal.funnel(ev, "user_id", "event_type", "ts",
+        Seq("A", "B", "C", "D"))
+      .orderBy("step").select("users").as[Long].collect().toSeq
+    assert(got.size == 4)
+    got.sliding(2).foreach(p =>
+      assert(p.head >= p.last, s"funnel must shrink: $got"))
+  }
+
+  test("temperature quotas: sum <= total, every nonempty group sampled deterministically") {
+    import graft.operators.Sampling
+    val df = (0 until 500).map { i =>
+      (s"g${rnd.nextInt(6)}", i.toLong)
+    }.toDF("g", "id")
+    val a = Sampling.temperatureAllocation(df, "g", total = 50L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a.values.sum <= 50L)
+    val sampled = Sampling.temperatureSample(df, "g", "id", 50L, salt = "p:")
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.foreach { case (g, q) =>
+      assert(sampled.getOrElse(g, 0L) == q, s"group $g quota $q vs $sampled")
+    }
+  }
+
+  test("DSIR weights are bounded by the extreme bucket scores") {
+    import graft.operators.Dsir
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(12))
+        .map(_ => s"w${rnd.nextInt(40)}").mkString(" "),
+        if (rnd.nextBoolean()) "t" else "n")
+    }.toDF("doc_id", "text", "kind")
+    val table = Dsir.bucketScoreTable(docs, "text", col("kind") === "t",
+      buckets = 128, scale = 10000L)
+    val scores = Dsir.collectScores(table, 128, 10000L)
+    val (lo, hi) = (scores.min, scores.max)
+    Dsir.importanceWeights(docs, "doc_id", "text", scores)
+      .collect().foreach { r =>
+        val (n, mean) = (r.getLong(1), r.getLong(3))
+        assert(n >= 1L)
+        assert(mean >= lo - 1 && mean <= hi, s"mean $mean outside [$lo, $hi]")
+      }
+  }
 }
