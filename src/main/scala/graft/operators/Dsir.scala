@@ -154,6 +154,25 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       scores: Array[Long], salt: String = "dsir:"): DataFrame = {
+    require(scores.length >= 2, s"dsir: score array length ${scores.length} < 2")
+    docs
+      .select(col(idCol), TextFunctions.wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        graft.functions.expressions.DsirWeightUtil
+          .column(col("__toks"), scores, salt).as("__nw"))
+      .select(col(idCol),
+        col("__nw.n_grams").as("n_grams"),
+        col("__nw.weight").as("weight"))
+      .withColumn("mean_score", expr("weight div n_grams"))
+  }
+
+  /** The declarative fold twin of [[importanceWeights]] — the executable
+    * spec the codegen [[graft.functions.expressions.DsirWeight]] kernel
+    * is cross-checked against (DsirSpec pins bit-identity on real data;
+    * the house fold-twin discipline).
+    */
+  def importanceWeightsFold(docs: DataFrame, idCol: String, textCol: String,
+      scores: Array[Long], salt: String = "dsir:"): DataFrame = {
     val buckets = scores.length
     require(buckets >= 2, s"dsir: score array length $buckets < 2")
     val sc = lit(scores)

@@ -72,6 +72,20 @@ class DsirSpec extends SparkSpec {
       s"log-ratio ranking must separate sci > mixed > spam: $lw")
   }
 
+  test("codegen DsirWeight kernel is bit-identical to the declarative fold") {
+    // real corpus + the planted one, full (n_grams, weight) rows
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (df <- Seq(corpus.withColumnRenamed("kind", "lang"), real)) {
+      val table = Dsir.bucketScoreTable(df, "text", col("lang") === "en", B, SCALE)
+      val scores = Dsir.collectScores(table, B, SCALE)
+      val fast = Dsir.importanceWeights(df, "doc_id", "text", scores)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val fold = Dsir.importanceWeightsFold(df, "doc_id", "text", scores)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(fast === fold)
+    }
+  }
+
   test("scoring scan is row-local: zero Exchange in the weights plan") {
     val scores = Array.fill[Long](B)(SCALE)
     val plan = Dsir.importanceWeights(corpus, "doc_id", "text", scores)
