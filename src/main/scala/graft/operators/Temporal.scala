@@ -137,18 +137,31 @@ object Temporal {
     * sessionization trap). Join i's right side is step i−1's SHRINKING
     * survivor set, so work decreases down the funnel.
     */
+  /** `maxGap`: optional conversion window — step i must follow step i−1
+    * within `maxGap` time units (the "purchase within an hour of the
+    * click" form every funnel tool offers). Earliest-chain is still
+    * optimal here: taking the earliest qualifying tᵢ maximizes the
+    * remaining window for every later step.
+    */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String],
+      maxGap: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel: need at least one step")
     require(steps.distinct.size == steps.size, s"funnel: duplicate steps $steps")
+    require(maxGap.forall(_ > 0), s"funnel: maxGap $maxGap must be positive")
     var reached = events.where(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
     val stages = scala.collection.mutable.ArrayBuffer((steps.head, reached))
     steps.drop(1).foreach { st =>
+      val inWindow = maxGap match {
+        case Some(g) => col(tsCol) > col("__prev") &&
+          col(tsCol) <= col("__prev") + lit(g)
+        case None => col(tsCol) > col("__prev")
+      }
       reached = events.where(col(typeCol) === st)
         .join(reached.select(col(userCol), col("__t").as("__prev")),
           Seq(userCol))
-        .where(col(tsCol) > col("__prev"))
+        .where(inWindow)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
       stages += ((st, reached))
     }

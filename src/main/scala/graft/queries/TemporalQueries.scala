@@ -203,6 +203,26 @@ object TemporalQueries {
         |SELECT CAST(0 AS INT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s0) AS users
         |UNION ALL SELECT CAST(1 AS INT), 'click', (SELECT COUNT(*) FROM s1)
         |UNION ALL SELECT CAST(2 AS INT), 'purchase', (SELECT COUNT(*) FROM s2)
+        |ORDER BY step""".stripMargin)),
+
+    // Windowed funnel: each step must land within ONE HOUR of the
+    // previous (the conversion-window form). ts is BIGINT nanos on the
+    // Spark side and epoch micros in the oracle — the window constant
+    // scales with the unit; strict ordering and the earliest-chain rule
+    // are unit-invariant.
+    QueryDef("q140_funnel_windowed",
+      (s, d) => graft.operators.Temporal.funnel(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        maxGap = Some(3600L * 1000 * 1000 * 1000)),
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tu FROM events),
+        |s0 AS (SELECT user_id, min(tu) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(tu) AS t FROM e JOIN s0 USING (user_id)
+        |       WHERE event_type = 'click' AND tu > s0.t AND tu <= s0.t + 3600000000 GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(tu) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tu > s1.t AND tu <= s1.t + 3600000000 GROUP BY e.user_id)
+        |SELECT CAST(0 AS INT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s0) AS users
+        |UNION ALL SELECT CAST(1 AS INT), 'click', (SELECT COUNT(*) FROM s1)
+        |UNION ALL SELECT CAST(2 AS INT), 'purchase', (SELECT COUNT(*) FROM s2)
         |ORDER BY step""".stripMargin))
   )
 }

@@ -132,6 +132,18 @@ class TemporalSpec extends SparkSpec {
     assert(got === Seq((0, "A", 1L), (1, "B", 0L)))
   }
 
+  test("funnel maxGap: conversions outside the window do not count") {
+    val ev = Seq(
+      (1L, "A", 10L), (1L, "B", 15L),   // within gap 10
+      (2L, "A", 10L), (2L, "B", 40L),   // outside gap 10
+      (3L, "A", 10L), (3L, "B", 20L))   // exactly at the edge (<=) counts
+      .toDF("user_id", "event_type", "ts")
+    val got = Temporal.funnel(ev, "user_id", "event_type", "ts",
+        Seq("A", "B"), maxGap = Some(10L))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq((0, "A", 3L), (1, "B", 2L)))
+  }
+
   test("funnel rejects duplicate steps") {
     intercept[IllegalArgumentException] {
       Temporal.funnel(funnelEvents, "user_id", "event_type", "ts",
