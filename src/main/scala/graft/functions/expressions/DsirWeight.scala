@@ -135,4 +135,97 @@ object DsirWeightUtil {
 
   def column(toks: Column, scores: Array[Long], salt: String): Column =
     ColumnBridge.column(DsirWeight(ColumnBridge.expression(toks), scores, salt))
+
+  /** Double-weight twin for [[graft.operators.Classifier]] scoring:
+    * same gram walk, weights summed in gram order (unigrams then
+    * bigrams — the declarative fold's order, so the Double sum is
+    * bit-identical to it). Output struct (n_grams LONG, wsum DOUBLE).
+    */
+  def computeD(toks: ArrayData, weights: Array[Double],
+      salt: Array[Byte]): InternalRow = {
+    val md = digests.get()
+    val n = toks.numElements()
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      bytes(i) =
+        if (toks.isNullAt(i)) empty
+        else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    var w = 0.0
+    var cnt = 0L
+    i = 0
+    while (i < n) {
+      w += weights(bucketOf(md, weights.length, salt, bytes(i), empty, empty))
+      cnt += 1
+      i += 1
+    }
+    if (n >= 2) {
+      i = 0
+      while (i < n - 1) {
+        w += weights(bucketOf(md, weights.length, salt, bytes(i), space,
+          bytes(i + 1)))
+        cnt += 1
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cnt, w))
+  }
+
+  def zeroD(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](0L, 0.0))
+
+  def columnD(toks: Column, weights: Array[Double], salt: String): Column =
+    ColumnBridge.column(
+      DsirWeightD(ColumnBridge.expression(toks), weights, salt))
+}
+
+/** [[DsirWeight]] with Double weights — the classifier apply kernel. */
+case class DsirWeightD(child: Expression, weights: Array[Double],
+    salt: String) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("wsum", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if weights.length >= 2 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"dsir_weight_d expects array<string> tokens and >= 2 buckets, got " +
+        s"${child.dataType.catalogString} / ${weights.length}")
+  }
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) DsirWeightUtil.zeroD()
+    else DsirWeightUtil.computeD(v.asInstanceOf[ArrayData], weights,
+      salt.getBytes("UTF-8"))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val wRef = ctx.addReferenceObj("clsWeights", weights, "double[]")
+    val saltRef = ctx.addReferenceObj("clsSalt", salt.getBytes("UTF-8"), "byte[]")
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          ${childGen.isNull}
+            ? graft.functions.expressions.DsirWeightUtil.zeroD()
+            : graft.functions.expressions.DsirWeightUtil.computeD(
+                ${childGen.value}, $wRef, $saltRef);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "dsir_weight_d"
 }

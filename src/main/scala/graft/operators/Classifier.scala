@@ -114,11 +114,27 @@ object Classifier {
     } finally feats.unpersist()
   }
 
-  /** Score every document: (idCol, quality_score ∈ (0,1)). Row-local
-    * codegen fold over the literal weight array — zero Exchange
-    * (plan-pinned in ClassifierSpec), the 100-TB apply pass.
+  /** Score every document: (idCol, quality_score ∈ (0,1)). The apply
+    * pass is the codegen [[graft.functions.expressions.DsirWeightD]]
+    * kernel — one digest per gram, zero Exchange (plan-pinned), the
+    * 100-TB production path; [[scoreFold]] is its declarative twin and
+    * ClassifierSpec pins bit-identity.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
+      model: LogRegModel): DataFrame =
+    docs
+      .select(col(idCol),
+        TextFunctions.wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        graft.functions.expressions.DsirWeightUtil
+          .columnD(col("__toks"), model.weights, model.salt).as("__nw"))
+      .select(col(idCol),
+        sigmoidCol(lit(model.bias) +
+          col("__nw.wsum") / col("__nw.n_grams").cast("double"))
+          .as("quality_score"))
+
+  /** Declarative fold twin of [[score]] (executable spec of the kernel). */
+  def scoreFold(docs: DataFrame, idCol: String, textCol: String,
       model: LogRegModel): DataFrame =
     docs
       .select(col(idCol),

@@ -60,6 +60,17 @@ class ClassifierSpec extends SparkSpec {
     assert(kept == Set(100L, 101L), s"kept $kept")
   }
 
+  test("codegen scoring kernel is bit-identical to the declarative fold") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = Classifier.train(real, "doc_id", "text", col("lang") === "en",
+      buckets = 1024, iters = 5)
+    val fast = Classifier.score(real, "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val fold = Classifier.scoreFold(real, "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(fast === fold)
+  }
+
   test("scoring pass is row-local: zero Exchange in the plan") {
     val m = Classifier.LogRegModel(Array.fill(B)(0.1), 0.0, B, "qcls:")
     val plan = Classifier.score(trainDocs, "doc_id", "text", m)
