@@ -1362,6 +1362,33 @@ object PipelineQueries {
         |SELECT lang, CAST(((bucket + 1) * 1024) // 64 AS BIGINT) AS p_edge
         |FROM q ORDER BY lang""".stripMargin)),
 
+    // Blocklist content filter: distinct-pattern hit counts per source
+    // via ONE Aho-Corasick pass per document (codegen expression, the
+    // automaton compiled once driver-side) — |patterns|-independent scan
+    // cost, vs the oracle's per-pattern contains() which IS the naive
+    // O(|patterns| x |text|) spec the automaton must agree with.
+    // Multi-word patterns exercise cross-token substring semantics.
+    QueryDef("q141_blocklist_scan",
+      (s, d) => {
+        val bl = Seq("slow", "error", "window", "big vector", "scan scan")
+        Tables.documents(s, d)
+          .select(col("source"),
+            graft.functions.expressions.BlocklistMatches
+              .column(col("text"), bl).as("hits"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+            sum(col("hits").cast("long")).as("sum_hits"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (SELECT source, CAST(len(list_filter(
+        |    ['slow', 'error', 'window', 'big vector', 'scan scan'],
+        |    p -> contains(text, p))) AS INT) AS hits FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(hits) AS BIGINT) AS sum_hits
+        |FROM h GROUP BY source ORDER BY source""".stripMargin)),
+
     // Incremental-percentile view: the q99 histogram as IVM state — the
     // corpus is split in half, each half's dense per-lang bucket-count
     // array is built independently (Ivm.aggState histSpec), the two
