@@ -91,6 +91,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BitwiseOr(spread(exprs(0)), ShiftLeft(spread(exprs(1)), Literal(1)))
       }))
+    e.injectFunction((FunctionIdentifier("blocklist_matches"),
+      info("blocklist_matches", "blocklist_matches(text, array('p1','p2',…)) - distinct blocklist patterns present (one Aho-Corasick pass)"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"blocklist_matches expects exactly 2 arguments (text, patterns), got ${exprs.length}")
+        val pats = exprs(1) match {
+          case e2 if e2.foldable => e2.eval(null) match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              (0 until a.numElements()).map { i =>
+                if (a.isNullAt(i)) throw new IllegalArgumentException(
+                  "blocklist_matches: null pattern")
+                a.getUTF8String(i).toString
+              }
+            case other => throw new IllegalArgumentException(
+              s"blocklist_matches patterns must be an array literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "blocklist_matches patterns must be a literal array, not a column")
+        }
+        graft.functions.expressions.BlocklistMatches(exprs(0), pats)
+      }))
     e.injectFunction((FunctionIdentifier("sax_word"),
       info("sax_word", "sax_word(series) - 4-segment alphabet-4 SAX shape word of array<double>"),
       (exprs: Seq[Expression]) => {

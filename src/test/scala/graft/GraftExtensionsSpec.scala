@@ -77,4 +77,16 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getString(0)
     assert(word === "aadd") // SaxSpec's hand-checked fixture word
   }
+
+  test("blocklist_matches resolves in pure SQL and counts distinct patterns") {
+    val n = spark.sql(
+      "SELECT blocklist_matches('the slow red fox is slow', array('slow', 'red fox', 'cat'))")
+      .head().getInt(0)
+    assert(n === 2)
+    // non-literal pattern array fails with a clear message at analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT blocklist_matches('x', array(rand()::string))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
 }
