@@ -73,6 +73,19 @@ object StreamCuration {
       .drop("__toks", "__g", "__w")
   }
 
+  /** Blocklist gate on a streaming document table: drop docs containing
+    * any blocklist term ([[graft.functions.expressions.BlocklistMatches]]
+    * — one Aho-Corasick pass per doc, the automaton compiled once and
+    * shipped with the plan). Stateless row-local scan, append mode, no
+    * watermark; stream ≡ batch is spec-pinned.
+    */
+  def blocklistGateStream(docs: DataFrame, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    docs.where(graft.functions.expressions.BlocklistMatches
+      .column(col(textCol), patterns) === 0)
+  }
+
   /** Decontaminate a streaming corpus against a STATIC benchmark table:
     * each micro-batch drops docs sharing >= minShared word-n-grams with
     * the bench set ([[Decontaminate.cleanCorpus]] per batch — the gram

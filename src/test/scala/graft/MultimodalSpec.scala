@@ -172,6 +172,31 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated image must not pair: $pairs")
   }
 
+  test("composition: image dHash pairs -> dedup CLUSTERS via connected components") {
+    import graft.operators.{Dedup, Graph}
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    def base(x: Int, y: Int) = gray((x * 5 + y * 3) % 256)
+    def patched(px: Int)(x: Int, y: Int) =
+      if (x < 4 && y < 4) gray(px) else base(x, y)
+    val media = Seq(
+      Multimodal.MediaRecord("1", "image", png(64, 64)(base), Map()),
+      Multimodal.MediaRecord("2", "image", png(64, 64)(patched(250)), Map()),
+      Multimodal.MediaRecord("3", "image", png(64, 64)(patched(0)), Map()),
+      Multimodal.MediaRecord("4", "image", png(64, 64)((x, y) =>
+        gray((255 - x * 11 + y * 17) % 256)), Map()))
+      .toDS()
+    val hashes = Multimodal.dHashes(media)
+      .select(col("key").cast("long").as("k"), col("dhash"))
+    val pairs = Dedup.hammingPairsBucketed(hashes, "k", "dhash",
+      bits = 64, maxHamming = 8)
+    val labels = Graph.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // 1, 2, 3 are local edits of one base image -> one cluster; 4 is
+    // unrelated and never appears in the pair graph at all
+    assert(labels.keySet == Set(1L, 2L, 3L))
+    assert(Set(labels(1L), labels(2L), labels(3L)).size == 1)
+  }
+
   test("audioHash64: envelope-gradient fingerprint is gain-invariant") {
     val quiet = sineWav(440.0)
     val hq = Multimodal.audioHash64(quiet)

@@ -82,6 +82,29 @@ class StreamCurationSpec extends SparkSpec {
     assert(kept.sorted.toSeq === Seq(2L)) // docs 1 and 3 share 4-grams with bench
   }
 
+  test("blocklist gate runs stateless inside a stream; survivors == batch") {
+    val tmp = Files.createTempDirectory("graft-blstream-").toString
+    val docs = Seq(
+      (1L, "a clean document"), (2L, "contains badword here"),
+      (3L, "two bad words overlap"), (4L, "fine")).toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/in")
+    val bl = Seq("badword", "bad words")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val gated = StreamCuration.blocklistGateStream(stream, "text", bl)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.format("memory").queryName("bl_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("bl_out").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val batch = StreamCuration.blocklistGateStream(docs, "text", bl)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed === Seq(1L, 4L))
+  }
+
   test("DSIR gate runs stateless inside a stream; survivors == batch gate") {
     import graft.operators.Dsir
     val tmp = Files.createTempDirectory("graft-dsirstream-").toString
