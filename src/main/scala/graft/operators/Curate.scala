@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The curation PIPELINE as one configurable call — the library face a
+  * reference user actually drives: every stage is an independently
+  * oracle-pinned operator (q15/q131, q50, q141, q114-shape, q128–q130,
+  * q134), and this wires them in the canonical order with each stage
+  * optional. The composition itself is pinned end-to-end by q136 (the
+  * explicit form of `Config(...)` with dedup/decontaminate/gate/select/
+  * order all on).
+  *
+  * Stage order (each narrows the corpus the next stage sees — filters
+  * first, the expensive selection last):
+  *   1. exact dedup (keep min-id survivor per normalized text)
+  *   2. first-occurrence span dedup (Lee et al. keep-first, optional)
+  *   3. benchmark decontamination (n-gram collision vs a bench table)
+  *   4. blocklist gate (Aho-Corasick, drop any-hit docs)
+  *   5. token-count quality gate
+  *   6. DSIR selection (top-N most target-like, integer scorer)
+  *   7. curriculum ordering (global `ord` by token band)
+  * Output: surviving documents + `n_tok` (+ `mean_score` and `ord` when
+  * selection/ordering ran).
+  */
+object Curate {
+
+  case class Config(
+      exactDedup: Boolean = true,
+      spanDedupK: Option[Int] = None,
+      decontaminateBench: Option[DataFrame] = None,
+      decontaminateN: Int = 8,
+      blocklist: Seq[String] = Nil,
+      minTokens: Long = 1L,
+      maxTokens: Long = Long.MaxValue,
+      dsirTarget: Option[Column] = None,
+      dsirTopN: Int = 1000,
+      dsirBuckets: Int = 4096,
+      dsirScale: Long = 10000L,
+      curriculumBandWidth: Option[Long] = None)
+
+  def run(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = {
+    var cur = docs
+
+    if (cfg.exactDedup) {
+      val survivors = Dedup.exact(cur, idCol, textCol).select(idCol)
+      cur = cur.join(survivors, Seq(idCol), "left_semi")
+    }
+
+    cfg.spanDedupK.foreach { k =>
+      // keep-first rewrites text; rejoin the rewritten text onto the
+      // surviving metadata columns
+      val rewritten = Dedup.chunkDedupKeepFirst(cur, idCol, textCol, k)
+        .where(col("clean_text") =!= "")
+        .select(col(idCol), col("clean_text"))
+      cur = cur.drop(textCol)
+        .join(rewritten, Seq(idCol))
+        .withColumnRenamed("clean_text", textCol)
+    }
+
+    cfg.decontaminateBench.foreach { bench =>
+      cur = Decontaminate.cleanCorpus(cur, bench, idCol, textCol,
+        cfg.decontaminateN)
+    }
+
+    if (cfg.blocklist.nonEmpty) {
+      cur = cur.where(graft.functions.expressions.BlocklistMatches
+        .column(col(textCol), cfg.blocklist) === 0)
+    }
+
+    cur = cur.withColumn("n_tok",
+        size(TextFunctions.wsTokens(col(textCol))).cast("long"))
+      .where(col("n_tok") >= cfg.minTokens && col("n_tok") <= cfg.maxTokens)
+
+    cfg.dsirTarget.foreach { target =>
+      val table = Dsir.bucketScoreTable(cur, textCol, target,
+        cfg.dsirBuckets, cfg.dsirScale)
+      val scores = Dsir.collectScores(table, cfg.dsirBuckets, cfg.dsirScale)
+      val sel = Dsir.importanceWeights(cur, idCol, textCol, scores)
+        .orderBy(col("mean_score").desc, col(idCol).asc)
+        .limit(cfg.dsirTopN)
+        .select(col(idCol), col("mean_score"))
+      cur = cur.join(sel, Seq(idCol))
+    }
+
+    cfg.curriculumBandWidth.foreach { w =>
+      require(w >= 1, s"curriculumBandWidth $w must be >= 1")
+      val banded = cur.withColumn("band", expr(s"n_tok div ${w}L"))
+      cur = Curriculum.globalOrderIndex(banded, "band", idCol)
+    }
+
+    cur
+  }
+}

@@ -142,6 +142,36 @@ object Dsir {
     arr
   }
 
+  /** Persist the score artifact (bucket → score, one row per bucket)
+    * as a versioned parquet dir — the [[graft.operators.Bpe.saveMerges]]
+    * / PQ-codebook lifecycle: train the target profile ONCE on a corpus
+    * snapshot, and every later batch job or streaming gate
+    * ([[graft.streaming.StreamCuration.dsirGateStream]]) loads the
+    * frozen artifact instead of rescanning. `_SUCCESS`-gated versions,
+    * newest complete wins.
+    */
+  def saveScores(spark: org.apache.spark.sql.SparkSession,
+      scores: Array[Long], path: String): Unit = {
+    import spark.implicits._
+    scores.zipWithIndex.map { case (s, b) => (b, s) }.toSeq
+      .toDF("bucket", "score")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/v${Ivm.nextVersion(path)}")
+  }
+
+  /** Newest complete persisted score artifact as the dense array. */
+  def loadScores(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Long] = {
+    val v = Ivm.completeVersions(path)
+    require(v.nonEmpty, s"no DSIR score artifact at $path — saveScores first")
+    val dir = Ivm.versionDirs(path).filter(_._1 == v.max).head._2
+    val rows = spark.read.parquet(dir).orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    require(rows.nonEmpty && rows.map(_._1).toSeq == (0 until rows.length),
+      s"corrupt DSIR score artifact at $dir: non-contiguous buckets")
+    rows.map(_._2)
+  }
+
   /** Row-local importance scoring: for each document,
     * `weight = sum over gram occurrences of score(bucket(gram))` and
     * `mean_score = weight div n_grams` (exact-integer length

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curate, Dsir}
+
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "quantum field theory predicts decay outcomes", "en"),
+    (2L, "quantum field theory predicts decay outcomes", "en"), // exact dup of 1
+    (3L, "casino bonus free spins now", "en"),                  // blocklisted
+    (4L, "tiny", "en"),                                         // too short
+    (5L, "entanglement violates local realism in experiments", "en"),
+    (6L, "benchmark question about entangled states here", "en"),
+    (7L, "der schnelle braune fuchs springt heute wieder", "de"))
+    .toDF("doc_id", "text", "lang")
+
+  test("all stages compose: dedup, blocklist, gate, selection, ordering") {
+    val bench = Seq((100L, "benchmark question about entangled states here"))
+      .toDF("doc_id", "text")
+    val got = Curate.run(corpus, "doc_id", "text", Curate.Config(
+        exactDedup = true,
+        decontaminateBench = Some(bench), decontaminateN = 4,
+        blocklist = Seq("casino"),
+        minTokens = 3L,
+        dsirTarget = Some(col("lang") === "en"), dsirTopN = 10,
+        dsirBuckets = 256,
+        curriculumBandWidth = Some(3L)))
+      .orderBy("ord")
+    val ids = got.select("doc_id").as[Long].collect().toSeq
+    // 2 deduped (1 survives), 3 blocklisted, 4 gated, 6 contaminated;
+    // 1, 5, 7 survive with an ord column
+    assert(ids.toSet == Set(1L, 5L, 7L), s"got $ids")
+    assert(got.columns.contains("ord") && got.columns.contains("mean_score"))
+    val bands = got.select("band").as[Long].collect().toSeq
+    assert(bands === bands.sorted, "curriculum ord must follow bands")
+  }
+
+  test("a default config is a token-count gate only (no silent stages)") {
+    val got = Curate.run(corpus, "doc_id", "text",
+        Curate.Config(exactDedup = false))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("span dedup stage rewrites text and drops emptied docs") {
+    val dup = Seq(
+      (1L, "aa bb aa bb cc dd"),
+      (2L, "aa bb aa bb")) // all chunks owned by doc 1 -> emptied, dropped
+      .toDF("doc_id", "text")
+    val got = Curate.run(dup, "doc_id", "text", Curate.Config(
+        exactDedup = false, spanDedupK = Some(2)))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(1L))
+    // keep-first collapses the WITHIN-doc repeat too: the second "aa bb"
+    // chunk is a later occurrence of the first
+    assert(got(1L) == "aa bb cc dd")
+  }
+
+  test("DSIR score artifact round-trips through the versioned store") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir-scores").toString
+    val table = Dsir.bucketScoreTable(corpus, "text", col("lang") === "en",
+      buckets = 128, scale = 10000L)
+    val scores = Dsir.collectScores(table, 128, 10000L)
+    Dsir.saveScores(spark, scores, dir)
+    assert(Dsir.loadScores(spark, dir).toSeq === scores.toSeq)
+    // newest version wins
+    val scores2 = scores.map(_ + 1)
+    Dsir.saveScores(spark, scores2, dir)
+    assert(Dsir.loadScores(spark, dir).toSeq === scores2.toSeq)
+    // frozen artifact scores identically to the in-memory array
+    val a = Dsir.importanceWeights(corpus, "doc_id", "text", scores2)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Dsir.importanceWeights(corpus, "doc_id", "text",
+        Dsir.loadScores(spark, dir))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+}
