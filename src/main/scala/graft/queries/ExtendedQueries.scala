@@ -284,6 +284,45 @@ object ExtendedQueries {
         |FROM d WHERE tsa IS NULL OR tsb IS NULL OR tsa <> tsb
         |ORDER BY key""".stripMargin)),
 
+    // TIME TRAVEL oracle-pinned (the S6 as-of row, previously spec-only):
+    // put the even-id half, COMPACT (so the as-of read crosses a real
+    // snapshot boundary), pin seqA, then put the odd half and deletes —
+    // scanAsOf(seqA) must reproduce the LWW state of the even half
+    // EXACTLY, with none of the later writes visible. The oracle is that
+    // state computed straight from the events table.
+    QueryDef("q142_asof_scan",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-q142-").toString
+        val store = new VectorStore(s, dir, dim = 1)
+        val ev = Tables.events(s, d)
+        val puts = ev.where(col("event_type") =!= "delete")
+        def putHalf(pred: org.apache.spark.sql.Column): Unit = {
+          store.put(puts.where(pred).select(
+            col("user_id").cast("string").as("key"),
+            array(col("value")).as("vector"),
+            map(lit("event_type"), col("event_type")).as("metadata"),
+            col("ts")))
+          ()
+        }
+        putHalf(col("event_id") % 2 === 0)
+        store.compact()
+        val seqA = store.currentSeq
+        putHalf(col("event_id") % 2 === 1)
+        store.delete(ev.where(col("event_type") === "delete")
+          .select(col("user_id").cast("string").as("key"), col("ts")))
+        store.scanAsOf(seqA)
+          .select(col("key"),
+            col("metadata")("event_type").as("event_type"),
+            expr("ts div 1000").as("ts_us"))
+          .orderBy("key")
+      },
+      Some("""WITH w AS (SELECT user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |  FROM events WHERE event_id % 2 = 0 AND event_type <> 'delete')
+        |SELECT CAST(user_id AS VARCHAR) AS key, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |FROM w WHERE rn = 1 ORDER BY key""".stripMargin)),
+
     // Late-interaction (ColBERT MaxSim) retrieval: pseudo-docs of 4
     // consecutive vectors (doc = vec_id div 4), query = doc 0's vector
     // set, score(D) = SUM over query vectors of MAX over D's vectors of
