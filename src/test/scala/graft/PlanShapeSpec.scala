@@ -285,4 +285,31 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("q130 DSIR selection ranks via TakeOrderedAndProject, never a global window") {
+    val plan = executed("q130_dsir_select")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q139 temperature sample: data-side windows partition by lang, quotas broadcast") {
+    val plan = executed("q139_temperature_sample")
+    assert(plan.contains("hashpartitioning(lang"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(3000))
+  }
+
+  test("q141 blocklist scan is scan -> codegen expression -> one hash-agg") {
+    val plan = executed("q141_blocklist_scan")
+    assert(plan.contains("blocklist_matches") || plan.contains("BlocklistMatches"),
+      plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q135 MaxSim: one doc exchange, no join, TakeOrdered ranking") {
+    val plan = executed("q135_late_interaction")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
 }
