@@ -177,7 +177,8 @@ object Dsir {
     * `mean_score = weight div n_grams` (exact-integer length
     * normalization — without it long documents dominate regardless of
     * content, the same reason the paper averages log-likelihood ratios).
-    * The score array rides the plan as ONE literal (not a join): the
+    * The score array rides the codegen [[graft.functions.expressions.DsirWeight]]
+    * kernel as a reference object (not a join, not a literal tree): the
     * whole pass is a codegen'd fold per row — zero shuffle, no exchange
     * anywhere until the caller aggregates. Output: (idCol, n_grams,
     * weight, mean_score).
