@@ -164,6 +164,20 @@ object Demo {
     println(s"-- BPE merges learned on the clean corpus: " +
       merges.map(m => s"${m.a}+${m.b}").mkString(", "))
 
+    println("== Curate.run: the whole pipeline as one config-driven call")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val curated = graft.operators.Curate.run(docs, "doc_id", "text",
+      graft.operators.Curate.Config(
+        exactDedup = true,
+        blocklist = Seq("error", "slow"),
+        minTokens = 30L,
+        dsirTarget = Some($"lang" === "en"), dsirTopN = 8,
+        dsirBuckets = 1024,
+        curriculumBandWidth = Some(25L)))
+    println("-- top-8 most-English survivors in curriculum order:")
+    curated.orderBy("ord")
+      .select($"ord", $"doc_id", $"lang", $"band", $"mean_score").show(false)
+
     spark.stop()
   }
 }
