@@ -88,7 +88,15 @@ object Sampling {
     val sums = counts.agg(sum(col("w")).as("__sw"))
     counts.crossJoin(broadcast(sums))
       .select(col(groupCol), col("n"),
-        expr(s"(${total}L * w) div __sw").as("alloc"))
+        // row-path overflow guard (|groups| rows, negligible): total·w
+        // must fit a Long — fails loud instead of wrapping (non-ANSI) or
+        // erroring opaquely (ANSI)
+        when(col("w") < lit(Long.MaxValue / math.max(total, 1L)),
+          expr(s"(${total}L * w) div __sw"))
+          .otherwise(raise_error(concat(
+            lit(s"temperatureAllocation: total $total * weight "),
+            col("w").cast("string"), lit(" overflows Long"))))
+          .as("alloc"))
   }
 
   /** The rebalanced sample itself: within each group, the `alloc_g`
