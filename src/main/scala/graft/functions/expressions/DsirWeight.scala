@@ -100,6 +100,9 @@ object DsirWeightUtil {
     (low % buckets).toInt
   }
 
+  // NOTE: computeD below is this walk with Double weights — any change
+  // to the gram loop, null handling or bucket hashing must mirror there
+  // (kept as two monomorphic loops so the hot path stays unboxed)
   def compute(toks: ArrayData, scores: Array[Long],
       salt: Array[Byte]): InternalRow = {
     val md = digests.get()

@@ -342,15 +342,28 @@ object Multimodal {
     while (gy < gh) {
       var gx = 0
       while (gx < gw - 1) {
-        val l = sums(gy * gw + gx) * math.max(1L, counts(gy * gw + gx + 1))
-        val r = sums(gy * gw + gx + 1) * math.max(1L, counts(gy * gw + gx))
-        // cross-multiplied averages — exact integer comparison, no division
-        if (l > r) hash |= 1L << (gy * 8 + gx)
+        // cross-multiplied averages compared in 128-bit (multiplyHigh +
+        // unsigned low word) — exact at ANY image size: the 64-bit
+        // product overflows for cells above ~6e6 pixels (a >430-MP scan),
+        // which would silently flip gradient bits
+        val la = sums(gy * gw + gx)
+        val ca = math.max(1L, counts(gy * gw + gx))
+        val lb = sums(gy * gw + gx + 1)
+        val cb = math.max(1L, counts(gy * gw + gx + 1))
+        if (cmp128(la, cb, lb, ca) > 0) hash |= 1L << (gy * 8 + gx)
         gx += 1
       }
       gy += 1
     }
     Some(hash)
+  }
+
+  /** Exact comparison of the non-negative 128-bit products a·b vs c·d. */
+  private def cmp128(a: Long, b: Long, c: Long, d: Long): Int = {
+    val h1 = java.lang.Math.multiplyHigh(a, b)
+    val h2 = java.lang.Math.multiplyHigh(c, d)
+    if (h1 != h2) java.lang.Long.compare(h1, h2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
   }
 
   /** (key, dhash) for the image rows of a media dataset — the input to
@@ -431,7 +444,14 @@ object Multimodal {
       maxBucketSize: Option[Int] = None): DataFrame = {
     require(minMatches >= 1, s"minMatches $minMatches must be >= 1")
     val fid = frameHashes.select(
-      concat_ws("\u0001", col("key"), col("frame_idx")).as("fid"),
+      // the separator itself must never appear in keys, or the split-back
+      // conflates distinct videos — fail loud, not silently mis-pair
+      concat_ws("\u0001",
+        when(col("key").contains("\u0001"),
+          raise_error(concat(lit("videoNearDupPairs: key '"), col("key"),
+            lit("' contains the frame-id separator"))))
+          .otherwise(col("key")),
+        col("frame_idx")).as("fid"),
       col("dhash"))
     val framePairs = graft.operators.Dedup.hammingPairsBucketed(
       fid, "fid", "dhash", bits = 64, maxHamming = maxHamming,

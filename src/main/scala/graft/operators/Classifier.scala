@@ -95,7 +95,6 @@ object Classifier {
         // the same 1/|bks| factor the margin used (chain rule of the mean)
         val withR = feats.withColumn("__r",
           sigmoidCol(marginCol(w, bias)) - col("y"))
-        val biasGrad = withR.agg(sum(col("__r"))).head().getDouble(0) / n
         val grad = withR
           .select((col("__r") / size(col("bks")).cast("double")).as("__rw"),
             explode(col("bks")).as("b"))
@@ -103,6 +102,10 @@ object Classifier {
           .collect()
         val gw = Array.fill(buckets)(0.0)
         grad.foreach(r => gw(r.getInt(0)) = r.getDouble(1) / n)
+        // the bias gradient IS the bucket gradients' total: each doc
+        // contributes |bks| x (r/|bks|) = r across its buckets — no
+        // second scan of the featurized frame needed
+        val biasGrad = grad.iterator.map(_.getDouble(1)).sum / n
         var b = 0
         while (b < buckets) {
           w(b) -= lr * (gw(b) + l2 * w(b)); b += 1

@@ -41,8 +41,32 @@ object Curate {
       dsirScale: Long = 10000L,
       curriculumBandWidth: Option[Long] = None)
 
+  /** Scoped-cache form — the `withMinhashPairs` discipline: the filtered
+    * corpus is persisted before the multi-pass tail (DSIR reads it twice,
+    * curriculum twice more; without a cache the dedup/decontaminate
+    * lineage re-executes per pass), `use` runs against the result, and
+    * the cache is released in `finally`. Prefer this entry point for a
+    * one-shot pipeline run; at real scale, stage outputs to parquet
+    * between phases instead (each stage output is a natural checkpoint).
+    */
+  def withCurated[T](docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config)(use: DataFrame => T): T = {
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try use(run(docs, idCol, textCol, cfg, cached))
+    finally cached.foreach(_.unpersist())
+  }
+
+  /** Lazy form — see [[withCurated]] for the cached one-shot variant.
+    * Each downstream action re-executes the stage lineage (the
+    * document-the-cost contract of a purely declarative result).
+    */
   def run(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config): DataFrame = {
+      cfg: Config): DataFrame =
+    run(docs, idCol, textCol, cfg, null)
+
+  private def run(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config,
+      cached: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     var cur = docs
 
     if (cfg.exactDedup) {
@@ -76,6 +100,10 @@ object Curate {
       .where(col("n_tok") >= cfg.minTokens && col("n_tok") <= cfg.maxTokens)
 
     cfg.dsirTarget.foreach { target =>
+      if (cached != null) {
+        cur = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += cur
+      }
       val table = Dsir.bucketScoreTable(cur, textCol, target,
         cfg.dsirBuckets, cfg.dsirScale)
       val scores = Dsir.collectScores(table, cfg.dsirBuckets, cfg.dsirScale)

@@ -139,9 +139,18 @@ object Temporal {
     */
   /** `maxGap`: optional conversion window — step i must follow step i−1
     * within `maxGap` time units (the "purchase within an hour of the
-    * click" form every funnel tool offers). Earliest-chain is still
-    * optimal here: taking the earliest qualifying tᵢ maximizes the
-    * remaining window for every later step.
+    * click" form). SEMANTICS NOTE: with a window the funnel counts the
+    * ANCHORED greedy chain — each user's journey starts at their
+    * EARLIEST step₀ and takes the earliest qualifying event per step
+    * (the first-touch convention most funnel tools use). That is NOT
+    * the existential "does any compliant chain exist" question: a user
+    * with view@0, click@40, click@45, purchase@95 under maxGap=50 does
+    * NOT convert here (the anchored chain takes click@40, closing the
+    * purchase window at 90) even though the view@0→click@45→purchase@95
+    * chain would comply — existential matching needs per-user sequence
+    * search, a different (and much costlier) operator. Without a window
+    * the two definitions coincide (greedy-earliest is optimal for pure
+    * ordering), and the oracle pins exactly the anchored semantics.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String],

@@ -2054,9 +2054,11 @@ object PipelineQueries {
     * driver loop.
     */
   /** The shared training CTE chain of the unrolled BPE oracles: word
-    * counts → wrapped-symbol vocab (s0) → n × (pair-count argmax m_i +
-    * apply stage s_i). m1..mn are the learned merges; the final apply
-    * stage is included so tokenize oracles can also reference sn.
+    * counts → wrapped-symbol vocab (s0) → pair-count argmax m_i per
+    * round, with apply stages s_1..s_{n-1} BETWEEN rounds only (m_n
+    * needs no apply after it, so s_n is never emitted — consumers that
+    * need the merges applied to something build their own apply stages
+    * over m1..mn, as [[bpeTokenizeOracle]]'s d-stages do).
     */
   private def bpeTrainStages(n: Int): String = {
     def pairStage(i: Int): String =

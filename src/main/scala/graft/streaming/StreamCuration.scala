@@ -55,22 +55,17 @@ object StreamCuration {
       salt: String = "dsir:"): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions
-    import graft.operators.Dsir
-    val buckets = scores.length
-    val sc = lit(scores)
     // inline projections, NOT a self-semi-join — joining the stream with
-    // its own derived frame would be a stateful stream-stream join; this
-    // stays a stateless narrow plan (tokens materialized before the HOF
-    // per the lambda re-evaluation rule)
+    // its own derived frame would be a stateful stream-stream join; the
+    // scorer is the SAME codegen DsirWeight kernel as the batch path
+    // (one shared implementation, so stream == batch can't drift)
     docs
       .withColumn("__toks", TextFunctions.wsTokens(col(textCol)))
-      .withColumn("__g", Dsir.grams(col("__toks")))
-      .withColumn("__w", aggregate(col("__g"), lit(0L), (acc, g) =>
-        acc + element_at(sc,
-          (TextFunctions.md5Bucket(g, buckets, salt) + 1L).cast("int"))))
-      .withColumn("mean_score", expr("__w div size(__g)"))
+      .withColumn("__nw", graft.functions.expressions.DsirWeightUtil
+        .column(col("__toks"), scores, salt))
+      .withColumn("mean_score", expr("__nw.weight div __nw.n_grams"))
       .where(col("mean_score") >= minMeanScore)
-      .drop("__toks", "__g", "__w")
+      .drop("__toks", "__nw")
   }
 
   /** Blocklist gate on a streaming document table: drop docs containing

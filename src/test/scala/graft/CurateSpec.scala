@@ -59,6 +59,19 @@ class CurateSpec extends SparkSpec {
     assert(got(1L) == "aa bb cc dd")
   }
 
+  test("withCurated: same result as run, and no cached blocks leak") {
+    val cfg = Curate.Config(dsirTarget = Some(col("lang") === "en"),
+      dsirTopN = 5, dsirBuckets = 256, minTokens = 3L)
+    val viaScoped = Curate.withCurated(corpus, "doc_id", "text", cfg) { df =>
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    val viaLazy = Curate.run(corpus, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaScoped === viaLazy)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "withCurated must release its cache")
+  }
+
   test("DSIR score artifact round-trips through the versioned store") {
     val dir = java.nio.file.Files.createTempDirectory("dsir-scores").toString
     val table = Dsir.bucketScoreTable(corpus, "text", col("lang") === "en",

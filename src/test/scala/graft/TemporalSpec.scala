@@ -144,6 +144,19 @@ class TemporalSpec extends SparkSpec {
     assert(got === Seq((0, "A", 3L), (1, "B", 2L)))
   }
 
+  test("funnel maxGap: ANCHORED (first-touch) semantics, not existential") {
+    // the documented deliberate choice: anchored greedy takes click@40,
+    // closing the purchase window at 90 — the compliant alternative
+    // chain through click@45 is NOT searched (see scaladoc)
+    val ev = Seq(
+      (1L, "A", 0L), (1L, "B", 40L), (1L, "B", 45L), (1L, "C", 95L))
+      .toDF("user_id", "event_type", "ts")
+    val got = Temporal.funnel(ev, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"), maxGap = Some(50L))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq((0, "A", 1L), (1, "B", 1L), (2, "C", 0L)))
+  }
+
   test("funnel rejects duplicate steps") {
     intercept[IllegalArgumentException] {
       Temporal.funnel(funnelEvents, "user_id", "event_type", "ts",
