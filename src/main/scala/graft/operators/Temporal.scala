@@ -180,4 +180,42 @@ object Temporal {
           col("users"))
     }.reduce(_.unionByName(_)).orderBy("step")
   }
+
+  /** EXISTENTIAL windowed funnel — [[funnel]]'s other semantics: a user
+    * reaches step i if ANY chain of events satisfies every ordering +
+    * window constraint (not just the chain anchored at their earliest
+    * step₀). Per step, the FEASIBLE event set is computed by one
+    * user-equi-join against the previous step's feasible set with the
+    * window as a residual predicate — hash join on the user key, never
+    * a time cross-product; feasible sets are bounded by each user's own
+    * event count, and DISTINCT keeps them from multiplying through the
+    * chain. Counts are ≥ [[funnel]]'s at every step by construction
+    * (TemporalSpec pins the separating counter-example). Output:
+    * (step, event_type, users).
+    */
+  def funnelExists(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], maxGap: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelExists: need at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnelExists: duplicate steps $steps")
+    require(maxGap > 0, s"funnelExists: maxGap $maxGap must be positive")
+    var feasible = events.where(col(typeCol) === steps.head)
+      .select(col(userCol), col(tsCol).as("__t")).distinct()
+    val stages = scala.collection.mutable.ArrayBuffer((steps.head, feasible))
+    steps.drop(1).foreach { st =>
+      feasible = events.where(col(typeCol) === st)
+        .select(col(userCol), col(tsCol))
+        .join(feasible.select(col(userCol), col("__t").as("__prev")),
+          Seq(userCol))
+        .where(col(tsCol) > col("__prev") &&
+          col(tsCol) <= col("__prev") + lit(maxGap))
+        .select(col(userCol), col(tsCol).as("__t")).distinct()
+      stages += ((st, feasible))
+    }
+    stages.zipWithIndex.map { case ((st, df), i) =>
+      df.agg(countDistinct(col(userCol)).as("users"))
+        .select(lit(i).cast("int").as("step"), lit(st).as("event_type"),
+          col("users"))
+    }.reduce(_.unionByName(_)).orderBy("step")
+  }
 }

@@ -223,6 +223,29 @@ object TemporalQueries {
         |SELECT CAST(0 AS INT) AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s0) AS users
         |UNION ALL SELECT CAST(1 AS INT), 'click', (SELECT COUNT(*) FROM s1)
         |UNION ALL SELECT CAST(2 AS INT), 'purchase', (SELECT COUNT(*) FROM s2)
+        |ORDER BY step""".stripMargin)),
+
+    // EXISTENTIAL windowed funnel — q140's other semantics: a user
+    // converts if ANY chain satisfies every 1-hour gap (not just the
+    // chain anchored at the earliest first step). Per step, one
+    // user-equi-join of the step's events against the previous FEASIBLE
+    // set with the window as a residual predicate; counts >= q140's at
+    // every step by construction.
+    QueryDef("q143_funnel_exists",
+      (s, d) => graft.operators.Temporal.funnelExists(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        maxGap = 3600L * 1000 * 1000 * 1000),
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tu FROM events),
+        |f0 AS (SELECT DISTINCT user_id, tu FROM e WHERE event_type = 'view'),
+        |f1 AS (SELECT DISTINCT e.user_id, e.tu FROM e JOIN f0 ON e.user_id = f0.user_id
+        |       AND e.tu > f0.tu AND e.tu <= f0.tu + 3600000000
+        |       WHERE e.event_type = 'click'),
+        |f2 AS (SELECT DISTINCT e.user_id, e.tu FROM e JOIN f1 ON e.user_id = f1.user_id
+        |       AND e.tu > f1.tu AND e.tu <= f1.tu + 3600000000
+        |       WHERE e.event_type = 'purchase')
+        |SELECT CAST(0 AS INT) AS step, 'view' AS event_type, (SELECT COUNT(DISTINCT user_id) FROM f0) AS users
+        |UNION ALL SELECT CAST(1 AS INT), 'click', (SELECT COUNT(DISTINCT user_id) FROM f1)
+        |UNION ALL SELECT CAST(2 AS INT), 'purchase', (SELECT COUNT(DISTINCT user_id) FROM f2)
         |ORDER BY step""".stripMargin))
   )
 }

@@ -157,6 +157,38 @@ class TemporalSpec extends SparkSpec {
     assert(got === Seq((0, "A", 1L), (1, "B", 1L), (2, "C", 0L)))
   }
 
+  test("funnelExists: the counter-example converts; anchored does not") {
+    val ev = Seq(
+      (1L, "A", 0L), (1L, "B", 40L), (1L, "B", 45L), (1L, "C", 95L))
+      .toDF("user_id", "event_type", "ts")
+    val anchored = Temporal.funnel(ev, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"), maxGap = Some(50L))
+      .as[(Int, String, Long)].collect().toSeq
+    val exists = Temporal.funnelExists(ev, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"), maxGap = 50L)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(anchored.last._3 == 0L)
+    assert(exists === Seq((0, "A", 1L), (1, "B", 1L), (2, "C", 1L)),
+      s"existential chain A@0 -> B@45 -> C@95 must count: $exists")
+  }
+
+  test("funnelExists >= anchored funnel at every step on random streams") {
+    val rnd = new scala.util.Random(7L)
+    val types = Vector("A", "B", "C")
+    val ev = (0 until 300).map { _ =>
+      (rnd.nextInt(25).toLong, types(rnd.nextInt(3)), rnd.nextInt(500).toLong)
+    }.toDF("user_id", "event_type", "ts")
+    val a = Temporal.funnel(ev, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"), maxGap = Some(60L))
+      .orderBy("step").select("users").as[Long].collect().toSeq
+    val x = Temporal.funnelExists(ev, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"), maxGap = 60L)
+      .orderBy("step").select("users").as[Long].collect().toSeq
+    a.zip(x).foreach { case (av, xv) =>
+      assert(xv >= av, s"existential must dominate: $a vs $x")
+    }
+  }
+
   test("funnel rejects duplicate steps") {
     intercept[IllegalArgumentException] {
       Temporal.funnel(funnelEvents, "user_id", "event_type", "ts",
