@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Dev measurement: MEASURED shuffle traffic per query — the empirical
+  * check on SCALE.md's plan-shape claims (a "zero-Exchange scan" must
+  * show zero shuffle bytes written, a "bounded hash-agg" must shuffle
+  * kilobytes at sf0.1, not the corpus). Sums executor task metrics
+  * (shuffle write bytes, shuffle read bytes, input bytes) across the
+  * stages each query runs.
+  *
+  * Usage: runMain graft.ShuffleAudit [sfDir] [query ...] (default: a
+  * representative set spanning the claimed shapes).
+  */
+object ShuffleAudit {
+
+  private class Acc extends SparkListener {
+    @volatile var write = 0L
+    @volatile var read = 0L
+    @volatile var input = 0L
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        write += m.shuffleWriteMetrics.bytesWritten
+        read += m.shuffleReadMetrics.totalBytesRead
+        input += m.inputMetrics.bytesRead
+      }
+    }
+    def reset(): Unit = { write = 0L; read = 0L; input = 0L }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq(
+        "q02_knn_exact",          // claimed zero-shuffle scan + TakeOrdered
+        "q129_dsir_weights",      // claimed zero-Exchange scoring leg
+        "q141_blocklist_scan",    // claimed row-local pass + tiny agg
+        "q15_exact_dedup",        // one hash-key shuffle
+        "q128_dsir_buckets",      // bounded 4096-bucket agg
+        "q17_minhash_lsh_dedup",  // banded candidate join
+        "q64_dedup_clusters",     // iterative CC
+        "q136_curation_pipeline") // full composition
+    val spark = graft.core.GraftSession.fromEnv()
+    spark.sparkContext.setLogLevel("ERROR")
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+    // warmup outside measurement
+    SparkEntry.queries.get("q02_knn_exact")
+      .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[shuffle] unknown query $name")
+        case Some(fn) =>
+          Thread.sleep(200) // drain in-flight listener events
+          acc.reset()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
+          Thread.sleep(300)
+          println(f"[shuffle] $name%-26s write=${acc.write / 1024}%8d KiB " +
+            f"read=${acc.read / 1024}%8d KiB input=${acc.input / 1048576}%6d MiB")
+      }
+    }
+    spark.stop()
+  }
+}
