@@ -338,6 +338,24 @@ class PropertySpec extends SparkSpec {
       assert(p.head >= p.last, s"funnel must shrink: $got"))
   }
 
+  test("funnelExists is monotone in the window: wider maxGap never loses users") {
+    import graft.operators.Temporal
+    val types = Vector("A", "B", "C")
+    val ev = (0 until 300).map { _ =>
+      (rnd.nextInt(25).toLong, types(rnd.nextInt(3)), rnd.nextInt(500).toLong)
+    }.toDF("user_id", "event_type", "ts")
+    val counts = Seq(20L, 60L, 200L).map { g =>
+      Temporal.funnelExists(ev, "user_id", "event_type", "ts",
+          Seq("A", "B", "C"), maxGap = g)
+        .orderBy("step").select("users").as[Long].collect().toSeq
+    }
+    counts.sliding(2).foreach { case Seq(narrow, wide) =>
+      narrow.zip(wide).foreach { case (n, w) =>
+        assert(w >= n, s"widening the window lost users: $counts")
+      }
+    }
+  }
+
   test("temperature quotas: sum <= total, every nonempty group sampled deterministically") {
     import graft.operators.Sampling
     val df = (0 until 500).map { i =>
