@@ -187,6 +187,16 @@ object TextFunctions {
           .as("chunk")))
   }
 
+  /** CCNet-style canonical dedup key: lowercase, every non-alphanumeric
+    * run becomes one space, trimmed — so casing, punctuation and
+    * whitespace variants of the same content collide ("Hello, World!"
+    * == "hello world"). One global regex pass, engine-portable (ASCII
+    * character class; mirror with regexp_replace(..., 'g') in DuckDB —
+    * its default replaces only the FIRST match).
+    */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   def md5Bucket(key: Column, n: Int, salt: String = ""): Column =
     pmod(conv(substring(md5(concat(lit(salt), key)), 25, 8), 16, 10)
       .cast("long"), lit(n.toLong))

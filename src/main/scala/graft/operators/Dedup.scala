@@ -88,6 +88,18 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** [[exact]] on the CANONICAL key ([[canonicalText]] — lowercase,
+    * punctuation/whitespace-insensitive): the CCNet normalization step
+    * before exact dedup, catching re-punctuated/re-cased republications
+    * a byte-level key misses. Same one-hash-shuffle shape. Output:
+    * (idCol = min-id survivor, canon, group_size).
+    */
+  def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), canonicalText(col(textCol)).as("canon"))
+      .groupBy("canon")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("group_size"))
+      .select(col(idCol), col("canon"), col("group_size"))
+
   /** FIRST-OCCURRENCE-KEPT span dedup — the other half of the Lee et al.
     * (2022) exact-substring policy: where [[chunkDedup]] deletes a
     * boilerplate chunk from EVERY document, this keeps each duplicated

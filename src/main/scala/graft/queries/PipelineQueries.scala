@@ -1362,6 +1362,20 @@ object PipelineQueries {
         |SELECT lang, CAST(((bucket + 1) * 1024) // 64 AS BIGINT) AS p_edge
         |FROM q ORDER BY lang""".stripMargin)),
 
+    // Canonical-key exact dedup (CCNet normalization): lowercase +
+    // punctuation/whitespace-insensitive key, so re-cased or
+    // re-punctuated republications of the same content collide — the
+    // normalization pass byte-level q15 deliberately lacks. DuckDB's
+    // regexp_replace needs the 'g' flag to match Spark's global default.
+    QueryDef("q144_exact_canonical",
+      (s, d) => graft.operators.Dedup.exactCanonical(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon,
+        |  CAST(COUNT(*) AS BIGINT) AS group_size
+        |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin)),
+
     // Blocklist content filter: distinct-pattern hit counts per source
     // via ONE Aho-Corasick pass per document (codegen expression, the
     // automaton compiled once driver-side) — |patterns|-independent scan

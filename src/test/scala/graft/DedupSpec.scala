@@ -531,4 +531,15 @@ class DedupSpec extends SparkSpec {
       k = 5, w = 4, maxDocFreq = 3)
     assert(capped.where(col("n_shared") > 0).count() === 0L)
   }
+
+  test("exactCanonical: case/punct/whitespace variants collide, distinct content survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO-WORLD"),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactCanonical(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "hello world", 3L), (4L, "goodbye world", 1L)))
+  }
 }
