@@ -132,6 +132,10 @@ object SelectionQueries {
         val dd = docs.join(survivors, Seq("doc_id"))
         val clean = Decontaminate.cleanCorpus(dd, bench, "doc_id", "text",
           n = 8)
+        // the dedup+decontamination lineage feeds several passes below;
+        // an explicit persist measured NO faster (Catalyst's
+        // ReusedExchange already shares the shuffle subtrees), so the
+        // plan stays declarative — Curate.withCurated is the cached form
         val gated = clean
           .withColumn("n_tok",
             size(TextFunctions.wsTokens(col("text"))).cast("long"))
