@@ -15,18 +15,35 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 object ShuffleAudit {
 
   private class Acc extends SparkListener {
-    @volatile var write = 0L
-    @volatile var read = 0L
-    @volatile var input = 0L
+    // updated on the listener-bus thread, read from main — atomics, and
+    // the main thread polls until the counters are STABLE rather than
+    // sleeping a fixed interval (a late-delivered stage event would
+    // otherwise land on the NEXT query's row)
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val input = new java.util.concurrent.atomic.AtomicLong
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       val m = s.stageInfo.taskMetrics
       if (m != null) {
-        write += m.shuffleWriteMetrics.bytesWritten
-        read += m.shuffleReadMetrics.totalBytesRead
-        input += m.inputMetrics.bytesRead
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        input.addAndGet(m.inputMetrics.bytesRead)
       }
     }
-    def reset(): Unit = { write = 0L; read = 0L; input = 0L }
+    def reset(): Unit = { write.set(0L); read.set(0L); input.set(0L) }
+    /** Poll until two consecutive 200 ms snapshots agree (bus drained). */
+    def settle(): (Long, Long, Long) = {
+      var prev = (-1L, -1L, -1L)
+      var cur = (write.get, read.get, input.get)
+      var rounds = 0
+      while (cur != prev && rounds < 50) {
+        prev = cur
+        Thread.sleep(200)
+        cur = (write.get, read.get, input.get)
+        rounds += 1
+      }
+      cur
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,13 +70,13 @@ object ShuffleAudit {
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[shuffle] unknown query $name")
         case Some(fn) =>
-          Thread.sleep(200) // drain in-flight listener events
+          acc.settle() // drain anything still in flight from the last run
           acc.reset()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           spark.catalog.clearCache()
-          Thread.sleep(300)
-          println(f"[shuffle] $name%-26s write=${acc.write / 1024}%8d KiB " +
-            f"read=${acc.read / 1024}%8d KiB input=${acc.input / 1048576}%6d MiB")
+          val (w, r, in) = acc.settle()
+          println(f"[shuffle] $name%-26s write=${w / 1024}%8d KiB " +
+            f"read=${r / 1024}%8d KiB input=${in / 1048576}%6d MiB")
       }
     }
     spark.stop()

@@ -42,10 +42,17 @@ object Dedup {
     * Output: (id, norm_text, group_size) for every KEPT row of a dup group.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), lower(trim(col(textCol))).as("norm_text"))
-      .groupBy("norm_text")
+    exactBy(df, idCol, lower(trim(col(textCol))), "norm_text")
+
+  /** The shared min-id-survivor pipeline both exact variants use: one
+    * hash shuffle on the key, (survivor id, key, group_size) out.
+    */
+  private def exactBy(df: DataFrame, idCol: String, keyExpr: Column,
+      keyName: String): DataFrame =
+    df.select(col(idCol), keyExpr.as(keyName))
+      .groupBy(keyName)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("group_size"))
-      .select(col(idCol), col("norm_text"), col("group_size"))
+      .select(col(idCol), col(keyName), col("group_size"))
 
   /** Chunk-level exact substring dedup — the within/cross-document
     * repeated-passage removal of published LLM pipelines (Lee et al. 2022,
@@ -95,10 +102,7 @@ object Dedup {
     * (idCol = min-id survivor, canon, group_size).
     */
   def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), canonicalText(col(textCol)).as("canon"))
-      .groupBy("canon")
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("group_size"))
-      .select(col(idCol), col("canon"), col("group_size"))
+    exactBy(df, idCol, canonicalText(col(textCol)), "canon")
 
   /** FIRST-OCCURRENCE-KEPT span dedup — the other half of the Lee et al.
     * (2022) exact-substring policy: where [[chunkDedup]] deletes a

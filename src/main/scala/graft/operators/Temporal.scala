@@ -155,8 +155,7 @@ object Temporal {
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String],
       maxGap: Option[Long] = None): DataFrame = {
-    require(steps.nonEmpty, "funnel: need at least one step")
-    require(steps.distinct.size == steps.size, s"funnel: duplicate steps $steps")
+    funnelValidate(steps)
     require(maxGap.forall(_ > 0), s"funnel: maxGap $maxGap must be positive")
     var reached = events.where(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
@@ -174,11 +173,24 @@ object Temporal {
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
       stages += ((st, reached))
     }
+    funnelReport(stages.toSeq, userCol)
+  }
+
+  /** Shared report tail of both funnel variants: one row per step with
+    * the surviving-user count. Both stage frames carry at most one row
+    * per user, so countDistinct(user) is exact for each.
+    */
+  private def funnelReport(stages: Seq[(String, DataFrame)],
+      userCol: String): DataFrame =
     stages.zipWithIndex.map { case ((st, df), i) =>
-      df.agg(count(lit(1)).as("users"))
+      df.agg(countDistinct(col(userCol)).as("users"))
         .select(lit(i).cast("int").as("step"), lit(st).as("event_type"),
           col("users"))
     }.reduce(_.unionByName(_)).orderBy("step")
+
+  private def funnelValidate(steps: Seq[String]): Unit = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    require(steps.distinct.size == steps.size, s"funnel: duplicate steps $steps")
   }
 
   /** EXISTENTIAL windowed funnel — [[funnel]]'s other semantics: a user
@@ -195,9 +207,7 @@ object Temporal {
     */
   def funnelExists(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String], maxGap: Long): DataFrame = {
-    require(steps.nonEmpty, "funnelExists: need at least one step")
-    require(steps.distinct.size == steps.size,
-      s"funnelExists: duplicate steps $steps")
+    funnelValidate(steps)
     require(maxGap > 0, s"funnelExists: maxGap $maxGap must be positive")
     var feasible = events.where(col(typeCol) === steps.head)
       .select(col(userCol), col(tsCol).as("__t")).distinct()
@@ -212,10 +222,6 @@ object Temporal {
         .select(col(userCol), col(tsCol).as("__t")).distinct()
       stages += ((st, feasible))
     }
-    stages.zipWithIndex.map { case ((st, df), i) =>
-      df.agg(countDistinct(col(userCol)).as("users"))
-        .select(lit(i).cast("int").as("step"), lit(st).as("event_type"),
-          col("users"))
-    }.reduce(_.unionByName(_)).orderBy("step")
+    funnelReport(stages.toSeq, userCol)
   }
 }
