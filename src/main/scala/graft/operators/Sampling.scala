@@ -118,6 +118,50 @@ object Sampling {
       .drop("alloc")
   }
 
+  /** Epoch-weighted source mixing — the "data recipe" table of LLaMA-
+    * style pretraining (N epochs of wiki, 0.6 of web …): each source's
+    * repeat factor is its token budget over its available tokens,
+    * realized per document as `floor(factor)` full copies plus one more
+    * with probability `frac(factor)` — so every source's EXPECTED
+    * emitted tokens hit its budget exactly while each decision stays a
+    * deterministic per-row md5 coin (same copies on every run/engine).
+    *
+    * Exact-integer discipline: full = budget div avail, and the
+    * fractional coin is the cross-multiplied compare
+    * `u32 · avail < (budget mod avail) · 2³²` in DECIMAL(38,0) — no
+    * float ratio, no overflow (the [[graft.operators.Ivm.trendOf]]
+    * widening rule). Output: input columns + `copy_idx` (0-based), one
+    * row per emitted copy. One tiny per-source agg + a broadcast join;
+    * the expansion is a row-local explode.
+    */
+  def epochExpand(df: DataFrame, idCol: String, tokCol: String,
+      sourceCol: String, budgets: Map[String, Long],
+      salt: String = "epoch:"): DataFrame = {
+    require(budgets.nonEmpty, "epochExpand: empty budget table")
+    require(budgets.values.forall(_ >= 0), s"epochExpand: negative budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = budgets.toSeq.toDF(sourceCol, "__budget")
+    val avail = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokCol)).as("__avail"))
+    val plan = avail.join(b, Seq(sourceCol)) // sources without budget drop
+      .select(col(sourceCol),
+        expr("__budget div __avail").as("__full"),
+        expr("__budget % __avail").as("__rem"),
+        col("__avail"))
+    df.join(broadcast(plan), Seq(sourceCol))
+      .withColumn("__u", TextFunctions.md5Low32(
+        concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("__extra",
+        when(expr("CAST(__u AS DECIMAL(38,0)) * CAST(__avail AS DECIMAL(38,0))" +
+          " < CAST(__rem AS DECIMAL(38,0)) * CAST(4294967296 AS DECIMAL(38,0))"),
+          1).otherwise(0))
+      .where(col("__full") + col("__extra") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("__full") + col("__extra") - 1L)))
+      .drop("__full", "__rem", "__avail", "__u", "__extra")
+  }
+
   /** GLOBAL priority sample — same exact-integer Duffield-Lund-Thorup
     * priority as [[prioritySample]], but top-`n` over the whole frame
     * via `orderBy().limit()` ⇒ TakeOrderedAndProject (map-side heaps +

@@ -184,6 +184,42 @@ object SelectionQueries {
         |  doc_id, band, mean_score
         |FROM fin ORDER BY ord""".stripMargin)),
 
+    // Epoch-weighted source mixing (the LLaMA data-recipe table): three
+    // sources get absolute token budgets; each document emits
+    // floor(budget/avail) full copies + one more on an exact-integer
+    // md5 coin with P = frac(budget/avail) — expected emitted tokens hit
+    // the budget exactly, every copy decision reproducible on any
+    // engine (DECIMAL(38,0) cross-multiplied compare, no float ratio).
+    // Output = per-source emitted totals (bounded rows at any scale).
+    QueryDef("q145_epoch_mix",
+      (s, d) => {
+        import graft.functions.TextFunctions
+        val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+          size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_tok"))
+        graft.operators.Sampling.epochExpand(docs, "doc_id", "n_tok",
+            "source",
+            Map("src1" -> 30000L, "src2" -> 4000L, "src3" -> 10000L))
+          .groupBy("source")
+          .agg(count(lit(1)).as("rows_out"), sum("n_tok").as("toks_out"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+        |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents),
+        |b(source, budget) AS (VALUES ('src1', CAST(30000 AS BIGINT)),
+        |  ('src2', CAST(4000 AS BIGINT)), ('src3', CAST(10000 AS BIGINT))),
+        |a AS (SELECT source, SUM(n_tok) AS avail FROM t GROUP BY source),
+        |p AS (SELECT a.source, budget // avail AS fullc, budget % avail AS rem, avail
+        |      FROM a JOIN b USING (source)),
+        |x AS (SELECT t.source, t.n_tok, p.fullc +
+        |    CASE WHEN CAST(CAST('0x'||substr(md5('epoch:'||CAST(t.doc_id AS VARCHAR)),25,8) AS BIGINT) AS DECIMAL(38,0))
+        |             * CAST(p.avail AS DECIMAL(38,0))
+        |           < CAST(p.rem AS DECIMAL(38,0)) * CAST(4294967296 AS DECIMAL(38,0))
+        |         THEN 1 ELSE 0 END AS copies
+        |  FROM t JOIN p USING (source))
+        |SELECT source, CAST(SUM(copies) AS BIGINT) AS rows_out,
+        |  CAST(SUM(copies * n_tok) AS BIGINT) AS toks_out
+        |FROM x WHERE copies > 0 GROUP BY source ORDER BY source""".stripMargin)),
+
     // Temperature-rebalanced multilingual sampling (XLM/mC4 alpha=1/2):
     // each language's quota grows like sqrt(its size) — low-resource
     // langs over-sampled relative to share, the head capped. Quotas are

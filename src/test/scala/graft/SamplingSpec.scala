@@ -7,6 +7,38 @@ import graft.operators.Sampling
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("epochExpand: full copies exact, fractional coin unbiased-ish, reproducible") {
+    import graft.operators.Sampling
+    // source A: avail 100 tokens, budget 250 -> 2 full copies + P=0.5
+    // extra; source B: avail 100, budget 100 -> exactly 1 copy each;
+    // source C: no budget -> dropped
+    val df = ((1 to 10).map(i => ("A", i.toLong, 10L)) ++
+      (11 to 20).map(i => ("B", i.toLong, 10L)) ++
+      (21 to 25).map(i => ("C", i.toLong, 10L)))
+      .toDF("source", "id", "n_tok")
+    val out = Sampling.epochExpand(df, "id", "n_tok", "source",
+      Map("A" -> 250L, "B" -> 100L))
+    val perDoc = out.groupBy("source", "id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // B: exactly one copy per doc, copy_idx 0
+    (11 to 20).foreach(i => assert(perDoc(("B", i.toLong)) == 1L))
+    assert(!perDoc.keys.exists(_._1 == "C"), "unbudgeted source must drop")
+    // A: every doc has 2 or 3 copies; total tokens lands near the budget
+    (1 to 10).foreach { i =>
+      val c = perDoc(("A", i.toLong))
+      assert(c == 2L || c == 3L, s"doc $i copies $c")
+    }
+    val toksA = out.where(col("source") === "A")
+      .agg(sum("n_tok")).as[Long].head()
+    assert(toksA >= 200L && toksA <= 300L, s"A emitted $toksA of budget 250")
+    // copy_idx is a clean 0..c-1 range and the expansion is reproducible
+    val again = Sampling.epochExpand(df, "id", "n_tok", "source",
+      Map("A" -> 250L, "B" -> 100L))
+      .orderBy("source", "id", "copy_idx").collect().map(_.toString).toSeq
+    assert(again === out.orderBy("source", "id", "copy_idx")
+      .collect().map(_.toString).toSeq)
+  }
+
   test("temperature allocation: sqrt-rebalanced quotas, head capped, tail boosted") {
     import graft.operators.Sampling
     // head lang 900 docs, tail lang 9: proportional share would be
