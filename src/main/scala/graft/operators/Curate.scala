@@ -22,6 +22,7 @@ import graft.functions.TextFunctions
   *   5. token-count quality gate
   *   6. DSIR selection (top-N most target-like, integer scorer)
   *   7. curriculum ordering (global `ord` by token band)
+  *   8. epoch-weighted recipe expansion (per-source token budgets)
   * Output: surviving documents + `n_tok` (+ `mean_score` and `ord` when
   * selection/ordering ran).
   */
@@ -39,7 +40,9 @@ object Curate {
       dsirTopN: Int = 1000,
       dsirBuckets: Int = 4096,
       dsirScale: Long = 10000L,
-      curriculumBandWidth: Option[Long] = None)
+      curriculumBandWidth: Option[Long] = None,
+      epochBudgets: Map[String, Long] = Map.empty,
+      epochSourceCol: String = "source")
 
   /** Scoped-cache form — the `withMinhashPairs` discipline: the filtered
     * corpus is persisted before the multi-pass tail (DSIR reads it twice,
@@ -118,6 +121,13 @@ object Curate {
       require(w >= 1, s"curriculumBandWidth $w must be >= 1")
       val banded = cur.withColumn("band", expr(s"n_tok div ${w}L"))
       cur = Curriculum.globalOrderIndex(banded, "band", idCol)
+    }
+
+    // the recipe is the LAST stage: repeat the curated corpus per-source
+    // to hit token budgets (rows gain copy_idx; unbudgeted sources drop)
+    if (cfg.epochBudgets.nonEmpty) {
+      cur = Sampling.epochExpand(cur, idCol, "n_tok", cfg.epochSourceCol,
+        cfg.epochBudgets)
     }
 
     cur

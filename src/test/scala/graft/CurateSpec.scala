@@ -72,6 +72,22 @@ class CurateSpec extends SparkSpec {
       "withCurated must release its cache")
   }
 
+  test("epoch-recipe stage expands the curated corpus per-source budget") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "zeta eta theta iota kappa", "s1"),
+      (3L, "one two three four five", "s2"))
+      .toDF("doc_id", "text", "source")
+    // s1 avail = 10 tokens, budget 20 -> exactly 2 copies per doc;
+    // s2 unbudgeted -> dropped
+    val out = Curate.run(docs, "doc_id", "text", Curate.Config(
+      exactDedup = false, epochBudgets = Map("s1" -> 20L)))
+    val counts = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L), s"got $counts")
+    assert(out.columns.contains("copy_idx"))
+  }
+
   test("DSIR score artifact round-trips through the versioned store") {
     val dir = java.nio.file.Files.createTempDirectory("dsir-scores").toString
     val table = Dsir.bucketScoreTable(corpus, "text", col("lang") === "en",
