@@ -220,6 +220,53 @@ object SelectionQueries {
         |  CAST(SUM(copies * n_tok) AS BIGINT) AS toks_out
         |FROM x WHERE copies > 0 GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Recipe -> batches, the actual LAST MILE: the epoch-expanded corpus
+    // (q145's exact copies, per-copy rows) packed into 512-token
+    // training bins per source (q44's exclusive-running-sum packer) —
+    // "how many batches does this data recipe actually yield". All
+    // integer arithmetic end to end.
+    QueryDef("q146_recipe_pack",
+      (s, d) => {
+        import graft.functions.TextFunctions
+        val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+          size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_tok"))
+        val expanded = graft.operators.Sampling.epochExpand(docs, "doc_id",
+          "n_tok", "source",
+          Map("src1" -> 30000L, "src2" -> 4000L, "src3" -> 10000L))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("doc_id"), col("copy_idx"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        expanded
+          .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("bin", expr("cum div 512"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_seqs"), sum(col("n_tok")).as("sum_tok"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+        |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents),
+        |b(source, budget) AS (VALUES ('src1', CAST(30000 AS BIGINT)),
+        |  ('src2', CAST(4000 AS BIGINT)), ('src3', CAST(10000 AS BIGINT))),
+        |a AS (SELECT source, SUM(n_tok) AS avail FROM t GROUP BY source),
+        |p AS (SELECT a.source, budget // avail AS fullc, budget % avail AS rem, avail
+        |      FROM a JOIN b USING (source)),
+        |x AS (SELECT t.source, t.doc_id, t.n_tok, p.fullc +
+        |    CASE WHEN CAST(CAST('0x'||substr(md5('epoch:'||CAST(t.doc_id AS VARCHAR)),25,8) AS BIGINT) AS DECIMAL(38,0))
+        |             * CAST(p.avail AS DECIMAL(38,0))
+        |           < CAST(p.rem AS DECIMAL(38,0)) * CAST(4294967296 AS DECIMAL(38,0))
+        |         THEN 1 ELSE 0 END AS copies
+        |  FROM t JOIN p USING (source)),
+        |e AS (SELECT source, doc_id, n_tok, unnest(range(0, CAST(copies AS BIGINT))) AS copy_idx
+        |      FROM x WHERE copies > 0),
+        |c AS (SELECT source, n_tok, COALESCE(SUM(n_tok) OVER (PARTITION BY source
+        |  ORDER BY doc_id, copy_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM e)
+        |SELECT source, CAST(CAST(cum AS BIGINT) // 512 AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin)),
+
     // Temperature-rebalanced multilingual sampling (XLM/mC4 alpha=1/2):
     // each language's quota grows like sqrt(its size) — low-resource
     // langs over-sampled relative to share, the head capped. Quotas are
