@@ -32,7 +32,16 @@ object Curriculum {
     */
   def globalOrderIndex(df: DataFrame, bucketCol: String,
       tieCol: String): DataFrame = {
-    val counts = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("__n"))
+    // A NULL bucket would never match the offsets frame (null != null in
+    // an equi-join) and its rows would silently vanish, breaking the
+    // 1..n permutation contract — fail loud in the plan instead (zero
+    // extra passes; the check rides the existing scan).
+    val checked = df.withColumn(bucketCol,
+      when(col(bucketCol).isNull, raise_error(lit(
+        s"Curriculum.globalOrderIndex: NULL $bucketCol — every row needs " +
+          "a bucket; filter or impute nulls upstream")))
+        .otherwise(col(bucketCol)))
+    val counts = checked.groupBy(col(bucketCol)).agg(count(lit(1)).as("__n"))
     // exclusive running sum over the bucket-cardinality frame (tiny)
     val offsets = counts.withColumn("__off",
       coalesce(sum(col("__n")).over(
@@ -40,7 +49,7 @@ object Curriculum {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(bucketCol), col("__off"))
     val intra = Window.partitionBy(col(bucketCol)).orderBy(col(tieCol).asc)
-    df.join(broadcast(offsets), Seq(bucketCol))
+    checked.join(broadcast(offsets), Seq(bucketCol))
       .withColumn("ord", col("__off") + row_number().over(intra))
       .drop("__off")
   }

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental view maintenance for aggregates — the nightly-pipeline
@@ -181,22 +181,31 @@ object Ivm {
       if (!u.columns.contains("sx")) scalars0
       else scalars0 ++ Seq(sum(col("sx")).as("sx"),
         sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"))
+    // Bucket-wise array folds MUST see a uniform width: zip_with pads a
+    // shorter side with nulls, so silently merging an hll built at a
+    // different `p` (or a hist with a different bucket count) would
+    // corrupt registers instead of failing. Guard every step after the
+    // empty-init adoption with a loud width check.
+    def widthCheckedFold(colName: String, what: String,
+        step: (Column, Column) => Column): Column =
+      aggregate(collect_list(col(colName)), array().cast("array<bigint>"),
+        (acc, x) => when(size(acc) === 0, x)
+          .when(size(x) =!= size(acc),
+            raise_error(format_string(
+              s"Ivm.mergeStates: $what width mismatch (%d vs %d) — " +
+                "states were built with incompatible specs",
+              size(acc), size(x))).cast("array<bigint>"))
+          .otherwise(zip_with(acc, x, step))).as(colName)
     val withHll =
       if (!u.columns.contains("hll")) scalars
-      // fold the group's register arrays bucket-wise; the empty-array
-      // init works because zip_with pads the shorter side with nulls and
-      // greatest skips them — the first merge step just adopts the row
-      else scalars :+ aggregate(collect_list(col("hll")),
-        array().cast("array<bigint>"),
-        (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as("hll")
+      // registers take bucket-wise max; first step adopts the row
+      else scalars :+ widthCheckedFold("hll", "hll register",
+        (a, b) => greatest(a, b))
     val aggs =
       if (!u.columns.contains("hist")) withHll
-      // histogram counts ADD bucket-wise (sum monoid; null-padding from
-      // the empty init coalesces to zero so the first step adopts)
-      else withHll :+ aggregate(collect_list(col("hist")),
-        array().cast("array<bigint>"),
-        (acc, x) => zip_with(acc, x,
-          (a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L)))).as("hist")
+      // histogram counts ADD bucket-wise (sum monoid)
+      else withHll :+ widthCheckedFold("hist", "histogram bucket",
+        (a, b) => a + b)
     u.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -144,7 +144,20 @@ object Sampling {
     val b = budgets.toSeq.toDF(sourceCol, "__budget")
     val avail = df.groupBy(col(sourceCol))
       .agg(sum(col(tokCol)).as("__avail"))
-    val plan = avail.join(b, Seq(sourceCol)) // sources without budget drop
+    // Left join FROM the budget table so a budgeted source that is
+    // absent from the corpus (recipe typo) or has zero available tokens
+    // fails LOUD — the old inner join + non-ANSI `div` null made both
+    // vanish silently. Corpus sources without a budget still drop (the
+    // recipe is the selection). A zero budget on a present source is
+    // fine (expands to nothing through __full = __rem = 0).
+    val plan = b.join(avail, Seq(sourceCol), "left")
+      .withColumn("__avail",
+        when(col("__avail").isNull || col("__avail") <= 0,
+          raise_error(format_string(
+            "Sampling.epochExpand: budgeted source '%s' has no available " +
+              "tokens (absent from the corpus or zero token sum) — check " +
+              "the recipe's source names", col(sourceCol))).cast("bigint"))
+          .otherwise(col("__avail")))
       .select(col(sourceCol),
         expr("__budget div __avail").as("__full"),
         expr("__budget % __avail").as("__rem"),

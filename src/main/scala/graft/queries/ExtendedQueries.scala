@@ -296,6 +296,17 @@ object ExtendedQueries {
         val store = new VectorStore(s, dir, dim = 1)
         val ev = Tables.events(s, d)
         val puts = ev.where(col("event_type") =!= "delete")
+        // The oracle's LWW pick is row_number() over ts alone; the store
+        // additionally tie-breaks equal-ts rows by content hash. Assert
+        // the fixture has no (user_id, ts) collision among the even-id
+        // puts so the two rankings provably agree — fail loud here
+        // rather than flake the hash gate on a collision.
+        val evenPuts = puts.where(col("event_id") % 2 === 0)
+        val collisions = evenPuts.groupBy("user_id", "ts")
+          .count().where(col("count") > 1).count()
+        require(collisions == 0L,
+          s"q142 fixture has $collisions (user_id, ts) collisions among " +
+            "even-id puts; oracle tie-break would be nondeterministic")
         def putHalf(pred: org.apache.spark.sql.Column): Unit = {
           store.put(puts.where(pred).select(
             col("user_id").cast("string").as("key"),

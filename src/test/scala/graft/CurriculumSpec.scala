@@ -25,6 +25,15 @@ class CurriculumSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("a NULL bucket fails loud instead of silently dropping rows") {
+    val withNull = rows.withColumn("band",
+      when(col("id") === 5L, lit(null).cast("long")).otherwise(col("band")))
+    val ex = intercept[Exception] {
+      Curriculum.globalOrderIndex(withNull, "band", "id").count()
+    }
+    assert(ex.getMessage.contains("NULL band"), ex.getMessage)
+  }
+
   test("ord is a 1..n permutation regardless of partitioning") {
     val ords = Curriculum.globalOrderIndex(rows.repartition(7), "band", "id")
       .select("ord").as[Long].collect().sorted.toSeq

@@ -88,6 +88,25 @@ class IvmSpec extends SparkSpec {
     }
   }
 
+  test("merging states built with incompatible widths fails loud") {
+    val df = hllRows.toDF("g", "v", "u")
+    // hll built at different p: register arrays 16 vs 32 wide — a silent
+    // bucket-wise max over those would corrupt the sketch
+    val p4 = Ivm.aggState(df, Seq("g"), "v", hllCol = Some("u"), p = 4)
+    val p5 = Ivm.aggState(df, Seq("g"), "v", hllCol = Some("u"), p = 5)
+    val ex = intercept[Exception] {
+      Ivm.mergeStates(Seq(p4, p5), Seq("g")).collect()
+    }
+    assert(ex.getMessage.contains("width mismatch"), ex.getMessage)
+    // hist built with different bucket counts: same guard
+    val h8 = Ivm.aggState(df, Seq("g"), "v", histSpec = Some((-10L, 110L, 8)))
+    val h16 = Ivm.aggState(df, Seq("g"), "v", histSpec = Some((-10L, 110L, 16)))
+    val ex2 = intercept[Exception] {
+      Ivm.mergeStates(Seq(h8, h16), Seq("g")).collect()
+    }
+    assert(ex2.getMessage.contains("width mismatch"), ex2.getMessage)
+  }
+
   test("hll column: registers match Sketch.hllRegisters' sparse form") {
     val df = hllRows.toDF("g", "v", "u")
     val dense = Ivm.aggState(df, Seq("g"), "v", hllCol = Some("u"), p = 4)

@@ -39,6 +39,37 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.toString).toSeq)
   }
 
+  test("epochExpand: budgeted-but-unknown source fails loud") {
+    import graft.operators.Sampling
+    val df = (1 to 5).map(i => ("A", i.toLong, 10L))
+      .toDF("source", "id", "n_tok")
+    // "B" is budgeted but absent from the corpus (the recipe-typo case):
+    // the old inner join silently dropped it; now the plan raises.
+    val ex = intercept[Exception] {
+      Sampling.epochExpand(df, "id", "n_tok", "source",
+        Map("A" -> 100L, "B" -> 50L)).count()
+    }
+    assert(ex.getMessage.contains("no available tokens"), ex.getMessage)
+  }
+
+  test("epochExpand: budgeted source with zero token sum fails loud") {
+    import graft.operators.Sampling
+    // source Z exists but every row has 0 tokens — `budget div 0` used to
+    // null out and silently drop the whole source
+    val df = ((1 to 5).map(i => ("A", i.toLong, 10L)) ++
+      (6 to 8).map(i => ("Z", i.toLong, 0L)))
+      .toDF("source", "id", "n_tok")
+    val ex = intercept[Exception] {
+      Sampling.epochExpand(df, "id", "n_tok", "source",
+        Map("A" -> 100L, "Z" -> 50L)).count()
+    }
+    assert(ex.getMessage.contains("no available tokens"), ex.getMessage)
+    // zero BUDGET on a present source stays fine: expands to nothing
+    val out = Sampling.epochExpand(df.where(col("source") === "A"),
+      "id", "n_tok", "source", Map("A" -> 0L))
+    assert(out.count() == 0L)
+  }
+
   test("temperature allocation: sqrt-rebalanced quotas, head capped, tail boosted") {
     import graft.operators.Sampling
     // head lang 900 docs, tail lang 9: proportional share would be
