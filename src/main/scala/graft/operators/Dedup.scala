@@ -34,7 +34,13 @@ object Dedup {
       .where(col("gsz") >= 2)
     val keep = cap.fold(counts)(c => counts.where(col("gsz") <= c))
       .select(keys.map(col): _*)
-    df.join(keep, keys, "left_semi")
+    // `keep` is |buckets|-scale — unbounded at 100 TB, so never leave it
+    // to a size-estimate broadcast (the cached upstream's pre-
+    // materialization stats can look tiny). SHUFFLE_HASH build on the
+    // UNIQUE-key side is bounded per partition, and the exchange of `df`
+    // by `keys` it forces is reused by the pair join that follows on the
+    // same keys.
+    df.join(keep.hint("SHUFFLE_HASH"), keys, "left_semi")
   }
 
   /** Exact dedup by normalized text (hash-groupBy): one shuffle on the
@@ -354,16 +360,27 @@ object Dedup {
     // a capped build side keeps per-partition hash maps small and skips
     // the SMJ sort pass; UNCAPPED, a degenerate band bucket would build
     // an unspillable hash map where SMJ spills to disk — so the uncapped
-    // form keeps the spill-safe default.
+    // form pins MERGE instead: still spill-safe, but never a broadcast
+    // of the |docs|·bands banded relation on a stats misestimate (the
+    // 10× driver-OOM watch item).
     val bandedBuild =
-      if (maxBucketSize.isDefined) banded.hint("SHUFFLE_HASH") else banded
+      if (maxBucketSize.isDefined) banded.hint("SHUFFLE_HASH")
+      else banded.hint("MERGE")
     val cand = banded.as("x").join(bandedBuild.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
-    val sh = mh.select(col(idCol), col("shingles"))
+    // The shingle relation is |docs| rows of shingle ARRAYS — never
+    // broadcast-safe at scale, but it reads from the cached `mh` whose
+    // in-memory stats can come in under autoBroadcastJoinThreshold and
+    // tempt the planner into a driver broadcast (observed once as a
+    // non-reproducible driver OOM at 10× — SCALE.md watch item, closed
+    // here). Pin both verify joins SHUFFLE_HASH: the build side has
+    // UNIQUE keys (one row per doc), so per-partition hash maps are
+    // bounded by |docs|/partitions — the capped-band-join discipline.
+    val sh = mh.select(col(idCol), col("shingles")).hint("SHUFFLE_HASH")
     val inter = size(array_intersect(col("sa"), col("sb")))
     val pairs = cand
       .join(sh.withColumnRenamed(idCol, "a").withColumnRenamed("shingles", "sa"), "a")
@@ -577,8 +594,10 @@ object Dedup {
     // SHUFFLE_HASH only when maxDocFreq actually bounds the posting
     // lists (~30-40% of the capped query's time is the skipped SMJ sort);
     // uncapped, a stop-gram's posting list would build an unspillable
-    // hash map where SMJ spills — keep the spill-safe default there.
-    val bBuild = if (maxDocFreq.isDefined) b.hint("SHUFFLE_HASH") else b
+    // hash map where SMJ spills — pin MERGE there: spill-safe AND never
+    // a size-estimate broadcast of the unbounded posting relation.
+    val bBuild =
+      if (maxDocFreq.isDefined) b.hint("SHUFFLE_HASH") else b.hint("MERGE")
     val pairs = a.join(bBuild, Seq("gram"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("sa"), col("sb"))

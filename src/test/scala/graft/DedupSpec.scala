@@ -532,6 +532,38 @@ class DedupSpec extends SparkSpec {
     assert(capped.where(col("n_shared") > 0).count() === 0L)
   }
 
+  test("minhash shingle-verify joins never broadcast the shingle relation " +
+      "even when the planner would love to") {
+    // Regression for the 10× driver-broadcast OOM (SCALE.md watch item):
+    // the shingle relation reads from the cached signature frame, whose
+    // stats can come in under autoBroadcastJoinThreshold — with a
+    // generous threshold the planner WOULD broadcast it; the
+    // SHUFFLE_HASH pin must win.
+    val conf = spark.conf
+    val (aqe, bro) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", (256 << 20).toString)
+    try {
+      val docs = graft.core.Tables.documents(spark, sf0001)
+      Dedup.withMinhashPairs(docs, "doc_id", "text") { pairs =>
+        val plan = pairs.queryExecution.executedPlan.toString
+        // both verify joins pinned to shuffled-hash on the shingle side
+        assert("ShuffledHashJoin \\[a".r.findFirstIn(plan).isDefined &&
+          "ShuffledHashJoin \\[b".r.findFirstIn(plan).isDefined,
+          plan.take(4000))
+        // and no broadcast exchange anywhere carries shingle arrays
+        assert(!plan.contains("BroadcastExchange"), plan.take(4000))
+        // the pin must not change results: pairs still find the planted
+        // near-dups this fixture's q17/q64 rely on
+        assert(pairs.where(col("jac") >= 0.5).count() > 0L)
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bro)
+    }
+  }
+
   test("exactCanonical: case/punct/whitespace variants collide, distinct content survives") {
     import spark.implicits._
     val docs = Seq(
