@@ -848,7 +848,7 @@ object Dedup {
       .withColumn("pos", row_number().over(wOrd))
       .where(col("pos") <=
         col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-      .select(col(idCol), col("tok"), col("sz"))
+      .select(col(idCol), col("tok"), col("sz"), col("pos"))
     // skew cap: tokens in too many PREFIXES leave the index. The hot set
     // is tiny by pigeonhole (≤ total-prefix-rows / maxPrefixFreq), so the
     // anti-join broadcasts; the count is an eager action over the already
@@ -870,12 +870,28 @@ object Dedup {
       if (hotStats.getLong(0) == 0) prefixAll
       else prefixAll.join(broadcast(pfreq.select("tok")), Seq("tok"), "left_anti")
     // length filter (also lossless): jac ≥ t forces t·|x| ≤ |y| ≤ |x|/t,
-    // so size-mismatched collisions drop before the distinct
+    // so size-mismatched collisions drop before the distinct.
+    // POSITIONAL filter (the PPJoin upgrade over plain AllPairs,
+    // Xiao et al. 2008): a collision at ordered positions (px, py) can
+    // contribute at most 1 + min(|x|−px, |y|−py) common tokens, so it
+    // only WITNESSES the pair if that bound reaches the required
+    // overlap α = ⌈tNum·(|x|+|y|) / (tNum+tDen)⌉ (jac ≥ t ⟺ inter ≥
+    // t/(1+t)·(|x|+|y|)). Lossless per-collision: for any qualifying
+    // pair, its FIRST shared token in the global order sits in both
+    // prefixes and satisfies the bound (all other shared tokens come
+    // after it on both sides), so at least one collision always
+    // survives. Integer form: (1+min)·(tNum+tDen) ≥ tNum·(sx+sy) avoids
+    // the ceil. Cuts candidates that collide only deep in their
+    // prefixes — exactly the near-threshold false positives whose
+    // verification dominated q98.
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.tok") === col("y.tok") &&
           col(s"x.$idCol") < col(s"y.$idCol") &&
           col("y.sz") * tDen >= col("x.sz") * tNum &&
-          col("x.sz") * tDen >= col("y.sz") * tNum)
+          col("x.sz") * tDen >= col("y.sz") * tNum &&
+          (lit(1L) + least(col("x.sz") - col("x.pos"),
+              col("y.sz") - col("y.pos"))) * (tNum + tDen) >=
+            (col("x.sz") + col("y.sz")) * tNum)
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
     val sets = toks.groupBy(idCol)
