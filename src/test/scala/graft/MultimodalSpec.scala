@@ -369,4 +369,92 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(ds.as[MediaRecord], dim = 16).collect().head
     assert(f.mediaType === "audio" && f.width === 8000)
   }
+
+  // ---- model-artifact-backed embedder (the CLIP seam, proven) ----
+
+  import graft.multimodal.Embedder
+
+  private def freshModelDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-model-").toString
+    val model = Embedder.DualTower(
+      image = Embedder.seededTower(seed = 42L, inDim = 48, hiddenDim = 64,
+        outDim = 512),
+      text = Embedder.seededTower(seed = 43L, inDim = 48, hiddenDim = 64,
+        outDim = 512))
+    Embedder.save(spark.sparkContext.hadoopConfiguration, dir, model)
+    dir
+  }
+
+  test("image2vec through a LOADED model artifact: the reference's six " +
+      "JPEGs embed to distinct unit-norm 512-d vectors, deterministically") {
+    assumeRefData()
+    val modelDir = freshModelDir()
+    val names = Seq("__1Mu7EZXOM", "__CmMNKO4nw", "__G2yFuW7jQ",
+      "__I-gX-cnd8", "__LjxJzd0MA", "__or0r9kLQw")
+    val recs = names.map { n =>
+      MediaRecord(n, "image",
+        java.nio.file.Files.readAllBytes(refData.resolve(n + ".jpg")), Map.empty)
+    }.toDS().repartition(3) // model loads on several partitions — one JVM read
+    val got = Embedder.embedMedia(recs, modelDir).collect()
+      .map(e => e.key -> e).toMap
+    assert(got.size === 6)
+    got.values.foreach { e =>
+      assert(e.decoded, s"${e.key} must use the real decode path")
+      assert(e.embedding.length === 512)
+      val nrm = math.sqrt(e.embedding.map(x => x.toDouble * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-5, s"unit norm of ${e.key}")
+    }
+    assert(got.values.map(_.embedding.toSeq).toSet.size === 6,
+      "six distinct images must embed distinctly")
+    // bit-deterministic: a second full pass reproduces every vector
+    val again = Embedder.embedMedia(recs, modelDir).collect()
+      .map(e => e.key -> e.embedding.toSeq).toMap
+    names.foreach(n => assert(again(n) === got(n).embedding.toSeq))
+  }
+
+  test("text2vec through the text tower shares the image space: KNN-ready " +
+      "(id, embedding) rows, unit-norm, deterministic") {
+    val modelDir = freshModelDir()
+    val docs = Seq((1L, "a photo of a cat"), (2L, "stock market analysis"),
+      (3L, "a photo of a cat")).toDF("doc_id", "text")
+    val out = Embedder.embedText(docs, "doc_id", "text", modelDir)
+      .as[(String, Array[Float])].collect().toMap
+    assert(out.size === 3)
+    assert(out("1").toSeq === out("3").toSeq, "same text, same vector")
+    assert(out("1").toSeq !== out("2").toSeq)
+    val nrm = math.sqrt(out("1").map(x => x.toDouble * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-5)
+    assert(out("1").length === 512)
+  }
+
+  test("embedder artifact discipline: missing _SUCCESS and mismatched " +
+      "feature dims fail loud; registry reloads a re-saved artifact") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // no artifact at all
+    val empty = java.nio.file.Files.createTempDirectory("graft-nomodel-")
+    val ex = intercept[Exception] {
+      Embedder.embedMedia(media, empty.toString).collect()
+    }
+    assert(ex.getMessage.contains("_SUCCESS"), ex.getMessage)
+    // a model whose inDim disagrees with its own tower shapes is rejected
+    // at construction (shape check), and a forward with the wrong input
+    // dim is rejected at run time
+    val t = Embedder.seededTower(1L, inDim = 8, hiddenDim = 4, outDim = 16)
+    val ex2 = intercept[IllegalArgumentException] {
+      t.forward(new Array[Float](9))
+    }
+    assert(ex2.getMessage.contains("featurizer and model artifact disagree"))
+    // save/load round-trips bit-exactly, and a re-save is picked up by
+    // the registry (mtime key), not served stale
+    val dir = freshModelDir()
+    val loaded = Embedder.load(conf, dir)
+    val v1 = Embedder.Registry.get(dir).image.w1.toSeq
+    assert(loaded.image.w1.toSeq === v1)
+    Thread.sleep(1100) // _SUCCESS mtime granularity is one second
+    Embedder.save(conf, dir, Embedder.DualTower(
+      Embedder.seededTower(99L, 48, 64, 512),
+      Embedder.seededTower(98L, 48, 64, 512)))
+    assert(Embedder.Registry.get(dir).image.w1.toSeq !== v1,
+      "registry must reload after a re-save")
+  }
 }
