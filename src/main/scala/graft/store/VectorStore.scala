@@ -326,6 +326,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     graft.operators.Nsw.buildIndexKeyed(compacted, "key", "vector", nswDir,
       m, efConstruction, numPartitions)
     nswFreshAtSeq = Some(lastSeq)
+    registerArtifact("nsw")
   }
 
   /** Incrementally index a NEW batch into the persisted NSW graphs — the
@@ -341,6 +342,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
       records.select(col("key"), col("vector"), col("metadata"), col("ts")),
       "key", "vector", nswDir)
     nswFreshAtSeq = None // a re-put key now has two indexed versions
+    registerArtifact("nsw")
   }
 
   /** ANN search through the PERSISTED NSW graphs ([[buildNswIndex]] +
@@ -357,9 +359,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * (efSearch per partition) is the overfetch budget those drops spend.
     */
   def searchNsw(req: Knn.SearchRequest, efSearch: Int = 64): DataFrame = {
-    require(Files.exists(Paths.get(nswDir)) ||
-        !nswDir.startsWith("/") /* non-local fs: let the reader decide */,
-      s"searchNsw serves the persisted NSW index — call buildNswIndex() first")
+    requireArtifact("nsw")
     val cand = graft.operators.Nsw.searchIndexKeyed(spark, nswDir, "key",
       Seq((0L, req.queryVector)), req.topK, efSearch, req.filter)
     // fresh index == compacted: every candidate is the single live version
@@ -401,6 +401,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
       requireCid(SimilaritySearch.assignCells(base, "key", "vector", centroids))
         .write.partitionBy("cid").mode("overwrite").parquet(ivfDataDir)
     } finally base.unpersist()
+    registerArtifact("ivf")
   }
 
   /** NearestCell yields NULL when every centroid is skipped (NaN distance,
@@ -435,6 +436,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
         records.select(col("key"), col("vector"), col("metadata"), col("ts")),
         "key", "vector", centroids))
       .write.partitionBy("cid").mode("append").parquet(ivfDataDir)
+    registerArtifact("ivf")
   }
 
   /** ANN search through the persisted IVF index, honoring the full
@@ -451,6 +453,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * probed cells, never the whole index.
     */
   def searchIvf(req: Knn.SearchRequest, nprobe: Int = 1): DataFrame = {
+    requireArtifact("ivf")
     val centroids = SimilaritySearch.loadCentroids(spark, ivfDir)
     val probes = SimilaritySearch.probeCells(centroids, req.queryVector, nprobe)
       .collect().map(_.getLong(0))
@@ -496,6 +499,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
       graft.operators.Pq.encode(base, "key", "vector", cb)
         .write.mode("overwrite").parquet(pqDataDir)
     } finally base.unpersist()
+    registerArtifact("pq")
   }
 
   /** ANN search through the persisted PQ index: ADC lookup scan over the
@@ -506,6 +510,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * table as of the last [[buildPqIndex]], like [[searchIvf]].
     */
   def searchPq(req: Knn.SearchRequest, rerankFrom: Int = 50): DataFrame = {
+    requireArtifact("pq")
     val cb = graft.operators.Pq.loadCodebooks(spark, pqDir)
     val encoded = spark.read.parquet(pqDataDir)
     val corpus = Knn.metadataFilter(compacted, "metadata", req.filter)
@@ -541,11 +546,13 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * corpus ([[graft.operators.Bq.packBits]]) and query
     * ([[packQueryBits]]) sides, so Hamming distances never see them.
     */
-  def buildBqIndex(): Unit =
+  def buildBqIndex(): Unit = {
     compacted.select(col("key"),
         graft.operators.Bq.packBits(col("vector"), dim).as("bits"),
         col("metadata"), col("ts"))
       .write.mode("overwrite").parquet(bqDataDir)
+    registerArtifact("bq")
+  }
 
   /** Incrementally pack a NEW batch into the persisted BQ index — the
     * `add_items` analog, like [[appendToIvfIndex]]: map-only pack +
@@ -553,11 +560,13 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * packed row; [[searchBq]]'s (key, ts) discipline serves only the
     * live version. Records must carry (key, vector, metadata, ts).
     */
-  def appendToBqIndex(records: DataFrame): Unit =
+  def appendToBqIndex(records: DataFrame): Unit = {
     records.select(col("key"),
         graft.operators.Bq.packBits(col("vector"), dim).as("bits"),
         col("metadata"), col("ts"))
       .write.mode("append").parquet(bqDataDir)
+    registerArtifact("bq")
+  }
 
   /** ANN search through the persisted BQ index: Hamming top-`rerankFrom`
     * over the packed words (XOR+popcount, 1/32 the bytes), then exact
@@ -572,6 +581,7 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
   def searchBq(req: Knn.SearchRequest, rerankFrom: Int = 50): DataFrame = {
     require(req.queryVector.length == dim,
       s"searchBq: query dim ${req.queryVector.length} != store dim $dim")
+    requireArtifact("bq")
     val packed = spark.read.parquet(bqDataDir)
     // newest-version window with a deterministic content tie-break (the
     // lwwWinners discipline): a key appended twice with equal ts must
@@ -605,6 +615,80 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     v.grouped(32).map(_.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
       if (x > 0) acc | (1L << i) else acc
     }).toSeq
+
+  // ---- unified artifact manifest ----
+  // One catalog answering "is every index fresh for store seq N" with ONE
+  // check, instead of per-tier ad-hoc probes: tier -> the newest store
+  // seq whose writes that artifact has absorbed (a build absorbs
+  // everything up to `lastSeq`; an append claims the caller just indexed
+  // the latest batch — the same one-writer discipline the WAL pos file
+  // already assumes). Written with the posFile temp+rename atomicity.
+
+  private val manifestFile = Paths.get(s"$baseDir/artifact_manifest.json")
+
+  /** tier → newest store seq the artifact covers. Empty when no artifact
+    * was ever built through this store.
+    */
+  def artifactManifest: Map[String, Long] = {
+    if (!Files.exists(manifestFile)) return Map.empty
+    val text = new String(Files.readAllBytes(manifestFile), "UTF-8")
+    """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
+  /** Record that `tier`'s artifact now covers every write up to the
+    * current seq. Store-internal builds/appends call this automatically;
+    * EXTERNAL artifacts derived from this store's corpus (a DSIR score
+    * table, a BPE vocab, an IVM view, a bloom filter over the keys)
+    * register through the public form so [[verifyFresh]] covers them too.
+    */
+  def registerArtifact(tier: String): Unit = {
+    require(tier.nonEmpty && !tier.contains("\""), s"bad tier name '$tier'")
+    val m = artifactManifest + (tier -> lastSeq)
+    val json = m.toSeq.sortBy(_._1)
+      .map { case (t, s) => s""""$t":$s""" }.mkString("{", ",", "}")
+    Files.createDirectories(manifestFile.getParent)
+    val tmp = manifestFile.resolveSibling(manifestFile.getFileName.toString + ".tmp")
+    Files.write(tmp, json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, manifestFile, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The single serving-side existence gate every `search*` entry runs:
+    * the tier must have been built through this store at least once. It
+    * does NOT require freshness — serving the build snapshot plus
+    * appends under the (key, ts) liveness discipline is each tier's
+    * documented contract; [[verifyFresh]] is the strict gate for callers
+    * that need "every index current as of seq N" (e.g. before snapping a
+    * training corpus).
+    */
+  private def requireArtifact(tier: String): Unit =
+    require(artifactManifest.contains(tier),
+      s"no $tier index artifact recorded for the store at $baseDir — " +
+        s"run build${tier.capitalize}Index() first (artifact manifest: " +
+        s"${artifactManifest.keys.toSeq.sorted.mkString(", ")})")
+
+  /** Fail-fast freshness check: every named tier (default: every
+    * REGISTERED tier) must cover store seq `seq`. One call answers what
+    * used to take N per-tier probes; stale or missing tiers are listed
+    * in the error.
+    */
+  def verifyFresh(seq: Long = lastSeq, tiers: Seq[String] = Nil): Unit = {
+    val m = artifactManifest
+    val check = if (tiers.nonEmpty) tiers else m.keys.toSeq.sorted
+    require(check.nonEmpty,
+      s"verifyFresh: no artifacts registered for the store at $baseDir")
+    val missing = check.filterNot(m.contains)
+    require(missing.isEmpty,
+      s"verifyFresh: no artifact recorded for tier(s) ${missing.mkString(", ")}")
+    val stale = check.filter(t => m(t) < seq)
+    require(stale.isEmpty,
+      s"verifyFresh: artifact(s) stale for store seq $seq: " +
+        stale.map(t => s"$t (covers ${m(t)})").mkString(", ") +
+        " — rebuild or append before serving this snapshot")
+  }
 
   /** Materialize the compaction (checkpoint, S5): write a new snapshot
     * covering everything up to the current WAL tip, then advance

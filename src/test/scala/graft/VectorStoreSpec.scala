@@ -576,4 +576,49 @@ class VectorStoreSpec extends SparkSpec {
     // only live `a`, scored from its NEW vector (50.0), b gone
     assert(got === Array(("a", 50.0)))
   }
+
+  test("artifact manifest: one verifyFresh catches a stale tier; searches " +
+      "fail loud before any tier is built; external tiers register") {
+    val dir = tmpDir()
+    val store = new VectorStore(spark, dir, dim = 2)
+    store.put(batch(rec("a", Array(1f, 0f), 10), rec("b", Array(0f, 1f), 10)))
+    // serving before any build: ONE uniform check, not a tier-specific
+    // file-not-found deep in a reader
+    val q = Knn.SearchRequest(Array(0.0, 0.0), topK = 5)
+    Seq(() => store.searchBq(q), () => store.searchIvf(q),
+        () => store.searchPq(q), () => store.searchNsw(q)).foreach { f =>
+      val ex = intercept[IllegalArgumentException](f())
+      assert(ex.getMessage.contains("artifact"), ex.getMessage)
+    }
+    intercept[IllegalArgumentException](store.verifyFresh()) // nothing registered
+    // build two tiers: both cover the current seq
+    store.buildBqIndex()
+    store.buildIvfIndex(k = 2)
+    assert(store.artifactManifest.keySet === Set("bq", "ivf"))
+    store.verifyFresh() // all registered tiers fresh
+    store.verifyFresh(tiers = Seq("bq")) // named-tier form
+    // a new write makes BOTH stale — the single check names them
+    store.put(batch(rec("c", Array(1f, 1f), 20)))
+    val stale = intercept[IllegalArgumentException](store.verifyFresh())
+    assert(stale.getMessage.contains("stale") &&
+      stale.getMessage.contains("bq") && stale.getMessage.contains("ivf"),
+      stale.getMessage)
+    // append-style catch-up refreshes just that tier
+    store.appendToBqIndex(batch(rec("c", Array(1f, 1f), 20)))
+    store.verifyFresh(tiers = Seq("bq"))
+    val still = intercept[IllegalArgumentException](
+      store.verifyFresh(tiers = Seq("ivf")))
+    assert(still.getMessage.contains("ivf"), still.getMessage)
+    // an artifact built OUTSIDE the store (dsir scores, bpe vocab, ivm
+    // view over this corpus) joins the same catalog
+    store.registerArtifact("dsir")
+    store.verifyFresh(tiers = Seq("dsir"))
+    // asking about a never-registered tier fails loud, not silently-fresh
+    val missing = intercept[IllegalArgumentException](
+      store.verifyFresh(tiers = Seq("bloom")))
+    assert(missing.getMessage.contains("bloom"), missing.getMessage)
+    // manifest survives a cold reopen (it's a file, not driver state)
+    val reopened = new VectorStore(spark, dir, dim = 2)
+    assert(reopened.artifactManifest.keySet === Set("bq", "ivf", "dsir"))
+  }
 }
