@@ -98,6 +98,48 @@ object Decontaminate {
       .where(col("max_cos_bench") >= tau)
   }
 
+  /** The benchmark's distinct gram-hash set as a DRIVER-side artifact —
+    * the frozen form a STREAMING gate needs (training-run
+    * reproducibility: the gate's behavior is pinned by an artifact, not
+    * by whatever the bench table contains mid-stream). Eval sets are
+    * small by nature; the [[semanticFlags]] inline-literal size cap
+    * applies (≤ 2¹⁶ distinct grams — beyond that, decontaminate
+    * batch-side through the join form).
+    */
+  def benchGramSet(bench: DataFrame, idCol: String, textCol: String,
+      n: Int): Array[Long] = {
+    val grams = gramHashes(bench, idCol, textCol, n)
+      .select(col("gh")).distinct().collect().map(_.getLong(0)).sorted
+    require(grams.length <= (1 << 16),
+      s"benchGramSet: ${grams.length} distinct bench grams — the inline " +
+        "literal gate is for small eval sets; use cleanCorpus (join form)")
+    grams
+  }
+
+  /** ROW-LOCAL decontamination against a frozen [[benchGramSet]]: the
+    * bench rides the plan as one literal array and each doc's distinct
+    * grams intersect it in place — zero shuffle, zero join, no
+    * aggregation, so the SAME plan runs on a batch frame and inside a
+    * streaming query in append mode with no state and no watermark (the
+    * [[semanticFlags]] shape for n-grams). Batch ≡ join-form
+    * [[cleanCorpus]] is spec-pinned; at 100 TB this is one codegen pass
+    * over the corpus.
+    */
+  def cleanCorpusInline(corpus: DataFrame, benchGrams: Array[Long],
+      textCol: String, n: Int, minShared: Int = 1): DataFrame = {
+    require(benchGrams.nonEmpty, "cleanCorpusInline: empty benchmark gram set")
+    // tokens materialize in their own projection before the n-gram HOF
+    // (the gramHashes lambda re-evaluation rule)
+    corpus
+      .withColumn("__toks", wsTokens(col(textCol)))
+      .withColumn("__shared", size(array_intersect(
+        array_distinct(transform(ngramsOfTokens(col("__toks"), n),
+          g => md5Low60(g))),
+        typedLit(benchGrams.toSeq))))
+      .where(col("__shared") < minShared)
+      .drop("__toks", "__shared")
+  }
+
   /** (idCol, gh): one row per distinct word n-gram per doc, gram hashed to
     * its low-60-md5 Long. Tokens are materialized before the n-gram HOF
     * (lambda re-evaluation rule, see [[ngramsOfTokens]]).

@@ -81,6 +81,91 @@ object StreamCuration {
       .column(col(textCol), patterns) === 0)
   }
 
+  /** The Config-driven streaming pipeline — ONE [[graft.operators.Curate.Config]]
+    * drives both the batch pipeline (`Curate.run`) and the
+    * continuous-ingest one, so the two can never drift stage-by-stage.
+    * The stateless stages run inline in the batch pipeline's canonical
+    * order (dedup → decontaminate → blocklist → token gate → DSIR gate),
+    * each through the SAME underlying implementation as its batch twin:
+    *
+    *   - `exactDedup` → `dropDuplicatesWithinWatermark` on the
+    *     normalized text (the [[StreamDedup.exactKeepFirst]] contract:
+    *     FIRST ARRIVAL survives — the only causal choice on a stream,
+    *     where batch keeps min-id; the two agree whenever duplicates
+    *     arrive id-ordered). Requires `keepFirst = (tsCol, watermark)`.
+    *   - `decontaminateBench` → the bench table is frozen driver-side to
+    *     its gram-hash artifact ([[graft.operators.Decontaminate.benchGramSet]])
+    *     and applied as the ROW-LOCAL inline gate — no join, no state;
+    *     stream ≡ batch join form is spec-pinned.
+    *   - `blocklist` / token gates → the same codegen expressions.
+    *   - `dsirTarget` → TRAINING is batch-side by contract; the stream
+    *     applies the FROZEN `dsirScores` artifact with a
+    *     `dsirMinMeanScore` threshold gate ([[dsirGateStream]]) — a
+    *     top-N selection is a corpus-shape operation and cannot hold on
+    *     an unbounded stream.
+    *
+    * Corpus-SHAPE stages (`spanDedupK`, `curriculumBandWidth`,
+    * `epochBudgets`) raise: they belong at snapshot time, after the
+    * stream lands — silently skipping them would let one config mean two
+    * different pipelines.
+    */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+      cfg: graft.operators.Curate.Config,
+      keepFirst: Option[(String, String)] = None,
+      dsirScores: Option[Array[Long]] = None,
+      dsirMinMeanScore: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cfg.spanDedupK.isEmpty && cfg.curriculumBandWidth.isEmpty &&
+      cfg.epochBudgets.isEmpty,
+      "StreamCuration.run: spanDedupK/curriculumBandWidth/epochBudgets " +
+        "are corpus-shape stages — run them batch-side at snapshot time")
+    var cur = docs
+
+    if (cfg.exactDedup) {
+      if (cur.isStreaming) {
+        val (tsCol, watermark) = keepFirst.getOrElse(sys.error(
+          "StreamCuration.run: cfg.exactDedup needs keepFirst = (tsCol, " +
+            "watermark) — streaming dedup state must be horizon-bounded"))
+        cur = cur
+          .withColumn("__event_time", timestamp_millis(col(tsCol)))
+          .withWatermark("__event_time", watermark)
+          .withColumn("__norm_text", lower(trim(col(textCol))))
+          .dropDuplicatesWithinWatermark("__norm_text")
+          .drop("__event_time", "__norm_text")
+      } else {
+        // on a batch frame this entry IS the batch pipeline for the
+        // stateless subset — min-id survivor, the Curate.run discipline
+        val survivors = graft.operators.Dedup.exact(cur, idCol, textCol)
+          .select(idCol)
+        cur = cur.join(survivors, Seq(idCol), "left_semi")
+      }
+    }
+
+    cfg.decontaminateBench.foreach { bench =>
+      val grams = graft.operators.Decontaminate.benchGramSet(
+        bench, idCol, textCol, cfg.decontaminateN)
+      cur = graft.operators.Decontaminate.cleanCorpusInline(
+        cur, grams, textCol, cfg.decontaminateN)
+    }
+
+    if (cfg.blocklist.nonEmpty)
+      cur = blocklistGateStream(cur, textCol, cfg.blocklist)
+
+    cur = cur.withColumn("n_tok",
+        size(graft.functions.TextFunctions.wsTokens(col(textCol))).cast("long"))
+      .where(col("n_tok") >= cfg.minTokens && col("n_tok") <= cfg.maxTokens)
+
+    cfg.dsirTarget.foreach { _ =>
+      val scores = dsirScores.getOrElse(sys.error(
+        "StreamCuration.run: cfg.dsirTarget is set but no frozen " +
+          "dsirScores artifact was given — train batch-side " +
+          "(Dsir.bucketScoreTable + collectScores) and pass the scores"))
+      cur = dsirGateStream(cur, idCol, textCol, scores, dsirMinMeanScore)
+    }
+
+    cur
+  }
+
   /** Decontaminate a streaming corpus against a STATIC benchmark table:
     * each micro-batch drops docs sharing >= minShared word-n-grams with
     * the bench set ([[Decontaminate.cleanCorpus]] per batch — the gram

@@ -104,4 +104,22 @@ class DecontaminateSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       plan.take(2000))
   }
+
+  test("inline gate == join form on the real corpus; row-local plan") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val bench = docs.where(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("text"))
+    val joinForm = Decontaminate.cleanCorpus(docs, bench, "doc_id", "text",
+        n = 8, minShared = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val grams = Decontaminate.benchGramSet(bench, "doc_id", "text", n = 8)
+    val inline = Decontaminate.cleanCorpusInline(docs, grams, "text",
+      n = 8, minShared = 2)
+    assert(inline.select("doc_id").as[Long].collect().sorted.toSeq
+      === joinForm)
+    // the inline gate is what a STREAM runs: no join, no aggregation
+    val plan = inline.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      plan.take(2000))
+  }
 }

@@ -137,4 +137,75 @@ class StreamCurationSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed === Seq(10L, 12L), s"target-vocab docs pass: $streamed")
   }
+
+  test("Config-driven run: one Curate.Config, stream survivors == batch " +
+      "survivors across the full stateless pipeline") {
+    import graft.operators.{Curate, Dsir}
+    val tmp = Files.createTempDirectory("graft-curstream-").toString
+    // fixture exercises every stage: 2 exact dups (min-id arrives first,
+    // so keep-first == keep-min-id), 1 contaminated, 1 blocklisted,
+    // 1 too short, 1 off-target (fails DSIR), 2 clean survivors
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha", 100L),
+      (2L, "alpha beta gamma delta alpha", 200L), // dup of 1 — drops
+      (3L, "exam answer key alpha beta gamma", 300L), // contaminated
+      (4L, "beta alpha spamword gamma delta", 400L),  // blocklisted
+      (5L, "alpha", 500L),                            // too short
+      (6L, "zeta eta zeta eta theta", 600L),          // off-target: DSIR
+      (7L, "beta alpha beta gamma epsilon", 700L))
+      .toDF("doc_id", "text", "ts")
+    val bench = Seq((100L, "exam answer key")).toDF("bid", "btext")
+      .withColumnRenamed("bid", "doc_id").withColumnRenamed("btext", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma", "t"), (2L, "beta gamma alpha", "t"),
+      (3L, "zeta eta theta", "n"), (4L, "eta zeta eta", "n"))
+      .toDF("doc_id", "text", "kind")
+    val scores = Dsir.collectScores(
+      Dsir.bucketScoreTable(train, "text", col("kind") === "t", 256, 10000L),
+      256, 10000L)
+    val cfg = Curate.Config(
+      exactDedup = true,
+      decontaminateBench = Some(bench),
+      decontaminateN = 3,
+      blocklist = Seq("spamword"),
+      minTokens = 3L,
+      dsirTarget = Some(col("kind") === "t")) // trained batch-side above
+
+    docs.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val curated = StreamCuration.run(stream, "doc_id", "text", cfg,
+      keepFirst = Some(("ts", "10 seconds")),
+      dsirScores = Some(scores), dsirMinMeanScore = 10000L)
+    assert(curated.isStreaming)
+    val q = curated.writeStream.format("memory").queryName("cur_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cur_out").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    // batch twin: the SAME config through the same entry (batch frames
+    // run the stateless plan as-is; keep-first == min-id on this fixture)
+    val batch = StreamCuration.run(docs, "doc_id", "text", cfg,
+      keepFirst = Some(("ts", "10 seconds")),
+      dsirScores = Some(scores), dsirMinMeanScore = 10000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    assert(streamed === Seq(1L, 7L), s"survivors: $streamed")
+    // the config's corpus-shape stages fail loud instead of silently
+    // meaning a different pipeline on the stream
+    val ex = intercept[IllegalArgumentException] {
+      StreamCuration.run(stream, "doc_id", "text",
+        cfg.copy(epochBudgets = Map("web" -> 100L)),
+        keepFirst = Some(("ts", "10 seconds")),
+        dsirScores = Some(scores))
+    }
+    assert(ex.getMessage.contains("corpus-shape"), ex.getMessage)
+    // dsirTarget without a frozen artifact fails loud too
+    val ex2 = intercept[RuntimeException] {
+      StreamCuration.run(stream, "doc_id", "text", cfg,
+        keepFirst = Some(("ts", "10 seconds")))
+    }
+    assert(ex2.getMessage.contains("frozen"), ex2.getMessage)
+  }
 }
