@@ -172,6 +172,48 @@ object Profile {
     * same single-shuffle shape as a plain groupBy count, so it runs at
     * scan speed on any corpus. Output: (group, n, slope_num, slope_den).
     */
+  /** Integer-exact two-sample KS drift table — the distribution-shift
+    * monitor a continuous-ingest pipeline runs between a reference
+    * source/day and a new one ("did the length/score distribution
+    * move?"). Values bucket by `value div bucketWidth` (capped at
+    * `buckets − 1`); per bucket the CUMULATIVE counts of each sample and
+    * the cross-multiplied CDF gap |cumA·nB − cumB·nA| — the KS statistic
+    * numerator, exact in integers (÷ nA·nB only if a float is ever
+    * wanted; the MAX row is the KS distance). The step-function maximum
+    * is always attained at a bucket where a count increments, so only
+    * present buckets appear and nothing is missed.
+    *
+    * One hash-agg on bucket (map-side combined, ≤ `buckets` rows out),
+    * then a single-partition window over that bucket-cardinality frame —
+    * an artifact, not data (the Curriculum offsets discipline). Output:
+    * (bucket, n_a, n_b, cum_a, cum_b, gap_num), ordered by bucket.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+      aVal: String, bVal: String, bucketWidth: Long,
+      buckets: Int): DataFrame = {
+    require(bucketWidth >= 1 && buckets >= 1,
+      s"ksDrift: bucketWidth $bucketWidth and buckets $buckets must be >= 1")
+    val two = df.where(col(groupCol).isin(aVal, bVal))
+      .select(col(groupCol).as("__g"),
+        least(expr(s"CAST(`$valueCol` AS BIGINT) div ${bucketWidth}L"),
+          lit(buckets - 1L)).as("bucket"))
+    val perBucket = two.groupBy("bucket")
+      .agg(count(when(col("__g") === aVal, 1)).as("n_a"),
+        count(when(col("__g") === bVal, 1)).as("n_b"))
+    val wc = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perBucket.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    perBucket
+      .withColumn("cum_a", sum(col("n_a")).over(wc))
+      .withColumn("cum_b", sum(col("n_b")).over(wc))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        col("cum_a"), col("cum_b"),
+        abs(col("cum_a") * col("tb") - col("cum_b") * col("ta"))
+          .as("gap_num"))
+      .orderBy("bucket")
+  }
+
   def trendExact(df: DataFrame, groupCol: String,
       xCol: String, yCol: String): DataFrame = {
     val dec = "decimal(38,0)"

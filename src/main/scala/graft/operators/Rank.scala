@@ -95,4 +95,32 @@ object Rank {
       .orderBy((orderBy :+ col(tieCol).asc): _*)
     scored.withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** MAJORITY-VOTE label aggregation — the annotation-consolidation step
+    * of a labeling pipeline (N raters / N weak classifiers per item →
+    * one training label): per key, the label with the most votes;
+    * deterministic tie-break to the lexicographically smallest label so
+    * the consolidated set is bit-portable across engines (an arbitrary
+    * max_by would flake under ties). Output: (key, label, n_votes,
+    * total_votes) — total lets callers gate on agreement ratio
+    * (n_votes·den ≥ num·total_votes, integers as always).
+    *
+    * Two bounded shuffles: a (key, label) hash-agg (map-side combined),
+    * then a per-key window over ≤ |labels| rows — never over raw votes.
+    */
+  def majorityVote(votes: DataFrame, keyCol: String,
+      labelCol: String): DataFrame = {
+    val counts = votes.groupBy(col(keyCol), col(labelCol))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("n_votes").desc, col(labelCol).asc)
+    counts
+      .withColumn("total_votes",
+        sum(col("n_votes")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(keyCol), col(labelCol), col("n_votes"), col("total_votes"))
+  }
 }

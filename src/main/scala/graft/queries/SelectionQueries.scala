@@ -53,6 +53,13 @@ object SelectionQueries {
       |  CAST(SUM(sc.score) AS BIGINT) AS weight
       |  FROM b JOIN sc USING (bucket) GROUP BY b.doc_id)""".stripMargin
 
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.charShingles]] —
+    * kept in lockstep with PipelineQueries' copy.
+    */
+  private val duckShingles =
+    "list_distinct(list_transform(range(0, greatest(length(text)-4, 1)), i -> substr(text, CAST(i+1 AS INT), 5)))"
+
   val all: Seq[QueryDef] = Seq(
 
     // DSIR pass 1+2: the bounded per-bucket statistics — raw count,
@@ -289,5 +296,132 @@ object SelectionQueries {
         |             doc_id ASC) AS BIGINT) AS rk
         |  FROM documents)
         |SELECT r.lang, r.doc_id, r.rk FROM r JOIN a USING (lang)
-        |WHERE r.rk <= a.alloc ORDER BY lang, rk""".stripMargin)))
+        |WHERE r.rk <= a.alloc ORDER BY lang, rk""".stripMargin)),
+
+    // ROW-LOCAL decontamination (the streaming-compatible inline form,
+    // r8): the bench gram set frozen driver-side, applied as one literal
+    // array-intersect per doc — no join, no aggregation, so the SAME
+    // plan serves a batch frame and a stream. The oracle recomputes the
+    // join form; the hash match proves the inline gate selects the
+    // identical survivor set (same md5-low60 gram space as q50).
+    QueryDef("q147_inline_decontam",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.where(col("doc_id") % 10 === 7)
+        val grams = graft.operators.Decontaminate.benchGramSet(
+          bench, "doc_id", "text", n = 8)
+        graft.operators.Decontaminate.cleanCorpusInline(
+            docs.where(col("doc_id") % 10 =!= 7), grams, "text",
+            n = 8, minShared = 2)
+          .select(col("doc_id")).orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(0, greatest(length(regexp_split_to_array(trim(text), '\s+'))-7, 1)),
+        |  i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS grams
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x'||substr(md5(unnest(grams)),18,15) AS BIGINT) AS gh FROM g),
+        |bench AS (SELECT DISTINCT gh FROM h WHERE doc_id % 10 = 7),
+        |f AS (SELECT h.doc_id FROM h JOIN bench USING (gh)
+        |  WHERE h.doc_id % 10 != 7 GROUP BY h.doc_id
+        |  HAVING count(DISTINCT h.gh) >= 2)
+        |SELECT doc_id FROM documents WHERE doc_id % 10 != 7
+        |  AND doc_id NOT IN (SELECT doc_id FROM f)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Cluster REPRESENTATIVE selection by quality (r8): q64's near-dup
+    // components, but instead of a min-label summary the pipeline keeps
+    // the BEST member per cluster — highest n_chars, ties to the lowest
+    // id (what a curator actually deploys: dedup keeps the richest copy,
+    // not an arbitrary one). The oracle re-derives the components with
+    // the recursive CTE and picks the same representative.
+    QueryDef("q148_cluster_best_rep",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.withMinhashPairs(docs, "doc_id", "text") { pairs =>
+          val cc = graft.operators.Graph.connectedComponents(
+            pairs.where(col("jac") >= 0.5), "a", "b")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("component"))
+            .orderBy(col("n_chars").desc, col("id").asc)
+          cc.join(docs.select(col("doc_id").as("id"),
+              col("n_chars").cast("long").as("n_chars")), "id")
+            .withColumn("rn", row_number().over(w))
+            .groupBy(col("component"))
+            .agg(max(when(col("rn") === 1, col("id"))).as("rep_id"),
+              max(when(col("rn") === 1, col("n_chars"))).as("rep_chars"),
+              count(lit(1)).as("n_members"))
+            .orderBy("component")
+        }
+      },
+      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS shingles FROM documents),
+        |hv AS (SELECT doc_id, shingles, list_transform(shingles, s -> CAST('0x'||substr(md5(s),25,8) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(range(0,16), k -> list_min(list_transform(hs, x -> (x*(2*k+1) + (1000000007*k+17)) % 4294967311))) AS sg FROM hv),
+        |bands AS (SELECT doc_id, j AS band_idx,
+        |  CAST(sg[4*CAST(j AS INT)+1] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+2] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+3] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+4] AS VARCHAR) AS band_key
+        |  FROM sig, range(0,4) t(j)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+        |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT c.a, c.b,
+        |  CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |    (length(sa.shingles) + length(sb.shingles) - length(list_intersect(sa.shingles, sb.shingles))) AS jac
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+        |pr AS (SELECT a, b FROM pairs WHERE jac >= 0.5),
+        |e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |m AS (SELECT cc.component, cc.id, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |  row_number() OVER (PARTITION BY cc.component
+        |    ORDER BY d.n_chars DESC, cc.id ASC) AS rn
+        |  FROM cc JOIN documents d ON d.doc_id = cc.id)
+        |SELECT component,
+        |  MAX(CASE WHEN rn = 1 THEN id END) AS rep_id,
+        |  MAX(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM m GROUP BY component ORDER BY component""".stripMargin)),
+
+    // Two-sample KS drift monitor (r8): the distribution-shift check a
+    // continuous-ingest pipeline runs between a reference source and a
+    // new one. Integer-exact: bucketed cumulative counts and the
+    // cross-multiplied CDF gap |cumA·nB − cumB·nA| (the KS numerator) —
+    // no float CDFs, so the whole drift table hash-matches. State is
+    // ≤ buckets rows at any corpus size.
+    QueryDef("q149_ks_drift",
+      (s, d) => graft.operators.Profile.ksDrift(
+        Tables.documents(s, d), "source", "n_chars",
+        "src0", "src1", bucketWidth = 64L, buckets = 16),
+      Some("""WITH two AS (SELECT source AS g,
+        |  LEAST(CAST(n_chars AS BIGINT) // 64, 15) AS bucket
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |pb AS (SELECT bucket,
+        |  CAST(COUNT(*) FILTER (WHERE g = 'src0') AS BIGINT) AS n_a,
+        |  CAST(COUNT(*) FILTER (WHERE g = 'src1') AS BIGINT) AS n_b
+        |  FROM two GROUP BY bucket),
+        |c AS (SELECT bucket, n_a, n_b,
+        |  CAST(SUM(n_a) OVER (ORDER BY bucket) AS BIGINT) AS cum_a,
+        |  CAST(SUM(n_b) OVER (ORDER BY bucket) AS BIGINT) AS cum_b FROM pb),
+        |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+        |  CAST(SUM(n_b) AS BIGINT) AS tb FROM pb)
+        |SELECT bucket, n_a, n_b, cum_a, cum_b,
+        |  CAST(abs(cum_a * tb - cum_b * ta) AS BIGINT) AS gap_num
+        |FROM c, t ORDER BY bucket""".stripMargin)),
+
+    // Majority-vote label aggregation (r8): N raters / weak classifiers
+    // per item → one consolidated training label, deterministic
+    // tie-break to the smallest label. total_votes rides along so a
+    // caller can gate on agreement ratio in integers.
+    QueryDef("q150_majority_label",
+      (s, d) => graft.operators.Rank.majorityVote(
+          Tables.events(s, d), "user_id", "event_type")
+        .orderBy("user_id"),
+      Some("""WITH c AS (SELECT user_id, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_votes FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n_votes,
+        |  CAST(SUM(n_votes) OVER (PARTITION BY user_id) AS BIGINT) AS total_votes,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n_votes DESC, event_type ASC) AS rn FROM c)
+        |SELECT user_id, event_type, n_votes, total_votes
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)))
 }

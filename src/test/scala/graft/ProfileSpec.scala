@@ -111,6 +111,30 @@ class ProfileSpec extends SparkSpec {
     assert(got === Seq(("g", 2L, 0L, 0L))) // vertical: undefined slope, exact 0/0
   }
 
+  test("ksDrift: identical samples gap 0; disjoint samples hit the max gap") {
+    // identical distributions: every bucket's scaled CDFs agree exactly
+    val same = (1 to 20).flatMap(i => Seq(("a", i * 10L), ("b", i * 10L)))
+      .toDF("g", "v")
+    val g0 = Profile.ksDrift(same, "g", "v", "a", "b",
+        bucketWidth = 50L, buckets = 8)
+      .select("gap_num").as[Long].collect()
+    assert(g0.forall(_ === 0L))
+    // fully separated distributions: at the boundary cum_a=na, cum_b=0
+    // -> gap = na*nb (the KS=1 numerator)
+    val apart = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (1 to 5).map(i => ("b", 400L + i))).toDF("g", "v")
+    val rows = Profile.ksDrift(apart, "g", "v", "a", "b",
+        bucketWidth = 50L, buckets = 16)
+      .select("bucket", "cum_a", "cum_b", "gap_num")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._4).max === 10L * 5L)
+    // values past the last bucket clamp into it instead of vanishing
+    val clamped = Profile.ksDrift(apart, "g", "v", "a", "b",
+        bucketWidth = 50L, buckets = 4)
+      .agg(sum("n_a"), sum("n_b")).as[(Long, Long)].head()
+    assert(clamped === ((10L, 5L)))
+  }
+
   test("trendExact aggregates map-side (one shuffle, partial sums below it)") {
     val df = Seq(("g", 1L, 2L)).toDF("g", "x", "y")
     val plan = Profile.trendExact(df, "g", "x", "y")

@@ -65,4 +65,21 @@ class RankSpec extends SparkSpec {
       .select("id", "rank").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 1L), (5L, 2L), (9L, 3L)))
   }
+
+  test("majorityVote: plurality wins, ties break to the smallest label, " +
+      "totals carry agreement") {
+    val votes = Seq(
+      (1L, "pos"), (1L, "pos"), (1L, "neg"),          // clear majority
+      (2L, "neg"), (2L, "pos"),                       // tie -> "neg" (lex)
+      (3L, "neu"))                                    // single vote
+      .toDF("item", "label")
+    val got = Rank.majorityVote(votes, "item", "label")
+      .orderBy("item").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "pos", 2L, 3L), (2L, "neg", 1L, 2L), (3L, "neu", 1L, 1L)))
+    // result is partition-order independent (the determinism contract)
+    val again = Rank.majorityVote(votes.repartition(7), "item", "label")
+      .orderBy("item").as[(Long, String, Long, Long)].collect().toSeq
+    assert(again === got)
+  }
 }
