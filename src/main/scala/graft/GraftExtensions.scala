@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.expressions.{MinHashSig, NearestCell, RollingHash, RpBucket, SimHash64, VectorDistance}
+import graft.functions.expressions.{Md5Low60, MinHashSig, NearestCell, RollingHash, RpBucket, SimHash64, VectorDistance}
 
 /** Session extension registering the engine's codegen expressions as SQL
   * functions — `spark.sql.extensions=graft.GraftExtensions` (or
@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSig(exprs(0), h)
       }))
+    e.injectFunction((FunctionIdentifier("md5_low60"),
+      info("md5_low60", "md5_low60(s) - low 60 bits of md5(s) as bigint (the gram-hash space)"),
+      (exprs: Seq[Expression]) => Md5Low60(exprs(0))))
     e.injectFunction((FunctionIdentifier("nearest_cell"),
       info("nearest_cell", "nearest_cell(vec, cents) - cid of the squared-L2-nearest centroid; cents is array<struct<cid bigint, ce array<double>>>"),
       (exprs: Seq[Expression]) => NearestCell(exprs(0), exprs(1))))

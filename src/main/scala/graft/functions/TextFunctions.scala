@@ -28,8 +28,20 @@ object TextFunctions {
   def md5Low32(s: Column): Column =
     conv(substring(md5(s), 25, 8), 16, 10).cast("long")
 
-  /** Low 60 bits of md5 (15 hex chars → always fits a positive Long). */
+  /** Low 60 bits of md5 (15 hex chars → always fits a positive Long) —
+    * the hash under every gram/chunk shuffle. Native codegen expression
+    * (digest bytes directly, no hex-string round trip);
+    * [[md5Low60Fold]] is the declarative twin it is bit-parity-pinned
+    * against (TextHashExpressionsSpec).
+    */
   def md5Low60(s: Column): Column =
+    graft.functions.expressions.TextHashExpressions.md5Low60(s)
+
+  /** The declarative fold twin of [[md5Low60]] — kept for the parity pin
+    * and as the reference semantics (DuckDB mirror:
+    * `CAST('0x'||substr(md5(s),18,15) AS BIGINT)`).
+    */
+  def md5Low60Fold(s: Column): Column =
     conv(substring(md5(s), 18, 15), 16, 10).cast("long")
 
   /** Distinct character n-gram shingles. Short texts (< n chars) yield the

@@ -257,6 +257,62 @@ object MinHashSigFromStrings {
   }
 }
 
+/** md5-low-60 of a STRING without the hex detour — the scalar twin of
+  * [[Md5Low32Util]] for the 60-bit gram/chunk hash space: digest bytes
+  * 8 (low nibble)..15 as an unsigned 60-bit value, exactly
+  * `conv(substring(md5(s),18,15),16,10)` (hex chars 18..32). This is the
+  * hash under every gram shuffle in the dedup/decontamination family;
+  * the declarative form allocates a 32-char hex string + substring +
+  * radix parse per gram — millions of rows per corpus pass.
+  * Null propagates (the declarative conv(null) shape), so the default
+  * UnaryExpression null handling is exactly right.
+  */
+case class Md5Low60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"md5_low60 expects string, got ${child.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Low60Util.hash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.Md5Low60Util.hash($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_low60"
+}
+
+object Md5Low60Util {
+  private val digests = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      override def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+
+  /** Low nibble of byte 8, then bytes 9..15 — hex chars 18..32 of the
+    * digest, i.e. the exact value of the declarative
+    * conv(substring(md5(s),18,15),16,10) twin.
+    */
+  def hash(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var acc = d(8) & 0x0fL
+    var i = 9
+    while (i < 16) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc
+  }
+}
+
 object TextHashExpressions {
   def minhashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
@@ -266,4 +322,7 @@ object TextHashExpressions {
 
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  def md5Low60(s: Column): Column =
+    ColumnBridge.column(Md5Low60(ColumnBridge.expression(s)))
 }

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.functions.expressions.TextHashExpressions._
+import graft.functions.expressions.TextHashExpressions
+import graft.functions.expressions.TextHashExpressions.{minhashSig, minhashSigFromStrings, simhash64}
 
 /** The codegen text-hash expressions must be bit-identical to the
   * declarative fold forms they replace (which the DuckDB oracle mirrors).
@@ -100,6 +101,33 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(r.getSeq[Any](0) === Seq(null, null, null, null)) // no values -> null mins
     assert(r.getSeq[Any](1).forall(_ != null))               // null skipped
     assert(r.getLong(2) === 0L)                              // empty -> all bits 0
+  }
+
+  test("Md5Low60 == declarative conv(substr(md5)) twin on real grams, " +
+      "unicode, empty, and NULL") {
+    // every word n-gram of the real corpus — the exact value space the
+    // dedup/decontamination shuffles key on
+    val grams = docs.select(explode(
+      ngramsOfTokens(wsTokens(col("text")), 3)).as("g"))
+    val diff = grams.select(TextHashExpressions.md5Low60(col("g")).as("native"),
+        md5Low60Fold(col("g")).as("fold"))
+      .where(col("native") =!= col("fold") ||
+        col("native").isNull =!= col("fold").isNull)
+      .count()
+    assert(diff === 0)
+    // edge values: unicode (multi-byte UTF-8), empty string, NULL
+    val edge = Seq(Some("日本語テキスト"), Some(""), Some("a b c"), None)
+      .toDF("s")
+    val rows = edge.select(TextHashExpressions.md5Low60(col("s")).as("native"),
+      md5Low60Fold(col("s")).as("fold")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+    assert(rows.last.isNullAt(0)) // null propagates like conv(null)
+    // the SQL registration serves the same expression
+    assert(spark.sql("SELECT md5_low60('abc')").head().getLong(0) ===
+      edge.sparkSession.range(1).select(TextHashExpressions.md5Low60(lit("abc"))).head().getLong(0))
   }
 
   test("simhash64 of a NULL array is 0, matching the fold form (nullable=false)") {
