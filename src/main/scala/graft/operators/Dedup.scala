@@ -207,6 +207,52 @@ object Dedup {
     try use(pairs) finally cached.foreach(_.unpersist())
   }
 
+  /** MinHash ESTIMATOR CALIBRATION — the report that justifies the
+    * signature size before anyone trusts LSH verdicts at 100 TB: over
+    * the band-join candidate pairs, a 2-D INTEGER histogram of
+    * (estimated similarity = # agreeing signature slots of `numHashes`)
+    * × (true Jaccard bucket = ⌊jac·numHashes⌋, exact set arithmetic).
+    * A well-behaved estimator concentrates near the diagonal; mass far
+    * off-diagonal at a given corpus says "spend more hashes" — measured,
+    * not assumed. All-integer (slot-agreement counts, cross-multiplied
+    * bucket), so the whole table is oracle-hashable. Both-null slots
+    * (empty shingle sets) count as non-matching on both engines.
+    * Output: (est_matches, jac_bucket, n_pairs), ordered.
+    */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val mh = minhashed(df, idCol, textCol, shingleN, numHashes, bands).persist()
+    val banded = mh.select(col(idCol),
+      posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+    val cand = banded.as("x").join(banded.as("y").hint("MERGE"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_key") === col("y.band_key") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    val sides = mh.select(col(idCol), col("shingles"), col("sig"))
+      .hint("SHUFFLE_HASH") // unique-key build side; never broadcast
+    val j = cand
+      .join(sides.toDF("a", "sha", "siga"), "a")
+      .join(sides.toDF("b", "shb", "sigb"), "b")
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    val out = j.select(
+        aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("long").as("est_matches"),
+        inter.as("inter"),
+        (size(col("sha")) + size(col("shb"))).cast("long").as("szsum"))
+      // integer div (never float-then-truncate): bucket = ⌊inter·H/union⌋
+      .select(col("est_matches"),
+        expr(s"(inter * $numHashes) div (szsum - inter)").as("jac_bucket"))
+      .groupBy("est_matches", "jac_bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("est_matches", "jac_bucket")
+    out.persist().count() // bounded histogram; free the big input
+    mh.unpersist()
+    out
+  }
+
   /** INCREMENTAL near-dup check — a NEW batch band-joined against the
     * EXISTING corpus (the continuous-ingest shape, vs the self-join
     * above): output (a = new id, b = old id, jac), only cross pairs —

@@ -2027,7 +2027,86 @@ object PipelineQueries {
         |  n_docs - n_uniq AS n_exact_dups
         |FROM base JOIN top ON top.source = base.source
         |  JOIN qual ON qual.source = base.source
-        |ORDER BY base.source""".stripMargin))
+        |ORDER BY base.source""".stripMargin)),
+
+    // Luhn-validated payment-card scrub (r8): candidate 13-19-digit runs
+    // by regex, ISO/IEC 7812 checksum as the decisive filter, VALID
+    // candidates redacted. No real PANs exist in the fixture, so the
+    // corpus is synthesized in-plan from order keys (deterministic
+    // 16-digit strings, ~10% pass Luhn — the industry false-positive
+    // floor, measured here). Pure row-local codegen lambdas; the oracle
+    // replays the checksum digit-by-digit.
+    QueryDef("q151_card_scrub",
+      (s, d) => {
+        val synth = Tables.orders(s, d).select(col("o_orderpriority"),
+          concat(lit("order ref "),
+            lpad((col("o_orderkey") % 1000000007L * 1234567L %
+              10000000000000000L).cast("string"), 16, "0"),
+            lit(" thanks")).as("text"))
+        graft.operators.Scrub.scrubCards(synth, "text")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("n_cc_candidates").cast("long").as("n_cands"),
+            sum("n_cc_valid").cast("long").as("n_valid"),
+            min(when(col("n_cc_valid") > 0, col("cc_redacted")))
+              .as("sample_redacted"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH synth AS (SELECT o_orderpriority,
+        |  'order ref ' || lpad(CAST(o_orderkey % 1000000007 * 1234567 %
+        |     10000000000000000 AS VARCHAR), 16, '0') || ' thanks' AS text
+        |  FROM orders),
+        |cand AS (SELECT o_orderpriority, text,
+        |  regexp_extract(text, '\b\d(?:[ -]?\d){12,18}\b') AS c FROM synth),
+        |rv AS (SELECT *, list_reverse(regexp_extract_all(c, '\d')) AS r FROM cand),
+        |lv AS (SELECT o_orderpriority, text, c,
+        |  (len(r) >= 13 AND
+        |    CAST(list_sum(list_transform(range(len(r)), i ->
+        |      CASE WHEN i % 2 = 0 THEN CAST(r[CAST(i+1 AS INT)] AS INT)
+        |           WHEN CAST(r[CAST(i+1 AS INT)] AS INT) * 2 > 9
+        |             THEN CAST(r[CAST(i+1 AS INT)] AS INT) * 2 - 9
+        |           ELSE CAST(r[CAST(i+1 AS INT)] AS INT) * 2 END)) AS BIGINT) % 10 = 0)
+        |    AS ok
+        |  FROM rv),
+        |per AS (SELECT o_orderpriority,
+        |  CAST(CASE WHEN c <> '' THEN 1 ELSE 0 END AS BIGINT) AS n_cc_candidates,
+        |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS n_cc_valid,
+        |  CASE WHEN ok THEN replace(text, c, '<CC>') ELSE text END AS cc_redacted
+        |  FROM lv)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(n_cc_candidates) AS BIGINT) AS n_cands,
+        |  CAST(SUM(n_cc_valid) AS BIGINT) AS n_valid,
+        |  MIN(CASE WHEN n_cc_valid > 0 THEN cc_redacted END) AS sample_redacted
+        |FROM per GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // MinHash estimator CALIBRATION (r8): 2-D integer histogram of
+    // (signature-agreement count of 16) x (true-Jaccard bucket, exact
+    // set arithmetic) over the band-join candidates — the measured
+    // answer to "are 16 hashes enough on THIS corpus". The oracle
+    // recomputes signatures and true sets with the q64 CTEs; the hash
+    // match proves every slot comparison and every exact intersection.
+    QueryDef("q152_minhash_calibration",
+      (s, d) => graft.operators.Dedup.minhashCalibration(
+        Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS shingles FROM documents),
+        |hv AS (SELECT doc_id, shingles, list_transform(shingles, s -> CAST('0x'||substr(md5(s),25,8) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, shingles, list_transform(range(0,16), k -> list_min(list_transform(hs, x -> (x*(2*k+1) + (1000000007*k+17)) % 4294967311))) AS sg FROM hv),
+        |bands AS (SELECT doc_id, j AS band_idx,
+        |  CAST(sg[4*CAST(j AS INT)+1] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+2] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+3] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+4] AS VARCHAR) AS band_key
+        |  FROM sig, range(0,4) t(j)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+        |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |m AS (SELECT c.a, c.b,
+        |  CAST(list_sum(list_transform(range(0,16), k ->
+        |    CASE WHEN sa.sg[CAST(k AS INT)+1] = sb.sg[CAST(k AS INT)+1]
+        |      THEN 1 ELSE 0 END)) AS BIGINT) AS est_matches,
+        |  CAST(length(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+        |  CAST(length(sa.shingles) + length(sb.shingles) AS BIGINT) AS szsum
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b)
+        |SELECT est_matches, (inter * 16) // (szsum - inter) AS jac_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

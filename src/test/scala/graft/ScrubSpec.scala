@@ -50,6 +50,30 @@ class ScrubSpec extends SparkSpec {
     assert(scrubOne(s) === ((s, 0L, 0L, 0L, 0L)))
   }
 
+  test("luhnValid: known-good PANs pass, off-by-one checksums and short " +
+      "runs fail; scrubCards redacts only validated candidates") {
+    val rows = Seq(
+      (1L, "pay 4539 1488 0343 6467 now"),   // valid (Luhn test number)
+      (2L, "pay 4539 1488 0343 6468 now"),   // checksum off by one
+      (3L, "ref 1234 5678 too short"),       // below 13 digits: no candidate
+      (4L, "card 4111111111111111 ok"),      // classic valid test Visa
+      (5L, "invoice 2026081412345678 x"))    // 16-digit id, fails Luhn
+      .toDF("id", "text")
+    val got = graft.operators.Scrub.scrubCards(rows, "text")
+      .select("id", "n_cc_candidates", "n_cc_valid", "cc_redacted")
+      .orderBy("id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) === ((1L, 1L, 1L, "pay <CC> now")))
+    assert(got(1) === ((2L, 1L, 0L, "pay 4539 1488 0343 6468 now")))
+    assert(got(2)._2 === 0L && got(2)._4 === "ref 1234 5678 too short")
+    assert(got(3) === ((4L, 1L, 1L, "card <CC> ok")))
+    assert(got(4)._3 === 0L, "random 16-digit ids must not redact")
+    // still a pure row-local projection
+    val plan = graft.operators.Scrub.scrubCards(rows, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("scrub is one codegen'd projection — no shuffle, no UDF") {
     val plan = Scrub.scrub(Seq("x").toDF("text"), "text")
       .queryExecution.executedPlan.toString
