@@ -184,14 +184,24 @@ class StreamCurationSpec extends SparkSpec {
     q.awaitTermination(120000)
     val streamed = spark.table("cur_out").select("doc_id")
       .as[Long].collect().sorted.toSeq
-    // batch twin: the SAME config through the same entry (batch frames
-    // run the stateless plan as-is; keep-first == min-id on this fixture)
+    // batch twin: the SAME config through the same entry. The batch
+    // dedup keeps min-id deterministically; the stream keeps FIRST
+    // ARRIVAL, and a parquet-file source does not guarantee which of a
+    // same-batch duplicate pair is encountered first — so the pinned
+    // contract is: identical survivor COUNT, identical survivors
+    // everywhere dedup is not ambiguous, and exactly one of the dup
+    // pair (1, 2) surviving either way.
     val batch = StreamCuration.run(docs, "doc_id", "text", cfg,
       keepFirst = Some(("ts", "10 seconds")),
       dsirScores = Some(scores), dsirMinMeanScore = 10000L)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    assert(streamed === batch, s"stream $streamed != batch $batch")
-    assert(streamed === Seq(1L, 7L), s"survivors: $streamed")
+    assert(batch === Seq(1L, 7L), s"batch keeps min-id: $batch")
+    assert(streamed.size === batch.size,
+      s"stream $streamed != batch $batch sizes")
+    assert(streamed.toSet.intersect(Set(1L, 2L)).size === 1,
+      s"exactly one of the duplicate pair survives the stream: $streamed")
+    assert(streamed.filterNot(Set(1L, 2L)) === batch.filterNot(Set(1L, 2L)),
+      s"non-ambiguous survivors agree: stream $streamed vs batch $batch")
     // the config's corpus-shape stages fail loud instead of silently
     // meaning a different pipeline on the stream
     val ex = intercept[IllegalArgumentException] {
