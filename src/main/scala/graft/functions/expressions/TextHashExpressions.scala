@@ -313,6 +313,60 @@ object Md5Low60Util {
   }
 }
 
+/** Count of an array<bigint>'s elements present in a STATIC sorted set —
+  * the membership probe under the inline decontamination gate, where the
+  * frozen bench gram set rides the plan as ONE shared long[] and each
+  * row pays |grams|·log|set| binary searches. The declarative twin
+  * `size(array_intersect(grams, lit(set)))` rebuilds a |set|-entry hash
+  * set PER ROW (it made q147 the suite's slowest query at 20 s); this
+  * expression holds the set once per executor via the codegen reference
+  * object. Input arrays are expected distinct (the gram pipeline
+  * distincts); null elements are skipped, null input propagates.
+  */
+case class CountInSortedSet(child: Expression, set: Array[Long])
+    extends UnaryExpression {
+  require(set.nonEmpty, "CountInSortedSet: empty set")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"count_in_set expects array<bigint>, got ${child.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CountInSortedSetUtil.count(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("sortedSet", set, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.CountInSortedSetUtil.count($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "count_in_set"
+}
+
+object CountInSortedSetUtil {
+  /** Binary-search membership count; null slots skipped (array_intersect
+    * ignores nulls on the probe side for counting purposes).
+    */
+  def count(arr: ArrayData, set: Array[Long]): Int = {
+    var n = 0
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i) &&
+        java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
 object TextHashExpressions {
   def minhashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
@@ -325,4 +379,7 @@ object TextHashExpressions {
 
   def md5Low60(s: Column): Column =
     ColumnBridge.column(Md5Low60(ColumnBridge.expression(s)))
+
+  def countInSortedSet(arr: Column, set: Array[Long]): Column =
+    ColumnBridge.column(CountInSortedSet(ColumnBridge.expression(arr), set))
 }

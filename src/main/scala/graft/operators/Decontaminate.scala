@@ -129,13 +129,20 @@ object Decontaminate {
       textCol: String, n: Int, minShared: Int = 1): DataFrame = {
     require(benchGrams.nonEmpty, "cleanCorpusInline: empty benchmark gram set")
     // tokens materialize in their own projection before the n-gram HOF
-    // (the gramHashes lambda re-evaluation rule)
+    // (the gramHashes lambda re-evaluation rule). Membership is the
+    // CountInSortedSet codegen probe: the set lives ONCE per executor
+    // and each row pays |grams|*log|set| binary searches — the
+    // declarative array_intersect twin rebuilds a |set| hash set per
+    // row (it cost q147 20 s at sf0.1; this form runs in under a
+    // second, parity-pinned in DecontaminateSpec).
+    val sortedSet = benchGrams.distinct.sorted
     corpus
       .withColumn("__toks", wsTokens(col(textCol)))
-      .withColumn("__shared", size(array_intersect(
-        array_distinct(transform(ngramsOfTokens(col("__toks"), n),
-          g => md5Low60(g))),
-        typedLit(benchGrams.toSeq))))
+      .withColumn("__shared",
+        graft.functions.expressions.TextHashExpressions.countInSortedSet(
+          array_distinct(transform(ngramsOfTokens(col("__toks"), n),
+            g => md5Low60(g))),
+          sortedSet))
       .where(col("__shared") < minShared)
       .drop("__toks", "__shared")
   }
