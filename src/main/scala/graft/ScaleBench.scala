@@ -47,7 +47,10 @@ object ScaleBench {
     "q132_bpe_tokenize", "q133_semantic_decontam", "q134_curriculum_order",
     "q135_late_interaction", "q136_curation_pipeline",
     "q138_ivm_percentile", "q139_temperature_sample",
-    "q141_blocklist_scan", "q145_epoch_mix")
+    "q141_blocklist_scan", "q145_epoch_mix",
+    // round-8 additions
+    "q147_inline_decontam", "q148_cluster_best_rep", "q149_ks_drift",
+    "q150_majority_label", "q151_card_scrub", "q152_minhash_calibration")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -31,13 +31,23 @@ object ServeBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
+    // replicate > 1 unions jittered shifted-id copies (the NswServeBench
+    // trick) to show where the BQ/PQ byte cuts invert the economics:
+    // the exact scan grows with corpus bytes while the code/packed scans
+    // grow 8-32x slower
+    val replicate = args.lift(2).map(_.toInt).getOrElse(1)
     val batches = Seq(1, 8, 64, 256)
     val spark = graft.core.GraftSession.fromEnv()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val emb = graft.core.Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding")).persist()
+    val base0 = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val nBase = base0.count()
+    val emb = (0 until replicate).map { c =>
+      base0.select((col("vec_id") + lit(c * nBase)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(c * 1e-3f)).as("embedding"))
+    }.reduce(_ union _).persist()
     val n = emb.count()
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     println(s"[servebench] corpus n=$n dim=$dim k=$k sf=$sfDir")
