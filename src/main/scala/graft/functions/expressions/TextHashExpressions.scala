@@ -367,6 +367,89 @@ object CountInSortedSetUtil {
   }
 }
 
+/** The WHOLE winnowing fingerprint selection (Schleimer et al. 2003) of
+  * one document as a single native pass: per-position k-gram md5-low-32
+  * hashes, position-tagged (hp = h·2²⁰ + pos, 1-based), sliding-window
+  * minimum over w positions via a monotonic deque (O(n), not O(n·w)),
+  * distinct minima out, sorted. Bit-identical to the declarative
+  * pipeline (`Dedup.winnowFingerprintsFold`: posexplode → windowed min →
+  * full-window filter → distinct — parity-pinned), but ROW-LOCAL: the
+  * |text|-row explode and the per-doc window SHUFFLE disappear entirely,
+  * which is what the q97/q111/q118/q122 family was paying for at 10×.
+  * Docs of ≥ 2²⁰ chars raise (pos bits would alias) exactly like the
+  * declarative guard. Null text propagates (explode then drops the doc).
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"winnowing needs k >= 1, w >= 1 (got $k, $w)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects string, got ${child.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFpsUtil.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.WinnowFpsUtil.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fps"
+}
+
+object WinnowFpsUtil {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): GenericArrayData = {
+    val chars = text.numChars()
+    if (chars >= (1 << 20))
+      throw new IllegalArgumentException(
+        s"winnowing: doc of $chars chars exceeds 2^20 — pos bits would alias")
+    val n = math.max(chars - (k - 1), 1)
+    val hp = new Array[Long](n + 1) // 1-based positions
+    var p = 1
+    while (p <= n) {
+      // substringSQL is Spark's own substr: code-point positions, then
+      // the UTF-8 bytes — exactly what the declarative md5 sees
+      val h = Md5Low32Util.hash(text.substringSQL(p, k).getBytes)
+      hp(p) = h * 1048576L + p
+      p += 1
+    }
+    val m = math.max(n - (w - 1), 1)
+    // monotonic deque of positions with increasing hp values
+    val deque = new Array[Int](n + 1)
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var start = 1
+    var next = 1 // next position to feed into the deque
+    while (start <= m) {
+      val end = math.min(start + w - 1, n)
+      while (next <= end) {
+        while (tail > head && hp(deque(tail - 1)) >= hp(next)) tail -= 1
+        deque(tail) = next
+        tail += 1
+        next += 1
+      }
+      while (deque(head) < start) head += 1
+      out.add(hp(deque(head)))
+      start += 1
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
 object TextHashExpressions {
   def minhashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
@@ -382,4 +465,7 @@ object TextHashExpressions {
 
   def countInSortedSet(arr: Column, set: Array[Long]): Column =
     ColumnBridge.column(CountInSortedSet(ColumnBridge.expression(arr), set))
+
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFps(ColumnBridge.expression(text), k, w))
 }

@@ -1009,21 +1009,47 @@ object Dedup {
     * tie-break via the pos low bits — one total order, no argmin
     * ambiguity), so both engines pick identical fingerprints; texts
     * longer than 2²⁰ chars are rejected rather than silently aliased.
-    * Shape: one explode (≈ len rows/doc), one windowed min partitioned
-    * by doc (single shuffle), distinct. Output: (id, fp) distinct pairs;
-    * fp still carries the position bits — the paper's (0-mod-p
-    * document-positioned) fingerprint form.
+    * Shape (r8): the WHOLE per-document selection is ONE codegen
+    * expression ([[graft.functions.expressions.WinnowFps]] — per-position
+    * hashes + monotonic-deque sliding min, O(len) per doc) followed by a
+    * single explode of the ~len/w distinct fingerprints. The previous
+    * declarative form ([[winnowFingerprintsFold]], kept as the parity
+    * twin) exploded EVERY position and paid a per-doc window SHUFFLE of
+    * the full gram relation — at 10× that shuffle was most of the
+    * q97/q111/q118/q122 bill. Row-local ⇒ embarrassingly parallel at
+    * any corpus size. Output: (id, fp) distinct pairs; fp still carries
+    * the position bits — the paper's document-positioned form.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowing needs k >= 1, w >= 1 (got $k, $w)")
+    df.select(col(idCol),
+      explode(graft.functions.expressions.TextHashExpressions
+        .winnowFps(col(textCol), k, w)).as("fp"))
+  }
+
+  /** The declarative fold twin of [[winnowFingerprints]] — posexplode →
+    * windowed min → full-window filter → distinct; parity-pinned in
+    * TextHashExpressionsSpec/DedupSpec and the shape the oracle mirrors.
+    */
+  def winnowFingerprintsFold(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing needs k >= 1, w >= 1 (got $k, $w)")
     val n0 = greatest(length(col(textCol)).cast("long") - (k - 1), lit(1L))
-    // guard in the row path (q70 discipline): pos bits alias past 2^20
-    val n = when(length(col(textCol)) < lit(1 << 20), n0)
-      .otherwise(raise_error(concat(lit("winnowing: doc "),
-        col(idCol).cast("string"),
-        lit(" exceeds 2^20 chars — pos bits would alias"))))
+    // guard in the row path (q70 discipline): pos bits alias past 2^20.
+    // Condition phrased as ">= raises" so a NULL text falls through to
+    // the null n0 and DROPS at the posexplode (the native form's
+    // null-propagation semantics) instead of null-tripping the guard.
+    val n = when(length(col(textCol)) >= lit(1 << 20),
+        raise_error(concat(lit("winnowing: doc "),
+          col(idCol).cast("string"),
+          lit(" exceeds 2^20 chars — pos bits would alias"))))
+      .otherwise(n0)
     val grams = df
+      // a null text has no grams: drop the doc (the native form's
+      // null-propagation; without this, greatest(null−k, 1) = 1 would
+      // fabricate one null fingerprint for it)
+      .where(col(textCol).isNotNull)
       .select(col(idCol), n.as("n"), col(textCol).as("__t"))
       .select(col(idCol), col("n"),
         posexplode(transform(sequence(lit(1L), col("n")), p =>

@@ -130,6 +130,34 @@ class TextHashExpressionsSpec extends SparkSpec {
       edge.sparkSession.range(1).select(TextHashExpressions.md5Low60(lit("abc"))).head().getLong(0))
   }
 
+  test("WinnowFps == declarative fold pipeline on real documents and edges") {
+    import graft.operators.Dedup
+    val native = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .orderBy("doc_id", "fp").as[(Long, Long)].collect().toSeq
+    val fold = Dedup.winnowFingerprintsFold(docs, "doc_id", "text")
+      .orderBy("doc_id", "fp").as[(Long, Long)].collect().toSeq
+    assert(native === fold)
+    assert(native.nonEmpty)
+    // edges: shorter than k, shorter than w windows, unicode, empty,
+    // null (doc absent from BOTH), single char
+    val edge = Seq((1L, "ab"), (2L, "abcdefg"), (3L, "日本語テキストです"),
+      (4L, ""), (5L, null.asInstanceOf[String]), (6L, "x"))
+      .toDF("doc_id", "text")
+    val en = Dedup.winnowFingerprints(edge, "doc_id", "text", k = 5, w = 4)
+      .orderBy("doc_id", "fp").as[(Long, Long)].collect().toSeq
+    val ef = Dedup.winnowFingerprintsFold(edge, "doc_id", "text", k = 5, w = 4)
+      .orderBy("doc_id", "fp").as[(Long, Long)].collect().toSeq
+    assert(en === ef)
+    assert(!en.exists(_._1 == 5L), "null text drops the doc both ways")
+    assert(en.count(_._1 == 1L) === 1, "short text = one truncated gram")
+    // the guard still fires on >= 2^20 chars
+    val big = Seq((9L, "x" * (1 << 20))).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.winnowFingerprints(big, "doc_id", "text").count()
+    }
+    assert(ex.getMessage.contains("2^20"), ex.getMessage)
+  }
+
   test("simhash64 of a NULL array is 0, matching the fold form (nullable=false)") {
     val df = spark.sql("SELECT cast(null as array<bigint>) nh")
     val r = df.select(simhash64(col("nh")).as("a"),
