@@ -307,7 +307,13 @@ object SelectionQueries {
     QueryDef("q147_inline_decontam",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val bench = docs.where(col("doc_id") % 10 === 7)
+        // the eval set is FIXED-SIZE by nature (the whole premise of the
+        // inline literal gate): pin it to the base id range so a scaled
+        // fixture grows the CORPUS, not the benchmark — without the cap
+        // the 10x sweep's bench hit 225k grams and correctly tripped
+        // the benchGramSet guard
+        val bench = docs.where(col("doc_id") % 10 === 7 &&
+          col("doc_id") < 5000)
         val grams = graft.operators.Decontaminate.benchGramSet(
           bench, "doc_id", "text", n = 8)
         graft.operators.Decontaminate.cleanCorpusInline(
@@ -320,7 +326,7 @@ object SelectionQueries {
         |  i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS grams
         |  FROM documents),
         |h AS (SELECT doc_id, CAST('0x'||substr(md5(unnest(grams)),18,15) AS BIGINT) AS gh FROM g),
-        |bench AS (SELECT DISTINCT gh FROM h WHERE doc_id % 10 = 7),
+        |bench AS (SELECT DISTINCT gh FROM h WHERE doc_id % 10 = 7 AND doc_id < 5000),
         |f AS (SELECT h.doc_id FROM h JOIN bench USING (gh)
         |  WHERE h.doc_id % 10 != 7 GROUP BY h.doc_id
         |  HAVING count(DISTINCT h.gh) >= 2)
