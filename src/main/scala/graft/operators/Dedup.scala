@@ -160,6 +160,94 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Duplicated-SPAN scrub — Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better") ExactSubstr semantics at token
+    * granularity: every OVERLAPPING n-token window occurring >= 2 times
+    * anywhere in the corpus (any doc, any offset, including elsewhere in
+    * the SAME doc) is removed at every occurrence EXCEPT its earliest
+    * (minimum exact-integer id·posCap + pos, the [[chunkDedupKeepFirst]]
+    * composite order), and a document's removed windows are union-merged
+    * into covering token intervals — each duplicated passage survives
+    * exactly once corpus-wide.
+    *
+    * This is the overlapping-window twin of [[chunkDedupKeepFirst]]:
+    * chunk dedup only sees duplication ALIGNED to k-token chunk
+    * boundaries, so a long passage re-quoted at offset +3 is invisible
+    * to it and caught here (DedupSpec pins that exact case). Removal is
+    * coverage-union: a token inside ANY removed window goes, even where
+    * that window overlaps a kept first-occurrence span — the aggressive
+    * cut of the paper's policy, deterministic under the composite order.
+    *
+    * Scale shape: positioned grams (row-local transform — n× token
+    * blowup, the q98 gram-generation cost) → ONE hash-key shuffle for
+    * the (min-occurrence, count) agg + an equi-join back on the same key
+    * (exchange reused; unique-key side SHUFFLE_HASH-pinned off
+    * size-estimate broadcasts), then a per-doc window over only the
+    * REMOVED occurrences (duplication-bounded, not corpus-bounded) and a
+    * row-local interval-filter rebuild via an indexed higher-order
+    * filter — never all-pairs, never a corpus-wide sort, no token
+    * re-explode for the rebuild.
+    * Output: (id, n_tokens, n_spans, removed_tokens, clean_text).
+    */
+  def dupSpanScrub(df: DataFrame, idCol: String, textCol: String, n: Int,
+      posCap: Long = 1L << 20): DataFrame = {
+    require(n >= 1, s"dupSpanScrub: n $n must be >= 1")
+    require(posCap >= 2, s"dupSpanScrub: posCap $posCap must be >= 2")
+    val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+    val idL = col(idCol).cast("long")
+    // sequence(0, size-n) would DESCEND for size < n (negative-step
+    // default) — guard to an empty gram list instead.
+    val grams = toks
+      .select(col(idCol), posexplode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+      .withColumn("gh", md5Low60(col("gram")))
+      .withColumn("occ",
+        when(col("pos") < lit(posCap) && idL >= 0 &&
+            idL < lit(Long.MaxValue / posCap),
+          idL * lit(posCap) + col("pos"))
+          .otherwise(raise_error(concat(
+            lit(s"dupSpanScrub: (id, pos) = ("), idL.cast("string"),
+            lit(", "), col("pos").cast("string"),
+            lit(s") outside the posCap=$posCap composite-order domain")))))
+      .select(col(idCol), col("pos"), col("gh"), col("occ"))
+    val firstOcc = grams.groupBy(col("gh"))
+      .agg(min(col("occ")).as("first_occ"), count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+    val removed = grams
+      .join(firstOcc.hint("SHUFFLE_HASH"), Seq("gh"))
+      .where(col("occ") > col("first_occ"))
+      .select(col(idCol), col("pos"), (col("pos") + n).as("end"))
+    // Union-merge the removed windows per doc: an island starts where a
+    // window's start clears every earlier window's max end (contiguity,
+    // pos == pmax, continues the covered run — no gap, same island).
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = removed
+      .withColumn("pmax", max(col("end")).over(wPrev))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("pos") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(wOrd))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("pos")).as("s"), max(col("end")).as("e"))
+    val perDoc = islands.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s")).cast("long").as("removed_tokens"),
+      array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
+    toks.join(perDoc.hint("SHUFFLE_HASH"), Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        array_join(filter(col("toks"), (t: Column, i: Column) =>
+          !exists(coalesce(col("spans"), emptySpans),
+            s => i >= s.getField("s") && i < s.getField("e"))), " ")
+          .as("clean_text"))
+  }
+
   /** MinHash signatures + LSH band keys for each row.
     * Output: (id, shingles, sig, bands). The signature is the codegen
     * [[graft.functions.expressions.MinHashSig]] — bit-identical to the

@@ -2106,7 +2106,48 @@ object PipelineQueries {
         |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b)
         |SELECT est_matches, (inter * 16) // (szsum - inter) AS jac_bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
-        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Duplicated-SPAN scrub (Lee et al. 2022 ExactSubstr): every
+    // OVERLAPPING 8-token window seen >= 2 times anywhere in the corpus
+    // is removed except at its earliest (doc·2^20 + pos) occurrence;
+    // removed windows union-merge into covering intervals per doc. The
+    // overlapping-window twin of q131 — chunk-aligned dedup cannot see a
+    // passage re-quoted at an unaligned offset; this catches it. The
+    // oracle re-derives windows, first occurrences, island merging and
+    // the interval-filtered rebuild independently — hash-match pins the
+    // whole policy including the coverage-union edge cases.
+    QueryDef("q153_dup_span_scrub",
+      (s, d) => Dedup.dupSpanScrub(Tables.documents(s, d), "doc_id", "text",
+          n = 8)
+        .where(col("doc_id") < 500)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, list_transform(range(0, greatest(length(toks)-7, 0)),
+        |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' ')) AS grams FROM t),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(grams, 1) - 1 AS INT) AS pos, unnest(grams) AS gram FROM c),
+        |h AS (SELECT doc_id, pos, CAST('0x'||substr(md5(gram),18,15) AS BIGINT) AS gh FROM e),
+        |f AS (SELECT gh, min(doc_id*1048576 + pos) AS fo, count(*) AS cnt FROM h GROUP BY gh),
+        |rem AS (SELECT h.doc_id, h.pos, h.pos + 8 AS e FROM h JOIN f ON h.gh = f.gh
+        |  WHERE f.cnt >= 2 AND h.doc_id*1048576 + h.pos > f.fo),
+        |w AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM rem),
+        |i0 AS (SELECT doc_id, pos, e, CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS ni FROM w),
+        |i1 AS (SELECT doc_id, pos, e, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i0),
+        |isl AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS en FROM i1 GROUP BY doc_id, isl),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(en - s) AS BIGINT) AS removed_tokens FROM isl GROUP BY doc_id),
+        |tp AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS tpos, unnest(toks) AS tok FROM t),
+        |keep AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp WHERE NOT EXISTS
+        |  (SELECT 1 FROM isl WHERE isl.doc_id = tp.doc_id AND tp.tpos >= isl.s AND tp.tpos < isl.en)),
+        |k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(length(t.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(d.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        |  coalesce(d.removed_tokens, CAST(0 AS BIGINT)) AS removed_tokens,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN k USING (doc_id)
+        |WHERE t.doc_id < 500
+        |ORDER BY t.doc_id""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

@@ -574,4 +574,119 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(got === Seq((1L, "hello world", 3L), (4L, "goodbye world", 1L)))
   }
+
+  // ---- dupSpanScrub (Lee et al. ExactSubstr, overlapping windows) ----
+
+  private def scrubRows(df: org.apache.spark.sql.DataFrame, n: Int) =
+    Dedup.dupSpanScrub(df, "doc_id", "text", n).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, String)])
+      .collect().toSeq
+
+  test("dupSpanScrub catches an UNALIGNED re-quote that chunk dedup cannot see") {
+    import spark.implicits._
+    val w = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, w),                        // 12 tokens, the original passage
+      (2L, s"p1 p2 p3 $w q1")         // same passage at offset +3
+    ).toDF("doc_id", "text")
+    // chunk-aligned keep-first at k=8 is blind to the offset copy
+    val chunked = Dedup.chunkDedupKeepFirst(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").select("n_dropped").as[Long].collect().toSeq
+    assert(chunked === Seq(0L, 0L), "chunk dedup should miss the unaligned copy")
+    // overlapping windows catch it: doc 2 loses exactly tokens [3, 15)
+    val got = scrubRows(docs, 8)
+    assert(got(0) === ((1L, 12L, 0L, 0L, w)))
+    assert(got(1) === ((2L, 16L, 1L, 12L, "p1 p2 p3 q1")))
+  }
+
+  test("dupSpanScrub removes a self-repeat within one doc, keeping the first copy") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"a$i").mkString(" ")
+    val docs = Seq((7L, s"$run X $run")).toDF("doc_id", "text")
+    val got = scrubRows(docs, 8)
+    assert(got === Seq((7L, 17L, 1L, 8L, s"$run X")))
+  }
+
+  test("dupSpanScrub union-merges overlapping removal windows into one island") {
+    import spark.implicits._
+    val xs = (1 to 12).map(i => s"x$i")
+    val docs = Seq(
+      (1L, xs.take(8).mkString(" ")),          // x1..x8
+      (2L, xs.drop(4).mkString(" ")),          // x5..x12
+      (3L, xs.mkString(" "))                   // contains both windows, overlapping
+    ).toDF("doc_id", "text")
+    val got = scrubRows(docs, 8)
+    // doc 3's removed windows [0,8) and [4,12) merge: whole doc removed
+    assert(got(2) === ((3L, 12L, 1L, 12L, "")))
+    // the first occurrences survive untouched
+    assert(got(0)._4 === 0L && got(1)._4 === 0L)
+  }
+
+  test("dupSpanScrub merges TOUCHING islands (contiguous coverage, no gap)") {
+    import spark.implicits._
+    val ys = (1 to 16).map(i => s"y$i")
+    val docs = Seq(
+      (1L, ys.take(8).mkString(" ")),                  // y1..y8
+      (2L, ys.drop(8).mkString(" ")),                  // y9..y16
+      (3L, (ys :+ "tail").mkString(" "))               // y1..y16 tail
+    ).toDF("doc_id", "text")
+    val got = scrubRows(docs, 8)
+    // spans [0,8) and [8,16) touch at 8: ONE island, 16 tokens removed
+    assert(got(2) === ((3L, 17L, 1L, 16L, "tail")))
+  }
+
+  test("dupSpanScrub: duplicate-free corpus and short docs pass through whole") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "one two three"),                            // shorter than n=8
+      (3L, "kappa lambda mu nu xi omicron pi rho sigma tau")
+    ).toDF("doc_id", "text")
+    val got = scrubRows(docs, 8)
+    assert(got.map(_._3).sum === 0L && got.map(_._4).sum === 0L)
+    assert(got(0)._5 === "alpha beta gamma delta epsilon zeta eta theta iota")
+    assert(got(1) === ((2L, 3L, 0L, 0L, "one two three")))
+  }
+
+  test("dupSpanScrub matches a driver-side naive recomputation on a mixed corpus") {
+    import spark.implicits._
+    val n = 4
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("data", "spark", "row", "scan", "hash", "join", "sort")
+    val base = (0 until 24).map { id =>
+      (id.toLong, Vector.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // plant explicit cross-doc and offset copies on top of the random base
+    val planted = base ++ Seq(
+      (24L, base(3)._2),
+      (25L, "pre " + base(5)._2 + " post"))
+    val docs = planted.toDF("doc_id", "text")
+
+    val naive = planted.map { case (id, text) =>
+      val tk = text.trim.split("\\s+").toVector
+      (id, tk)
+    }
+    val occs = for {
+      (id, tk) <- naive
+      p <- 0 to tk.length - n
+    } yield (id, p, tk.slice(p, p + n).mkString(" "))
+    val removedOccs = occs.groupBy(_._3).values.filter(_.size >= 2).flatMap { os =>
+      os.sortBy(o => o._1 * (1L << 20) + o._2).tail
+    }.toSeq
+    val covByDoc = removedOccs.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.flatMap(r => r._2 until r._2 + n).toSet
+    }
+    val expected = naive.map { case (id, tk) =>
+      val cov = covByDoc.getOrElse(id, Set.empty[Int])
+      val sortedCov = cov.toSeq.sorted
+      val islands = sortedCov.zipWithIndex.count { case (p, i) =>
+        i == 0 || sortedCov(i - 1) != p - 1
+      }
+      (id, tk.length.toLong, islands.toLong, cov.size.toLong,
+        tk.zipWithIndex.collect { case (t, i) if !cov(i) => t }.mkString(" "))
+    }.sortBy(_._1)
+
+    assert(scrubRows(docs, n) === expected)
+  }
 }
