@@ -203,7 +203,7 @@ object Bpe {
     * packer or a cost model consumes.
     */
   def tokenizeInPlan(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge], keepCols: Seq[String] = Nil): DataFrame = {
     val (soh, stx, ws) = ("\u0001", "\u0002", "\u0003")
     val wrapWord = (w: org.apache.spark.sql.Column) =>
       when(length(w) === 0, lit("")).otherwise(
@@ -214,9 +214,10 @@ object Bpe {
     val applied = merges.foldLeft(wrapped)((s, m) =>
       replace(s, lit(soh + m.a + stx + soh + m.b + stx),
         lit(soh + m.a + m.b + stx)))
-    df.select(col(idCol), applied.as("__s"))
-      .select(col(idCol),
+    val keep = keepCols.map(col)
+    df.select(col(idCol) +: applied.as("__s") +: keep: _*)
+      .select(col(idCol) +:
         (length(col("__s")) - length(replace(col("__s"), lit(soh), lit(""))))
-          .cast("long").as("n_bpe_tokens"))
+          .cast("long").as("n_bpe_tokens") +: keep: _*)
   }
 }

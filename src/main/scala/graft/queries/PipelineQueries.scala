@@ -2147,7 +2147,36 @@ object PipelineQueries {
         |  coalesce(k.clean_text, '') AS clean_text
         |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN k USING (doc_id)
         |WHERE t.doc_id < 500
-        |ORDER BY t.doc_id""".stripMargin))
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // Tokenizer fertility per language: the vocabulary-sizing diagnostic
+    // a multilingual data team reads before fixing a merge budget — BPE
+    // tokens per whitespace word and chars per BPE token, by lang, under
+    // the corpus-trained 8-merge table (q56's trainer, q132's in-plan
+    // apply with lang/denominator columns RIDING the tokenize projection,
+    // so the whole thing is one scan + one |langs|-row hash-agg; no
+    // doc_id join shuffle). Ratios are exact floor-milli integers.
+    QueryDef("q154_tokenizer_fertility",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
+        val pre = docs.select(col("doc_id"), col("text"), col("lang"),
+          col("n_chars").cast("long").as("nc"),
+          size(wsTokens(col("text"))).cast("long").as("nw"))
+        graft.operators.Bpe.tokenizeInPlan(pre, "doc_id", "text", merges,
+            keepCols = Seq("lang", "nc", "nw"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nc")).as("sum_chars"),
+            sum(col("nw")).as("sum_ws_tokens"),
+            sum(col("n_bpe_tokens")).as("sum_bpe_tokens"))
+          .withColumn("fertility_milli",
+            expr("(sum_bpe_tokens * 1000) div sum_ws_tokens"))
+          .withColumn("chars_per_token_milli",
+            expr("(sum_chars * 1000) div sum_bpe_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(fertilityOracle(8)))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values
@@ -2233,18 +2262,43 @@ object PipelineQueries {
     * [[graft.operators.Bpe.tokenizeInPlan]]. Token count = number of
     * chr(1) symbol-open markers left standing.
     */
-  private def bpeTokenizeOracle(n: Int): String = {
+  private def bpeTokenizeOracle(n: Int): String =
+    s"""WITH ${bpeApplyStages(n)}
+       |SELECT doc_id, CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT)
+       |  AS n_bpe_tokens FROM d$n ORDER BY doc_id""".stripMargin
+
+  /** The shared train + wrap + replay CTE chain ending in `d\$n(doc_id, s)`
+    * — factored so every BPE-apply-derived oracle (q132 per-doc counts,
+    * q154 per-lang fertility) replays the identical byte-level pipeline.
+    */
+  private def bpeApplyStages(n: Int): String = {
     val docStages = (1 to n).map { i =>
       s"""d$i AS (SELECT doc_id, replace(s, chr(1)||m$i.a||chr(2)||chr(1)||m$i.b||chr(2),
          |         chr(1)||m$i.a||m$i.b||chr(2)) AS s FROM d${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${bpeTrainStages(n)},
+    s"""${bpeTrainStages(n)},
        |d0 AS (SELECT doc_id, array_to_string(list_transform($duckToks,
        |         w -> array_to_string(list_transform(range(1, length(w)+1),
        |           i -> chr(1)||substr(w, CAST(i AS INT), 1)||chr(2)), '')), chr(3)) AS s
        |       FROM documents),
-       |$docStages
-       |SELECT doc_id, CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT)
-       |  AS n_bpe_tokens FROM d$n ORDER BY doc_id""".stripMargin
+       |$docStages""".stripMargin
   }
+
+  /** Per-lang fertility oracle: the q132 apply chain aggregated by lang
+    * with whitespace-token and char denominators; ratios as exact
+    * floor-milli integers (`//`), never a float division.
+    */
+  private def fertilityOracle(n: Int): String =
+    s"""WITH ${bpeApplyStages(n)},
+       |tok AS (SELECT doc_id, CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_bpe FROM d$n),
+       |w AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS nc,
+       |       CAST(length($duckToks) AS BIGINT) AS nw FROM documents)
+       |SELECT w.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(w.nc) AS BIGINT) AS sum_chars,
+       |  CAST(sum(w.nw) AS BIGINT) AS sum_ws_tokens,
+       |  CAST(sum(t.n_bpe) AS BIGINT) AS sum_bpe_tokens,
+       |  (CAST(sum(t.n_bpe) AS BIGINT) * 1000) // CAST(sum(w.nw) AS BIGINT) AS fertility_milli,
+       |  (CAST(sum(w.nc) AS BIGINT) * 1000) // CAST(sum(t.n_bpe) AS BIGINT) AS chars_per_token_milli
+       |FROM w JOIN tok t USING (doc_id)
+       |GROUP BY w.lang ORDER BY w.lang""".stripMargin
 }
