@@ -819,6 +819,58 @@ object Dedup {
       SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids),
       idCol, "emb", "cid")
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space near-dup
+    * PRUNING. Vectors are assigned to their nearest centroid cell, pairs
+    * with cosine >= tau are generated ONLY within a cell
+    * ([[cosinePairsInCells]] — shuffle ∝ Σ|cell|², never n²), duplicate
+    * groups are the connected components of that pair graph, and each
+    * group keeps exactly one representative — the member with the LOWEST
+    * cosine similarity to its cell centroid (the paper's keep-the-
+    * outlier policy, maximizing retained diversity), ties to the
+    * smallest id. Unpaired vectors survive trivially.
+    *
+    * Scale shape: one cell-assign pass (centroids broadcast), the
+    * blocked pair join, CC over the PAIR graph only (duplication-
+    * bounded, not corpus-bounded — [[graft.operators.Graph]]'s size-gated
+    * union-find / min-label propagation), a ≤|components|-row argmin
+    * agg, one broadcast-scale join back. Floats are safe to hash: cosine
+    * folds in index order and the representative is chosen via an exact
+    * (sim, id) struct-min whose ID is what the keep test compares.
+    * Output: (idCol, cid, comp, cent_sim, keep) — comp = min member id
+    * of the duplicate group (own id for singletons).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, tau: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val asg = SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids)
+    val withSim = asg
+      .join(broadcast(centroids.select(col("cid"), col("ce"))), Seq("cid"))
+      .select(col(idCol), col("cid"),
+        (dot(col("emb"), col("ce")) / (norm(col("emb")) * norm(col("ce"))))
+          .as("cent_sim"))
+    val pairs = cosinePairsInBlocks(asg, idCol, "emb", "cid")
+      .where(col("cos_sim") >= tau)
+      .select(col("a"), col("b"))
+    val comp = Graph.connectedComponents(pairs, "a", "b",
+        checkpointDir = checkpointDir)
+      .withColumnRenamed("id", "__m")
+    val labeled = withSim.join(comp.hint("SHUFFLE_HASH"),
+        withSim(idCol) === comp("__m"), "left")
+      .drop("__m")
+    val rep = labeled.where(col("component").isNotNull)
+      .groupBy(col("component"))
+      .agg(min(struct(col("cent_sim"), col(idCol).cast("long").as("__i")))
+        .as("__rep"))
+      .select(col("component"), col("__rep.__i").as("__rep_id"))
+    labeled.join(rep.hint("SHUFFLE_HASH"), Seq("component"), "left")
+      .select(col(idCol), col("cid"),
+        coalesce(col("component"), col(idCol).cast("long")).as("comp"),
+        col("cent_sim"),
+        (col("component").isNull || col(idCol).cast("long") === col("__rep_id"))
+          .as("keep"))
+  }
+
   /** The shared core of every blocked cosine simjoin: (a, b, cos_sim)
     * pairs, a < b, generated only within equal values of `blockCol`
     * (equi-join — shuffle ∝ Σ|block|², never n²), exact cosine of

@@ -2176,7 +2176,51 @@ object PipelineQueries {
             expr("(sum_chars * 1000) div sum_bpe_tokens"))
           .orderBy(col("lang"))
       },
-      Some(fertilityOracle(8)))
+      Some(fertilityOracle(8))),
+
+    // SemDeDup (Abbas et al. 2023): embedding-space semantic pruning —
+    // nearest-centroid cells (q37's deterministic blocking), cosine >=
+    // 0.4 pairs ONLY within a cell, duplicate groups = connected
+    // components of the pair graph (q64's machinery), keep the member
+    // LEAST similar to its cell centroid (the paper's diversity-
+    // preserving policy, ties to min id). The oracle re-derives the
+    // assignment, the pair graph, the recursive-CTE components and the
+    // representative choice independently — the hash-match pins the
+    // full policy including the float comparisons (index-order folds).
+    QueryDef("q155_semantic_dedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        Dedup.semanticDedup(emb, "vec_id", "embedding", cents, tau = 0.4)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |cn AS (SELECT cid, ce, sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cnrm FROM c),
+        |asg AS (SELECT vec_id, embedding, cid,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM (SELECT e.vec_id, e.embedding, c.cid, ${duckL2Zip.format("e.embedding", "c.ce")} AS d FROM embeddings e, c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) = 1),
+        |cs AS (SELECT a.vec_id, a.cid,
+        |  ${duckDotZip.format("a.embedding", "n.ce")} / (a.nrm * n.cnrm) AS cent_sim
+        |  FROM asg a JOIN cn n ON a.cid = n.cid),
+        |p AS (SELECT x.vec_id AS a, y.vec_id AS b FROM asg x JOIN asg y
+        |  ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  WHERE ${duckDotZip.format("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4),
+        |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |lab AS (SELECT cs.vec_id, cs.cid, cs.cent_sim, cc.component FROM cs
+        |  LEFT JOIN cc ON cs.vec_id = cc.id),
+        |rep AS (SELECT component, vec_id AS rep_id FROM lab WHERE component IS NOT NULL
+        |  QUALIFY row_number() OVER (PARTITION BY component ORDER BY cent_sim ASC, vec_id ASC) = 1)
+        |SELECT l.vec_id, l.cid, coalesce(l.component, l.vec_id) AS comp, l.cent_sim,
+        |  (l.component IS NULL OR l.vec_id = r.rep_id) AS keep
+        |FROM lab l LEFT JOIN rep r ON l.component = r.component
+        |ORDER BY l.vec_id""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

@@ -689,4 +689,61 @@ class DedupSpec extends SparkSpec {
 
     assert(scrubRows(docs, n) === expected)
   }
+
+  // ---- semanticDedup (SemDeDup, Abbas et al. 2023) ----
+
+  test("semanticDedup keeps the LEAST-centroid-similar member of each dup group") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(10f, 0f)),     // cell 100, cent_sim 1.0
+      (2L, Seq(10f, 0.5f)),   // cell 100, near-dup of 1, slightly off-axis
+      (3L, Seq(9.9f, 0.7f)),  // cell 100, near-dup, FARTHEST from centroid
+      (4L, Seq(0f, 7f)),      // cell 101, singleton
+      (5L, Seq(-7f, 0.1f))    // cell 101, orthogonal-ish singleton
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
+      .toDF("cid", "ce")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents, tau = 0.9)
+      .orderBy("vec_id")
+      .select("vec_id", "cid", "comp", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 100L, 1L, false),   // highest cent_sim of the {1,2,3} group
+      (2L, 100L, 1L, false),
+      (3L, 100L, 1L, true),    // the outlier representative survives
+      (4L, 101L, 4L, true),
+      (5L, 101L, 5L, true)))
+  }
+
+  test("semanticDedup: exact-duplicate vectors tie-break to the smallest id") {
+    import spark.implicits._
+    val vecs = Seq(
+      (6L, Seq(0f, 5f)), (7L, Seq(0f, 5f)), (8L, Seq(3f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("cid", "ce")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents, tau = 0.99)
+      .orderBy("vec_id")
+      .select("vec_id", "comp", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq((6L, 6L, true), (7L, 6L, false), (8L, 8L, true)))
+  }
+
+  test("semanticDedup keeps exactly one representative per duplicate group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map { i =>
+      val base = Array.fill(4)(rnd.nextFloat() * 2 - 1)
+      (i, base.map(x => (x + rnd.nextFloat() * 0.05f)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f))).toDF("cid", "ce")
+    val rows = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents, tau = 0.8)
+      .select("vec_id", "comp", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(rows.map(_._1).sorted === (0L until 40L))
+    rows.groupBy(_._2).foreach { case (compId, members) =>
+      assert(members.count(_._3) === 1,
+        s"component $compId must keep exactly one of ${members.map(_._1)}")
+    }
+  }
 }
