@@ -69,12 +69,19 @@ object Curate {
 
   private def run(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config,
-      cached: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+      cached: scala.collection.mutable.ArrayBuffer[DataFrame],
+      trace: scala.collection.mutable.ArrayBuffer[(String, DataFrame)] = null)
+      : DataFrame = {
     var cur = docs
+    // survivor snapshot after a REJECTION stage — [[explain]]'s raw
+    // material; `cur.select(idCol)` is a lazy plan, nothing runs here
+    def mark(stage: String): Unit =
+      if (trace != null) trace += stage -> cur.select(col(idCol))
 
     if (cfg.exactDedup) {
       val survivors = Dedup.exact(cur, idCol, textCol).select(idCol)
       cur = cur.join(survivors, Seq(idCol), "left_semi")
+      mark("exact_dup")
     }
 
     cfg.spanDedupK.foreach { k =>
@@ -86,21 +93,25 @@ object Curate {
       cur = cur.drop(textCol)
         .join(rewritten, Seq(idCol))
         .withColumnRenamed("clean_text", textCol)
+      mark("span_dedup_empty")
     }
 
     cfg.decontaminateBench.foreach { bench =>
       cur = Decontaminate.cleanCorpus(cur, bench, idCol, textCol,
         cfg.decontaminateN)
+      mark("contaminated")
     }
 
     if (cfg.blocklist.nonEmpty) {
       cur = cur.where(graft.functions.expressions.BlocklistMatches
         .column(col(textCol), cfg.blocklist) === 0)
+      mark("blocklisted")
     }
 
     cur = cur.withColumn("n_tok",
         size(TextFunctions.wsTokens(col(textCol))).cast("long"))
       .where(col("n_tok") >= cfg.minTokens && col("n_tok") <= cfg.maxTokens)
+    mark("token_gate")
 
     cfg.dsirTarget.foreach { target =>
       if (cached != null) {
@@ -115,6 +126,7 @@ object Curate {
         .limit(cfg.dsirTopN)
         .select(col(idCol), col("mean_score"))
       cur = cur.join(sel, Seq(idCol))
+      mark("not_selected")
     }
 
     cfg.curriculumBandWidth.foreach { w =>
@@ -131,5 +143,36 @@ object Curate {
     }
 
     cur
+  }
+
+  /** Per-document FATE through the rejection stages of [[run]] — the
+    * curator's audit ("why is doc X not in my training set?"): for every
+    * input document, the FIRST stage that dropped it, or `kept`. Stage
+    * predicates are NOT re-implemented here — run itself executes with a
+    * survivor-snapshot trace, so this can never drift from the pipeline
+    * it explains. The ordering/expansion tail (curriculum, epoch recipe)
+    * never rejects a document and is out of scope (epoch budgets fail
+    * loud on unbudgeted sources rather than dropping them).
+    *
+    * Cost: one id-only left join per configured rejection stage (each
+    * survivor relation is ids-only, SHUFFLE_HASH-pinned off size-estimate
+    * broadcasts) — the fate CASE is row-local. A diagnostic, priced like
+    * [[Quality.rejectionReport]]. Output: (idCol, fate), every input row.
+    */
+  def explain(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = {
+    val trace =
+      scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    run(docs, idCol, textCol, cfg, null, trace)
+    val flagged = trace.zipWithIndex.foldLeft(docs.select(col(idCol))) {
+      case (acc, ((_, ids), i)) =>
+        acc.join(ids.withColumn(s"__s$i", lit(true)).hint("SHUFFLE_HASH"),
+          Seq(idCol), "left")
+    }
+    val fate = trace.zipWithIndex.foldRight(lit("kept"): Column) {
+      case (((stage, _), i), els) =>
+        when(col(s"__s$i").isNull, lit(stage)).otherwise(els)
+    }
+    flagged.select(col(idCol), fate.as("fate"))
   }
 }

@@ -429,5 +429,61 @@ object SelectionQueries {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY n_votes DESC, event_type ASC) AS rn FROM c)
         |SELECT user_id, event_type, n_votes, total_votes
-        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)))
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Curation FATE attribution — q136's pipeline config, answered per
+    // document: the first stage that rejected it (exact_dup /
+    // contaminated / token_gate / not_selected) or 'kept'. Curate.explain
+    // does NOT re-implement stage predicates — Curate.run executes with a
+    // survivor-snapshot trace, so the audit can't drift from the pipeline
+    // it audits; the oracle re-derives every stage set independently and
+    // the hash-match pins the full attribution for all 450 input docs.
+    QueryDef("q156_curation_fate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.where(col("doc_id") % 10 === 7)
+        val corpus0 = docs.where(col("doc_id") % 10 =!= 7)
+        graft.operators.Curate.explain(corpus0, "doc_id", "text",
+          graft.operators.Curate.Config(
+            exactDedup = true,
+            decontaminateBench = Some(bench),
+            minTokens = 30,
+            dsirTarget = Some(col("lang") === "en"),
+            dsirTopN = 50))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c0 AS (SELECT * FROM documents WHERE doc_id % 10 != 7),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM c0 GROUP BY lower(trim(text))),
+        |dd AS (SELECT d.* FROM c0 d JOIN ded USING (doc_id)),
+        |cg AS (SELECT doc_id, CAST('0x'||substr(md5(unnest(grams)),18,15) AS BIGINT) AS gh FROM
+        |  (SELECT doc_id, list_distinct(list_transform(
+        |     range(0, greatest(length(toks)-7, 1)),
+        |     i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS grams
+        |   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM dd))),
+        |bg AS (SELECT DISTINCT CAST('0x'||substr(md5(unnest(grams)),18,15) AS BIGINT) AS gh FROM
+        |  (SELECT list_distinct(list_transform(
+        |     range(0, greatest(length(toks)-7, 1)),
+        |     i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS grams
+        |   FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+        |         FROM documents WHERE doc_id % 10 = 7))),
+        |flagged AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gh)),
+        |gated AS (SELECT dd.*,
+        |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+        |  FROM dd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        |    AND length(regexp_split_to_array(trim(text), '\\s+')) >= 30),
+        |${duckGramBucketsFrom("gated")},
+        |$duckScores,
+        |$duckWeights,
+        |sel AS (SELECT doc_id FROM w
+        |        ORDER BY weight // n_grams DESC, doc_id ASC LIMIT 50)
+        |SELECT c0.doc_id,
+        |  CASE
+        |    WHEN c0.doc_id NOT IN (SELECT doc_id FROM dd) THEN 'exact_dup'
+        |    WHEN c0.doc_id IN (SELECT doc_id FROM flagged) THEN 'contaminated'
+        |    WHEN c0.doc_id NOT IN (SELECT doc_id FROM gated) THEN 'token_gate'
+        |    WHEN c0.doc_id NOT IN (SELECT doc_id FROM sel) THEN 'not_selected'
+        |    ELSE 'kept'
+        |  END AS fate
+        |FROM c0 ORDER BY c0.doc_id""".stripMargin)))
 }

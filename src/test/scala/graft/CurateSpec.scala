@@ -107,4 +107,37 @@ class CurateSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a === b)
   }
+
+  test("explain attributes every doc to its FIRST rejecting stage") {
+    val bench = Seq((100L, "benchmark question about entangled states here"))
+      .toDF("doc_id", "text")
+    val cfg = Curate.Config(
+      exactDedup = true,
+      decontaminateBench = Some(bench), decontaminateN = 4,
+      blocklist = Seq("casino"),
+      minTokens = 3L,
+      dsirTarget = Some(col("lang") === "en"), dsirTopN = 10,
+      dsirBuckets = 256)
+    val fates = Curate.explain(corpus, "doc_id", "text", cfg)
+      .as[(Long, String)].collect().toMap
+    assert(fates === Map(
+      1L -> "kept", 2L -> "exact_dup", 3L -> "blocklisted",
+      4L -> "token_gate", 5L -> "kept", 6L -> "contaminated",
+      7L -> "kept"))
+    // the non-drift guarantee: explain's kept set IS run's survivor set
+    val survivors = Curate.run(corpus, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fates.filter(_._2 == "kept").keySet === survivors)
+  }
+
+  test("explain labels span-dedup-emptied docs and covers every input row") {
+    val dup = Seq(
+      (1L, "aa bb aa bb cc dd"),
+      (2L, "aa bb aa bb")) // all chunks owned by doc 1 -> emptied
+      .toDF("doc_id", "text")
+    val fates = Curate.explain(dup, "doc_id", "text",
+        Curate.Config(exactDedup = false, spanDedupK = Some(2)))
+      .as[(Long, String)].collect().toMap
+    assert(fates === Map(1L -> "kept", 2L -> "span_dedup_empty"))
+  }
 }
