@@ -17,12 +17,13 @@ import graft.functions.TextFunctions
   * first, the expensive selection last):
   *   1. exact dedup (keep min-id survivor per normalized text)
   *   2. first-occurrence span dedup (Lee et al. keep-first, optional)
-  *   3. benchmark decontamination (n-gram collision vs a bench table)
-  *   4. blocklist gate (Aho-Corasick, drop any-hit docs)
-  *   5. token-count quality gate
-  *   6. DSIR selection (top-N most target-like, integer scorer)
-  *   7. curriculum ordering (global `ord` by token band)
-  *   8. epoch-weighted recipe expansion (per-source token budgets)
+  *   3. duplicated-span scrub (OVERLAPPING-window ExactSubstr, optional)
+  *   4. benchmark decontamination (n-gram collision vs a bench table)
+  *   5. blocklist gate (Aho-Corasick, drop any-hit docs)
+  *   6. token-count quality gate
+  *   7. DSIR selection (top-N most target-like, integer scorer)
+  *   8. curriculum ordering (global `ord` by token band)
+  *   9. epoch-weighted recipe expansion (per-source token budgets)
   * Output: surviving documents + `n_tok` (+ `mean_score` and `ord` when
   * selection/ordering ran).
   */
@@ -31,6 +32,7 @@ object Curate {
   case class Config(
       exactDedup: Boolean = true,
       spanDedupK: Option[Int] = None,
+      dupSpanN: Option[Int] = None,
       decontaminateBench: Option[DataFrame] = None,
       decontaminateN: Int = 8,
       blocklist: Seq[String] = Nil,
@@ -94,6 +96,20 @@ object Curate {
         .join(rewritten, Seq(idCol))
         .withColumnRenamed("clean_text", textCol)
       mark("span_dedup_empty")
+    }
+
+    cfg.dupSpanN.foreach { n =>
+      // the OVERLAPPING-window ExactSubstr cut (Dedup.dupSpanScrub):
+      // catches passages re-quoted at unaligned offsets that the
+      // chunk-aligned stage above cannot see; same rewrite-and-rejoin
+      // contract
+      val rewritten = Dedup.dupSpanScrub(cur, idCol, textCol, n)
+        .where(col("clean_text") =!= "")
+        .select(col(idCol), col("clean_text"))
+      cur = cur.drop(textCol)
+        .join(rewritten, Seq(idCol))
+        .withColumnRenamed("clean_text", textCol)
+      mark("dup_span_empty")
     }
 
     cfg.decontaminateBench.foreach { bench =>

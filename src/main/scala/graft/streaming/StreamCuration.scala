@@ -104,7 +104,7 @@ object StreamCuration {
     *     top-N selection is a corpus-shape operation and cannot hold on
     *     an unbounded stream.
     *
-    * Corpus-SHAPE stages (`spanDedupK`, `curriculumBandWidth`,
+    * Corpus-SHAPE stages (`spanDedupK`, `dupSpanN`, `curriculumBandWidth`,
     * `epochBudgets`) raise: they belong at snapshot time, after the
     * stream lands — silently skipping them would let one config mean two
     * different pipelines.
@@ -115,10 +115,11 @@ object StreamCuration {
       dsirScores: Option[Array[Long]] = None,
       dsirMinMeanScore: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(cfg.spanDedupK.isEmpty && cfg.curriculumBandWidth.isEmpty &&
-      cfg.epochBudgets.isEmpty,
-      "StreamCuration.run: spanDedupK/curriculumBandWidth/epochBudgets " +
-        "are corpus-shape stages — run them batch-side at snapshot time")
+    require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
+      cfg.curriculumBandWidth.isEmpty && cfg.epochBudgets.isEmpty,
+      "StreamCuration.run: spanDedupK/dupSpanN/curriculumBandWidth/" +
+        "epochBudgets are corpus-shape stages — run them batch-side at " +
+        "snapshot time")
     var cur = docs
 
     if (cfg.exactDedup) {

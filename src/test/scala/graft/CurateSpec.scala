@@ -140,4 +140,25 @@ class CurateSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(fates === Map(1L -> "kept", 2L -> "span_dedup_empty"))
   }
+
+  test("dupSpan stage scrubs an unaligned re-quote inside the pipeline") {
+    val w = (1 to 12).map(i => s"w$i").mkString(" ")
+    val dup = Seq(
+      (1L, w),
+      (2L, s"p1 p2 p3 $w q1"),       // passage re-quoted at offset +3
+      (3L, (1 to 8).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curate.run(dup, "doc_id", "text",
+        Curate.Config(exactDedup = false, dupSpanN = Some(8)))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got(1L) === w)
+    assert(got(2L) === "p1 p2 p3 q1", "the offset copy must be cut")
+    assert(got(3L).startsWith("z1"))
+    // a doc consumed whole by the scrub gets the empty-drop fate
+    val whole = Seq((1L, w), (2L, w + " tail"), (3L, w)).toDF("doc_id", "text")
+    val fates = Curate.explain(whole, "doc_id", "text",
+        Curate.Config(exactDedup = false, dupSpanN = Some(8)))
+      .as[(Long, String)].collect().toMap
+    assert(fates(3L) === "dup_span_empty")
+  }
 }
