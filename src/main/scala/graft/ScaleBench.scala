@@ -50,7 +50,9 @@ object ScaleBench {
     "q141_blocklist_scan", "q145_epoch_mix",
     // round-8 additions
     "q147_inline_decontam", "q148_cluster_best_rep", "q149_ks_drift",
-    "q150_majority_label", "q151_card_scrub", "q152_minhash_calibration")
+    "q150_majority_label", "q151_card_scrub", "q152_minhash_calibration",
+    "q153_dup_span_scrub", "q154_tokenizer_fertility",
+    "q155_semantic_dedup", "q156_curation_fate")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

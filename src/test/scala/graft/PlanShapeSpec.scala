@@ -312,4 +312,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
     assert(!plan.contains("Join"), plan.take(3000))
   }
+
+  test("q153 dup-span scrub: hash-keyed shuffled joins only, no nested loop") {
+    val plan = executed("q153_dup_span_scrub")
+    // every join is equi-keyed: gram hash (first-occ back-join) or doc id
+    // (island rejoin) — a nested-loop/cartesian here would be the n² pair
+    // join the operator exists to avoid
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the corpus-scale relations are pinned off size-estimate broadcasts
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
+  test("q155 SemDeDup: pair gen is an equi-join on the cell id") {
+    val plan = executed("q155_semantic_dedup")
+    // the only cross shape allowed is the tiny broadcast centroid assign
+    // (the q25/q37 discipline); the PAIR join itself must be cell-keyed
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
 }
