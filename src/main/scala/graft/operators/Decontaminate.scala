@@ -38,6 +38,41 @@ object Decontaminate {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-BENCHMARK-ITEM leakage report — [[sharedGramCounts]] flipped:
+    * not which TRAINING docs to drop, but which EVAL items are already
+    * burned (present verbatim-enough in the corpus) and must be
+    * discarded from the benchmark before it can measure anything. For
+    * each bench doc: how many distinct corpus docs share >= 1 word
+    * n-gram with it, and how many of its own distinct grams leak. Every
+    * bench row is reported (zero-collision rows with leaked = false) —
+    * the report covers the WHOLE benchmark.
+    *
+    * Scale shape: the same broadcast discipline, flipped — the bench
+    * gram relation (eval sets are small by nature) broadcasts into a
+    * map-side join against the one corpus gram scan; the agg shuffle
+    * carries only collision rows grouped to <= |bench| keys. Output:
+    * (idCol, n_grams, n_leaking_docs, n_leaked_grams, leaked).
+    */
+  def evalLeakageReport(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val bg = gramHashes(bench, idCol, textCol, n)
+      .select(col(idCol).as("__bid"), col("gh"))
+    val totals = bg.groupBy(col("__bid"))
+      .agg(countDistinct(col("gh")).as("n_grams"))
+    val hits = gramHashes(corpus, idCol, textCol, n)
+      .select(col(idCol).as("__cid"), col("gh"))
+      .join(broadcast(bg), Seq("gh"))
+      .groupBy(col("__bid"))
+      .agg(countDistinct(col("__cid")).as("n_leaking_docs"),
+        countDistinct(col("gh")).as("n_leaked_grams"))
+    totals.join(hits, Seq("__bid"), "left")
+      .select(col("__bid").as(idCol),
+        col("n_grams"),
+        coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        (coalesce(col("n_leaking_docs"), lit(0L)) > 0).as("leaked"))
+  }
+
   /** The decontaminated corpus: every column of `corpus`, minus docs
     * flagged by [[sharedGramCounts]] (left-anti on the flag list).
     */

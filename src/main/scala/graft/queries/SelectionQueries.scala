@@ -485,5 +485,43 @@ object SelectionQueries {
         |    WHEN c0.doc_id NOT IN (SELECT doc_id FROM sel) THEN 'not_selected'
         |    ELSE 'kept'
         |  END AS fate
-        |FROM c0 ORDER BY c0.doc_id""".stripMargin)))
+        |FROM c0 ORDER BY c0.doc_id""".stripMargin)),
+
+    // Eval-item leakage report — q50's decontamination flipped to the
+    // benchmark side: which EVAL items are burned (share an 8-gram with
+    // any training doc) and must be discarded before the benchmark can
+    // measure anything. Whole-benchmark coverage, zero-collision rows
+    // included. One corpus gram scan + broadcast bench grams + a
+    // <=|bench|-key agg.
+    QueryDef("q157_eval_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Decontaminate.evalLeakageReport(
+            docs.where(col("doc_id") % 10 =!= 7),
+            docs.where(col("doc_id") % 10 === 7),
+            "doc_id", "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH bgr AS (SELECT doc_id AS bid, CAST('0x'||substr(md5(unnest(grams)),18,15) AS BIGINT) AS gh FROM
+        |  (SELECT doc_id, list_distinct(list_transform(
+        |     range(0, greatest(length(toks)-7, 1)),
+        |     i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS grams
+        |   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |         FROM documents WHERE doc_id % 10 = 7))),
+        |cgr AS (SELECT doc_id AS cid, CAST('0x'||substr(md5(unnest(grams)),18,15) AS BIGINT) AS gh FROM
+        |  (SELECT doc_id, list_distinct(list_transform(
+        |     range(0, greatest(length(toks)-7, 1)),
+        |     i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS grams
+        |   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |         FROM documents WHERE doc_id % 10 != 7))),
+        |tot AS (SELECT bid, CAST(count(DISTINCT gh) AS BIGINT) AS n_grams FROM bgr GROUP BY bid),
+        |hit AS (SELECT b.bid, CAST(count(DISTINCT c.cid) AS BIGINT) AS n_leaking_docs,
+        |        CAST(count(DISTINCT b.gh) AS BIGINT) AS n_leaked_grams
+        |        FROM bgr b JOIN cgr c USING (gh) GROUP BY b.bid)
+        |SELECT t.bid AS doc_id, t.n_grams,
+        |  coalesce(h.n_leaking_docs, CAST(0 AS BIGINT)) AS n_leaking_docs,
+        |  coalesce(h.n_leaked_grams, CAST(0 AS BIGINT)) AS n_leaked_grams,
+        |  (coalesce(h.n_leaking_docs, 0) > 0) AS leaked
+        |FROM tot t LEFT JOIN hit h USING (bid)
+        |ORDER BY doc_id""".stripMargin)))
 }

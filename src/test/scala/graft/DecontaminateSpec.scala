@@ -122,4 +122,30 @@ class DecontaminateSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
       plan.take(2000))
   }
+
+  test("evalLeakageReport covers the whole benchmark with per-item counts") {
+    val bench2 = Seq(
+      (10L, "x y z w"),                       // leaked: grams hit docs 1 and 2
+      (11L, "never seen anywhere at all")     // clean eval item
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.evalLeakageReport(corpus, bench2,
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // bench 10 grams: "x y z" (in corpus docs 1, 2) and "y z w" (doc 2)
+    // -> 2 leaking docs, 2 leaked grams of its 2
+    assert(got === Seq(
+      (10L, 2L, 2L, 2L, true),
+      (11L, 3L, 0L, 0L, false)))
+  }
+
+  test("evalLeakageReport is consistent with the corpus-side flag list") {
+    // symmetry: the benchmark has a leaked item iff sharedGramCounts
+    // flags at least one corpus doc (both count the same collisions)
+    val leakedAny = Decontaminate.evalLeakageReport(corpus, bench,
+      "doc_id", "text", n = 3).where(col("leaked")).count() > 0
+    val flaggedAny = Decontaminate.sharedGramCounts(corpus, bench,
+      "doc_id", "text", n = 3).count() > 0
+    assert(leakedAny === flaggedAny)
+  }
 }
