@@ -365,6 +365,57 @@ object CountInSortedSetUtil {
     }
     n
   }
+
+  /** The POSITIONS (0-based, ascending by construction) whose value the
+    * sorted set contains — [[count]]'s index-reporting sibling for
+    * interval work (the dup-span incremental gate needs WHERE a window
+    * hit, not just how many did). Null slots never match.
+    */
+  def positions(arr: ArrayData, set: Array[Long]): ArrayData = {
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i) &&
+        java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) hits += i
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hits.toArray)
+  }
+}
+
+/** [[CountInSortedSet]]'s index-reporting sibling: the 0-based positions
+  * of the probe array whose value is in the frozen sorted set (ascending
+  * by construction — downstream interval folds rely on that order). Same
+  * codebook pattern: the set compiles once driver-side and rides the
+  * expression as a reference object, |set|-independent row cost beyond
+  * the log factor.
+  */
+case class PositionsInSortedSet(child: Expression, set: Array[Long])
+    extends UnaryExpression {
+  require(set.nonEmpty, "PositionsInSortedSet: empty set")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"positions_in_set expects array<bigint>, got ${child.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CountInSortedSetUtil.positions(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("sortedSet", set, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.CountInSortedSetUtil.positions($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "positions_in_set"
 }
 
 /** The WHOLE winnowing fingerprint selection (Schleimer et al. 2003) of
@@ -465,6 +516,9 @@ object TextHashExpressions {
 
   def countInSortedSet(arr: Column, set: Array[Long]): Column =
     ColumnBridge.column(CountInSortedSet(ColumnBridge.expression(arr), set))
+
+  def positionsInSortedSet(arr: Column, set: Array[Long]): Column =
+    ColumnBridge.column(PositionsInSortedSet(ColumnBridge.expression(arr), set))
 
   def winnowFps(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFps(ColumnBridge.expression(text), k, w))

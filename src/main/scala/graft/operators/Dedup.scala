@@ -195,14 +195,9 @@ object Dedup {
     require(posCap >= 2, s"dupSpanScrub: posCap $posCap must be >= 2")
     val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
     val idL = col(idCol).cast("long")
-    // sequence(0, size-n) would DESCEND for size < n (negative-step
-    // default) — guard to an empty gram list instead.
     val grams = toks
-      .select(col(idCol), posexplode(
-        when(size(col("toks")) >= n,
-          transform(sequence(lit(0), size(col("toks")) - n),
-            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+      .select(col(idCol),
+        posexplode(overlappingGrams(col("toks"), n)).as(Seq("pos", "gram")))
       .withColumn("gh", md5Low60(col("gram")))
       .withColumn("occ",
         when(col("pos") < lit(posCap) && idL >= 0 &&
@@ -246,6 +241,98 @@ object Dedup {
           !exists(coalesce(col("spans"), emptySpans),
             s => i >= s.getField("s") && i < s.getField("e"))), " ")
           .as("clean_text"))
+  }
+
+  /** ALL overlapping n-token windows of an already-materialized tokens
+    * attribute, position i = window start. sequence(0, size-n) would
+    * DESCEND for size < n (negative-step default) — guarded to an empty
+    * list: a too-short doc has no n-windows.
+    */
+  private def overlappingGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Frozen dup-span gram INDEX of a reference corpus: the SORTED
+    * distinct md5-low-60 hashes of every overlapping n-token window —
+    * the artifact an incremental/streaming span-dedup gate probes NEW
+    * data against ([[dupSpanScrubInline]]; q61's incremental-minhash
+    * discipline at gram granularity). Sorted by the engine
+    * (TakeOrdered, never a driver sort), capped fail-loud like
+    * `Decontaminate.benchGramSet`: the inline gate is for a bounded
+    * reference window (a frozen snapshot shard, a day's partition); a
+    * full corpus-vs-corpus pass is [[dupSpanScrub]] on the union.
+    */
+  def dupSpanIndex(df: DataFrame, textCol: String, n: Int,
+      maxGrams: Int = 1 << 20): Array[Long] = {
+    require(n >= 1, s"dupSpanIndex: n $n must be >= 1")
+    val ghs = df.select(wsTokens(col(textCol)).as("toks"))
+      .select(explode(overlappingGrams(col("toks"), n)).as("gram"))
+      .select(md5Low60(col("gram")).as("gh"))
+      .distinct()
+      .orderBy(col("gh"))
+      .limit(maxGrams + 1)
+      .collect().map(_.getLong(0))
+    require(ghs.length <= maxGrams,
+      s"dupSpanIndex: more than $maxGrams distinct grams — too big for " +
+        "the inline gate; run dupSpanScrub on the unioned corpus instead")
+    ghs
+  }
+
+  /** Incremental dup-span scrub of NEW data against a frozen
+    * [[dupSpanIndex]]: every overlapping n-token window whose hash is IN
+    * the index already exists in the reference corpus, so ALL its
+    * occurrences here are removed (the reference copy is the kept one —
+    * [[dupSpanScrub]]'s keep-first policy across the corpus boundary);
+    * removed windows union-merge per doc exactly as in the batch form.
+    *
+    * ROW-LOCAL: the probe is the `PositionsInSortedSet` codegen sibling
+    * of the q147 gate (the index lives once per executor and rides the
+    * expression as a reference object), the island count/size is an
+    * in-row fold over the ascending hit positions, and the rebuild is
+    * the q153 indexed filter — no join, no aggregation, no state, so the
+    * SAME plan runs batch and inside a streaming query. Output:
+    * (id, n_tokens, n_spans, removed_tokens, clean_text) —
+    * [[dupSpanScrub]]'s contract.
+    */
+  def dupSpanScrubInline(df: DataFrame, idCol: String, textCol: String,
+      n: Int, index: Array[Long], keepCols: Seq[String] = Nil): DataFrame = {
+    require(n >= 1, s"dupSpanScrubInline: n $n must be >= 1")
+    require(index.nonEmpty, "dupSpanScrubInline: empty index")
+    import graft.functions.expressions.TextHashExpressions
+    val keep = keepCols.map(col)
+    val toksDf = df.select(
+      col(idCol) +: wsTokens(col(textCol)).as("toks") +: keep: _*)
+    val hashes = transform(overlappingGrams(col("toks"), n),
+      g => md5Low60(g))
+    // ascending hit positions (PositionsInSortedSet contract) fold to
+    // (island count, union-covered size, running max end): p > me opens
+    // an island (p == me touches the covered run — q153's merge rule);
+    // covered tokens added = max(0, p+n - max(me, p)), exact under any
+    // overlap because positions arrive sorted
+    val folded = aggregate(col("__hits"),
+      struct(lit(0L).as("ns"), lit(0L).as("rm"), lit(-1).as("me")),
+      (acc, p) => struct(
+        (acc.getField("ns") +
+          when(acc.getField("me") < 0 || p > acc.getField("me"), 1L)
+            .otherwise(0L)).as("ns"),
+        (acc.getField("rm") +
+          greatest(lit(0),
+            (p + lit(n)) - greatest(acc.getField("me"), p)).cast("long"))
+          .as("rm"),
+        greatest(acc.getField("me"), p + lit(n)).as("me")))
+    toksDf
+      .withColumn("__hits",
+        TextHashExpressions.positionsInSortedSet(hashes, index))
+      .withColumn("__isl", folded)
+      .select(col(idCol) +:
+        size(col("toks")).cast("long").as("n_tokens") +:
+        col("__isl.ns").as("n_spans") +:
+        col("__isl.rm").as("removed_tokens") +:
+        array_join(filter(col("toks"), (t: Column, i: Column) =>
+          !exists(col("__hits"), p => i >= p && i < p + lit(n))), " ")
+          .as("clean_text") +: keep: _*)
   }
 
   /** MinHash signatures + LSH band keys for each row.

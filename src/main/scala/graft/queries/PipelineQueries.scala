@@ -2220,7 +2220,54 @@ object PipelineQueries {
         |SELECT l.vec_id, l.cid, coalesce(l.component, l.vec_id) AS comp, l.cent_sim,
         |  (l.component IS NULL OR l.vec_id = r.rep_id) AS keep
         |FROM lab l LEFT JOIN rep r ON l.component = r.component
-        |ORDER BY l.vec_id""".stripMargin))
+        |ORDER BY l.vec_id""".stripMargin)),
+
+    // INCREMENTAL dup-span scrub: the second half of the corpus scrubbed
+    // against a frozen gram index of the first half (q61's incremental
+    // discipline at span granularity). Every overlapping 8-token window
+    // already present in the reference is removed wholesale (the
+    // reference copy is the kept one); the pass is ROW-LOCAL — the index
+    // rides a PositionsInSortedSet codegen probe, islands fold in-row —
+    // so the same plan runs batch and streaming. The oracle re-derives
+    // the reference gram set and replays removal via the q153 island
+    // skeleton.
+    QueryDef("q158_dup_span_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val index = Dedup.dupSpanIndex(
+          docs.where(col("doc_id") < 250), "text", n = 8)
+        Dedup.dupSpanScrubInline(
+            docs.where(col("doc_id") >= 250 && col("doc_id") < 500),
+            "doc_id", "text", n = 8, index)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id >= 250 AND doc_id < 500),
+        |ra AS (SELECT $duckToks AS toks FROM documents WHERE doc_id < 250),
+        |ag AS (SELECT DISTINCT CAST('0x'||substr(md5(unnest(grams)),18,15) AS BIGINT) AS gh FROM
+        |  (SELECT list_transform(range(0, greatest(length(toks)-7, 0)),
+        |     i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' ')) AS grams FROM ra)),
+        |c AS (SELECT doc_id, toks, list_transform(range(0, greatest(length(toks)-7, 0)),
+        |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' ')) AS grams FROM t),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(grams, 1) - 1 AS INT) AS pos, unnest(grams) AS gram FROM c),
+        |h AS (SELECT doc_id, pos, CAST('0x'||substr(md5(gram),18,15) AS BIGINT) AS gh FROM e),
+        |rem AS (SELECT h.doc_id, h.pos, h.pos + 8 AS e FROM h JOIN ag USING (gh)),
+        |w AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM rem),
+        |i0 AS (SELECT doc_id, pos, e, CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS ni FROM w),
+        |i1 AS (SELECT doc_id, pos, e, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i0),
+        |isl AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS en FROM i1 GROUP BY doc_id, isl),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(en - s) AS BIGINT) AS removed_tokens FROM isl GROUP BY doc_id),
+        |tp AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS tpos, unnest(toks) AS tok FROM t),
+        |keep AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp WHERE NOT EXISTS
+        |  (SELECT 1 FROM isl WHERE isl.doc_id = tp.doc_id AND tp.tpos >= isl.s AND tp.tpos < isl.en)),
+        |k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(length(t.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(d.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        |  coalesce(d.removed_tokens, CAST(0 AS BIGINT)) AS removed_tokens,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

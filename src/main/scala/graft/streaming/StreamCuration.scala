@@ -113,7 +113,9 @@ object StreamCuration {
       cfg: graft.operators.Curate.Config,
       keepFirst: Option[(String, String)] = None,
       dsirScores: Option[Array[Long]] = None,
-      dsirMinMeanScore: Long = 0L): DataFrame = {
+      dsirMinMeanScore: Long = 0L,
+      spanIndex: Option[Array[Long]] = None,
+      spanIndexN: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
       cfg.curriculumBandWidth.isEmpty && cfg.epochBudgets.isEmpty,
@@ -140,6 +142,22 @@ object StreamCuration {
           .select(idCol)
         cur = cur.join(survivors, Seq(idCol), "left_semi")
       }
+    }
+
+    spanIndex.foreach { index =>
+      // incremental dup-span scrub against a FROZEN reference-corpus
+      // gram index (Dedup.dupSpanIndex, built batch-side): row-local
+      // PositionsInSortedSet probe + in-row island fold — stateless, no
+      // join/agg/state, streaming-compatible as-is; emptied docs drop
+      // like the batch dupSpanN stage. Non-text columns ride the scrub
+      // projection (keepCols), so this stays a pure row-local map.
+      val others = cur.columns.filter(c => c != idCol && c != textCol).toSeq
+      cur = graft.operators.Dedup
+        .dupSpanScrubInline(cur, idCol, textCol, spanIndexN, index,
+          keepCols = others)
+        .where(col("clean_text") =!= "")
+        .withColumnRenamed("clean_text", textCol)
+        .select((idCol +: textCol +: others).map(col): _*)
     }
 
     cfg.decontaminateBench.foreach { bench =>

@@ -690,6 +690,79 @@ class DedupSpec extends SparkSpec {
     assert(scrubRows(docs, n) === expected)
   }
 
+  // ---- dupSpanScrubInline (incremental gate vs a frozen index) ----
+
+  test("dupSpanScrubInline removes reference passages; B-internal dups stay") {
+    import spark.implicits._
+    val w = (1 to 12).map(i => s"w$i").mkString(" ")
+    val run8 = (1 to 8).map(i => s"r$i").mkString(" ")
+    val refCorpus = Seq((1L, w)).toDF("doc_id", "text")
+    val index = Dedup.dupSpanIndex(refCorpus, "text", n = 8)
+    val incoming = Seq(
+      (10L, w),                         // exact copy of the reference doc
+      (11L, s"p1 p2 p3 $w q1"),         // reference passage at offset +3
+      (12L, s"$run8 X $run8"),          // B-INTERNAL repeat, NOT in ref
+      (13L, "u1 u2 u3 u4 u5 u6 u7 u8 u9") // clean
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanScrubInline(incoming, "doc_id", "text", 8, index)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got(0) === ((10L, 12L, 1L, 12L, "")))
+    assert(got(1) === ((11L, 16L, 1L, 12L, "p1 p2 p3 q1")))
+    // the inline gate's CONTRACT: it only knows the frozen reference —
+    // duplication internal to the new data is dupSpanScrub's job
+    assert(got(2) === ((12L, 17L, 0L, 0L, s"$run8 X $run8")))
+    assert(got(3)._4 === 0L)
+  }
+
+  test("dupSpanScrubInline is row-local: no join, no exchange, no aggregate") {
+    import spark.implicits._
+    val index = Dedup.dupSpanIndex(
+      Seq((1L, (1 to 8).map("a" + _).mkString(" "))).toDF("doc_id", "text"),
+      "text", n = 8)
+    val plan = Dedup.dupSpanScrubInline(
+        Seq((2L, "b1 b2 b3 b4 b5 b6 b7 b8 b9")).toDF("doc_id", "text"),
+        "doc_id", "text", 8, index)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange") &&
+      !plan.contains("HashAggregate"), plan.take(2000))
+  }
+
+  test("dupSpanScrubInline fold agrees with the batch island arithmetic") {
+    import spark.implicits._
+    // reference owns two OVERLAPPING windows of doc 20 ([0,8) and [4,12))
+    // and a TOUCHING pair in doc 21 ([0,8) and [8,16))
+    val xs = (1 to 12).map(i => s"x$i")
+    val ys = (1 to 16).map(i => s"y$i")
+    val ref = Seq(
+      (1L, xs.take(8).mkString(" ")), (2L, xs.drop(4).mkString(" ")),
+      (3L, ys.take(8).mkString(" ")), (4L, ys.drop(8).mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = Dedup.dupSpanIndex(ref, "text", n = 8)
+    val got = Dedup.dupSpanScrubInline(
+        Seq((20L, xs.mkString(" ")), (21L, (ys :+ "tail").mkString(" ")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 8, index)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got(0) === ((20L, 12L, 1L, 12L, "")),
+      "overlap [0,8)+[4,12) must union to ONE 12-token island")
+    assert(got(1) === ((21L, 17L, 1L, 16L, "tail")),
+      "touching [0,8)+[8,16) must merge to ONE 16-token island")
+  }
+
+  test("dupSpanIndex caps fail loud, sorted ascending") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 30).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = Dedup.dupSpanIndex(docs, "text", n = 8)
+    assert(idx.toSeq === idx.sorted.toSeq && idx.length === 23)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dupSpanIndex(docs, "text", n = 8, maxGrams = 10)
+    }
+    assert(ex.getMessage.contains("distinct grams"), ex.getMessage)
+  }
+
   // ---- semanticDedup (SemDeDup, Abbas et al. 2023) ----
 
   test("semanticDedup keeps the LEAST-centroid-similar member of each dup group") {

@@ -218,4 +218,38 @@ class StreamCurationSpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("frozen"), ex2.getMessage)
   }
+
+  test("incremental span gate in the stream: scrubbed text == batch twin") {
+    import graft.operators.{Curate, Dedup}
+    val tmp = Files.createTempDirectory("graft-spanstream-").toString
+    val w = (1 to 12).map(i => s"w$i").mkString(" ")
+    // frozen reference corpus -> gram index, built batch-side
+    val index = Dedup.dupSpanIndex(
+      Seq((1L, w)).toDF("doc_id", "text"), "text", n = 8)
+    val docs = Seq(
+      (10L, s"p1 p2 p3 $w q1", 100L),     // reference passage at offset +3
+      (11L, w, 200L),                     // consumed whole -> drops
+      (12L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", 300L)) // clean
+      .toDF("doc_id", "text", "ts")
+    docs.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val cfg = Curate.Config(exactDedup = false)
+    val curated = StreamCuration.run(stream, "doc_id", "text", cfg,
+      spanIndex = Some(index))
+    assert(curated.isStreaming)
+    val q = curated.writeStream.format("memory").queryName("span_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("span_out").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val batch = StreamCuration.run(docs, "doc_id", "text", cfg,
+        spanIndex = Some(index))
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    assert(batch === Seq((10L, "p1 p2 p3 q1"),
+      (12L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
+  }
 }

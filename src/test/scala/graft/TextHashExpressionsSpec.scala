@@ -165,4 +165,24 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(!r.isNullAt(0) && r.getLong(0) === 0L)
     assert(r.getLong(0) === r.getLong(1)) // codegen == declarative twin
   }
+
+  test("PositionsInSortedSet: ascending hit indices, count-sibling parity") {
+    import spark.implicits._
+    val set = Array(3L, 7L, 11L, 99L).sorted
+    val rows = Seq(
+      Seq(7L, 1L, 3L, 3L, 99L),     // hits at 0, 2, 3, 4
+      Seq(1L, 2L),                  // no hits
+      Seq.empty[Long]
+    ).toDF("arr")
+    val got = rows.select(
+        graft.functions.expressions.TextHashExpressions
+          .positionsInSortedSet(col("arr"), set).as("pos"),
+        graft.functions.expressions.TextHashExpressions
+          .countInSortedSet(col("arr"), set).as("cnt"))
+      .as[(Seq[Int], Int)].collect().toSeq
+    assert(got === Seq((Seq(0, 2, 3, 4), 4), (Seq(), 0), (Seq(), 0)))
+    got.foreach { case (pos, cnt) =>
+      assert(pos.length === cnt && pos === pos.sorted)
+    }
+  }
 }
