@@ -52,7 +52,8 @@ object ScaleBench {
     "q147_inline_decontam", "q148_cluster_best_rep", "q149_ks_drift",
     "q150_majority_label", "q151_card_scrub", "q152_minhash_calibration",
     "q153_dup_span_scrub", "q154_tokenizer_fertility",
-    "q155_semantic_dedup", "q156_curation_fate")
+    "q155_semantic_dedup", "q156_curation_fate",
+    "q157_eval_leakage", "q158_dup_span_incremental")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
