@@ -801,6 +801,22 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq((6L, 6L, true), (7L, 6L, false), (8L, 8L, true)))
   }
 
+  test("semanticDedup runs on TRAINED centroids (the q35 KMeans path)") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sf0001).limit(200)
+    val cents = graft.operators.SimilaritySearch
+      .trainCentroids(emb, "embedding", k = 4)
+    val rows = Dedup.semanticDedup(emb, "vec_id", "embedding", cents,
+        tau = 0.4)
+      .select("vec_id", "comp", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(rows.length === 200, "every input vector is reported")
+    rows.groupBy(_._2).foreach { case (compId, members) =>
+      assert(members.count(_._3) === 1,
+        s"component $compId must keep exactly one of ${members.map(_._1)}")
+    }
+  }
+
   test("semanticDedup keeps exactly one representative per duplicate group") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
