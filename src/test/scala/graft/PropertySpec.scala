@@ -390,4 +390,31 @@ class PropertySpec extends SparkSpec {
         assert(mean >= lo - 1 && mean <= hi, s"mean $mean outside [$lo, $hi]")
       }
   }
+
+  test("dupSpanScrub: partition invariance + token conservation on a seeded corpus") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0L until 40L).map { id =>
+      (id, Vector.fill(5 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    def run(parts: Int) = Dedup.dupSpanScrub(
+        docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text",
+        n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val one = run(1)
+    assert(one === run(7), "result must not depend on partitioning")
+    // conservation: clean token count == n_tokens - removed, spans bounded
+    one.foreach { case (id, nTok, nSpans, removed, clean) =>
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept === (nTok - removed), s"doc $id: $kept != $nTok-$removed")
+      assert(nSpans <= removed && removed <= nTok, s"doc $id bounds")
+    }
+    // the FIRST occurrence of every duplicated window survives somewhere:
+    // total kept tokens > 0 on a corpus this small over a 6-word vocab
+    assert(one.map(t => t._2 - t._4).sum > 0)
+  }
 }
