@@ -372,15 +372,24 @@ object CountInSortedSetUtil {
     * hit, not just how many did). Null slots never match.
     */
   def positions(arr: ArrayData, set: Array[Long]): ArrayData = {
-    val hits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // count-then-fill into a primitive int[] — no growable buffer, no
+    // Integer boxing in the per-row hot path (the count sibling's
+    // discipline; the second binary-search pass is cheaper than the
+    // allocation churn it avoids on mostly-miss rows)
+    val n = count(arr, set)
+    val hits = new Array[Int](n)
     var i = 0
+    var o = 0
     val len = arr.numElements()
-    while (i < len) {
+    while (o < n && i < len) {
       if (!arr.isNullAt(i) &&
-        java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) hits += i
+        java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) {
+        hits(o) = i
+        o += 1
+      }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(hits.toArray)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hits)
   }
 }
 

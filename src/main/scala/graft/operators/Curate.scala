@@ -86,30 +86,30 @@ object Curate {
       mark("exact_dup")
     }
 
-    cfg.spanDedupK.foreach { k =>
-      // keep-first rewrites text; rejoin the rewritten text onto the
-      // surviving metadata columns
-      val rewritten = Dedup.chunkDedupKeepFirst(cur, idCol, textCol, k)
+    // shared rewrite-and-rejoin contract of both span stages: the
+    // operator rewrites text, emptied docs drop, the rewritten text
+    // rejoins the surviving metadata columns
+    def rewriteStage(rewrittenAll: DataFrame, fate: String): Unit = {
+      val rewritten = rewrittenAll
         .where(col("clean_text") =!= "")
         .select(col(idCol), col("clean_text"))
       cur = cur.drop(textCol)
         .join(rewritten, Seq(idCol))
         .withColumnRenamed("clean_text", textCol)
-      mark("span_dedup_empty")
+      mark(fate)
+    }
+
+    cfg.spanDedupK.foreach { k =>
+      rewriteStage(Dedup.chunkDedupKeepFirst(cur, idCol, textCol, k),
+        "span_dedup_empty")
     }
 
     cfg.dupSpanN.foreach { n =>
       // the OVERLAPPING-window ExactSubstr cut (Dedup.dupSpanScrub):
       // catches passages re-quoted at unaligned offsets that the
-      // chunk-aligned stage above cannot see; same rewrite-and-rejoin
-      // contract
-      val rewritten = Dedup.dupSpanScrub(cur, idCol, textCol, n)
-        .where(col("clean_text") =!= "")
-        .select(col(idCol), col("clean_text"))
-      cur = cur.drop(textCol)
-        .join(rewritten, Seq(idCol))
-        .withColumnRenamed("clean_text", textCol)
-      mark("dup_span_empty")
+      // chunk-aligned stage above cannot see
+      rewriteStage(Dedup.dupSpanScrub(cur, idCol, textCol, n),
+        "dup_span_empty")
     }
 
     cfg.decontaminateBench.foreach { bench =>
@@ -166,9 +166,13 @@ object Curate {
     * input document, the FIRST stage that dropped it, or `kept`. Stage
     * predicates are NOT re-implemented here — run itself executes with a
     * survivor-snapshot trace, so this can never drift from the pipeline
-    * it explains. The ordering/expansion tail (curriculum, epoch recipe)
-    * never rejects a document and is out of scope (epoch budgets fail
-    * loud on unbudgeted sources rather than dropping them).
+    * it explains. The curriculum ordering stage never rejects a document
+    * and is out of scope. Epoch-recipe configs are REJECTED here:
+    * `Sampling.epochExpand` legitimately emits zero copies of a document
+    * (unbudgeted source, or a budget below one full epoch with a losing
+    * fractional coin), so a per-doc kept/dropped fate is not
+    * well-defined past that stage — audit the pre-recipe corpus, then
+    * expand.
     *
     * Cost: one id-only left join per configured rejection stage (each
     * survivor relation is ids-only, SHUFFLE_HASH-pinned off size-estimate
@@ -177,6 +181,11 @@ object Curate {
     */
   def explain(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config): DataFrame = {
+    require(cfg.epochBudgets.isEmpty,
+      "Curate.explain: epochBudgets expansion can emit zero copies of a " +
+        "doc (unbudgeted source, losing fractional coin), so a per-doc " +
+        "fate is not well-defined past the recipe stage — explain the " +
+        "pre-recipe config, then expand")
     val trace =
       scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
     run(docs, idCol, textCol, cfg, null, trace)

@@ -54,9 +54,19 @@ object Decontaminate {
     * (idCol, n_grams, n_leaking_docs, n_leaked_grams, leaked).
     */
   def evalLeakageReport(corpus: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int, maxBenchGrams: Long = 1L << 22): DataFrame = {
     val bg = gramHashes(bench, idCol, textCol, n)
       .select(col(idCol).as("__bid"), col("gh"))
+    // the broadcast premise fails loud, not at the 8 GB broadcast wall
+    // (the benchGramSet discipline): a "benchmark" that grew to corpus
+    // size belongs in the shuffled-join form, not here. One cheap
+    // count job on the small side — this is a diagnostic report.
+    val nGrams = bg.count()
+    require(nGrams <= maxBenchGrams,
+      s"evalLeakageReport: $nGrams bench gram rows exceed " +
+        s"maxBenchGrams=$maxBenchGrams — the bench side broadcasts, so " +
+        "it must stay eval-set-sized; shrink the benchmark or raise the " +
+        "cap deliberately")
     val totals = bg.groupBy(col("__bid"))
       .agg(countDistinct(col("gh")).as("n_grams"))
     val hits = gramHashes(corpus, idCol, textCol, n)

@@ -917,11 +917,13 @@ object Dedup {
     * outlier policy, maximizing retained diversity), ties to the
     * smallest id. Unpaired vectors survive trivially.
     *
-    * Scale shape: one cell-assign pass (centroids broadcast), the
-    * blocked pair join, CC over the PAIR graph only (duplication-
-    * bounded, not corpus-bounded — [[graft.operators.Graph]]'s size-gated
-    * union-find / min-label propagation), a ≤|components|-row argmin
-    * agg, one broadcast-scale join back. Floats are safe to hash: cosine
+    * Scale shape: the cell-assign scan (centroids broadcast — consumed
+    * by three plan legs; [[withSemanticDedup]] persists it once when
+    * that scan dominates), the blocked pair join, CC over the PAIR
+    * graph only (duplication-bounded, not corpus-bounded —
+    * [[graft.operators.Graph]]'s size-gated union-find / min-label
+    * propagation), a ≤|components|-row argmin agg, one broadcast-scale
+    * join back. Floats are safe to hash: cosine
     * folds in index order and the representative is chosen via an exact
     * (sim, id) struct-min whose ID is what the keep test compares.
     * Output: (idCol, cid, comp, cent_sim, keep) — comp = min member id
@@ -929,8 +931,31 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, tau: Double,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    semanticDedupFrom(
+      SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids),
+      idCol, centroids, tau, checkpointDir)
+
+  /** Scoped-cache form — the [[withMinhashPairs]] discipline: the cell
+    * assignment (the corpus × centroids argmin scan) feeds THREE plan
+    * legs — the centroid-sim projection and both sides of the in-cell
+    * pair join — so the declarative [[semanticDedup]] recomputes that
+    * scan per leg (fine for a one-shot run; wasteful in a loop or when
+    * the assignment dominates). Persists the assignment for the
+    * duration of `use` and releases it in finally.
+    */
+  def withSemanticDedup[T](df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, tau: Double,
+      checkpointDir: Option[String] = None)(use: DataFrame => T): T = {
     val asg = SimilaritySearch.ivfAssign(df, idCol, vecCol, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(semanticDedupFrom(asg, idCol, centroids, tau, checkpointDir))
+    finally asg.unpersist()
+  }
+
+  private def semanticDedupFrom(asg: DataFrame, idCol: String,
+      centroids: DataFrame, tau: Double,
+      checkpointDir: Option[String]): DataFrame = {
     val withSim = asg
       .join(broadcast(centroids.select(col("cid"), col("ce"))), Seq("cid"))
       .select(col(idCol), col("cid"),

@@ -496,9 +496,13 @@ object SelectionQueries {
     QueryDef("q157_eval_leakage",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // eval sets are FIXED-SIZE by nature (the report's broadcast
+        // premise): pin the benchmark to the base id range — the q147
+        // discipline — so a scaled fixture grows the CORPUS, never the
+        // broadcast side
         graft.operators.Decontaminate.evalLeakageReport(
             docs.where(col("doc_id") % 10 =!= 7),
-            docs.where(col("doc_id") % 10 === 7),
+            docs.where(col("doc_id") % 10 === 7 && col("doc_id") < 5000),
             "doc_id", "text", n = 8)
           .orderBy("doc_id")
       },
@@ -507,7 +511,7 @@ object SelectionQueries {
         |     range(0, greatest(length(toks)-7, 1)),
         |     i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS grams
         |   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |         FROM documents WHERE doc_id % 10 = 7))),
+        |         FROM documents WHERE doc_id % 10 = 7 AND doc_id < 5000))),
         |cgr AS (SELECT doc_id AS cid, CAST('0x'||substr(md5(unnest(grams)),18,15) AS BIGINT) AS gh FROM
         |  (SELECT doc_id, list_distinct(list_transform(
         |     range(0, greatest(length(toks)-7, 1)),

@@ -152,6 +152,16 @@ object StreamCuration {
       // like the batch dupSpanN stage. Non-text columns ride the scrub
       // projection (keepCols), so this stays a pure row-local map.
       val others = cur.columns.filter(c => c != idCol && c != textCol).toSeq
+      // the scrub's own output/working names would collide with a
+      // same-named rider column and fail ambiguously downstream — fail
+      // loud here with the fix in the message
+      val reserved = Set("n_tokens", "n_spans", "removed_tokens",
+        "clean_text", "toks", "__hits", "__isl")
+      val clash = others.filter(reserved)
+      require(clash.isEmpty,
+        s"StreamCuration.run spanIndex stage: column(s) ${clash.mkString(", ")} " +
+          "collide with the span scrub's output names — rename them " +
+          "upstream of the gate")
       cur = graft.operators.Dedup
         .dupSpanScrubInline(cur, idCol, textCol, spanIndexN, index,
           keepCols = others)
