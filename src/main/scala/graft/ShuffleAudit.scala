@@ -58,7 +58,9 @@ object ShuffleAudit {
         "q128_dsir_buckets",      // bounded 4096-bucket agg
         "q17_minhash_lsh_dedup",  // banded candidate join
         "q64_dedup_clusters",     // iterative CC
-        "q136_curation_pipeline") // full composition
+        "q136_curation_pipeline", // full composition
+        "q153_dup_span_scrub",    // one gram hash-key exchange
+        "q158_dup_span_incremental") // claimed row-local frozen-index probe
     val spark = graft.core.GraftSession.fromEnv()
     spark.sparkContext.setLogLevel("ERROR")
     val acc = new Acc
