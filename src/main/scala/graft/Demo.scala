@@ -178,6 +178,29 @@ object Demo {
     curated.orderBy("ord")
       .select($"ord", $"doc_id", $"lang", $"band", $"mean_score").show(false)
 
+    println("== Curate.explain: why is each doc in (or out of) the set?")
+    val fates = graft.operators.Curate.explain(docs, "doc_id", "text",
+      graft.operators.Curate.Config(
+        exactDedup = true,
+        blocklist = Seq("error", "slow"),
+        minTokens = 30L,
+        dsirTarget = Some($"lang" === "en"), dsirTopN = 8,
+        dsirBuckets = 1024))
+    println("-- fate distribution (first rejecting stage per doc):")
+    fates.groupBy("fate").count().orderBy($"count".desc).show(false)
+
+    println("== incremental span dedup: today's data vs yesterday's index")
+    val yesterday = docs.where($"doc_id" < 250)
+    val today = docs.where($"doc_id" >= 250)
+    val spanIdx = graft.operators.Dedup.dupSpanIndex(yesterday, "text", n = 8)
+    println(s"-- frozen index: ${spanIdx.length} distinct 8-token windows")
+    val scrubbedToday = graft.operators.Dedup.dupSpanScrubInline(
+      today, "doc_id", "text", n = 8, spanIdx)
+    println("-- today's docs with passages already in yesterday's corpus:")
+    scrubbedToday.where($"removed_tokens" > 0)
+      .select($"doc_id", $"n_tokens", $"n_spans", $"removed_tokens")
+      .orderBy($"removed_tokens".desc).show(5, false)
+
     spark.stop()
   }
 }
