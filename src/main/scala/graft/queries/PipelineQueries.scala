@@ -2149,6 +2149,50 @@ object PipelineQueries {
         |WHERE t.doc_id < 500
         |ORDER BY t.doc_id""".stripMargin)),
 
+    // Span-scrub window calibration — q152's discipline applied to q153:
+    // the measured answer to "is n=8 the right dedup window on THIS
+    // corpus". One row per candidate n: how many docs lose a span and
+    // what fraction of the corpus' tokens the policy would cut — too
+    // small an n flags half the corpus (common phrases), too large
+    // misses real duplication; the curator reads the elbow. All-integer
+    // (floor-milli fraction), three q153 passes + three 4-row aggs.
+    QueryDef("q159_span_calibration",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Seq(4, 8, 16).map { n =>
+          Dedup.dupSpanScrub(docs, "doc_id", "text", n)
+            .agg(
+              lit(n).cast("long").as("n"),
+              count(when(col("n_spans") > 0, 1)).as("docs_affected"),
+              sum(col("removed_tokens")).as("total_removed"),
+              sum(col("n_tokens")).as("total_tokens"))
+        }.reduce(_ union _)
+          .withColumn("removed_milli",
+            expr("(total_removed * 1000) div total_tokens"))
+          .orderBy(col("n"))
+      },
+      Some(Seq(4, 8, 16).map { n =>
+        s"""(WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          |c AS (SELECT doc_id, toks, list_transform(range(0, greatest(length(toks)-${n - 1}, 0)),
+          |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+$n AS INT)), ' ')) AS grams FROM t),
+          |e AS (SELECT doc_id, CAST(generate_subscripts(grams, 1) - 1 AS INT) AS pos, unnest(grams) AS gram FROM c),
+          |h AS (SELECT doc_id, pos, CAST('0x'||substr(md5(gram),18,15) AS BIGINT) AS gh FROM e),
+          |f AS (SELECT gh, min(doc_id*1048576 + pos) AS fo, count(*) AS cnt FROM h GROUP BY gh),
+          |rem AS (SELECT h.doc_id, h.pos, h.pos + $n AS e FROM h JOIN f ON h.gh = f.gh
+          |  WHERE f.cnt >= 2 AND h.doc_id*1048576 + h.pos > f.fo),
+          |w AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM rem),
+          |i0 AS (SELECT doc_id, pos, e, CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS ni FROM w),
+          |i1 AS (SELECT doc_id, pos, e, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i0),
+          |isl AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS en FROM i1 GROUP BY doc_id, isl)
+          |SELECT CAST($n AS BIGINT) AS n,
+          |  CAST((SELECT count(DISTINCT doc_id) FROM isl) AS BIGINT) AS docs_affected,
+          |  CAST(coalesce((SELECT sum(en - s) FROM isl), 0) AS BIGINT) AS total_removed,
+          |  CAST((SELECT sum(length(toks)) FROM t) AS BIGINT) AS total_tokens,
+          |  (CAST(coalesce((SELECT sum(en - s) FROM isl), 0) AS BIGINT) * 1000)
+          |    // CAST((SELECT sum(length(toks)) FROM t) AS BIGINT) AS removed_milli)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY n"))),
+
     // Tokenizer fertility per language: the vocabulary-sizing diagnostic
     // a multilingual data team reads before fixing a merge budget — BPE
     // tokens per whitespace word and chars per BPE token, by lang, under
