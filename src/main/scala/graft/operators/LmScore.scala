@@ -52,4 +52,41 @@ object LmScore {
         sum(col("cnt")).as("familiarity"),
         sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
   }
+
+  /** CCNet's perplexity-tier PARTITION (Wenzek et al. 2020 §4.3): the
+    * corpus split into head / middle / tail thirds by LM familiarity
+    * (the [[noveltyStats]] bigram score as the perplexity analog —
+    * exact floor-milli familiarity per bigram; CCNet keeps head+middle
+    * and drops the tail). Tier boundaries are VALUE CUTOFFS from an
+    * exact integer score histogram — equal scores always land in the
+    * same tier, and the corpus never crosses a global sort: the q99
+    * histogram discipline (per-value hash-agg, a window over the
+    * artifact-sized distinct-value relation, broadcast cutoffs, one
+    * row-local CASE). Under ties the thirds are approximate — exactly
+    * CCNet's cutoff semantics. Only scoreable docs (>= 2 tokens)
+    * appear, inheriting noveltyStats' domain.
+    * Output: (idCol, lm_milli, tier).
+    */
+  def perplexityTiers(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sc = noveltyStats(docs, idCol, textCol)
+      .select(col(idCol),
+        expr("(familiarity * 1000) div n_bigrams").as("lm_milli"))
+    val hist = sc.groupBy(col("lm_milli")).agg(count(lit(1)).as("c"))
+    // ascending cumulative over the DISTINCT-VALUE relation only
+    // (artifact-sized; the corpus itself never enters a window)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("lm_milli"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cuts = hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+      .agg(
+        min(when(col("cum") * 3 >= col("n"), col("lm_milli"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("lm_milli"))).as("t2"))
+    sc.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("lm_milli"),
+        when(col("lm_milli") <= col("t1"), "tail")
+          .when(col("lm_milli") <= col("t2"), "middle")
+          .otherwise("head").as("tier"))
+  }
 }

@@ -1563,6 +1563,40 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN bc.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
         |FROM bg JOIN bc USING (bigram) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // CCNet perplexity-tier partition (Wenzek et al. 2020): head/middle/
+    // tail thirds by the q89 familiarity score (exact floor-milli), tier
+    // boundaries as VALUE CUTOFFS from an exact integer histogram —
+    // equal scores share a tier, the corpus never crosses a global sort
+    // (the q99 discipline), and "keep head+middle" is then one CASE
+    // filter. Oracle re-derives scores, cumulative histogram, cutoffs
+    // and the CASE independently.
+    QueryDef("q160_perplexity_tiers",
+      (s, d) => graft.operators.LmScore.perplexityTiers(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tok || ' ' || next_tok AS bigram FROM (
+        |    SELECT doc_id, unnest(t) AS tok, unnest(t[2:]) AS next_tok FROM toks
+        |  ) WHERE next_tok IS NOT NULL),
+        |bc AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+        |st AS (SELECT bg.doc_id, COUNT(*) AS nb, SUM(bc.cnt) AS fam
+        |       FROM bg JOIN bc USING (bigram) GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST((fam * 1000) // nb AS BIGINT) AS lm_milli FROM st),
+        |h AS (SELECT lm_milli, COUNT(*) AS c FROM sc GROUP BY 1),
+        |cm AS (SELECT lm_milli, SUM(c) OVER (ORDER BY lm_milli ASC
+        |       ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |tot AS (SELECT COUNT(*) AS n FROM sc),
+        |cut AS (SELECT min(CASE WHEN cum*3 >= n THEN lm_milli END) AS t1,
+        |               min(CASE WHEN cum*3 >= 2*n THEN lm_milli END) AS t2
+        |        FROM cm, tot)
+        |SELECT sc.doc_id, sc.lm_milli,
+        |  CASE WHEN sc.lm_milli <= cut.t1 THEN 'tail'
+        |       WHEN sc.lm_milli <= cut.t2 THEN 'middle'
+        |       ELSE 'head' END AS tier
+        |FROM sc, cut ORDER BY sc.doc_id""".stripMargin)),
+
     QueryDef("q84_ann_nsw",
       (s, d) => graft.operators.Nsw.nswTopK(
         Tables.embeddings(s, d).repartition(8, col("vec_id")),
