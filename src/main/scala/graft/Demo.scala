@@ -166,26 +166,23 @@ object Demo {
 
     println("== Curate.run: the whole pipeline as one config-driven call")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val curated = graft.operators.Curate.run(docs, "doc_id", "text",
-      graft.operators.Curate.Config(
-        exactDedup = true,
-        blocklist = Seq("error", "slow"),
-        minTokens = 30L,
-        dsirTarget = Some($"lang" === "en"), dsirTopN = 8,
-        dsirBuckets = 1024,
-        curriculumBandWidth = Some(25L)))
+    // ONE config drives both the run and the explain below — the fates
+    // always attribute exactly the pipeline being shown
+    val demoCfg = graft.operators.Curate.Config(
+      exactDedup = true,
+      blocklist = Seq("error", "slow"),
+      minTokens = 30L,
+      dsirTarget = Some($"lang" === "en"), dsirTopN = 8,
+      dsirBuckets = 1024,
+      curriculumBandWidth = Some(25L))
+    val curated = graft.operators.Curate.run(docs, "doc_id", "text", demoCfg)
     println("-- top-8 most-English survivors in curriculum order:")
     curated.orderBy("ord")
       .select($"ord", $"doc_id", $"lang", $"band", $"mean_score").show(false)
 
     println("== Curate.explain: why is each doc in (or out of) the set?")
     val fates = graft.operators.Curate.explain(docs, "doc_id", "text",
-      graft.operators.Curate.Config(
-        exactDedup = true,
-        blocklist = Seq("error", "slow"),
-        minTokens = 30L,
-        dsirTarget = Some($"lang" === "en"), dsirTopN = 8,
-        dsirBuckets = 1024))
+      demoCfg)
     println("-- fate distribution (first rejecting stage per doc):")
     fates.groupBy("fate").count().orderBy($"count".desc).show(false)
 

@@ -75,11 +75,15 @@ object LmScore {
     val hist = sc.groupBy(col("lm_milli")).agg(count(lit(1)).as("c"))
     // ascending cumulative over the DISTINCT-VALUE relation only
     // (artifact-sized; the corpus itself never enters a window)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("lm_milli"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cuts = hist.withColumn("cum", sum(col("c")).over(w))
-      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+    val W = org.apache.spark.sql.expressions.Window
+    val ordered = W.orderBy(col("lm_milli"))
+    // cum AND the grand total both come from the ONE histogram relation
+    // (q99's window discipline) — no second score lineage just for n
+    val cuts = hist
+      .withColumn("cum", sum(col("c"))
+        .over(ordered.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("n", sum(col("c"))
+        .over(ordered.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
       .agg(
         min(when(col("cum") * 3 >= col("n"), col("lm_milli"))).as("t1"),
         min(when(col("cum") * 3 >= col("n") * 2, col("lm_milli"))).as("t2"))
