@@ -523,11 +523,33 @@ object TextHashExpressions {
   def md5Low60(s: Column): Column =
     ColumnBridge.column(Md5Low60(ColumnBridge.expression(s)))
 
-  def countInSortedSet(arr: Column, set: Array[Long]): Column =
-    ColumnBridge.column(CountInSortedSet(ColumnBridge.expression(arr), set))
+  /** Both sorted-set probes binary-search `set` (`Arrays.binarySearch`),
+    * whose contract is undefined on unsorted input — a hand-concatenated
+    * index would give silently wrong membership (missed dup spans / open
+    * decontamination gates), not an error. One O(n) driver-time pass at
+    * plan-build asserts the contract instead; `dupSpanIndex` /
+    * `benchGramSet` artifacts (distinct + ordered) satisfy it by
+    * construction.
+    */
+  private def requireStrictlyAscending(set: Array[Long], caller: String): Unit = {
+    var i = 1
+    while (i < set.length && set(i - 1) < set(i)) i += 1
+    require(i >= set.length,
+      s"$caller: the sorted-set index must be strictly ascending " +
+        s"(binary-search contract) — violated at position $i " +
+        s"(${set(i - 1)} !< ${set(i)}); build it with dupSpanIndex/" +
+        "benchGramSet, or sort+distinct a hand-built array first")
+  }
 
-  def positionsInSortedSet(arr: Column, set: Array[Long]): Column =
+  def countInSortedSet(arr: Column, set: Array[Long]): Column = {
+    requireStrictlyAscending(set, "countInSortedSet")
+    ColumnBridge.column(CountInSortedSet(ColumnBridge.expression(arr), set))
+  }
+
+  def positionsInSortedSet(arr: Column, set: Array[Long]): Column = {
+    requireStrictlyAscending(set, "positionsInSortedSet")
     ColumnBridge.column(PositionsInSortedSet(ColumnBridge.expression(arr), set))
+  }
 
   def winnowFps(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFps(ColumnBridge.expression(text), k, w))

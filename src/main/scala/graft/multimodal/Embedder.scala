@@ -220,7 +220,12 @@ object Embedder {
     * the session object, nothing else moves.
     */
   object Registry {
-    private val cache = TrieMap.empty[(String, Long), DualTower]
+    // ONE entry per dir — (mtime, model), swapped atomically on artifact
+    // re-save. Keying by (dir, mtime) would retain every stale DualTower
+    // (large weight arrays) forever in a long-lived executor JVM; here a
+    // re-save replaces, so residency is bounded by the number of distinct
+    // artifact dirs actually served.
+    private val cache = TrieMap.empty[String, (Long, DualTower)]
 
     def get(dir: String): DualTower = {
       val conf = new Configuration()
@@ -230,7 +235,14 @@ object Embedder {
       require(fs.exists(marker),
         s"no complete embedder artifact at $dir (missing _SUCCESS)")
       val mtime = fs.getFileStatus(marker).getModificationTime
-      cache.getOrElseUpdate((dir, mtime), load(conf, dir))
+      cache.get(dir) match {
+        case Some((m, model)) if m == mtime => model
+        case _ =>
+          // two tasks racing a swap both load a valid model; last put wins
+          val model = load(conf, dir)
+          cache.put(dir, (mtime, model))
+          model
+      }
     }
   }
 

@@ -43,12 +43,21 @@ object Dedup {
     df.join(keep.hint("SHUFFLE_HASH"), keys, "left_semi")
   }
 
+  /** THE exact-dedup normalization key — the one definition both the
+    * batch groupBy ([[exact]]) and the streaming
+    * `dropDuplicatesWithinWatermark` twin
+    * ([[graft.streaming.StreamCuration.run]]) key on, so a future change
+    * (e.g. switching to [[canonicalText]]) can never silently diverge the
+    * two pipelines.
+    */
+  def exactKey(text: Column): Column = lower(trim(text))
+
   /** Exact dedup by normalized text (hash-groupBy): one shuffle on the
     * group key; keeps the smallest id as the canonical representative.
     * Output: (id, norm_text, group_size) for every KEPT row of a dup group.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    exactBy(df, idCol, lower(trim(col(textCol))), "norm_text")
+    exactBy(df, idCol, exactKey(col(textCol)), "norm_text")
 
   /** The shared min-id-survivor pipeline both exact variants use: one
     * hash shuffle on the key, (survivor id, key, group_size) out.
@@ -295,6 +304,11 @@ object Dedup {
     * SAME plan runs batch and inside a streaming query. Output:
     * (id, n_tokens, n_spans, removed_tokens, clean_text) —
     * [[dupSpanScrub]]'s contract.
+    *
+    * `index` MUST be strictly ascending (the binary-search contract —
+    * [[dupSpanIndex]] output satisfies it by construction); a hand-built
+    * or concatenated array is asserted at plan-build time, driver-side,
+    * rather than silently missing dup spans.
     */
   def dupSpanScrubInline(df: DataFrame, idCol: String, textCol: String,
       n: Int, index: Array[Long], keepCols: Seq[String] = Nil): DataFrame = {
@@ -393,10 +407,25 @@ object Dedup {
     * bucket), so the whole table is oracle-hashable. Both-null slots
     * (empty shingle sets) count as non-matching on both engines.
     * Output: (est_matches, jac_bucket, n_pairs), ordered.
+    *
+    * SCALE GUARD: wall time is linear in band-join CANDIDATES, which grow
+    * superlinearly when band parameters are held fixed as the corpus
+    * grows — this is a calibration TOOL (the thing that tells you to
+    * retune), not a corpus-wide pass. At 100 TB run it on a sample
+    * (`sampleFraction` — the histogram's diagonal shape is what matters,
+    * and it is sampling-stable) or retune bands first; `maxCandidates`
+    * fails loud (the [[dupSpanIndex]] cap discipline) instead of letting
+    * a scheduled corpus-wide run quietly quadratic.
     */
   def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val mh = minhashed(df, idCol, textCol, shingleN, numHashes, bands).persist()
+      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      sampleFraction: Option[Double] = None,
+      maxCandidates: Option[Long] = None, seed: Long = 42L): DataFrame = {
+    sampleFraction.foreach(f => require(f > 0 && f <= 1,
+      s"minhashCalibration: sampleFraction $f must be in (0, 1]"))
+    val base = sampleFraction.map(f => df.sample(withReplacement = false,
+      f, seed)).getOrElse(df)
+    val mh = minhashed(base, idCol, textCol, shingleN, numHashes, bands).persist()
     val banded = mh.select(col(idCol),
       posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
     val cand = banded.as("x").join(banded.as("y").hint("MERGE"),
@@ -405,6 +434,17 @@ object Dedup {
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
+    maxCandidates.foreach { cap =>
+      require(cap >= 1, s"minhashCalibration: maxCandidates $cap must be >= 1")
+      // LocalLimit short-circuits: the guard scans until cap+1, never the
+      // full candidate set — cheap when it passes, instant when it fails
+      val n = cand.limit((cap + 1).min(Int.MaxValue.toLong).toInt).count()
+      if (n > cap) { mh.unpersist()
+        throw new IllegalArgumentException(
+          s"minhashCalibration: more than $cap band-join candidate pairs " +
+            "— run on a sample (sampleFraction) or retune bands first")
+      }
+    }
     val sides = mh.select(col(idCol), col("shingles"), col("sig"))
       .hint("SHUFFLE_HASH") // unique-key build side; never broadcast
     val j = cand

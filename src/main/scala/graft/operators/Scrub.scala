@@ -86,6 +86,15 @@ object Scrub {
     * and the text with VALID candidates redacted to `<CC>` (invalid
     * digit runs are left alone — redacting them would eat invoice ids).
     * Row-local, codegen, zero shuffle — the [[scrub]] contract.
+    *
+    * Redaction is \b-BOUNDED, not a plain substring replace: the same
+    * digit string embedded inside a LONGER run elsewhere in the doc was
+    * never a candidate (CcRe is \b-anchored) and must not be rewritten —
+    * a \b-bounded occurrence of a valid candidate's exact text is, by
+    * construction, itself a CcRe match of the same Luhn-valid string, so
+    * this replaces exactly the candidate sites and nothing else.
+    * Candidates contain only `[0-9 -]` (CcRe's alphabet), all
+    * regex-literal outside a character class, so no escaping is needed.
     */
   def scrubCards(df: DataFrame, textCol: String): DataFrame = {
     val cands = regexp_extract_all(col(textCol), lit(CcRe), lit(0))
@@ -94,7 +103,8 @@ object Scrub {
       .withColumn("n_cc_valid", size(valid).cast("long"))
       .withColumn("cc_redacted",
         when(size(valid) === 0, col(textCol)).otherwise(
-          aggregate(valid, col(textCol),
-            (acc, c) => replace(acc, c, lit("<CC>")))))
+          aggregate(array_distinct(valid), col(textCol),
+            (acc, c) => regexp_replace(acc,
+              concat(lit("\\b"), c, lit("\\b")), lit("<CC>")))))
   }
 }

@@ -2105,7 +2105,8 @@ object PipelineQueries {
         |per AS (SELECT o_orderpriority,
         |  CAST(CASE WHEN c <> '' THEN 1 ELSE 0 END AS BIGINT) AS n_cc_candidates,
         |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS n_cc_valid,
-        |  CASE WHEN ok THEN replace(text, c, '<CC>') ELSE text END AS cc_redacted
+        |  CASE WHEN ok THEN regexp_replace(text, '\b' || c || '\b', '<CC>', 'g')
+        |       ELSE text END AS cc_redacted
         |  FROM lv)
         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(n_cc_candidates) AS BIGINT) AS n_cands,

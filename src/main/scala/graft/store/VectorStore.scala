@@ -337,12 +337,13 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * one is dropped at serve time by (key, ts) LWW + liveness, never
     * served stale. Records must carry (key, vector, metadata, ts).
     */
-  def appendToNswIndex(records: DataFrame): Unit = {
+  def appendToNswIndex(records: DataFrame,
+      coversSeq: Option[Long] = None): Unit = {
     graft.operators.Nsw.appendToIndexKeyed(
       records.select(col("key"), col("vector"), col("metadata"), col("ts")),
       "key", "vector", nswDir)
     nswFreshAtSeq = None // a re-put key now has two indexed versions
-    registerArtifact("nsw")
+    registerAppend("nsw", coversSeq)
   }
 
   /** ANN search through the PERSISTED NSW graphs ([[buildNswIndex]] +
@@ -430,13 +431,14 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * version and drops since-deleted keys (the reference's soft-delete
     * discipline — `deleted_ids`, `datanode/handler.py:123-133`).
     */
-  def appendToIvfIndex(records: DataFrame): Unit = {
+  def appendToIvfIndex(records: DataFrame,
+      coversSeq: Option[Long] = None): Unit = {
     val centroids = SimilaritySearch.loadCentroids(spark, ivfDir)
     requireCid(SimilaritySearch.assignCells(
         records.select(col("key"), col("vector"), col("metadata"), col("ts")),
         "key", "vector", centroids))
       .write.partitionBy("cid").mode("append").parquet(ivfDataDir)
-    registerArtifact("ivf")
+    registerAppend("ivf", coversSeq)
   }
 
   /** ANN search through the persisted IVF index, honoring the full
@@ -560,12 +562,59 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * packed row; [[searchBq]]'s (key, ts) discipline serves only the
     * live version. Records must carry (key, vector, metadata, ts).
     */
-  def appendToBqIndex(records: DataFrame): Unit = {
+  def appendToBqIndex(records: DataFrame,
+      coversSeq: Option[Long] = None): Unit = {
     records.select(col("key"),
         graft.operators.Bq.packBits(col("vector"), dim).as("bits"),
         col("metadata"), col("ts"))
       .write.mode("append").parquet(bqDataDir)
-    registerArtifact("bq")
+    registerAppend("bq", coversSeq)
+  }
+
+  /** The registration every `appendTo*Index` path shares. The store
+    * cannot see WHICH writes an arbitrary `records` frame corresponds to,
+    * so by default an append advances serving state but NOT the freshness
+    * claim — claiming `lastSeq` unconditionally would let
+    * `put(A); put(B); append(B-only)` mark A as indexed when it never was
+    * (the manifest would lie to [[verifyFresh]]). A caller that knows the
+    * batch covers everything since the tier's coverage (the streaming
+    * maintenance sinks, a put-then-append loop) passes `coversSeq`
+    * explicitly; [[indexPending]] is the catch-up path whose claim is
+    * verified by construction.
+    */
+  private def registerAppend(tier: String, coversSeq: Option[Long]): Unit =
+    registerArtifact(tier, coversSeq.getOrElse(-1L))
+
+  /** VERIFIED incremental indexing: read the WAL window the tier has NOT
+    * yet absorbed (`(coverage, lastSeq]` — partition-directory pruning,
+    * pre-coverage files are never opened), append its PUT rows into the
+    * tier, and advance the freshness claim to `lastSeq` — sound by
+    * construction, because the window came from the WAL itself, not from
+    * a caller's assertion (DELETE seqs are vacuously absorbed: soft
+    * delete needs no index write). Re-appending rows an earlier
+    * unclaimed `appendTo*Index` already indexed is harmless — the serve
+    * paths' newest-version/(key, ts) discipline collapses duplicates.
+    * Returns the number of PUT rows absorbed.
+    */
+  def indexPending(tier: String): Long = {
+    val append: (DataFrame, Option[Long]) => Unit = tier match {
+      case "ivf" => appendToIvfIndex
+      case "nsw" => appendToNswIndex
+      case "bq"  => appendToBqIndex
+      case other => throw new IllegalArgumentException(
+        s"indexPending: tier '$other' has no append path (ivf, nsw, bq; " +
+          "pq rebuilds only — rerun buildPqIndex)")
+    }
+    requireArtifact(tier) // appends extend a BUILT artifact
+    val covered = artifactManifest(tier)
+    val pending = walOps(afterSeq = covered)
+      .where(col("op_type") === "PUT")
+      .select(col("key"), col("vector"), col("metadata"),
+        col("timestamp").as("ts"))
+    val n = pending.count()
+    if (n > 0) append(pending, Some(lastSeq))
+    else registerArtifact(tier, lastSeq)
+    n
   }
 
   /** ANN search through the persisted BQ index: Hamming top-`rerankFrom`
@@ -619,10 +668,11 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
   // ---- unified artifact manifest ----
   // One catalog answering "is every index fresh for store seq N" with ONE
   // check, instead of per-tier ad-hoc probes: tier -> the newest store
-  // seq whose writes that artifact has absorbed (a build absorbs
-  // everything up to `lastSeq`; an append claims the caller just indexed
-  // the latest batch — the same one-writer discipline the WAL pos file
-  // already assumes). Written with the posFile temp+rename atomicity.
+  // seq whose writes that artifact has absorbed. Builds claim `lastSeq`
+  // (verified by construction — they scan `compacted`); appends advance
+  // the claim only with an explicit caller `coversSeq` or through the
+  // WAL-verified [[indexPending]]. Written with the posFile temp+rename
+  // atomicity.
 
   private val manifestFile = Paths.get(s"$baseDir/artifact_manifest.json")
 
@@ -632,19 +682,33 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
   def artifactManifest: Map[String, Long] = {
     if (!Files.exists(manifestFile)) return Map.empty
     val text = new String(Files.readAllBytes(manifestFile), "UTF-8")
-    """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(text)
+    """"([^"]+)"\s*:\s*(-?\d+)""".r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
 
   /** Record that `tier`'s artifact now covers every write up to the
-    * current seq. Store-internal builds/appends call this automatically;
+    * current seq. Store-internal BUILDS call this automatically (a build
+    * scans `compacted`, so the claim is verified by construction);
     * EXTERNAL artifacts derived from this store's corpus (a DSIR score
     * table, a BPE vocab, an IVM view, a bloom filter over the keys)
-    * register through the public form so [[verifyFresh]] covers them too.
+    * register through the public form so [[verifyFresh]] covers them too
+    * — that registration is the CALLER'S claim, same trust model as the
+    * explicit-`coversSeq` form below.
     */
-  def registerArtifact(tier: String): Unit = {
+  def registerArtifact(tier: String): Unit = registerArtifact(tier, lastSeq)
+
+  /** Record that `tier`'s artifact covers every write up to `coversSeq`.
+    * MONOTONIC: coverage never regresses (under append-only writes, an
+    * artifact that absorbed seq N has absorbed everything ≤ N forever),
+    * so a late or conservative claim can only under-advance, never
+    * falsify. `coversSeq = -1` registers EXISTENCE without any freshness
+    * claim (serving gates pass; [[verifyFresh]] reports stale until a
+    * build or a verified catch-up).
+    */
+  def registerArtifact(tier: String, coversSeq: Long): Unit = {
     require(tier.nonEmpty && !tier.contains("\""), s"bad tier name '$tier'")
-    val m = artifactManifest + (tier -> lastSeq)
+    val prev = artifactManifest.getOrElse(tier, -1L)
+    val m = artifactManifest + (tier -> coversSeq.max(prev))
     val json = m.toSeq.sortBy(_._1)
       .map { case (t, s) => s""""$t":$s""" }.mkString("{", ",", "}")
     Files.createDirectories(manifestFile.getParent)
@@ -674,6 +738,15 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     * REGISTERED tier) must cover store seq `seq`. One call answers what
     * used to take N per-tier probes; stale or missing tiers are listed
     * in the error.
+    *
+    * TRUST MODEL: store-internal builds and [[indexPending]] produce
+    * claims verified by construction (they scan `compacted` / the WAL
+    * window themselves); an `appendTo*Index(records, coversSeq = ...)`
+    * claim and an external `registerArtifact` are the CALLER'S assertion
+    * that the artifact absorbed everything up to that seq — this gate is
+    * only as honest as those assertions. An append WITHOUT a claim never
+    * advances coverage, so the default path can only report stale, never
+    * falsely fresh.
     */
   def verifyFresh(seq: Long = lastSeq, tiers: Seq[String] = Nil): Unit = {
     val m = artifactManifest

@@ -132,7 +132,10 @@ object StreamCuration {
         cur = cur
           .withColumn("__event_time", timestamp_millis(col(tsCol)))
           .withWatermark("__event_time", watermark)
-          .withColumn("__norm_text", lower(trim(col(textCol))))
+          // the SAME key expression as batch Dedup.exact — shared so the
+          // normalization can never drift between the two pipelines
+          .withColumn("__norm_text",
+            graft.operators.Dedup.exactKey(col(textCol)))
           .dropDuplicatesWithinWatermark("__norm_text")
           .drop("__event_time", "__norm_text")
       } else {

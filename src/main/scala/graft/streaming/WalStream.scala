@@ -85,14 +85,30 @@ object WalStream {
       trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
     putMaintenance(ops, trigger)(store.appendToNswIndex)
 
+  /** Shared put→append sink. The freshness claim passed to the append is
+    * `max(batch_seq) - 1`, which is PROVABLY sound under the store's
+    * one-writer discipline: `put(N)` returns (all of batch N's files on
+    * disk) before `put(N+1)` starts, so any file of batch N existing
+    * means every batch < N is complete — and the file source lists all
+    * unprocessed files per trigger, so those batches were delivered in
+    * this or an earlier micro-batch. Batch N itself may still be
+    * mid-write when the trigger lists (half its files now, half next
+    * trigger), so claiming N would lie; the strict-predecessor claim
+    * never can. The tail batch is claimed one trigger late — conservative
+    * staleness, never false freshness ([[graft.store.VectorStore.verifyFresh]]
+    * trust model); a snapshot-taker closes the gap with
+    * `store.indexPending(tier)`.
+    */
   private def putMaintenance(ops: DataFrame, trigger: Trigger)(
-      append: DataFrame => Unit): DataStreamWriter[Row] =
+      append: (DataFrame, Option[Long]) => Unit): DataStreamWriter[Row] =
     ops.where(col("op_type") === "PUT")
       .writeStream.trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          val maxSeq = batch.agg(max(col("batch_seq"))).head.getLong(0)
           append(batch.select(col("key"), col("vector"),
-            col("metadata"), col("timestamp").as("ts")))
+            col("metadata"), col("timestamp").as("ts")), Some(maxSeq - 1))
+        }
       }
 
   /** The reference's compaction CADENCE as a streaming sink — its

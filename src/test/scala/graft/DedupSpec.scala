@@ -763,6 +763,50 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("distinct grams"), ex.getMessage)
   }
 
+  test("dupSpanScrubInline asserts the binary-search contract: an " +
+      "unsorted hand-built index fails loud, not silently wrong") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dupSpanScrubInline(docs, "doc_id", "text", 8,
+        Array(5L, 3L, 9L)) // descending pair — Arrays.binarySearch UB
+    }
+    assert(ex.getMessage.contains("ascending"), ex.getMessage)
+    // duplicates violate STRICT ascent too (same UB class)
+    val dup = intercept[IllegalArgumentException] {
+      Dedup.dupSpanScrubInline(docs, "doc_id", "text", 8, Array(3L, 3L))
+    }
+    assert(dup.getMessage.contains("ascending"), dup.getMessage)
+  }
+
+  test("minhashCalibration guards: maxCandidates fails loud on a " +
+      "band-join blow-up; sampleFraction bounds the input") {
+    import spark.implicits._
+    // 6 identical docs → C(6,2)=15 candidate pairs in every band
+    val docs = (1L to 6L).map(i => (i, "the same text shingles everywhere"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashCalibration(docs, "doc_id", "text",
+        maxCandidates = Some(10L))
+    }
+    assert(ex.getMessage.contains("maxCandidates") ||
+      ex.getMessage.contains("band-join candidate"), ex.getMessage)
+    // under the cap it runs; the full diagonal slot (16,16+) dominates
+    val ok = Dedup.minhashCalibration(docs, "doc_id", "text",
+      maxCandidates = Some(100L)).collect()
+    assert(ok.map(_.getLong(2)).sum === 15L)
+    // sampling shrinks the candidate set below the same cap
+    val sampled = Dedup.minhashCalibration(docs, "doc_id", "text",
+      sampleFraction = Some(0.5), maxCandidates = Some(10L), seed = 7L)
+      .collect()
+    assert(sampled.map(_.getLong(2)).sum <= 10L)
+    val badF = intercept[IllegalArgumentException] {
+      Dedup.minhashCalibration(docs, "doc_id", "text",
+        sampleFraction = Some(1.5))
+    }
+    assert(badF.getMessage.contains("sampleFraction"), badF.getMessage)
+  }
+
   // ---- semanticDedup (SemDeDup, Abbas et al. 2023) ----
 
   test("semanticDedup keeps the LEAST-centroid-similar member of each dup group") {

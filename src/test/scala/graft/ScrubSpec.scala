@@ -74,6 +74,23 @@ class ScrubSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("scrubCards redacts positionally: the same digits embedded in a " +
+      "longer non-candidate run are left intact") {
+    // "4111111111111111" is a valid PAN; the second occurrence sits
+    // inside a 20-digit run — never \b-bounded, never a candidate, and a
+    // plain substring replace would have eaten it (ADVICE r8)
+    val rows = Seq(
+      (1L, "pay 4111111111111111 ref 99994111111111111111 end"),
+      // two \b-bounded occurrences of the same valid PAN: both redact
+      (2L, "a 4111111111111111 b 4111111111111111 c"))
+      .toDF("id", "text")
+    val got = graft.operators.Scrub.scrubCards(rows, "text")
+      .select("id", "n_cc_valid", "cc_redacted")
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(got(0)._3 === "pay <CC> ref 99994111111111111111 end", got(0)._3)
+    assert(got(1)._3 === "a <CC> b <CC> c", got(1)._3)
+  }
+
   test("scrub is one codegen'd projection — no shuffle, no UDF") {
     val plan = Scrub.scrub(Seq("x").toDF("text"), "text")
       .queryExecution.executedPlan.toString

@@ -603,12 +603,29 @@ class VectorStoreSpec extends SparkSpec {
     assert(stale.getMessage.contains("stale") &&
       stale.getMessage.contains("bq") && stale.getMessage.contains("ivf"),
       stale.getMessage)
-    // append-style catch-up refreshes just that tier
+    // an append WITHOUT a coverage claim serves the new rows but never
+    // advances freshness — the store can't verify what the frame covered
     store.appendToBqIndex(batch(rec("c", Array(1f, 1f), 20)))
+    val afterAppend = intercept[IllegalArgumentException](
+      store.verifyFresh(tiers = Seq("bq")))
+    assert(afterAppend.getMessage.contains("stale"), afterAppend.getMessage)
+    // WAL-verified catch-up: indexPending reads the uncovered WAL window
+    // itself, so its freshness claim is sound by construction (the re-
+    // appended duplicate collapses under the serve-time (key, ts) LWW)
+    assert(store.indexPending("bq") === 1L)
     store.verifyFresh(tiers = Seq("bq"))
+    val got = store.searchBq(Knn.SearchRequest(Array(1.0, 1.0), topK = 1))
+      .collect()
+    assert(got.head.getString(0) === "c")
     val still = intercept[IllegalArgumentException](
       store.verifyFresh(tiers = Seq("ivf")))
     assert(still.getMessage.contains("ivf"), still.getMessage)
+    // an append WITH an explicit claim advances (the put-then-append
+    // loop's contract — the caller asserts the batch covers the tip)
+    store.put(batch(rec("d", Array(2f, 2f), 30)))
+    store.appendToBqIndex(batch(rec("d", Array(2f, 2f), 30)),
+      coversSeq = Some(store.currentSeq))
+    store.verifyFresh(tiers = Seq("bq"))
     // an artifact built OUTSIDE the store (dsir scores, bpe vocab, ivm
     // view over this corpus) joins the same catalog
     store.registerArtifact("dsir")
@@ -620,5 +637,37 @@ class VectorStoreSpec extends SparkSpec {
     // manifest survives a cold reopen (it's a file, not driver state)
     val reopened = new VectorStore(spark, dir, dim = 2)
     assert(reopened.artifactManifest.keySet === Set("bq", "ivf", "dsir"))
+  }
+
+  test("append freshness can't be laundered: put A, put B, append B-only " +
+      "leaves the manifest honest; indexPending absorbs the real window") {
+    val store = new VectorStore(spark, tmpDir(), dim = 2)
+    store.put(batch(rec("base", Array(0f, 0f), 10)))
+    store.buildBqIndex()
+    store.put(batch(rec("a", Array(1f, 0f), 20)))
+    val bBatch = batch(rec("b", Array(0f, 1f), 30))
+    store.put(bBatch)
+    store.appendToBqIndex(bBatch) // indexes b — A was NEVER indexed
+    // the old behavior claimed coverage of A here; the manifest must not
+    val e = intercept[IllegalArgumentException](
+      store.verifyFresh(tiers = Seq("bq")))
+    assert(e.getMessage.contains("stale"), e.getMessage)
+    // WAL-verified catch-up absorbs the truly-uncovered window: A and B
+    // (B's re-append collapses under the serve-time (key, ts) LWW)
+    assert(store.indexPending("bq") === 2L)
+    store.verifyFresh(tiers = Seq("bq"))
+    val keys = store.searchBq(Knn.SearchRequest(Array(0.5, 0.5), topK = 10),
+        rerankFrom = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(keys === Set("base", "a", "b"))
+    // a delete-only tail is vacuously absorbed (soft delete needs no
+    // index write): indexPending finds 0 puts but still advances
+    store.delete(Seq("base"), ts = 40)
+    assert(store.indexPending("bq") === 0L)
+    store.verifyFresh(tiers = Seq("bq"))
+    // tiers without an append path fail loud with the fix in the message
+    val noPath = intercept[IllegalArgumentException](
+      store.indexPending("pq"))
+    assert(noPath.getMessage.contains("buildPqIndex"), noPath.getMessage)
   }
 }
