@@ -349,6 +349,105 @@ object Dedup {
           .as("clean_text") +: keep: _*)
   }
 
+  /** MAXIMAL duplicated substrings ≥ `minLen` tokens — the true
+    * ExactSubstr policy of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", §4.1: suffix-array maximal matches),
+    * where [[dupSpanScrub]] is the fixed-n overlapping-window
+    * approximation: a span [s, e) is emitted iff the token string
+    * t[s..e) occurs ≥ 2 times in the corpus AND no extension of it does
+    * — exact boundaries with one row per maximal match, not 43
+    * overlapping windows for a 50-token duplicate.
+    *
+    * ALGORITHM (suffix-array semantics without building one): let R(i) =
+    * the longest duplicated prefix of the suffix starting at i. Then the
+    * maximal duplicated substrings are exactly
+    * `[i, i+R(i)) where R(i) >= minLen and R(i-1) < R(i)+1`
+    * (right-maximal by definition of R; left-extendable iff the previous
+    * position reaches over it). R(i) only matters at SEED positions
+    * (those whose `minLen`-gram is duplicated — every witness of a
+    * longer duplicate is itself a seed), and equals the max
+    * common-prefix with any other seed sharing the gram, which lex-sort
+    * puts ADJACENT (the suffix-array neighbor property, applied per
+    * gram-hash group): sort each group by its suffix slice, take
+    * max(LCP(prev), LCP(next)) — never all-pairs.
+    *
+    * Scale shape: gram hash-agg (corpus-bounded, the q153 shuffle) →
+    * seed join → island merge per doc (duplication-bounded) → ONE
+    * lex-sort per gram group carrying suffix slices capped at
+    * `min(maxSpan, island end − pos)` (R(i) provably never exceeds its
+    * island, so the cap is lossless below `maxSpan`) → per-doc
+    * left-maximality window. All equi-key; work ∝ duplicated content ×
+    * slice cap. LCPs compare REAL tokens, so a 60-bit gram-hash
+    * collision can add a group member but never a wrong span (the
+    * `r >= minLen` filter drops it) — the span output is
+    * collision-immune, stronger than the count-based scrubs.
+    *
+    * Caveats, both explicit: (1) matches longer than `maxSpan` report as
+    * runs of maxSpan-capped spans (coverage unchanged — set `maxSpan`
+    * above the longest duplication you care to delimit); (2) a
+    * boilerplate gram repeated millions of times makes ONE sort group
+    * (one task) — at corpus scale scrub boilerplate first
+    * ([[chunkDedup]]) or raise `minLen`.
+    * Output: (id, s, e, len), one row per maximal span.
+    */
+  def maximalDupSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, maxSpan: Int = 256): DataFrame = {
+    require(minLen >= 1, s"maximalDupSpans: minLen $minLen must be >= 1")
+    require(maxSpan >= minLen,
+      s"maximalDupSpans: maxSpan $maxSpan must be >= minLen $minLen")
+    val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+    val grams = toks
+      .select(col(idCol),
+        posexplode(overlappingGrams(col("toks"), minLen)).as(Seq("pos", "gram")))
+      .withColumn("gh", md5Low60(col("gram")))
+      .select(col(idCol), col("pos"), col("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2).select("gh")
+    val seeds = grams.join(dup.hint("SHUFFLE_HASH"), Seq("gh"))
+    // island merge (the q153 union rule) — R(i) <= its island's end, so
+    // the suffix slice below never needs to reach past it
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val seeded = seeds
+      .withColumn("end", col("pos") + minLen)
+      .withColumn("pmax", max(col("end")).over(wPrev))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("pos") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(wOrd))
+      .withColumn("isl_end",
+        max(col("end")).over(Window.partitionBy(col(idCol), col("isl"))))
+      .select(col(idCol), col("pos"), col("gh"), col("isl_end"))
+    val sliced = seeded.join(toks.hint("SHUFFLE_HASH"), Seq(idCol))
+      .select(col(idCol), col("pos"), col("gh"),
+        slice(col("toks"), col("pos") + 1,
+          least(lit(maxSpan), col("isl_end") - col("pos"))).as("sfx"))
+    // exact LCP on real tokens; zip_with pads the shorter side with
+    // nulls -> false, array_position = 0 means "no mismatch" (equal up
+    // to the shorter length)
+    def lcp(a: Column, b: Column): Column = {
+      val eq = zip_with(a, b, (x, y) => coalesce(x === y, lit(false)))
+      val p = array_position(eq, lit(false))
+      when(b.isNull, lit(0))
+        .otherwise(when(p === 0, least(size(a), size(b)))
+          .otherwise((p - 1).cast("int")))
+    }
+    val wG = Window.partitionBy(col("gh"))
+      .orderBy(col("sfx"), col(idCol), col("pos"))
+    val withR = sliced.withColumn("r",
+      greatest(lcp(col("sfx"), lag(col("sfx"), 1).over(wG)),
+        lcp(col("sfx"), lead(col("sfx"), 1).over(wG))))
+      .where(col("r") >= minLen) // collision-immunity gate
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    withR
+      .withColumn("ppos", lag(col("pos"), 1).over(wDoc))
+      .withColumn("pr", lag(col("r"), 1).over(wDoc))
+      .where(col("ppos").isNull || col("ppos") =!= col("pos") - 1 ||
+        col("pr") < col("r") + 1)
+      .select(col(idCol), col("pos").cast("long").as("s"),
+        (col("pos") + col("r")).cast("long").as("e"),
+        col("r").cast("long").as("len"))
+  }
+
   /** MinHash signatures + LSH band keys for each row.
     * Output: (id, shingles, sig, bands). The signature is the codegen
     * [[graft.functions.expressions.MinHashSig]] — bit-identical to the

@@ -2346,7 +2346,39 @@ object PipelineQueries {
         |  coalesce(d.removed_tokens, CAST(0 AS BIGINT)) AS removed_tokens,
         |  coalesce(k.clean_text, '') AS clean_text
         |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN k USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin))
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // TRUE maximal-match ExactSubstr (r9): Lee et al. 2022's actual
+    // policy — one row per MAXIMAL duplicated substring >= 8 tokens with
+    // exact boundaries, where q153's fixed-n windows merge overlapping
+    // different-witness matches into one island. Engine: per-gram-group
+    // suffix-slice lex sort + LCP-with-sorted-neighbor (the suffix-array
+    // adjacency property, never all-pairs; slices island-bounded).
+    // Oracle: R(i) by brute length grid over SEED positions only (any
+    // witness of a dup >= 8 run is itself a seed), then the same
+    // left-maximality rule. maxSpan 128 > the longest doc, so the cap
+    // never binds and every span is the true maximal match.
+    QueryDef("q161_maximal_dup_spans",
+      (s, d) => Dedup.maximalDupSpans(Tables.documents(s, d), "doc_id",
+          "text", minLen = 8, maxSpan = 128)
+        .orderBy(col("doc_id"), col("s")),
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, list_transform(range(0, greatest(length(toks)-7, 0)),
+        |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' ')) AS grams FROM t),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(grams, 1) - 1 AS INT) AS pos, unnest(grams) AS gram FROM c),
+        |f AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 2),
+        |seeds AS (SELECT e.doc_id, e.pos FROM e JOIN f USING (gram)),
+        |cand AS (SELECT s.doc_id, s.pos, CAST(g.m AS INT) AS m,
+        |    array_to_string(list_slice(t.toks, CAST(s.pos+1 AS INT), CAST(s.pos+g.m AS INT)), ' ') AS sub
+        |  FROM seeds s JOIN t USING (doc_id), generate_series(8, 128) g(m)
+        |  WHERE s.pos + g.m <= length(t.toks)),
+        |dupm AS (SELECT m, sub FROM cand GROUP BY m, sub HAVING count(*) >= 2),
+        |rr AS (SELECT c2.doc_id, c2.pos, max(c2.m) AS r FROM cand c2 JOIN dupm USING (m, sub) GROUP BY c2.doc_id, c2.pos),
+        |mx AS (SELECT doc_id, pos, r, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos,
+        |    lag(r) OVER (PARTITION BY doc_id ORDER BY pos) AS pr FROM rr)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + r AS BIGINT) AS e, CAST(r AS BIGINT) AS len
+        |FROM mx WHERE ppos IS NULL OR ppos != pos - 1 OR pr < r + 1
+        |ORDER BY doc_id, s""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

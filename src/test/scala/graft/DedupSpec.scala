@@ -807,7 +807,103 @@ class DedupSpec extends SparkSpec {
     assert(badF.getMessage.contains("sampleFraction"), badF.getMessage)
   }
 
-  // ---- semanticDedup (SemDeDup, Abbas et al. 2023) ----
+  // ---- maximalDupSpans (Lee et al. 2022 true ExactSubstr policy) ----
+
+  /** tokens "w<a>".."w<b>" joined — distinct synthetic token streams. */
+  private def ws(prefix: String, a: Int, b: Int): String =
+    (a until b).map(prefix + _).mkString(" ")
+
+  test("maximalDupSpans: true boundaries where fixed-n islands merge — " +
+      "two overlapping matches with DIFFERENT witnesses stay two spans") {
+    import spark.implicits._
+    // doc1[0,30) == doc2's payload; doc1[20,50) == doc3's payload; the
+    // overlap [20,30) belongs to both, but doc1[0,50) occurs nowhere
+    // else. Fixed-n dupSpanScrub merges the coverage into one island
+    // [0,50); the maximal-match policy must report TWO spans with the
+    // true boundaries.
+    val shared1 = ws("a", 0, 30)                    // 30 tokens
+    val tail    = ws("a", 20, 50)                   // doc1[20,50)
+    val doc1 = shared1 + " " + ws("a", 30, 50)      // a0..a49
+    val docs = Seq(
+      (1L, doc1),
+      (2L, ws("x", 0, 7) + " " + shared1 + " " + ws("y", 0, 7)),
+      (3L, ws("z", 0, 7) + " " + tail + " " + ws("q", 0, 7)))
+      .toDF("doc_id", "text")
+    val got = Dedup.maximalDupSpans(docs, "doc_id", "text", minLen = 8)
+      .orderBy("doc_id", "s")
+      .select("doc_id", "s", "e", "len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.filter(_._1 == 1L) === Seq((1L, 0L, 30L, 30L),
+      (1L, 20L, 50L, 30L)), got.mkString(", "))
+    // witnesses report their mirrored spans too (policy removes
+    // non-first occurrences downstream; the span table reports all)
+    assert(got.filter(_._1 == 2L) === Seq((2L, 7L, 37L, 30L)))
+    assert(got.filter(_._1 == 3L) === Seq((3L, 7L, 37L, 30L)))
+  }
+
+  test("maximalDupSpans: span coverage union == dupSpanScrub's island " +
+      "union, and every fixed-n removed window lies inside a span") {
+    import spark.implicits._
+    // mixed corpus: a 3-way repeat, a 50-token 2-way repeat, unique noise
+    val big = ws("b", 0, 50)
+    val tri = ws("t", 0, 12)
+    val docs = Seq(
+      (1L, big + " " + ws("u", 0, 20)),
+      (2L, ws("v", 0, 9) + " " + big),
+      (3L, tri + " " + ws("w", 0, 15) + " " + tri),
+      (4L, tri + " " + ws("k", 0, 25)))
+      .toDF("doc_id", "text")
+    val spans = Dedup.maximalDupSpans(docs, "doc_id", "text", minLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def covered(id: Long, p: Long): Boolean =
+      spans.exists(s => s._1 == id && p >= s._2 && p < s._3)
+    // fixed-n scrub on the same corpus: removed windows = non-first
+    // occurrences of duplicated 8-grams; each must be span-covered
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.wsTokens(col("text")).as("toks"))
+    val grams = toks.select(col("doc_id"),
+      posexplode(expr("transform(sequence(0, size(toks) - 8), " +
+        "i -> concat_ws(' ', slice(toks, i + 1, 8)))")).as(Seq("pos", "gram")))
+    val dupPos = grams.as("g").join(
+        grams.groupBy("gram").count().where(col("count") >= 2), Seq("gram"))
+      .select(col("doc_id"), col("pos")).as[(Long, Int)].collect()
+    assert(dupPos.nonEmpty, "fixture must exercise duplication")
+    dupPos.foreach { case (id, pos) =>
+      (pos until pos + 8).foreach { p =>
+        assert(covered(id, p.toLong),
+          s"dup 8-window token (doc $id, pos $p) not covered by any span")
+      }
+    }
+    // and nothing outside the window union is covered (exact identity)
+    val winCov = dupPos.flatMap { case (id, pos) =>
+      (pos until pos + 8).map(p => (id, p.toLong)) }.toSet
+    spans.foreach { case (id, s, e) =>
+      (s until e).foreach { p =>
+        assert(winCov.contains((id, p)),
+          s"span token (doc $id, pos $p) outside the dup-window union")
+      }
+    }
+  }
+
+  test("maximalDupSpans maxSpan cap: a long duplicate degrades to capped " +
+      "spans with identical coverage, never lost tokens") {
+    import spark.implicits._
+    val long = ws("m", 0, 40)
+    val docs = Seq((1L, long), (2L, long)).toDF("doc_id", "text")
+    val full = Dedup.maximalDupSpans(docs, "doc_id", "text", minLen = 8)
+      .where(col("doc_id") === 1).orderBy("s")
+      .select("s", "e", "len").as[(Long, Long, Long)].collect().toSeq
+    assert(full === Seq((0L, 40L, 40L)), full.mkString(", "))
+    val capped = Dedup.maximalDupSpans(docs, "doc_id", "text", minLen = 8,
+        maxSpan = 16)
+      .where(col("doc_id") === 1).orderBy("s")
+      .select("s", "e", "len").as[(Long, Long, Long)].collect().toSeq
+    // every r caps at 16 -> every seed is "left-maximal": overlapping
+    // 16-token spans, coverage [0, 40) intact
+    assert(capped.forall(_._3 <= 16L))
+    val cov = capped.flatMap(s => s._1 until s._2).toSet
+    assert(cov === (0L until 40L).toSet)
+  }
 
   test("semanticDedup keeps the LEAST-centroid-similar member of each dup group") {
     import spark.implicits._
