@@ -150,6 +150,95 @@ object Graph {
     spark.createDataFrame(labeled).toDF("id", "component")
   }
 
+  /** INCREMENTAL component maintenance — merge a NEW edge batch into
+    * PERSISTED component labels without recomputing from scratch: the
+    * q61/q158 incremental discipline one level up, and what a daily
+    * 100-TB ingest actually wants (the full corpus's pair graph never
+    * re-forms; only the day's edges move).
+    *
+    * Semantics: given `labels` = [[connectedComponents]] over edge set
+    * E₀ and `newEdges` = E₁, returns the min-id labeling of E₀ ∪ E₁ —
+    * append ≡ full recompute, bit-identical (spec- and oracle-pinned).
+    *
+    * Shape: each new edge maps its endpoints to their CURRENT labels
+    * (two equi-joins against the label table; new nodes label
+    * themselves), producing LABEL-PAIR merge edges — bounded by touched
+    * components (≤ 2·|batch| distinct labels), never corpus size. Those
+    * collect to a driver union-find (union-by-min — the same closure
+    * [[ccUnionFind]] runs) whose root map broadcasts back over the label
+    * table as one small-side join. `maxLabelPairs` fails loud before any
+    * unbounded collect (a batch that touches more components than the
+    * cap should go through the full [[connectedComponents]] instead).
+    *
+    * Trust note: `labels` must be a COMPLETE labeling of E₀ — feeding a
+    * stale or partial label artifact silently under-merges; persist
+    * labels with the store's artifact manifest and gate reads with
+    * `verifyFresh` (the discipline GraphSpec pins).
+    */
+  def appendToComponents(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String,
+      maxLabelPairs: Long = 1000000L): DataFrame = {
+    require(maxLabelPairs >= 1, s"maxLabelPairs $maxLabelPairs must be >= 1")
+    val spark = labels.sparkSession
+    val e = newEdges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .distinct()
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("component").cast("long").as("component"))
+    // endpoint -> current label (own id when previously unseen)
+    val withLs = e
+      .join(lab.select(col("id").as("s"), col("component").as("cs")),
+        Seq("s"), "left")
+      .join(lab.select(col("id").as("d"), col("component").as("cd")),
+        Seq("d"), "left")
+      .select(coalesce(col("cs"), col("s")).as("la"),
+        coalesce(col("cd"), col("d")).as("lb"))
+      .where(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("x"),
+        greatest(col("la"), col("lb")).as("y"))
+      .distinct()
+    val capInt = (maxLabelPairs + 1).min(Int.MaxValue.toLong).toInt
+    val lp = withLs.limit(capInt).collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(lp.length <= maxLabelPairs,
+      s"appendToComponents: batch touches more than $maxLabelPairs " +
+        "distinct component pairs — run the full connectedComponents " +
+        "over the unioned edge set instead")
+    // driver union-find by min over the label graph (labels are min node
+    // ids, so the merged root is the min node id of the merged component)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    lp.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val remap = parent.keysIterator.map(l => (l, find(l)))
+      .filter { case (l, r) => l != r }.toSeq
+    val remapDf =
+      if (remap.isEmpty)
+        spark.createDataFrame(Seq.empty[(Long, Long)])
+          .toDF("component", "nc")
+      else spark.createDataFrame(remap).toDF("component", "nc")
+    val relabeled = lab.join(broadcast(remapDf), Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("nc"), col("component")).as("component"))
+    // endpoints never seen before enter labeled by (remapped) own id
+    val newNodes = e.select(col("s").as("id"))
+      .union(e.select(col("d").as("id"))).distinct()
+      .join(lab.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(remapDf.withColumnRenamed("component", "id")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("nc"), col("id")).as("component"))
+    relabeled.unionByName(newNodes)
+  }
+
   /** Large-star/small-star connected components (Kiveris et al. 2014,
     * "Connected Components in MapReduce and Beyond") — the O(log n)-round
     * alternative for HIGH-DIAMETER graphs, where plain min-label

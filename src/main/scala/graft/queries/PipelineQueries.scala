@@ -2378,7 +2378,57 @@ object PipelineQueries {
         |    lag(r) OVER (PARTITION BY doc_id ORDER BY pos) AS pr FROM rr)
         |SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + r AS BIGINT) AS e, CAST(r AS BIGINT) AS len
         |FROM mx WHERE ppos IS NULL OR ppos != pos - 1 OR pr < r + 1
-        |ORDER BY doc_id, s""".stripMargin))
+        |ORDER BY doc_id, s""".stripMargin)),
+
+    // INCREMENTAL cluster maintenance (r9): q64's near-dup components
+    // maintained across two ingest batches — labels from the base corpus
+    // (ids < 250), then Graph.appendToComponents with the day-1 pairs
+    // (new endpoint < 400) and day-2 pairs, label-pair union-find
+    // driver-side, bounded by touched components. The oracle is the
+    // ONE-SHOT recursive-CTE labeling over ALL pairs, so the hash match
+    // IS the proof that two appends == full recompute on real data.
+    QueryDef("q162_incremental_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.withMinhashPairs(docs, "doc_id", "text") { pairs =>
+          val pr = pairs.where(col("jac") >= 0.5).select(col("a"), col("b"))
+            .persist()
+          try {
+            // a < b, so "b < k" means both endpoints are in the first k ids
+            val base = pr.where(col("b") < 250)
+            val day1 = pr.where(col("b") >= 250 && col("b") < 400)
+            val day2 = pr.where(col("b") >= 400)
+            val l0 = Graph.connectedComponents(base, "a", "b")
+            val l1 = Graph.appendToComponents(l0, day1, "a", "b")
+            val l2 = Graph.appendToComponents(l1, day2, "a", "b")
+            // materialize while the pair cache is alive: the returned
+            // frame must not lazily re-derive three minhash passes
+            l2.orderBy(col("id"))
+              .select(col("id"), col("component"))
+              .localCheckpoint(true)
+          } finally pr.unpersist()
+        }
+      },
+      Some(s"""WITH RECURSIVE sh AS (SELECT doc_id, $duckShingles AS shingles FROM documents),
+        |hv AS (SELECT doc_id, shingles, list_transform(shingles, s -> CAST('0x'||substr(md5(s),25,8) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(range(0,16), k -> list_min(list_transform(hs, x -> (x*(2*k+1) + (1000000007*k+17)) % 4294967311))) AS sg FROM hv),
+        |bands AS (SELECT doc_id, j AS band_idx,
+        |  CAST(sg[4*CAST(j AS INT)+1] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+2] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+3] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+4] AS VARCHAR) AS band_key
+        |  FROM sig, range(0,4) t(j)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+        |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT c.a, c.b,
+        |  CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |    (length(sa.shingles) + length(sb.shingles) - length(list_intersect(sa.shingles, sb.shingles))) AS jac
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+        |pr AS (SELECT a, b FROM pairs WHERE jac >= 0.5),
+        |e AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS component
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

@@ -337,4 +337,75 @@ class GraphSpec extends SparkSpec {
     assert(afterLpa - afterKcore <= 1,
       s"labelPropagation leaked ${afterLpa - afterKcore} round frames")
   }
+
+  // ---- appendToComponents (incremental label maintenance) ----
+
+  test("appendToComponents: append == full recompute, including " +
+      "cross-component merges, new nodes, and a new global minimum") {
+    val e0 = Seq((5L, 6L), (6L, 7L), (20L, 21L), (30L, 31L)).toDF("a", "b")
+    val labels0 = Graph.connectedComponents(e0, "a", "b", smallGraphEdges = 0L)
+    // batch merges {5,6,7} with {20,21} via a chain THROUGH a new node,
+    // adds a brand-new pair, and hands {30,31} a smaller minimum (2)
+    val e1 = Seq((7L, 100L), (100L, 20L), (50L, 51L), (2L, 31L)).toDF("a", "b")
+    val inc = Graph.appendToComponents(labels0, e1, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val full = Graph.connectedComponents(e0.union(e1), "a", "b",
+        smallGraphEdges = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(inc === full, s"inc=$inc full=$full")
+    assert(inc.contains((31L, 2L)) && inc.contains((100L, 5L)) &&
+      inc.contains((51L, 50L)))
+  }
+
+  test("appendToComponents: two appends == one-shot; empty and no-op " +
+      "batches are identities") {
+    val e0 = Seq((1L, 2L), (8L, 9L)).toDF("a", "b")
+    val e1 = Seq((2L, 3L), (9L, 1L)).toDF("a", "b") // second merges both
+    val e2 = Seq((3L, 8L), (1L, 2L)).toDF("a", "b") // redundant by then
+    val l0 = Graph.connectedComponents(e0, "a", "b", smallGraphEdges = 0L)
+    val l1 = Graph.appendToComponents(l0, e1, "a", "b")
+    val l2 = Graph.appendToComponents(l1, e2, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val oneShot = Graph.connectedComponents(e0.union(e1).union(e2), "a", "b",
+        smallGraphEdges = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(l2 === oneShot)
+    // an edge inside one existing component changes nothing
+    val noop = Graph.appendToComponents(l0,
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(noop === l0.orderBy("id").as[(Long, Long)].collect().toSeq)
+  }
+
+  test("appendToComponents fails loud past maxLabelPairs instead of an " +
+      "unbounded driver collect") {
+    val e0 = Seq((1L, 2L)).toDF("a", "b")
+    val l0 = Graph.connectedComponents(e0, "a", "b", smallGraphEdges = 0L)
+    val big = (0L until 10L).map(i => (100L + 2 * i, 101L + 2 * i)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.appendToComponents(l0, big, "a", "b", maxLabelPairs = 5L)
+    }
+    assert(ex.getMessage.contains("connectedComponents"), ex.getMessage)
+  }
+
+  test("persisted labels gate through the store's artifact manifest: a " +
+      "stale label artifact fails verifyFresh before it can under-merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_store").toString
+    val store = new graft.store.VectorStore(spark, dir, dim = 2)
+    def rec(k: String): org.apache.spark.sql.DataFrame =
+      Seq((k, Seq(1.0, 0.0), Map.empty[String, String], 10L))
+        .toDF("key", "vector", "metadata", "ts")
+    store.put(rec("a"))
+    // labels computed over the corpus as of now -> register the claim
+    store.registerArtifact("cc_labels")
+    store.verifyFresh(tiers = Seq("cc_labels"))
+    // corpus moves on; the label artifact is now stale and the gate says so
+    store.put(rec("b"))
+    val ex = intercept[IllegalArgumentException](
+      store.verifyFresh(tiers = Seq("cc_labels")))
+    assert(ex.getMessage.contains("cc_labels"), ex.getMessage)
+    // appendToComponents over the new batch's pairs + re-register = fresh
+    store.registerArtifact("cc_labels")
+    store.verifyFresh(tiers = Seq("cc_labels"))
+  }
 }
