@@ -53,7 +53,10 @@ object ScaleBench {
     "q150_majority_label", "q151_card_scrub", "q152_minhash_calibration",
     "q153_dup_span_scrub", "q154_tokenizer_fertility",
     "q155_semantic_dedup", "q156_curation_fate",
-    "q157_eval_leakage", "q158_dup_span_incremental")
+    "q157_eval_leakage", "q158_dup_span_incremental",
+    // round-9 additions
+    "q159_span_calibration", "q160_perplexity_tiers",
+    "q161_maximal_dup_spans", "q162_incremental_clusters")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -73,13 +76,24 @@ object ScaleBench {
 
     val spark = graft.core.GraftSession.fromEnv()
     spark.sparkContext.setLogLevel("WARN")
-    def run(name: String, dir: String): Double = {
+    // output rows ride the SAME noop-write job as observed metrics (one
+    // CollectMetrics node — no second evaluation, no extra job), so the
+    // per-family output_ratio below is measured, not argued: a wall
+    // ratio of ~output_ratio on a pair-producing family is "linear in
+    // OUTPUT", and only wall > max(factor, output_ratio)×1.3 is a flag.
+    var obsSeq = 0L
+    def run(name: String, dir: String): (Double, Long) = {
+      obsSeq += 1
+      val obs = org.apache.spark.sql.Observation(s"sb_${name}_$obsSeq")
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      val n = obs.get("rows").asInstanceOf[Long]
       spark.catalog.clearCache()
-      dt
+      (dt, n)
     }
     // shared warmup on both dirs (JIT + parquet footer caches)
     run("q02_knn_exact", base)
@@ -87,20 +101,28 @@ object ScaleBench {
 
     val rows = families.map { name =>
       val (bs, ss) = (Array.fill(reps)(0.0), Array.fill(reps)(0.0))
+      var (bn, sn) = (0L, 0L)
       var r = 0
       while (r < reps) { // interleaved: ambient load hits both sides
-        bs(r) = run(name, base)
-        ss(r) = run(name, scaled)
+        val (bt, bRows) = run(name, base)
+        val (st, sRows) = run(name, scaled)
+        bs(r) = bt; ss(r) = st; bn = bRows; sn = sRows
         r += 1
       }
       val (b, s) = (bs.min, ss.min)
       val ratio = if (b > 0) s / b else Double.NaN
-      println(f"[scalebench] $name%-28s base $b%7.2f  x$factor $s%7.2f  ratio ${ratio}%5.1f")
-      (name, b, s, ratio)
+      val outRatio = if (bn > 0) sn.toDouble / bn else 1.0
+      println(f"[scalebench] $name%-28s base $b%7.2f  x$factor $s%7.2f  " +
+        f"ratio ${ratio}%5.1f  rows $bn%8d -> $sn%9d (out ${outRatio}%5.1f)")
+      (name, b, s, ratio, bn, sn, outRatio)
     }
     spark.stop()
 
-    val flagged = rows.filter(_._4 > factor * 1.3).map(_._1)
+    // a family is flagged only when its wall ratio exceeds BOTH the data
+    // factor and its own measured output growth by >30% — "linear in
+    // output" is now a number in the row, not prose adjudication
+    def allowed(outRatio: Double): Double = math.max(factor.toDouble, outRatio)
+    val flagged = rows.filter(r => r._4 > allowed(r._7) * 1.3).map(_._1)
     val json = new StringBuilder()
     json.append("{\"factor\":").append(factor)
       .append(",\"base_dir\":\"").append(base)
@@ -108,8 +130,9 @@ object ScaleBench {
       .append("\",\"generated_fixture\":").append(generated)
       .append(",\"reps\":").append(reps)
       .append(",\"queries\":{")
-    json.append(rows.map { case (n, b, s, r) =>
-      f"""\"$n\":{\"base\":$b%.3f,\"scaled\":$s%.3f,\"ratio\":$r%.2f}"""
+    json.append(rows.map { case (n, b, s, r, bn, sn, or) =>
+      f"""\"$n\":{\"base\":$b%.3f,\"scaled\":$s%.3f,\"ratio\":$r%.2f,""" +
+        f"""\"base_rows\":$bn,\"scaled_rows\":$sn,\"output_ratio\":$or%.2f}"""
     }.mkString(","))
     json.append("},\"flagged\":[")
       .append(flagged.map("\"" + _ + "\"").mkString(","))
@@ -118,8 +141,8 @@ object ScaleBench {
       (json.toString + "\n").getBytes(StandardCharsets.UTF_8))
     println(json.toString)
     if (flagged.nonEmpty) {
-      println(s"[scalebench] WARNING — superlinear beyond ${factor}×1.3: " +
-        flagged.mkString(", "))
+      println(s"[scalebench] WARNING — wall ratio beyond " +
+        s"max(factor, output_ratio)×1.3: " + flagged.mkString(", "))
     }
   }
 }

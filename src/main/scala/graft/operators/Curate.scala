@@ -167,28 +167,33 @@ object Curate {
     * predicates are NOT re-implemented here — run itself executes with a
     * survivor-snapshot trace, so this can never drift from the pipeline
     * it explains. The curriculum ordering stage never rejects a document
-    * and is out of scope. Epoch-recipe configs are REJECTED here:
-    * `Sampling.epochExpand` legitimately emits zero copies of a document
-    * (unbudgeted source, or a budget below one full epoch with a losing
-    * fractional coin), so a per-doc kept/dropped fate is not
-    * well-defined past that stage — audit the pre-recipe corpus, then
-    * expand.
+    * and is out of scope.
+    *
+    * Epoch-recipe configs: the fate covers the REJECTION stages (up to
+    * the selection boundary) — `Sampling.epochExpand` legitimately emits
+    * zero copies of a document (unbudgeted source, or a budget below one
+    * full epoch with a losing fractional coin), which is an EMISSION
+    * decision, not a rejection, so it gets its own column instead of a
+    * fate value: `emitted_copies` = the exact number of copies the
+    * recipe emits for each doc (0 for pre-recipe rejects; can be 0 for a
+    * `kept` doc — precisely the zero-copy case that made a single fate
+    * ill-defined). Computed by running the REAL `epochExpand` over the
+    * pre-recipe corpus and counting copy rows — no re-implemented math
+    * to drift.
     *
     * Cost: one id-only left join per configured rejection stage (each
     * survivor relation is ids-only, SHUFFLE_HASH-pinned off size-estimate
-    * broadcasts) — the fate CASE is row-local. A diagnostic, priced like
-    * [[Quality.rejectionReport]]. Output: (idCol, fate), every input row.
+    * broadcasts) — the fate CASE is row-local; a recipe config adds the
+    * expansion + one id hash-agg. A diagnostic, priced like
+    * [[Quality.rejectionReport]]. Output: (idCol, fate) — plus
+    * `emitted_copies` when `epochBudgets` is configured — every input row.
     */
   def explain(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config): DataFrame = {
-    require(cfg.epochBudgets.isEmpty,
-      "Curate.explain: epochBudgets expansion can emit zero copies of a " +
-        "doc (unbudgeted source, losing fractional coin), so a per-doc " +
-        "fate is not well-defined past the recipe stage — explain the " +
-        "pre-recipe config, then expand")
     val trace =
       scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
-    run(docs, idCol, textCol, cfg, null, trace)
+    val pre = run(docs, idCol, textCol, cfg.copy(epochBudgets = Map.empty),
+      null, trace)
     val flagged = trace.zipWithIndex.foldLeft(docs.select(col(idCol))) {
       case (acc, ((_, ids), i)) =>
         acc.join(ids.withColumn(s"__s$i", lit(true)).hint("SHUFFLE_HASH"),
@@ -198,6 +203,15 @@ object Curate {
       case (((stage, _), i), els) =>
         when(col(s"__s$i").isNull, lit(stage)).otherwise(els)
     }
-    flagged.select(col(idCol), fate.as("fate"))
+    val base = flagged.select(col(idCol), fate.as("fate"))
+    if (cfg.epochBudgets.isEmpty) base
+    else {
+      val copies = Sampling.epochExpand(pre, idCol, "n_tok",
+          cfg.epochSourceCol, cfg.epochBudgets)
+        .groupBy(col(idCol)).agg(count(lit(1)).as("emitted_copies"))
+      base.join(copies.hint("SHUFFLE_HASH"), Seq(idCol), "left")
+        .select(col(idCol), col("fate"),
+          coalesce(col("emitted_copies"), lit(0L)).as("emitted_copies"))
+    }
   }
 }

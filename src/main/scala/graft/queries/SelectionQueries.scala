@@ -527,5 +527,42 @@ object SelectionQueries {
         |  coalesce(h.n_leaked_grams, CAST(0 AS BIGINT)) AS n_leaked_grams,
         |  (coalesce(h.n_leaking_docs, 0) > 0) AS leaked
         |FROM tot t LEFT JOIN hit h USING (bid)
-        |ORDER BY doc_id""".stripMargin)))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Fate audit UNDER an epoch recipe (r9): q156's per-doc fate, now
+    // with the recipe configured — fates cover the rejection stages up
+    // to the selection boundary, and the recipe's EMISSION decision gets
+    // its own exact `emitted_copies` column (0 for an unbudgeted-source
+    // survivor: a kept doc the recipe emits zero copies of — the case
+    // that made a single fate ill-defined). The copies come from running
+    // the real epochExpand and counting rows; the oracle replays the
+    // q145 integer coin over the post-gate corpus.
+    QueryDef("q164_fate_with_recipe",
+      (s, d) => graft.operators.Curate.explain(Tables.documents(s, d),
+          "doc_id", "text",
+          graft.operators.Curate.Config(exactDedup = true, minTokens = 30,
+            epochBudgets = Map("src1" -> 30000L, "src3" -> 10000L)))
+        .orderBy("doc_id"),
+      Some("""WITH c0 AS (SELECT * FROM documents),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM c0 GROUP BY lower(trim(text))),
+        |dd AS (SELECT d.* FROM c0 d JOIN ded USING (doc_id)),
+        |gated AS (SELECT dd.*, CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM dd WHERE length(regexp_split_to_array(trim(text), '\s+')) >= 30),
+        |b(source, budget) AS (VALUES ('src1', CAST(30000 AS BIGINT)),
+        |  ('src3', CAST(10000 AS BIGINT))),
+        |a AS (SELECT source, SUM(n_tok) AS avail FROM gated GROUP BY source),
+        |p AS (SELECT a.source, budget // avail AS fullc, budget % avail AS rem, avail
+        |      FROM a JOIN b USING (source)),
+        |x AS (SELECT g.doc_id, p.fullc +
+        |    CASE WHEN CAST(CAST('0x'||substr(md5('epoch:'||CAST(g.doc_id AS VARCHAR)),25,8) AS BIGINT) AS DECIMAL(38,0))
+        |             * CAST(p.avail AS DECIMAL(38,0))
+        |           < CAST(p.rem AS DECIMAL(38,0)) * CAST(4294967296 AS DECIMAL(38,0))
+        |         THEN 1 ELSE 0 END AS copies
+        |  FROM gated g JOIN p USING (source))
+        |SELECT c0.doc_id,
+        |  CASE WHEN c0.doc_id NOT IN (SELECT doc_id FROM dd) THEN 'exact_dup'
+        |       WHEN c0.doc_id NOT IN (SELECT doc_id FROM gated) THEN 'token_gate'
+        |       ELSE 'kept' END AS fate,
+        |  CAST(coalesce(x.copies, 0) AS BIGINT) AS emitted_copies
+        |FROM c0 LEFT JOIN x USING (doc_id) ORDER BY c0.doc_id""".stripMargin)))
 }

@@ -161,4 +161,34 @@ class CurateSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(fates(3L) === "dup_span_empty")
   }
+
+  test("explain under epochBudgets: fates to the selection boundary plus " +
+      "exact emitted_copies — zero-copy kept docs stay 'kept'") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta eps", "s1"),   // 5 tok, budget 20/10 -> 2 copies
+      (2L, "zeta eta theta iota kappa", "s1"),    // 2 copies
+      (3L, "one two three four five", "s2"),      // kept, UNBUDGETED -> 0 copies
+      (4L, "tiny", "s1"),                          // token_gate reject
+      (5L, "alpha beta gamma delta eps", "s3"))    // exact_dup of 1
+      .toDF("doc_id", "text", "source")
+    val cfg = Curate.Config(exactDedup = true, minTokens = 3L,
+      epochBudgets = Map("s1" -> 20L))
+    val got = Curate.explain(docs, "doc_id", "text", cfg)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> (("kept", 2L)),
+      2L -> (("kept", 2L)),
+      3L -> (("kept", 0L)), // emission decision, NOT a rejection fate
+      4L -> (("token_gate", 0L)),
+      5L -> (("exact_dup", 0L))), got.toString)
+    // the copies column is the REAL expansion, not re-derived math:
+    // sum(emitted_copies) == rows of the actual recipe output
+    val expanded = Curate.run(docs, "doc_id", "text", cfg).count()
+    assert(got.values.map(_._2).sum === expanded)
+    // without budgets the two-column contract is unchanged
+    val cols = Curate.explain(docs, "doc_id", "text",
+      cfg.copy(epochBudgets = Map.empty)).columns.toSeq
+    assert(cols === Seq("doc_id", "fate"))
+  }
 }
