@@ -233,6 +233,120 @@ object Sketch {
           .as("p_edge"))
   }
 
+  /** KLL-style quantile sketch (after Karnin, Lang & Liberty 2016) with
+    * DETERMINISTIC NESTED compaction — the rank sketch the histogram
+    * percentile ([[histogramBuckets]]/[[histogramPercentile]]) cannot
+    * be: no pre-chosen [lo, hi) domain, no bucket-width error floor.
+    *
+    * KLL's core idea is kept: a surviving item at level ℓ represents
+    * 2^ℓ inputs (its weight), and the level grows just enough that the
+    * survivor set stays ≤ k per group. KLL's BUFFER-ORDER compaction
+    * (fill a level, sort, keep every other) is replaced by a nested
+    * per-item coin: item `id` survives to level ℓ iff its 32-bit salted
+    * md5 is ≡ 0 (mod 2^ℓ) — survive(ℓ+1) ⟹ survive(ℓ), so levels nest.
+    * That trade costs KLL's O((1/ε)·√log(1/δ)) space optimality (this is
+    * sample-quantile error, ~O(√(1/k)) rank error) and buys the three
+    * properties a distributed, auditable engine actually needs:
+    *   - PARTITION-ORDER INDEPENDENCE: the state is a pure function of
+    *     the input multiset (buffer compaction depends on arrival order
+    *     — its state could never hash-match an oracle);
+    *   - EXACT MERGE: survivorship is a per-id predicate and levels
+    *     nest, so merge(shardA, shardB) re-levels for the combined count
+    *     and re-filters — bit-identical to a direct build of the union
+    *     ([[kllMerge]], property-pinned in SketchSpec);
+    *   - ORACLE-REPLAYABLE STATE *and* ESTIMATE: everything is integer
+    *     arithmetic (level = bitLength((n−1) div k), weights are shifts,
+    *     the quantile is a rational-compare cumulative rank) — no
+    *     transcendental driver-side step at all, stronger than the
+    *     HLL/LC split.
+    *
+    * Shape: one count per group (tiny agg) broadcast back over one
+    * corpus scan with a row-local coin filter — survivors ≤ ~k rows per
+    * group forever. Output state: one META row per group (u, v NULL —
+    * it carries the group's exact `n` even when every coin loses, so
+    * merges always see true counts) plus the survivor rows
+    * (groupCol, level, n, u, v) — `level`/`n` group-constant, `u` the
+    * item's coin (kept: it IS the re-subsampling capability that makes
+    * merge exact), `v` the value.
+    */
+  def kllState(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kllState: k $k must be >= 2")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .withColumn("level", levelFor("n", k))
+    val surv = df.select(col(groupCol),
+        graft.functions.TextFunctions.md5Low32(
+          concat(lit("kll:"), col(idCol).cast("string"))).as("u"),
+        col(valueCol).cast("long").as("v"))
+      .join(broadcast(counts), Seq(groupCol))
+      .where(expr("u % shiftleft(1L, level)") === 0)
+      .select(col(groupCol), col("level"), col("n"), col("u"), col("v"))
+    counts.select(col(groupCol), col("level"), col("n"),
+        lit(null).cast("long").as("u"), lit(null).cast("long").as("v"))
+      .unionByName(surv)
+  }
+
+  /** Smallest ℓ with n ≤ k·2^ℓ, as engine-portable integer arithmetic:
+    * bitLength((n−1) div k) — n ≤ k·2^ℓ ⟺ (n−1) div k < 2^ℓ — with
+    * bitLength(0) = 0 (bin() length is the bit count on both Spark and
+    * DuckDB; the ≤ k branch handles the bin(0) = "0" edge).
+    */
+  private def levelFor(nCol: String, k: Int): Column =
+    when(col(nCol) <= k, lit(0))
+      .otherwise(length(bin(expr(s"($nCol - 1) div $k")))).cast("int")
+
+  /** Merge two KLL states over the same (groupCol, k) — for DISJOINT
+    * underlying inputs (shards of one corpus): the combined group count
+    * re-derives the level, and each surviving item's kept coin `u`
+    * re-filters it in place. Because survive(ℓ') ⟹ survive(ℓ ≤ ℓ'),
+    * the result is bit-identical to [[kllState]] over the unioned input
+    * — the defining mergeability property, spec-pinned.
+    */
+  def kllMerge(a: DataFrame, b: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kllMerge: k $k must be >= 2")
+    val all = a.unionByName(b)
+    // combined counts from the META rows (one per group per side — true
+    // n even for a side whose every coin lost); the combined level is
+    // >= each side's (levelFor is monotone in n), so re-filtering the
+    // nested survivor coins is exactly a direct build over the union
+    val counts = all.where(col("u").isNull)
+      .groupBy(col(groupCol)).agg(sum(col("n")).as("n2"))
+      .select(col(groupCol), col("n2"), levelFor("n2", k).as("level2"))
+    val surv = all.where(col("u").isNotNull)
+      .join(broadcast(counts), Seq(groupCol))
+      .where(expr("u % shiftleft(1L, level2)") === 0)
+      .select(col(groupCol), col("level2").as("level"), col("n2").as("n"),
+        col("u"), col("v"))
+    counts.select(col(groupCol), col("level2").as("level"),
+        col("n2").as("n"), lit(null).cast("long").as("u"),
+        lit(null).cast("long").as("v"))
+      .unionByName(surv)
+  }
+
+  /** Rank-quantile read off the state, fully engine-side and integer:
+    * survivors sort by (v, u), each carrying weight 2^level; the
+    * p-quantile is the smallest v whose cumulative weight reaches
+    * fraction pNum/pDen of the total (rational cross-compare — no float
+    * cutoff to flip a boundary between engines). Output: (groupCol, q).
+    */
+  def kllQuantile(state: DataFrame, groupCol: String,
+      pNum: Int, pDen: Int): DataFrame = {
+    require(pNum >= 0 && pDen > 0 && pNum <= pDen,
+      s"quantile $pNum/$pDen must be a rational in [0, 1]")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("v").asc, col("u").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+    state
+      .where(col("u").isNotNull) // meta rows carry no sample point
+      .withColumn("wt", expr("shiftleft(1L, level)"))
+      .withColumn("cum", sum(col("wt")).over(w))
+      .withColumn("total", sum(col("wt")).over(tot))
+      .where(col("cum") * pDen >= col("total") * pNum)
+      .groupBy(groupCol)
+      .agg(min(col("v")).as("q"))
+  }
+
   /** KMV / Theta sketch sample (Beyer et al. 2007; the DataSketches
     * Theta family): per group, the k MINIMUM distinct md5-hash values of
     * the keys — the sketch for SET OPERATIONS. Linear counting and HLL

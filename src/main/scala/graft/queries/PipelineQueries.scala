@@ -2428,7 +2428,36 @@ object PipelineQueries {
         |  UNION
         |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b)
         |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS component
-        |FROM reach GROUP BY id ORDER BY id""".stripMargin))
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
+    // KLL-style quantile sketch STATE (r9): per-source rank sketch of
+    // n_chars with deterministic nested compaction — level =
+    // bitLength((n-1) div k), item survives iff its md5 coin ≡ 0
+    // (mod 2^level), weight 2^level. The state (meta row + survivors)
+    // is a pure function of the input multiset — no buffer order, no
+    // RNG — so the oracle replays EVERY level decision and coin and the
+    // hash match proves the whole sketch, the q85 HLL discipline with
+    // zero driver-side transcendental tail (quantile reads are integer
+    // too; SketchSpec pins error bound and merge == direct).
+    QueryDef("q163_kll_sketch",
+      (s, d) => graft.operators.Sketch.kllState(
+          Tables.documents(s, d), "lang", "n_chars", "doc_id", k = 16)
+        .orderBy(col("lang"), col("v").asc_nulls_first,
+          col("u").asc_nulls_first),
+      Some("""WITH t AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY lang),
+        |l AS (SELECT lang, n, CAST(CASE WHEN n <= 16 THEN 0
+        |        ELSE length(bin((n-1) // 16)) END AS INT) AS level FROM c),
+        |s AS (SELECT t.lang, l.level, l.n,
+        |    CAST('0x'||substr(md5('kll:'||CAST(t.doc_id AS VARCHAR)),25,8) AS BIGINT) AS u,
+        |    t.v
+        |  FROM t JOIN l USING (lang)
+        |  WHERE CAST('0x'||substr(md5('kll:'||CAST(t.doc_id AS VARCHAR)),25,8) AS BIGINT)
+        |        % (CAST(1 AS BIGINT) << level) = 0)
+        |SELECT * FROM (
+        |  SELECT lang, level, n, CAST(NULL AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v FROM l
+        |  UNION ALL SELECT lang, level, n, u, v FROM s)
+        |ORDER BY lang, v ASC NULLS FIRST, u ASC NULLS FIRST""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

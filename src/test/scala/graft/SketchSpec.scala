@@ -233,4 +233,77 @@ class SketchSpec extends SparkSpec {
     assert(est(("A", "C"))._4 === 0L && est(("A", "C"))._5 === 0.0)
     assert(est(("B", "C"))._4 === 0L && est(("B", "C"))._5 === 0.0)
   }
+
+  // ---- KLL-style deterministic quantile sketch ----
+
+  private def kllRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4))).sortBy(identity).toSeq
+
+  test("kllState: below k the sample is the whole group (level 0) and " +
+      "the quantile is exact; state is partitioning-invariant") {
+    val df = (0L until 50L).map(i => ("g", i, i * 10L)).toDF("g", "id", "v")
+    val st = Sketch.kllState(df, "g", "v", "id", k = 64)
+    // one meta row + every item at level 0, weight 1
+    assert(st.where(col("u").isNull).count() === 1L)
+    assert(st.where(col("u").isNotNull).count() === 50L)
+    assert(st.agg(max("level")).head.getInt(0) === 0)
+    // exact median of 0,10,...,490: smallest v with cum >= 25 of 50
+    val q = Sketch.kllQuantile(st, "g", 1, 2).head.getLong(1)
+    assert(q === 240L, s"exact level-0 median, got $q")
+    val repart = Sketch.kllState(df.repartition(13), "g", "v", "id", k = 64)
+    assert(kllRows(st) === kllRows(repart), "state must not depend on partitioning")
+  }
+
+  test("kllMerge of disjoint shards is bit-identical to a direct build " +
+      "of the union — nested coins re-filter in place") {
+    val rows = (0L until 20000L).map(i => (if (i % 3 == 0) "a" else "b", i, i))
+    val df = rows.toDF("g", "id", "v")
+    val left = df.where(col("id") < 7000)
+    val right = df.where(col("id") >= 7000)
+    val direct = Sketch.kllState(df, "g", "v", "id", k = 128)
+    val merged = Sketch.kllMerge(
+      Sketch.kllState(left, "g", "v", "id", k = 128),
+      Sketch.kllState(right, "g", "v", "id", k = 128), "g", k = 128)
+    assert(kllRows(direct) === kllRows(merged))
+    // every group carries exactly one meta row through the merge
+    assert(merged.where(col("u").isNull).groupBy("g").count()
+      .collect().forall(_.getLong(1) === 1L))
+  }
+
+  test("kllQuantile rank error stays within the sample bound on a " +
+      "100k-item group sketched at k=256") {
+    val n = 100000L
+    val df = (0L until n).map(i => ("g", i, i)).toDF("g", "id", "v")
+    val st = Sketch.kllState(df, "g", "v", "id", k = 256)
+    val sampled = st.where(col("u").isNotNull).count()
+    assert(sampled <= 256L && sampled >= 64L,
+      s"survivor count $sampled outside the k-band")
+    // values ARE ranks here, so |q - p·n| is the rank error directly;
+    // allow ~3/sqrt(k_eff) of n (deterministic coins -> fixed outcome,
+    // pinned with margin)
+    for ((pn, pd) <- Seq((1, 4), (1, 2), (3, 4), (9, 10))) {
+      val q = Sketch.kllQuantile(st, "g", pn, pd).head.getLong(1)
+      val truth = n * pn / pd
+      val tol = (3.0 * n / math.sqrt(sampled.toDouble)).toLong
+      assert(math.abs(q - truth) <= tol,
+        s"p=$pn/$pd: got $q vs $truth (tol $tol, sample $sampled)")
+    }
+  }
+
+  test("kllState guards: k >= 2; weights are 2^level and total weight " +
+      "approximates n") {
+    intercept[IllegalArgumentException] {
+      Sketch.kllState(Seq(("g", 1L, 1L)).toDF("g", "id", "v"), "g", "v", "id", 1)
+    }
+    val df = (0L until 5000L).map(i => ("g", i, i)).toDF("g", "id", "v")
+    val st = Sketch.kllState(df, "g", "v", "id", k = 64)
+    val lvl = st.agg(max("level")).head.getInt(0)
+    assert(lvl === 7, s"5000 items at k=64 need level 7 (64*2^7=8192), got $lvl")
+    val totalW = st.where(col("u").isNotNull)
+      .agg(sum(expr("shiftleft(1L, level)"))).head.getLong(0)
+    assert(math.abs(totalW - 5000L) < 2500L,
+      s"total weight $totalW should approximate n=5000")
+  }
 }
