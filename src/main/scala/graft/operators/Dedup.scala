@@ -289,6 +289,73 @@ object Dedup {
     ghs
   }
 
+  /** Persist a [[dupSpanIndex]] artifact: magic + window size `n` +
+    * the sorted gram hashes, committed with a `_SUCCESS` marker (the
+    * embedder-artifact discipline) — a partially written index must
+    * never silently gate. Carrying `n` INSIDE the artifact means a
+    * loader can never probe with a mismatched window geometry (the
+    * signature-index SigMeta rule).
+    */
+  def saveSpanIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      n: Int, index: Array[Long]): Unit = {
+    require(n >= 1, s"saveSpanIndex: n $n must be >= 1")
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    val out = new java.io.DataOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(p, "span_index.bin"), true))
+    try {
+      out.writeInt(SpanIndexMagic)
+      out.writeInt(n)
+      out.writeInt(index.length)
+      index.foreach(out.writeLong)
+    } finally out.close()
+    fs.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
+  }
+
+  private val SpanIndexMagic = 0x5350414e // "SPAN"
+
+  /** Load a persisted span index: (n, sorted hashes). Fails loud on a
+    * missing `_SUCCESS` or wrong magic. Cached per JVM keyed by the
+    * `_SUCCESS` modification time with ONE entry per dir (a re-saved
+    * artifact replaces its stale predecessor — the Embedder.Registry
+    * residency rule), so a RESTARTED stream rebuilding its plan picks up
+    * a regenerated artifact while a RUNNING query keeps the snapshot it
+    * started with (per-run frozen — the reproducibility contract).
+    */
+  def loadSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Array[Long]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    require(fs.exists(marker),
+      s"no complete span-index artifact at $dir (missing _SUCCESS)")
+    val mtime = fs.getFileStatus(marker).getModificationTime
+    spanIndexCache.get(dir) match {
+      case Some((m, v)) if m == mtime => v
+      case _ =>
+        val in = new java.io.DataInputStream(
+          fs.open(new org.apache.hadoop.fs.Path(p, "span_index.bin")))
+        val v = try {
+          require(in.readInt() == SpanIndexMagic,
+            s"$dir/span_index.bin is not a graft span-index artifact (bad magic)")
+          val n = in.readInt()
+          val len = in.readInt()
+          val arr = new Array[Long](len)
+          var i = 0
+          while (i < len) { arr(i) = in.readLong(); i += 1 }
+          (n, arr)
+        } finally in.close()
+        spanIndexCache.put(dir, (mtime, v))
+        v
+    }
+  }
+
+  private val spanIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, (Int, Array[Long]))]
+
   /** Incremental dup-span scrub of NEW data against a frozen
     * [[dupSpanIndex]]: every overlapping n-token window whose hash is IN
     * the index already exists in the reference corpus, so ALL its

@@ -115,13 +115,26 @@ object StreamCuration {
       dsirScores: Option[Array[Long]] = None,
       dsirMinMeanScore: Long = 0L,
       spanIndex: Option[Array[Long]] = None,
-      spanIndexN: Int = 8): DataFrame = {
+      spanIndexN: Int = 8,
+      spanIndexDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
       cfg.curriculumBandWidth.isEmpty && cfg.epochBudgets.isEmpty,
       "StreamCuration.run: spanDedupK/dupSpanN/curriculumBandWidth/" +
         "epochBudgets are corpus-shape stages — run them batch-side at " +
         "snapshot time")
+    require(spanIndex.isEmpty || spanIndexDir.isEmpty,
+      "StreamCuration.run: pass EITHER spanIndex (a literal array) OR " +
+        "spanIndexDir (a persisted Dedup.saveSpanIndex artifact), not both")
+    // dir form: resolved at PLAN-BUILD time through the mtime-keyed
+    // registry (Dedup.loadSpanIndex) and carrying its own window size —
+    // a RESTARTED stream picks up a regenerated artifact, a RUNNING one
+    // keeps the snapshot it started with (per-run frozen), and the
+    // geometry can never silently mismatch the artifact
+    val resolvedIndex: Option[(Int, Array[Long])] =
+      spanIndex.map(a => (spanIndexN, a))
+        .orElse(spanIndexDir.map(dir =>
+          graft.operators.Dedup.loadSpanIndex(docs.sparkSession, dir)))
     var cur = docs
 
     if (cfg.exactDedup) {
@@ -147,7 +160,7 @@ object StreamCuration {
       }
     }
 
-    spanIndex.foreach { index =>
+    resolvedIndex.foreach { case (idxN, index) =>
       // incremental dup-span scrub against a FROZEN reference-corpus
       // gram index (Dedup.dupSpanIndex, built batch-side): row-local
       // PositionsInSortedSet probe + in-row island fold — stateless, no
@@ -166,7 +179,7 @@ object StreamCuration {
           "collide with the span scrub's output names — rename them " +
           "upstream of the gate")
       cur = graft.operators.Dedup
-        .dupSpanScrubInline(cur, idCol, textCol, spanIndexN, index,
+        .dupSpanScrubInline(cur, idCol, textCol, idxN, index,
           keepCols = others)
         .where(col("clean_text") =!= "")
         .withColumnRenamed("clean_text", textCol)

@@ -252,4 +252,54 @@ class StreamCurationSpec extends SparkSpec {
     assert(batch === Seq((10L, "p1 p2 p3 q1"),
       (12L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
   }
+
+  test("span-index swap contract: a restarted stream picks up the " +
+      "regenerated artifact via the mtime registry, no stale reads") {
+    import graft.operators.{Curate, Dedup}
+    val tmp = Files.createTempDirectory("graft-spanswap-").toString
+    val idxDir = s"$tmp/span_idx"
+    val w = (1 to 12).map(i => s"w$i").mkString(" ")
+    val z = (1 to 12).map(i => s"z$i").mkString(" ")
+    // v1 artifact: reference corpus contains the w-passage only
+    Dedup.saveSpanIndex(spark, idxDir, n = 8,
+      Dedup.dupSpanIndex(Seq((1L, w)).toDF("doc_id", "text"), "text", n = 8))
+    val docs = Seq(
+      (10L, s"p1 p2 p3 $w q1", 100L),   // w-passage: cut under v1 only
+      (11L, s"r1 r2 r3 $z q2", 200L))   // z-passage: cut under v2 only
+      .toDF("doc_id", "text", "ts")
+    docs.write.parquet(s"$tmp/in")
+    val cfg = Curate.Config(exactDedup = false)
+    def runOnce(ckpt: String, outName: String): Seq[(Long, String)] = {
+      val stream = spark.readStream.schema(docs.schema).parquet(s"$tmp/in")
+      val curated = StreamCuration.run(stream, "doc_id", "text", cfg,
+        spanIndexDir = Some(idxDir))
+      val q = curated.writeStream.format("memory").queryName(outName)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/$ckpt").start()
+      q.awaitTermination(120000)
+      spark.table(outName).select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+    }
+    val v1 = runOnce("ckpt1", "swap_v1")
+    assert(v1 === Seq((10L, "p1 p2 p3 q1"), (11L, s"r1 r2 r3 $z q2")),
+      s"v1 artifact must cut only the w-passage: $v1")
+    // the reference corpus is rebuilt (now the z-passage); same dir,
+    // new artifact — ensure a strictly newer mtime for the registry key
+    Thread.sleep(30)
+    Dedup.saveSpanIndex(spark, idxDir, n = 8,
+      Dedup.dupSpanIndex(Seq((1L, z)).toDF("doc_id", "text"), "text", n = 8))
+    // RESTART (fresh checkpoint = a new run): the rebuilt plan resolves
+    // the artifact again and must see v2, not the cached v1
+    val v2 = runOnce("ckpt2", "swap_v2")
+    assert(v2 === Seq((10L, s"p1 p2 p3 $w q1"), (11L, "r1 r2 r3 q2")),
+      s"restart must pick up the regenerated artifact: $v2")
+    // geometry rides the artifact: a loader can't probe with the wrong n
+    assert(Dedup.loadSpanIndex(spark, idxDir)._1 === 8)
+    // both-forms misuse fails loud
+    val ex = intercept[IllegalArgumentException] {
+      StreamCuration.run(docs, "doc_id", "text", cfg,
+        spanIndex = Some(Array(1L, 2L)), spanIndexDir = Some(idxDir))
+    }
+    assert(ex.getMessage.contains("not both"), ex.getMessage)
+  }
 }
