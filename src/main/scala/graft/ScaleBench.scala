@@ -63,6 +63,14 @@ object ScaleBench {
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val scaled = args.lift(1).getOrElse(s"/tmp/sf0.1x$factor")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // spot-check mode: SPARK_GRAFT_FAMILIES=q64_dedup_clusters,q98_...
+    // restricts the sweep (the 100× runs target two families, not 56);
+    // SPARK_GRAFT_SCALE_OUT redirects the JSON so a spot sweep never
+    // clobbers the full SCALE.json
+    val familyFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val runFamilies = familyFilter.map(f => families.filter(f)).getOrElse(families)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE.json")
 
     var generated = false
     if (!Files.isDirectory(Paths.get(scaled))) {
@@ -99,7 +107,7 @@ object ScaleBench {
     run("q02_knn_exact", base)
     run("q02_knn_exact", scaled)
 
-    val rows = families.map { name =>
+    val rows = runFamilies.map { name =>
       val (bs, ss) = (Array.fill(reps)(0.0), Array.fill(reps)(0.0))
       var (bn, sn) = (0L, 0L)
       var r = 0
@@ -137,7 +145,7 @@ object ScaleBench {
     json.append("},\"flagged\":[")
       .append(flagged.map("\"" + _ + "\"").mkString(","))
       .append("]}")
-    Files.write(Paths.get("SCALE.json"),
+    Files.write(Paths.get(outPath),
       (json.toString + "\n").getBytes(StandardCharsets.UTF_8))
     println(json.toString)
     if (flagged.nonEmpty) {
