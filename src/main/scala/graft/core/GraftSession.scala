@@ -18,6 +18,22 @@ object GraftSession {
   private lazy val warehouseDir =
     java.nio.file.Files.createTempDirectory("graft-warehouse-").toString
 
+  /** Initial-shuffle multiplier (AQE coalesces back down), env
+    * `SPARK_GRAFT_INITIAL_SHUFFLE`. Shuffle-partition count must scale
+    * with DATA, not cluster shape: the round-9 100× spot-check crashed a
+    * SHUFFLE_HASH build ("Can't acquire 64 MiB for hash relation") at
+    * worker-count partitions and completed at 16× (SCALE.md round 9).
+    * The DEFAULT stays 1 because the sf-scale fixtures this process
+    * benches are exactly the small-input case, and the measured A/B
+    * (q98, 5 reps per factor) showed finer initial splits cost CPU-heavy
+    * small-shuffle stages 1.5–3×: steady-state ~8 s at 1×, ~23 s at 4×,
+    * ~12 s at 16×. Scale runs (the 100× fixture locally; any real
+    * cluster, where shuffle.partitions is sized to data as a matter of
+    * course) set the factor — one env var, no code change.
+    */
+  private def initialShuffleFactor: Int =
+    sys.env.getOrElse("SPARK_GRAFT_INITIAL_SHUFFLE", "1").toInt
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -30,6 +46,8 @@ object GraftSession {
       // charset (GBK is the reference's own transcode case)
       .config("spark.sql.legacy.javaCharsets", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions * initialShuffleFactor).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", warehouseDir)
 

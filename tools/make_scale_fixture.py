@@ -13,6 +13,15 @@ spaces disjoint), and every embedding in replica r > 0 gets a deterministic
 per-(id, dim) jitter (pairwise structure preserved within a replica, no
 exact cross-replica ties).
 
+CAVEAT (measured in round 9): word-level disjointness does NOT imply
+CHAR-SHINGLE disjointness once factor > 10 — suffix "1" is a prefix of
+suffix "10", so replicas 1 and 10 of the same doc share most 5-char
+shingles and land jaccard >= 0.5 (22.4M genuine near-dup pairs at 100x
+vs ~25k expected from linearity). Factors <= 10 (single-char suffixes)
+hold at both granularities; treat 100x minhash-family OUTPUTS as
+fixture density, not engine behavior (wall clock is still a valid
+stress measurement — SCALE.md round-9 notes).
+
 Other tables are copied through unchanged so every SparkEntry query runs
 against the scaled dir.
 
