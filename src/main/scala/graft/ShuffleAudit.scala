@@ -60,7 +60,11 @@ object ShuffleAudit {
         "q64_dedup_clusters",     // iterative CC
         "q136_curation_pipeline", // full composition
         "q153_dup_span_scrub",    // one gram hash-key exchange
-        "q158_dup_span_incremental") // claimed row-local frozen-index probe
+        "q158_dup_span_incremental", // claimed row-local frozen-index probe
+        // round-9 additions
+        "q161_maximal_dup_spans", // dup-bounded suffix-slice group sort
+        "q162_incremental_clusters", // label-pair collect + broadcast remap
+        "q163_kll_sketch")        // tiny count agg + row-local coin filter
     val spark = graft.core.GraftSession.fromEnv()
     spark.sparkContext.setLogLevel("ERROR")
     val acc = new Acc

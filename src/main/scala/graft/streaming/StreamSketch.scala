@@ -180,5 +180,62 @@ object StreamSketch {
   }
 
   /** The only output mode `mapGroupsWithState` supports. */
+  /** Streaming KLL-style quantile sketch — the live face of
+    * [[graft.operators.Sketch.kllState]]: per-group state is the exact
+    * arrival count plus the ≤ ~k surviving (coin, value) pairs. The
+    * nested per-item coin makes the update order-free: the level only
+    * GROWS as n grows, survivorship at a higher level is a subset of
+    * survivorship at a lower one, and a dropped item can never be
+    * needed again — so the streamed state EQUALS the batch
+    * `kllState` over the same rows regardless of arrival order or
+    * batching (parity-pinned in StreamSketchSpec). The coin is the same
+    * in-plan salted md5 column as the batch build — one definition,
+    * agreement by construction.
+    *
+    * Emits one row per group per trigger (Update mode):
+    * (groupCol, level, n, vs, us) with survivors sorted by (v, u) —
+    * the batch state's survivor rows reshaped; read quantiles off the
+    * emitted arrays with the same rational cumulative-weight rule as
+    * [[graft.operators.Sketch.kllQuantile]].
+    */
+  def kll(values: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kll: k $k must be >= 2")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val keyed: Dataset[(String, Long, Long)] = values
+      .select(col(groupCol).cast("string"),
+        graft.functions.TextFunctions.md5Low32(
+          concat(lit("kll:"), col(idCol).cast("string"))),
+        col(valueCol).cast("long"))
+      .as[(String, Long, Long)]
+    keyed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Long], Array[Long]),
+        (String, Int, Long, Seq[Long], Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (g, it, state) =>
+          val (n0, us0, vs0) = state.getOption
+            .getOrElse((0L, Array.empty[Long], Array.empty[Long]))
+          val batch = it.toArray
+          val n = n0 + batch.length
+          var lvl = 0 // smallest l with n <= k·2^l — the batch levelFor
+          while (n > (k.toLong << lvl)) lvl += 1
+          val mask = (1L << lvl) - 1
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var i = 0
+          while (i < us0.length) {
+            if ((us0(i) & mask) == 0L) buf += ((us0(i), vs0(i)))
+            i += 1
+          }
+          batch.foreach { case (_, u, v) =>
+            if ((u & mask) == 0L) buf += ((u, v))
+          }
+          val sorted = buf.sortBy { case (u, v) => (v, u) }.toArray
+          state.update((n, sorted.map(_._1), sorted.map(_._2)))
+          (g, lvl, n, sorted.map(_._2).toSeq, sorted.map(_._1).toSeq)
+      }
+      .toDF(groupCol, "level", "n", "vs", "us")
+  }
+
   val outputMode: OutputMode = OutputMode.Update()
 }

@@ -132,6 +132,69 @@ class StreamSketchSpec extends SparkSpec {
     assert(streamed.values.forall(hs => hs == hs.sorted)) // ascending emit
   }
 
+  test("streamed KLL state equals the batch sketch over all waves, " +
+      "order-free, with the quantile readable off the emitted arrays") {
+    val dir = Files.createTempDirectory("graft-sskll-").toString
+    def put(name: String, rows: Seq[(String, Long, Long)], mtime: Long): Unit = {
+      val json = rows.map { case (g, id, v) =>
+        s"""{"g":"$g","id":$id,"v":$v}""" }.mkString("", "\n", "\n")
+      val p = Paths.get(s"$dir/$name")
+      Files.write(p, json.getBytes)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    // wave 1 small (level 0 for both groups), wave 2 pushes "en" across
+    // two level boundaries — survivors must be RE-FILTERED, not appended
+    put("w1.json", (0L until 40L).map(i => ("en", i, i * 3)) ++
+      (0L until 10L).map(i => ("de", 1000L + i, i)), t0)
+    put("w2.json", (40L until 700L).map(i => ("en", i, i * 3)), t0 + 30000)
+    val stream = spark.readStream
+      .schema("g STRING, id LONG, v LONG")
+      .option("maxFilesPerTrigger", "1").json(dir)
+    val out = StreamSketch.kll(stream, "g", "v", "id", k = 64)
+    val q = out.writeStream.format("memory").queryName("ss_kll")
+      .outputMode(StreamSketch.outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sskll-ckpt-").toString)
+      .start()
+    q.awaitTermination(60000)
+    // last emit per group (Update-mode memory sink keeps every emit;
+    // max n identifies the final one)
+    val finals = spark.table("ss_kll").collect()
+      .groupBy(_.getString(0)).map { case (g, rows) =>
+        g -> rows.maxBy(_.getLong(2))
+      }
+    val batchDf = spark.read.schema("g STRING, id LONG, v LONG").json(dir)
+    val st = Sketch.kllState(batchDf, "g", "v", "id", k = 64)
+    val bat = st.where(col("u").isNotNull).collect()
+      .groupBy(_.getString(0)).map { case (g, rows) =>
+        g -> rows.map(r => (r.getLong(4), r.getLong(3)))
+          .sortBy(identity).toSeq // (v, u)
+      }
+    for (g <- Seq("en", "de")) {
+      val f = finals(g)
+      val streamedPairs = f.getSeq[Long](3).zip(f.getSeq[Long](4)).toSeq
+      assert(streamedPairs === bat(g),
+        s"group $g: streamed survivors != batch state")
+      val batchMeta = st.where(col("u").isNull && col("g") === g)
+        .select("level", "n").head
+      assert(f.getInt(1) === batchMeta.getInt(0) &&
+        f.getLong(2) === batchMeta.getLong(1))
+    }
+    // quantile off the emitted arrays == kllQuantile off the batch state
+    val en = finals("en")
+    val (vs, lvl) = (en.getSeq[Long](3), en.getInt(1))
+    val wts = vs.map(_ => 1L << lvl)
+    val totalW = wts.sum
+    val cum = wts.scanLeft(0L)(_ + _).tail
+    val qStream = vs(cum.indexWhere(c => c * 2 >= totalW))
+    val qBatch = Sketch.kllQuantile(st.where(col("g") === "en"), "g", 1, 2)
+      .head.getLong(1)
+    assert(qStream === qBatch)
+  }
+
   test("sketch state survives a checkpoint RESTART: a new query on the same " +
       "checkpoint resumes mid-corpus and converges to the batch answer") {
     val dir = Files.createTempDirectory("graft-ssrestart-").toString
