@@ -56,7 +56,8 @@ object ScaleBench {
     "q157_eval_leakage", "q158_dup_span_incremental",
     // round-9 additions
     "q159_span_calibration", "q160_perplexity_tiers",
-    "q161_maximal_dup_spans", "q162_incremental_clusters")
+    "q161_maximal_dup_spans", "q162_incremental_clusters",
+    "q163_kll_sketch", "q164_fate_with_recipe")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -69,8 +70,17 @@ object ScaleBench {
     // clobbers the full SCALE.json
     val familyFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    familyFilter.foreach { f =>
+      val unknown = f -- families.toSet
+      require(unknown.isEmpty, // a typo must not silently sweep nothing
+        s"SPARK_GRAFT_FAMILIES names unknown families: ${unknown.mkString(", ")}")
+    }
     val runFamilies = familyFilter.map(f => families.filter(f)).getOrElse(families)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE.json")
+    // a filtered sweep defaults to a SIDE file: the full-sweep SCALE.json
+    // (the round artifact, with its subset-computed flagged list) must
+    // never be overwritten by a spot run that merely forgot SCALE_OUT
+    val defaultOut = if (familyFilter.isDefined) "SCALE.spot.json" else "SCALE.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", defaultOut)
 
     var generated = false
     if (!Files.isDirectory(Paths.get(scaled))) {

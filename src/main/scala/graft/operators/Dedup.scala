@@ -581,7 +581,10 @@ object Dedup {
     * (`sampleFraction` — the histogram's diagonal shape is what matters,
     * and it is sampling-stable) or retune bands first; `maxCandidates`
     * fails loud (the [[dupSpanIndex]] cap discipline) instead of letting
-    * a scheduled corpus-wide run quietly quadratic.
+    * a scheduled corpus-wide run quietly quadratic. The cap bounds
+    * band-join pair SLOTS (Σ C(bucket, 2) over band buckets — the join's
+    * actual output size, with band multiplicity), checked from bucket
+    * sizes alone so a failing run never starts the join it guards.
     */
   def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4,
@@ -602,12 +605,22 @@ object Dedup {
       .distinct()
     maxCandidates.foreach { cap =>
       require(cap >= 1, s"minhashCalibration: maxCandidates $cap must be >= 1")
-      // LocalLimit short-circuits: the guard scans until cap+1, never the
-      // full candidate set — cheap when it passes, instant when it fails
-      val n = cand.limit((cap + 1).min(Int.MaxValue.toLong).toInt).count()
-      if (n > cap) { mh.unpersist()
+      // guard BEFORE the join, from bucket sizes alone: Σ C(size, 2)
+      // over band buckets counts candidate pair SLOTS — the band join's
+      // actual output (with band multiplicity, ≥ distinct pairs), i.e.
+      // the work the cap exists to bound — in one corpus-bounded
+      // aggregation over |docs|·bands rows. (A limit-then-count over the
+      // joined-then-distinct candidates could not short-circuit: the
+      // dedup aggregate below the limit forces the full join first, and
+      // an unpersisted pass would re-run it for the histogram.)
+      val slots = banded.groupBy("band_idx", "band_key")
+        .agg(count(lit(1)).as("sz"))
+        .agg(coalesce(sum(expr("sz * (sz - 1L) div 2L")), lit(0L)))
+        .head().getLong(0)
+      if (slots > cap) { mh.unpersist()
         throw new IllegalArgumentException(
-          s"minhashCalibration: more than $cap band-join candidate pairs " +
+          s"minhashCalibration: $slots band-join candidate pair slots " +
+            s"exceed maxCandidates $cap " +
             "— run on a sample (sampleFraction) or retune bands first")
       }
     }

@@ -87,24 +87,29 @@ object Scrub {
     * digit runs are left alone — redacting them would eat invoice ids).
     * Row-local, codegen, zero shuffle — the [[scrub]] contract.
     *
-    * Redaction is \b-BOUNDED, not a plain substring replace: the same
-    * digit string embedded inside a LONGER run elsewhere in the doc was
-    * never a candidate (CcRe is \b-anchored) and must not be rewritten —
-    * a \b-bounded occurrence of a valid candidate's exact text is, by
-    * construction, itself a CcRe match of the same Luhn-valid string, so
-    * this replaces exactly the candidate sites and nothing else.
-    * Candidates contain only `[0-9 -]` (CcRe's alphabet), all
-    * regex-literal outside a character class, so no escaping is needed.
+    * Redaction is POSITIONAL, not a text search for the candidate's
+    * characters: `split(text, CcRe, -1)` yields the n+1 inter-match
+    * segments in order, `regexp_extract_all` yields the n matches in the
+    * same order (same engine, same left-to-right greedy scan), and the
+    * rebuild interleaves them, swapping each candidate for `<CC>` iff it
+    * Luhn-validates. A re-replace of the candidate's TEXT (even
+    * \b-bounded) is wrong here: `\b` only guards digit-adjacent
+    * embedding, so a valid PAN's digits sitting separator-adjacent
+    * inside a LONGER run — whose own candidate was Luhn-invalid and must
+    * be preserved — would still be rewritten (pinned in ScrubSpec).
     */
   def scrubCards(df: DataFrame, textCol: String): DataFrame = {
     val cands = regexp_extract_all(col(textCol), lit(CcRe), lit(0))
     val valid = filter(cands, c => luhnValid(c))
+    val segs = split(col(textCol), CcRe, -1)
+    val rebuilt = concat(
+      element_at(segs, 1),
+      array_join(zip_with(cands, slice(segs, lit(2), greatest(size(segs) - 1, lit(0))),
+        (c, seg) => concat(when(luhnValid(c), lit("<CC>")).otherwise(c), seg)),
+        ""))
     df.withColumn("n_cc_candidates", size(cands).cast("long"))
       .withColumn("n_cc_valid", size(valid).cast("long"))
       .withColumn("cc_redacted",
-        when(size(valid) === 0, col(textCol)).otherwise(
-          aggregate(array_distinct(valid), col(textCol),
-            (acc, c) => regexp_replace(acc,
-              concat(lit("\\b"), c, lit("\\b")), lit("<CC>")))))
+        when(size(cands) === 0, col(textCol)).otherwise(rebuilt))
   }
 }

@@ -268,6 +268,16 @@ object Sketch {
     * (groupCol, level, n, u, v) — `level`/`n` group-constant, `u` the
     * item's coin (kept: it IS the re-subsampling capability that makes
     * merge exact), `v` the value.
+    *
+    * CONTRACT: `df` must be DETERMINISTIC over re-evaluation — the state
+    * is two passes over it (the count agg, then the survivor coin
+    * filter), so a non-deterministic lineage (`sample()`, a non-stable
+    * shuffle sample, a re-read of mutating files) can yield a meta `n`
+    * that disagrees with the survivor set, breaking the pure-function-
+    * of-the-multiset property and the merge/oracle pins. Persist such an
+    * input first (the VectorStore.put observe rationale — same hazard
+    * class; not persisted here because the returned state is lazy and an
+    * operator-owned persist would leak past it).
     */
   def kllState(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, k: Int): DataFrame = {

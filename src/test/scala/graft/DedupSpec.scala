@@ -785,21 +785,25 @@ class DedupSpec extends SparkSpec {
     // 6 identical docs → C(6,2)=15 candidate pairs in every band
     val docs = (1L to 6L).map(i => (i, "the same text shingles everywhere"))
       .toDF("doc_id", "text")
+    // the cap is on pair SLOTS (Σ C(bucket,2) with band multiplicity,
+    // checked pre-join): 6 identical docs → 4 bands × C(6,2) = 60 slots
     val ex = intercept[IllegalArgumentException] {
       Dedup.minhashCalibration(docs, "doc_id", "text",
         maxCandidates = Some(10L))
     }
     assert(ex.getMessage.contains("maxCandidates") ||
       ex.getMessage.contains("band-join candidate"), ex.getMessage)
-    // under the cap it runs; the full diagonal slot (16,16+) dominates
+    // exactly at the slot count it runs (≤, not <); the full diagonal
+    // slot (16,16+) dominates
     val ok = Dedup.minhashCalibration(docs, "doc_id", "text",
-      maxCandidates = Some(100L)).collect()
+      maxCandidates = Some(60L)).collect()
     assert(ok.map(_.getLong(2)).sum === 15L)
-    // sampling shrinks the candidate set below the same cap
+    // sampling shrinks the input, so the guard sees fewer slots and the
+    // histogram fewer pairs — C(m,2) ≤ 15 for the m ≤ 6 sampled docs
     val sampled = Dedup.minhashCalibration(docs, "doc_id", "text",
-      sampleFraction = Some(0.5), maxCandidates = Some(10L), seed = 7L)
+      sampleFraction = Some(0.5), maxCandidates = Some(60L), seed = 7L)
       .collect()
-    assert(sampled.map(_.getLong(2)).sum <= 10L)
+    assert(sampled.map(_.getLong(2)).sum <= 15L)
     val badF = intercept[IllegalArgumentException] {
       Dedup.minhashCalibration(docs, "doc_id", "text",
         sampleFraction = Some(1.5))

@@ -91,6 +91,27 @@ class ScrubSpec extends SparkSpec {
     assert(got(1)._3 === "a <CC> b <CC> c", got(1)._3)
   }
 
+  test("scrubCards leaves a valid PAN's digits alone when they sit " +
+      "SEPARATOR-adjacent inside a longer Luhn-invalid candidate") {
+    // the \b-replace trap the positional rebuild exists for: in
+    // "9991 4111 1111 1111 1111" the candidate is the Luhn-INVALID
+    // 16-digit prefix "9991 4111 1111 1111" (greedy 19 digits can't end
+    // on \b inside the final group, so backtrack stops at the space) —
+    // preserved by contract. But the valid PAN's exact text occurs
+    // space-bounded inside that run, so a \b-bounded re-replace of the
+    // candidate's TEXT would redact mid-run, eating a region whose own
+    // candidate said "leave alone" and desyncing n_cc_valid from the
+    // rewritten text. Positional interleave only touches match sites.
+    val txt = "pay 4111 1111 1111 1111 ref 9991 4111 1111 1111 1111 end"
+    val got = graft.operators.Scrub.scrubCards(
+        Seq(Tuple1(txt)).toDF("text"), "text")
+      .select("n_cc_candidates", "n_cc_valid", "cc_redacted")
+      .as[(Long, Long, String)].head()
+    assert(got._1 === 2L, "valid PAN + invalid 16-digit prefix candidate")
+    assert(got._2 === 1L)
+    assert(got._3 === "pay <CC> ref 9991 4111 1111 1111 1111 end", got._3)
+  }
+
   test("scrub is one codegen'd projection — no shuffle, no UDF") {
     val plan = Scrub.scrub(Seq("x").toDF("text"), "text")
       .queryExecution.executedPlan.toString
