@@ -57,7 +57,7 @@ object ScaleBench {
     // round-9 additions
     "q159_span_calibration", "q160_perplexity_tiers",
     "q161_maximal_dup_spans", "q162_incremental_clusters",
-    "q163_kll_sketch", "q164_fate_with_recipe")
+    "q163_kll_sketch", "q164_fate_with_recipe", "q165_repetition_rules")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

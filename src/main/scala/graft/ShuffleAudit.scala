@@ -64,7 +64,8 @@ object ShuffleAudit {
         // round-9 additions
         "q161_maximal_dup_spans", // dup-bounded suffix-slice group sort
         "q162_incremental_clusters", // label-pair collect + broadcast remap
-        "q163_kll_sketch")        // tiny count agg + row-local coin filter
+        "q163_kll_sketch",        // tiny count agg + row-local coin filter
+        "q165_repetition_rules")  // row-local: expect ~zero shuffle bytes
     val spark = graft.core.GraftSession.fromEnv()
     spark.sparkContext.setLogLevel("ERROR")
     val acc = new Acc

@@ -44,6 +44,18 @@ object TextFunctions {
   def md5Low60Fold(s: Column): Column =
     conv(substring(md5(s), 18, 15), 16, 10).cast("long")
 
+  /** ALL overlapping n-token windows of an already-materialized tokens
+    * attribute, position i = window start. sequence(0, size-n) would
+    * DESCEND for size < n (negative-step default) — guarded to an empty
+    * list: a too-short doc has no n-windows. (Shared by the span-dedup
+    * family and [[graft.operators.Quality.repetitionFlags]].)
+    */
+  def overlappingGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Distinct character n-gram shingles. Short texts (< n chars) yield the
     * whole text as the single shingle — mirrored exactly by the oracle.
     */

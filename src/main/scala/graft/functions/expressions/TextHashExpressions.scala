@@ -510,6 +510,119 @@ object WinnowFpsUtil {
   }
 }
 
+/** Both Gopher repetition statistics of one document for ONE gram width
+  * as a single native pass over the tokens array: struct(top_cnt =
+  * occurrences of the most frequent n-gram, dup_cov = tokens covered by
+  * the union of all occurrences of n-grams appearing ≥ 2 times — the
+  * q153 island rule). Gram key = md5-low-60 of the space-joined tokens,
+  * streamed through one MessageDigest (md5(a ++ b) ≡ md5 of the joined
+  * string, so the hash is bit-identical to
+  * `md5Low60(concat_ws(" ", slice(toks, i+1, n)))`). Bit-parity-pinned
+  * against the declarative fold twin
+  * ([[graft.operators.Quality.repetitionStatsFold]]) in QualitySpec —
+  * the WinnowFps discipline: same results, but one native O(G log G)
+  * pass instead of interpreted per-element lambdas (the staged-fold form
+  * measured ~3 ms/doc over nine widths; this is what makes the
+  * repetition rule-pack scan-speed).
+  */
+case class RepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"repetition_stats: n $n must be >= 1")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_cnt", LongType, nullable = false),
+    StructField("dup_cov", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects array<string>, got ${child.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStatsUtil.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.RepetitionStatsUtil.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStatsUtil {
+  private val digests = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      override def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+
+  def compute(toks: ArrayData, n: Int): InternalRow = {
+    val t = toks.numElements()
+    val g = t - n + 1
+    if (g <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
+    val md = digests.get()
+    val tb = new Array[Array[Byte]](t)
+    var i = 0
+    while (i < t) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    val hs = new Array[Long](g)
+    var p = 0
+    while (p < g) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(tb(p + j))
+        j += 1
+      }
+      val d = md.digest()
+      var acc = d(8) & 0x0fL
+      var k = 9
+      while (k < 16) { acc = (acc << 8) | (d(k) & 0xffL); k += 1 }
+      hs(p) = acc
+      p += 1
+    }
+    val sorted = hs.clone()
+    java.util.Arrays.sort(sorted)
+    // one pass over the sorted hashes: longest equal run (= the top
+    // n-gram's count) and the distinct values with count ≥ 2 (ascending
+    // by construction — the binary-search probe below needs that)
+    var best = 1L
+    var run = 1L
+    var nd = 0
+    val dups = new Array[Long](g / 2 + 1)
+    i = 1
+    while (i < g) {
+      if (sorted(i) == sorted(i - 1)) {
+        run += 1
+        if (run == 2L) { dups(nd) = sorted(i); nd += 1 }
+        if (run > best) best = run
+      } else run = 1
+      i += 1
+    }
+    // island-union coverage: positions ascend naturally, so the fold is
+    // one scan — covered += max(0, p+n − max(maxEnd, p))
+    var rm = 0L
+    var me = -1
+    p = 0
+    while (p < g) {
+      if (nd > 0 && java.util.Arrays.binarySearch(dups, 0, nd, hs(p)) >= 0) {
+        val e = p + n
+        val lo = if (me > p) me else p
+        if (e > lo) rm += (e - lo).toLong
+        if (e > me) me = e
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, rm))
+  }
+}
+
 object TextHashExpressions {
   def minhashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
@@ -553,4 +666,7 @@ object TextHashExpressions {
 
   def winnowFps(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFps(ColumnBridge.expression(text), k, w))
+
+  def repetitionStats(toks: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(toks), n))
 }

@@ -20,10 +20,12 @@ import graft.functions.TextFunctions
   *   3. duplicated-span scrub (OVERLAPPING-window ExactSubstr, optional)
   *   4. benchmark decontamination (n-gram collision vs a bench table)
   *   5. blocklist gate (Aho-Corasick, drop any-hit docs)
-  *   6. token-count quality gate
-  *   7. DSIR selection (top-N most target-like, integer scorer)
-  *   8. curriculum ordering (global `ord` by token band)
-  *   9. epoch-weighted recipe expansion (per-source token budgets)
+  *   6. repetition rule-pack (Gopher §A1.1 within-doc gates, optional —
+  *      [[Quality.repetitionFlags]], row-local)
+  *   7. token-count quality gate
+  *   8. DSIR selection (top-N most target-like, integer scorer)
+  *   9. curriculum ordering (global `ord` by token band)
+  *  10. epoch-weighted recipe expansion (per-source token budgets)
   * Output: surviving documents + `n_tok` (+ `mean_score` and `ord` when
   * selection/ordering ran).
   */
@@ -36,6 +38,7 @@ object Curate {
       decontaminateBench: Option[DataFrame] = None,
       decontaminateN: Int = 8,
       blocklist: Seq[String] = Nil,
+      repetitionRules: Boolean = false,
       minTokens: Long = 1L,
       maxTokens: Long = Long.MaxValue,
       dsirTarget: Option[Column] = None,
@@ -122,6 +125,16 @@ object Curate {
       cur = cur.where(graft.functions.expressions.BlocklistMatches
         .column(col(textCol), cfg.blocklist) === 0)
       mark("blocklisted")
+    }
+
+    if (cfg.repetitionRules) {
+      // Gopher repetition gate at the defaults — row-local, so the
+      // stage costs one scan; evidence columns are a diagnostic
+      // (Quality.repetitionFlags directly), not pipeline output
+      cur = Quality.repetitionFlags(cur, idCol, textCol)
+        .where(col("pass_rep"))
+        .select(cur.columns.map(col).toSeq: _*)
+      mark("repetition")
     }
 
     cur = cur.withColumn("n_tok",

@@ -252,17 +252,6 @@ object Dedup {
           .as("clean_text"))
   }
 
-  /** ALL overlapping n-token windows of an already-materialized tokens
-    * attribute, position i = window start. sequence(0, size-n) would
-    * DESCEND for size < n (negative-step default) — guarded to an empty
-    * list: a too-short doc has no n-windows.
-    */
-  private def overlappingGrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
   /** Frozen dup-span gram INDEX of a reference corpus: the SORTED
     * distinct md5-low-60 hashes of every overlapping n-token window —
     * the artifact an incremental/streaming span-dedup gate probes NEW

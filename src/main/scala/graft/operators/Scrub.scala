@@ -99,17 +99,27 @@ object Scrub {
     * be preserved — would still be rewritten (pinned in ScrubSpec).
     */
   def scrubCards(df: DataFrame, textCol: String): DataFrame = {
-    val cands = regexp_extract_all(col(textCol), lit(CcRe), lit(0))
-    val valid = filter(cands, c => luhnValid(c))
-    val segs = split(col(textCol), CcRe, -1)
+    // candidates, verdicts and segments are STAGED columns so the two
+    // regex scans and the Luhn fold each run once per row (CollapseProject
+    // keeps a non-cheap alias referenced more than once staged; the
+    // inlined form re-ran extract_all per consumer — measured 2× slower)
+    val staged = df
+      .withColumn("__cands", regexp_extract_all(col(textCol), lit(CcRe), lit(0)))
+      .withColumn("__luhn", transform(col("__cands"), c => luhnValid(c)))
+      .withColumn("__segs", split(col(textCol), CcRe, -1))
     val rebuilt = concat(
-      element_at(segs, 1),
-      array_join(zip_with(cands, slice(segs, lit(2), greatest(size(segs) - 1, lit(0))),
-        (c, seg) => concat(when(luhnValid(c), lit("<CC>")).otherwise(c), seg)),
-        ""))
-    df.withColumn("n_cc_candidates", size(cands).cast("long"))
-      .withColumn("n_cc_valid", size(valid).cast("long"))
+      element_at(col("__segs"), 1),
+      array_join(zip_with(
+        zip_with(col("__cands"), col("__luhn"),
+          (c, v) => when(v, lit("<CC>")).otherwise(c)),
+        slice(col("__segs"), lit(2),
+          greatest(size(col("__segs")) - 1, lit(0))),
+        (r, seg) => concat(r, seg)), ""))
+    staged
+      .withColumn("n_cc_candidates", size(col("__cands")).cast("long"))
+      .withColumn("n_cc_valid", size(filter(col("__luhn"), v => v)).cast("long"))
       .withColumn("cc_redacted",
-        when(size(cands) === 0, col(textCol)).otherwise(rebuilt))
+        when(size(col("__cands")) === 0, col(textCol)).otherwise(rebuilt))
+      .drop("__cands", "__luhn", "__segs")
   }
 }

@@ -564,5 +564,93 @@ object SelectionQueries {
         |       WHEN c0.doc_id NOT IN (SELECT doc_id FROM gated) THEN 'token_gate'
         |       ELSE 'kept' END AS fate,
         |  CAST(coalesce(x.copies, 0) AS BIGINT) AS emitted_copies
-        |FROM c0 LEFT JOIN x USING (doc_id) ORDER BY c0.doc_id""".stripMargin)))
+        |FROM c0 LEFT JOIN x USING (doc_id) ORDER BY c0.doc_id""".stripMargin)),
+
+    // Gopher repetition rules (Rae et al. 2021 §A1.1): top n-gram
+    // fraction (n=2..4) and duplicated-n-gram union coverage (n=5..10),
+    // token-granularity exact integers. The fixture's docs carry dup
+    // 2-grams but zero dup 5-grams, so — the q151 synthesis precedent —
+    // every 5th doc gets a 6-token phrase appended 2..7 times in-plan
+    // (same expression both engines), putting real mass on every rule's
+    // pass AND fail side. Per-doc evidence integers + failed-rule count
+    // hash-match the oracle's nine independently re-derived relations.
+    QueryDef("q165_repetition_rules",
+      (s, d) => {
+        val synth = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" "), expr(
+              "repeat('rpt0 rpt1 rpt2 rpt3 rpt4 rpt5 ', CAST(2 + doc_id % 6 AS INT))")))
+            .otherwise(col("text")).as("text"))
+        val flags = graft.operators.Quality.repetitionFlags(
+          synth, "doc_id", "text", RepTop, RepDup)
+        val failCount = (RepTop.map { case (n, _) => s"pass_top$n" } ++
+          RepDup.map { case (n, _) => s"pass_dup$n" })
+          .map(c => when(col(c), 0L).otherwise(1L)).reduce(_ + _)
+        flags.select(
+          col("doc_id") +: col("n_tok") +:
+            (RepTop.map { case (n, _) => col(s"top${n}_cnt") } ++
+              RepDup.map { case (n, _) => col(s"dup${n}_cov") } ++
+              Seq(failCount.as("n_rules_failed"),
+                when(col("pass_rep"), 1L).otherwise(0L).as("pass_rep"))): _*)
+          .orderBy("doc_id")
+      },
+      Some(repetitionOracle)))
+
+  /** Gopher thresholds (permille) the engine call above defaults to —
+    * named here so the oracle generator and the query share one list.
+    */
+  private def RepTop = Seq(2 -> 200L, 3 -> 180L, 4 -> 160L)
+  private def RepDup = Seq(5 -> 150L, 6 -> 140L, 7 -> 130L, 8 -> 120L,
+    9 -> 110L, 10 -> 100L)
+
+  /** q165 oracle: nine per-n CTE chains, each re-deriving grams →
+    * per-doc counts → (top) max count or (dup) the q153 island-union
+    * coverage window, joined wide with coalesce-0 and the same
+    * cross-multiplied permille gates.
+    */
+  private def repetitionOracle: String = {
+    def gramChain(n: Int) =
+      s"""c$n AS (SELECT doc_id, list_transform(range(0, greatest(length(toks)-${n - 1}, 0)),
+         |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+$n AS INT)), ' ')) AS grams FROM t),
+         |e$n AS (SELECT doc_id, CAST(generate_subscripts(grams, 1) - 1 AS INT) AS pos, unnest(grams) AS gram FROM c$n),
+         |f$n AS (SELECT doc_id, gram, count(*) AS cnt FROM e$n GROUP BY doc_id, gram)""".stripMargin
+    def topChain(n: Int) =
+      s"""${gramChain(n)},
+         |t$n AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top${n}_cnt FROM f$n GROUP BY doc_id)""".stripMargin
+    def dupChain(n: Int) =
+      s"""${gramChain(n)},
+         |r$n AS (SELECT e.doc_id, e.pos, e.pos + $n AS en FROM e$n e
+         |  JOIN f$n f ON e.doc_id = f.doc_id AND e.gram = f.gram WHERE f.cnt >= 2),
+         |w$n AS (SELECT doc_id, pos, en, max(en) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM r$n),
+         |v$n AS (SELECT doc_id, CAST(SUM(greatest(0, en - greatest(coalesce(pmax, pos), pos))) AS BIGINT)
+         |  AS dup${n}_cov FROM w$n GROUP BY doc_id)""".stripMargin
+    val chains = (RepTop.map { case (n, _) => topChain(n) } ++
+      RepDup.map { case (n, _) => dupChain(n) }).mkString(",\n")
+    val evid = RepTop.map { case (n, _) =>
+      s"coalesce(t$n.top${n}_cnt, CAST(0 AS BIGINT)) AS top${n}_cnt" } ++
+      RepDup.map { case (n, _) =>
+        s"coalesce(v$n.dup${n}_cov, CAST(0 AS BIGINT)) AS dup${n}_cov" }
+    val joins = (RepTop.map { case (n, _) => s"LEFT JOIN t$n USING (doc_id)" } ++
+      RepDup.map { case (n, _) => s"LEFT JOIN v$n USING (doc_id)" }).mkString(" ")
+    val failTerms = (RepTop.map { case (n, pm) =>
+      s"(CASE WHEN 1000 * top${n}_cnt * $n <= $pm * n_tok THEN 0 ELSE 1 END)" } ++
+      RepDup.map { case (n, pm) =>
+        s"(CASE WHEN 1000 * dup${n}_cov <= $pm * n_tok THEN 0 ELSE 1 END)" })
+      .mkString(" + ")
+    s"""WITH synth AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 0 THEN text || ' ' ||
+       |    repeat('rpt0 rpt1 rpt2 rpt3 rpt4 rpt5 ', CAST(2 + doc_id % 6 AS INT))
+       |  ELSE text END AS text FROM documents),
+       |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM synth),
+       |base AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tok FROM t),
+       |$chains,
+       |wide AS (SELECT base.doc_id, base.n_tok, ${evid.mkString(", ")}
+       |  FROM base $joins)
+       |SELECT doc_id, n_tok, ${(RepTop.map(p => s"top${p._1}_cnt") ++
+          RepDup.map(p => s"dup${p._1}_cov")).mkString(", ")},
+       |  CAST($failTerms AS BIGINT) AS n_rules_failed,
+       |  CAST(CASE WHEN $failTerms = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass_rep
+       |FROM wide ORDER BY doc_id""".stripMargin
+  }
 }

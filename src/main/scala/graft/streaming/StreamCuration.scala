@@ -85,8 +85,11 @@ object StreamCuration {
     * drives both the batch pipeline (`Curate.run`) and the
     * continuous-ingest one, so the two can never drift stage-by-stage.
     * The stateless stages run inline in the batch pipeline's canonical
-    * order (dedup → decontaminate → blocklist → token gate → DSIR gate),
-    * each through the SAME underlying implementation as its batch twin:
+    * order (dedup → decontaminate → blocklist → repetition gate → token
+    * gate → DSIR gate), each through the SAME underlying implementation
+    * as its batch twin (`repetitionRules` → the row-local
+    * [[graft.operators.Quality.repetitionFlags]] — one projection, no
+    * state, streams unchanged):
     *
     *   - `exactDedup` → `dropDuplicatesWithinWatermark` on the
     *     normalized text (the [[StreamDedup.exactKeepFirst]] contract:
@@ -195,6 +198,15 @@ object StreamCuration {
 
     if (cfg.blocklist.nonEmpty)
       cur = blocklistGateStream(cur, textCol, cfg.blocklist)
+
+    if (cfg.repetitionRules) {
+      // the SAME Quality.repetitionFlags as batch Curate.run — row-local
+      // (one projection, no state), so it streams unchanged; evidence
+      // columns are dropped exactly as in the batch stage
+      cur = graft.operators.Quality.repetitionFlags(cur, idCol, textCol)
+        .where(col("pass_rep"))
+        .select(cur.columns.map(col).toSeq: _*)
+    }
 
     cur = cur.withColumn("n_tok",
         size(graft.functions.TextFunctions.wsTokens(col(textCol))).cast("long"))

@@ -141,6 +141,23 @@ class CurateSpec extends SparkSpec {
     assert(fates === Map(1L -> "kept", 2L -> "span_dedup_empty"))
   }
 
+  test("repetition stage gates keyword-stuffed docs; explain labels them") {
+    // doc 2 is "buy now" ×30: top-2-gram count 30 of 60 tokens → the
+    // Gopher top2 gate (20%) fails it (and the periodic dup-5 coverage
+    // too); doc 1's 40 distinct tokens pass every rule
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, ("buy now " * 30).trim))
+      .toDF("doc_id", "text")
+    val cfg = Curate.Config(exactDedup = false, repetitionRules = true)
+    val out = Curate.run(docs, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L))
+    val fates = Curate.explain(docs, "doc_id", "text", cfg)
+      .as[(Long, String)].collect().toMap
+    assert(fates === Map(1L -> "kept", 2L -> "repetition"))
+  }
+
   test("dupSpan stage scrubs an unaligned re-quote inside the pipeline") {
     val w = (1 to 12).map(i => s"w$i").mkString(" ")
     val dup = Seq(

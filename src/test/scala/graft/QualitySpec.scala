@@ -72,4 +72,95 @@ class QualitySpec extends SparkSpec {
   }
 
   private def Tables(d: String) = graft.core.Tables.documents(spark, d)
+
+  // ---- repetitionFlags (Gopher §A1.1 repetition rules) ----
+
+  test("repetitionFlags: top-n counts and dup-n union coverage on " +
+      "hand-computed docs, including the overlapping-occurrence merge") {
+    val docs = Seq(
+      // 6 toks; "a b" ×3 (top2=3), "a b a" ×2, "a b a b" ×2; no dup 5-gram
+      (1L, "a b a b a b"),
+      // 13 toks; dup 5-grams at pos {0,1,7,8} → union [0,6)∪[7,13) = 12
+      // (pos 0 and 1 OVERLAP — the island merge must not double-count);
+      // dup6 same islands = 12; dup7 zero (the 'z' breaks every 7-gram)
+      (2L, "x1 x2 x3 x4 x5 x6 z x1 x2 x3 x4 x5 x6"),
+      // too short for any rule's grams beyond n=1: everything 0, passes
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = Quality.repetitionFlags(docs, "doc_id", "text")
+      .select("doc_id", "n_tok", "top2_cnt", "top3_cnt", "top4_cnt",
+        "dup5_cov", "dup6_cov", "dup7_cov", "dup10_cov",
+        "pass_top2", "pass_dup5", "pass_rep")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got(0) === ((1L, 6L, 3L, 2L, 2L, 0L, 0L, 0L, 0L,
+      false, true, false)))  // 1000·3·2 > 200·6 → top2 fails
+    assert(got(1)._3 === 2L, "each 'xi xj' 2-gram repeats across the halves")
+    assert(got(1)._6 === 12L, "dup5 union coverage merges the overlap")
+    assert(got(1)._7 === 12L)
+    assert(got(1)._8 === 0L)
+    assert(!got(1)._11 && !got(1)._12) // 1000·12 > 150·13 → dup5 fails
+    assert(got(2) === ((3L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+      true, true, true)))
+  }
+
+  test("repetitionFlags: pass flags are exactly the cross-multiplied " +
+      "gates over the evidence integers; partition-invariant") {
+    val docs = Tables(sf0001).limit(100)
+    val a = Quality.repetitionFlags(docs, "doc_id", "text")
+      .select("doc_id", "n_tok", "top2_cnt", "dup5_cov",
+        "pass_top2", "pass_dup5")
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    a.foreach { case (id, nTok, top2, dup5, pTop2, pDup5) =>
+      assert(pTop2 === (1000L * top2 * 2 <= 200L * nTok), s"doc $id")
+      assert(pDup5 === (1000L * dup5 <= 150L * nTok), s"doc $id")
+    }
+    val b = Quality.repetitionFlags(docs.repartition(7), "doc_id", "text")
+      .select("doc_id", "n_tok", "top2_cnt", "dup5_cov",
+        "pass_top2", "pass_dup5")
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(a.sortBy(_._1) === b.sortBy(_._1))
+  }
+
+  test("native RepetitionStats == declarative fold twin on the whole " +
+      "fixture, every width 2..10 (bit parity)") {
+    import graft.functions.TextFunctions.wsTokens
+    import graft.functions.expressions.TextHashExpressions
+    val docs = Tables(sf0001).withColumn("__toks", wsTokens(col("text")))
+    (2 to 10).foreach { n =>
+      val diff = docs.select(
+          TextHashExpressions.repetitionStats(col("__toks"), n).as("a"),
+          Quality.repetitionStatsFold(col("__toks"), n).as("b"))
+        .where(col("a.top_cnt") =!= col("b.top_cnt") ||
+          col("a.dup_cov") =!= col("b.dup_cov"))
+        .count()
+      assert(diff === 0L, s"native vs fold diverged at n=$n")
+    }
+  }
+
+  test("repetitionFlags guards: bad n, bad permille, duplicate n, " +
+      "empty rule lists all fail loud; no cross-document join in plan") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Quality.repetitionFlags(docs, "doc_id", "text", topNs = Seq(0 -> 100L))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.repetitionFlags(docs, "doc_id", "text", topNs = Seq(2 -> 1200L))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.repetitionFlags(docs, "doc_id", "text",
+        dupNs = Seq(5 -> 100L, 5 -> 200L))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.repetitionFlags(docs, "doc_id", "text",
+        topNs = Nil, dupNs = Nil)
+    }
+    // row-local contract: the whole operator is one projection chain —
+    // zero shuffle, zero join, like scrub/q158
+    val plan = Quality.repetitionFlags(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
 }

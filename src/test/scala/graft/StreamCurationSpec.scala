@@ -58,6 +58,33 @@ class StreamCurationSpec extends SparkSpec {
     assert(streamed === Seq(1L, 4L))
   }
 
+  test("repetition gate runs stateless inside a stream; survivors == " +
+      "batch Curate.run under the same Config") {
+    val tmp = Files.createTempDirectory("graft-repstream-").toString
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),  // passes all
+      (2L, ("buy now " * 30).trim),                      // top2 + dup5 fail
+      (3L, (1 to 30).map(i => s"w$i").mkString(" ")))    // passes all
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/in")
+    val cfg = graft.operators.Curate.Config(
+      exactDedup = false, repetitionRules = true)
+    val stream = spark.readStream
+      .schema(docs.schema).option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val gated = StreamCuration.run(stream, "doc_id", "text", cfg)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.format("memory").queryName("rep_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("rep_out")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.operators.Curate.run(docs, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set(1L, 3L))
+  }
+
   test("streaming decontamination drops the same docs as the batch path") {
     val tmp = Files.createTempDirectory("graft-decstream-").toString
     val corpus = Seq(
