@@ -171,6 +171,7 @@ object Demo {
     val demoCfg = graft.operators.Curate.Config(
       exactDedup = true,
       blocklist = Seq("error", "slow"),
+      repetitionRules = true, // Gopher §A1.1 gates — shows as 'repetition' fates
       minTokens = 30L,
       dsirTarget = Some($"lang" === "en"), dsirTopN = 8,
       dsirBuckets = 1024,
