@@ -71,6 +71,9 @@ object ScaleBench {
     val familyFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     familyFilter.foreach { f =>
+      require(f.nonEmpty, // "" / whitespace must not silently sweep nothing
+        "SPARK_GRAFT_FAMILIES is set but names no families — unset it " +
+          "for a full sweep or list families comma-separated")
       val unknown = f -- families.toSet
       require(unknown.isEmpty, // a typo must not silently sweep nothing
         s"SPARK_GRAFT_FAMILIES names unknown families: ${unknown.mkString(", ")}")

@@ -552,6 +552,44 @@ case class RepetitionStats(child: Expression, n: Int)
   override def prettyName: String = "repetition_stats"
 }
 
+/** [[RepetitionStats]] for SEVERAL widths in one pass: the per-token
+  * UTF-8 bytes are extracted once and every width's gram hashing loops
+  * over the shared byte arrays — the default rule-pack needs nine
+  * widths, and nine independent single-width passes would re-materialize
+  * the document's bytes nine times per row. Output: array of
+  * (top_cnt, dup_cov) structs, index-aligned with `ns`.
+  */
+case class RepetitionStatsMulti(child: Expression, ns: Seq[Int])
+    extends UnaryExpression {
+  require(ns.nonEmpty && ns.forall(_ >= 1),
+    s"repetition_stats_multi: widths must be >= 1 (got ${ns.mkString(",")})")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("top_cnt", LongType, nullable = false),
+    StructField("dup_cov", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats_multi expects array<string>, got ${child.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStatsUtil.computeMulti(input.asInstanceOf[ArrayData], ns.toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("widths", ns.toArray, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.RepetitionStatsUtil.computeMulti($c, $nsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats_multi"
+}
+
 object RepetitionStatsUtil {
   private val digests = ThreadLocal.withInitial(
     new java.util.function.Supplier[java.security.MessageDigest] {
@@ -559,24 +597,49 @@ object RepetitionStatsUtil {
         java.security.MessageDigest.getInstance("MD5")
     })
 
-  def compute(toks: ArrayData, n: Int): InternalRow = {
+  /** Token bytes extracted ONCE, then one [[computeOne]] per width.
+    * A null token element carries the declarative `concat_ws` contract
+    * through the hash: skipped, with separators only BETWEEN written
+    * tokens — so the gram bytes (and the 60-bit key) match
+    * `md5Low60(concat_ws(" ", slice(toks, …)))` exactly, nulls or not.
+    */
+  def computeMulti(toks: ArrayData, ns: Array[Int]): GenericArrayData = {
     val t = toks.numElements()
+    val tb = new Array[Array[Byte]](t)
+    var i = 0
+    while (i < t) {
+      tb(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Any](ns.length)
+    var w = 0
+    while (w < ns.length) { out(w) = computeOne(tb, ns(w)); w += 1 }
+    new GenericArrayData(out)
+  }
+
+  def compute(toks: ArrayData, n: Int): InternalRow =
+    computeMulti(toks, Array(n)).array(0).asInstanceOf[InternalRow]
+
+  private def computeOne(tb: Array[Array[Byte]], n: Int): InternalRow = {
+    val t = tb.length
     val g = t - n + 1
     if (g <= 0)
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](0L, 0L))
     val md = digests.get()
-    val tb = new Array[Array[Byte]](t)
-    var i = 0
-    while (i < t) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
     val hs = new Array[Long](g)
     var p = 0
     while (p < g) {
       md.reset()
       var j = 0
+      var wrote = false
       while (j < n) {
-        if (j > 0) md.update(' '.toByte)
-        md.update(tb(p + j))
+        val b = tb(p + j)
+        if (b != null) {
+          if (wrote) md.update(' '.toByte)
+          md.update(b)
+          wrote = true
+        }
         j += 1
       }
       val d = md.digest()
@@ -595,7 +658,7 @@ object RepetitionStatsUtil {
     var run = 1L
     var nd = 0
     val dups = new Array[Long](g / 2 + 1)
-    i = 1
+    var i = 1
     while (i < g) {
       if (sorted(i) == sorted(i - 1)) {
         run += 1
@@ -669,4 +732,7 @@ object TextHashExpressions {
 
   def repetitionStats(toks: Column, n: Int): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(toks), n))
+
+  def repetitionStatsMulti(toks: Column, ns: Seq[Int]): Column =
+    ColumnBridge.column(RepetitionStatsMulti(ColumnBridge.expression(toks), ns))
 }

@@ -602,7 +602,14 @@ object Dedup {
       // joined-then-distinct candidates could not short-circuit: the
       // dedup aggregate below the limit forces the full join first, and
       // an unpersisted pass would re-run it for the histogram.)
-      val slots = banded.groupBy("band_idx", "band_key")
+      // defensive null-key exclusion: a null band_key could never
+      // satisfy the equality join below, so it is not a slot. (In
+      // practice minhashed's bands are non-null even for null text —
+      // empty shingles give all-null signature slots whose band keys
+      // STILL equal each other, i.e. null-text docs are genuine
+      // candidates and DO count; pinned in the guard spec.)
+      val slots = banded.where(col("band_key").isNotNull)
+        .groupBy("band_idx", "band_key")
         .agg(count(lit(1)).as("sz"))
         .agg(coalesce(sum(expr("sz * (sz - 1L) div 2L")), lit(0L)))
         .head().getLong(0)

@@ -113,21 +113,22 @@ object Quality {
         s"repetitionFlags: permille $pm outside [0, 1000]")
     }
     val ns = (topNs.map(_._1) ++ dupNs.map(_._1)).distinct.sorted
-    // staged columns: __toks once, then per width ONE native
-    // RepetitionStats pass yielding both statistics (a width needed by
-    // both rule kinds is computed once)
-    val staged0 = df
+    val idxOf = ns.zipWithIndex.toMap
+    // staged columns: __toks once, then ONE multi-width native pass —
+    // token bytes are extracted once and every width loops over them;
+    // a width needed by both rule kinds is computed once
+    val staged = df
       .withColumn("__toks", wsTokens(col(textCol)))
       .withColumn("n_tok", size(col("__toks")).cast("long"))
-    val staged = ns.foldLeft(staged0) { (d, n) =>
-      d.withColumn(s"__rs$n", graft.functions.expressions
-        .TextHashExpressions.repetitionStats(col("__toks"), n))
-    }
+      .withColumn("__rs", graft.functions.expressions
+        .TextHashExpressions.repetitionStatsMulti(col("__toks"), ns))
     val withTop = topNs.foldLeft(staged) { case (d, (n, _)) =>
-      d.withColumn(s"top${n}_cnt", col(s"__rs$n").getField("top_cnt"))
+      d.withColumn(s"top${n}_cnt",
+        col("__rs").getItem(idxOf(n)).getField("top_cnt"))
     }
     val withCov = dupNs.foldLeft(withTop) { case (d, (n, _)) =>
-      d.withColumn(s"dup${n}_cov", col(s"__rs$n").getField("dup_cov"))
+      d.withColumn(s"dup${n}_cov",
+        col("__rs").getItem(idxOf(n)).getField("dup_cov"))
     }
     val withPass = topNs.foldLeft(withCov) { case (d, (n, pm)) =>
       d.withColumn(s"pass_top$n",
@@ -141,7 +142,7 @@ object Quality {
       dupNs.map(n => s"pass_dup${n._1}")
     withDup
       .withColumn("pass_rep", passCols.map(col).reduce(_ && _))
-      .drop("__toks" +: ns.map(n => s"__rs$n"): _*)
+      .drop("__toks", "__rs")
   }
 
   /** Declarative fold TWIN of the native
@@ -154,6 +155,10 @@ object Quality {
     * coverage. Interpreted lambdas — keep the native form in pipelines.
     */
   def repetitionStatsFold(toks: Column, n: Int): Column = {
+    // null-input contract aligned with the native expression: null
+    // tokens array → null struct (UnaryExpression propagation), and a
+    // null ELEMENT is skipped by concat_ws inside overlappingGrams —
+    // both pinned in QualitySpec
     val pairs = array_sort(transform(overlappingGrams(toks, n), (g, i) =>
       struct(md5Low60(g).as("gh"), i.as("pos"))))
     val m = size(pairs)
@@ -190,7 +195,7 @@ object Quality {
           .as("rm"),
         greatest(acc.getField("me"), pp + lit(n)).as("me")),
       acc => acc.getField("rm"))
-    struct(topCnt.as("top_cnt"), cov.as("dup_cov"))
+    when(toks.isNotNull, struct(topCnt.as("top_cnt"), cov.as("dup_cov")))
   }
 
   private def fails(flag: String): Column =

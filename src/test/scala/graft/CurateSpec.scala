@@ -62,14 +62,18 @@ class CurateSpec extends SparkSpec {
   test("withCurated: same result as run, and no cached blocks leak") {
     val cfg = Curate.Config(dsirTarget = Some(col("lang") === "en"),
       dsirTopN = 5, dsirBuckets = 256, minTokens = 3L)
+    // delta-based leak check: other suites in the shared session may
+    // legitimately hold persisted frames (e.g. jaccardPairsPrefix's
+    // materialized pair list) — withCurated must add NONE of its own
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val viaScoped = Curate.withCurated(corpus, "doc_id", "text", cfg) { df =>
       df.select("doc_id").as[Long].collect().sorted.toSeq
     }
     val viaLazy = Curate.run(corpus, "doc_id", "text", cfg)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(viaScoped === viaLazy)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "withCurated must release its cache")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"withCurated must release its cache: $leaked")
   }
 
   test("epoch-recipe stage expands the curated corpus per-source budget") {

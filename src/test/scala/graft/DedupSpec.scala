@@ -809,6 +809,24 @@ class DedupSpec extends SparkSpec {
         sampleFraction = Some(1.5))
     }
     assert(badF.getMessage.contains("sampleFraction"), badF.getMessage)
+    // null-text docs are NOT phantoms: their empty shingle sets yield
+    // identical (all-null-slot) signatures, so they share every band
+    // key and genuinely collide in the band join — the guard must count
+    // that work. 5 nulls + 2 identical docs = 4·(C(5,2)+C(2,2)) = 44
+    // slots: a cap of 8 trips on real work, a cap of 44 runs and the
+    // histogram carries C(5,2)+1 = 11 pairs
+    val withNulls = (Seq((10L, "same near dup text"),
+        (11L, "same near dup text")) ++
+      (1L to 5L).map(i => (i, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val trip = intercept[IllegalArgumentException] {
+      Dedup.minhashCalibration(withNulls, "doc_id", "text",
+        maxCandidates = Some(8L))
+    }
+    assert(trip.getMessage.contains("44"), trip.getMessage)
+    val hist = Dedup.minhashCalibration(withNulls, "doc_id", "text",
+      maxCandidates = Some(44L)).collect()
+    assert(hist.map(_.getLong(2)).sum === 11L)
   }
 
   // ---- maximalDupSpans (Lee et al. 2022 true ExactSubstr policy) ----

@@ -124,18 +124,51 @@ class QualitySpec extends SparkSpec {
   }
 
   test("native RepetitionStats == declarative fold twin on the whole " +
-      "fixture, every width 2..10 (bit parity)") {
+      "fixture, every width 2..10 (bit parity); multi == single") {
     import graft.functions.TextFunctions.wsTokens
     import graft.functions.expressions.TextHashExpressions
     val docs = Tables(sf0001).withColumn("__toks", wsTokens(col("text")))
+    val multi = TextHashExpressions.repetitionStatsMulti(
+      col("__toks"), (2 to 10).toSeq)
     (2 to 10).foreach { n =>
       val diff = docs.select(
           TextHashExpressions.repetitionStats(col("__toks"), n).as("a"),
-          Quality.repetitionStatsFold(col("__toks"), n).as("b"))
+          Quality.repetitionStatsFold(col("__toks"), n).as("b"),
+          multi.getItem(n - 2).as("c"))
         .where(col("a.top_cnt") =!= col("b.top_cnt") ||
-          col("a.dup_cov") =!= col("b.dup_cov"))
+          col("a.dup_cov") =!= col("b.dup_cov") ||
+          col("a.top_cnt") =!= col("c.top_cnt") ||
+          col("a.dup_cov") =!= col("c.dup_cov"))
         .count()
-      assert(diff === 0L, s"native vs fold diverged at n=$n")
+      assert(diff === 0L, s"native vs fold vs multi diverged at n=$n")
+    }
+  }
+
+  test("RepetitionStats null contract matches the fold twin: null " +
+      "ELEMENTS hash like concat_ws (skipped), a null ARRAY yields null") {
+    import graft.functions.expressions.TextHashExpressions
+    // [a, null, a, null, a]: concat_ws-joined 2-gram windows are
+    // "a" (x4... positions 0..3) — window [a,null] and [null,a] both
+    // hash the single written token; the native pass must agree with
+    // the fold's md5Low60(concat_ws(...)) byte-for-byte
+    val rows = Seq(
+      (1L, Seq[String]("a", null, "a", null, "a")),
+      (2L, null.asInstanceOf[Seq[String]]))
+      .toDF("id", "toks")
+    (2 to 3).foreach { n =>
+      val got = rows.select(col("id"),
+          TextHashExpressions.repetitionStats(col("toks"), n).as("a"),
+          Quality.repetitionStatsFold(col("toks"), n).as("b"))
+        .orderBy("id")
+        .select(col("id"),
+          col("a.top_cnt"), col("a.dup_cov"), col("a").isNull.as("an"),
+          col("b.top_cnt"), col("b.dup_cov"), col("b").isNull.as("bn"))
+        .collect()
+      assert(got(0).getBoolean(3) === false && got(0).getBoolean(6) === false)
+      assert(got(0).getLong(1) === got(0).getLong(4), s"top_cnt n=$n")
+      assert(got(0).getLong(2) === got(0).getLong(5), s"dup_cov n=$n")
+      assert(got(1).getBoolean(3) && got(1).getBoolean(6),
+        s"null array must be null on BOTH forms at n=$n")
     }
   }
 
