@@ -110,6 +110,48 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** LINE-level exact dedup — the RefinedWeb / MassiveText boilerplate
+    * scrub (Penedo et al. 2023 §4.2 line-wise corrections; Rae et al.
+    * 2021 §A1.1 repetition context): a line whose normalized form
+    * ([[exactKey]]) appears in >= `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, copyright footers) and is
+    * removed from EVERY document. Within-doc repetition is deliberately
+    * untouched (that is [[graft.operators.Quality.repetitionFlags]]'s
+    * axis — a line repeated 50× inside one doc but nowhere else is a
+    * quality problem, not corpus boilerplate), and whitespace-only lines
+    * never count as duplicates (every doc has them; removing them would
+    * destroy paragraph structure).
+    *
+    * Scale shape = [[chunkDedup]]: lines shuffle as 60-bit md5 hashes of
+    * the normalized key (never the strings), the hot set comes from a
+    * map-side-combinable distinct-doc aggregate, the drop is a left-anti
+    * on the already-shuffled hash key, and reassembly is one
+    * groupBy(id). Three hash/id-key shuffles, no all-pairs anything.
+    * Output: (id, n_lines, removed_lines, clean_text), one row per input
+    * document (a fully-boilerplate doc keeps an empty clean_text).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"lineDedup: minDocs $minDocs must be >= 2")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5Low60(exactKey(col("line"))))
+    val base = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val hot = lines.where(trim(col("line")) =!= "")
+      .groupBy(col("lh")).agg(countDistinct(col(idCol)).as("dfreq"))
+      .where(col("dfreq") >= minDocs).select("lh")
+    val kept = lines.join(hot, Seq("lh"), "left_anti")
+    // pos is unique per doc, so the struct sort is total (tie-break rule)
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line")), "\n").as("clean_text"))
+    base.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("removed_lines"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** [[exact]] on the CANONICAL key ([[canonicalText]] — lowercase,
     * punctuation/whitespace-insensitive): the CCNet normalization step
     * before exact dedup, catching re-punctuated/re-cased republications
@@ -443,22 +485,52 @@ object Dedup {
     * above the longest duplication you care to delimit); (2) a
     * boilerplate gram repeated millions of times makes ONE sort group
     * (one task) — at corpus scale scrub boilerplate first
-    * ([[chunkDedup]]) or raise `minLen`.
+    * ([[chunkDedup]]), raise `minLen`, or set `maxGramFreq`: seed grams
+    * occurring more than the cap leave the pipeline entirely (the
+    * [[jaccardPairsPrefix]] hot-token discipline), WARN-logged with the
+    * dropped-group count. The cap is LOSSY by declaration — spans
+    * witnessed only by over-cap boilerplate grams are missed, and a
+    * surviving span that STARTS inside a dropped hot run can report a
+    * shorter extent (its left-maximality witness left with the hot
+    * gram) — the explicit trade for bounding the largest sort group at
+    * `maxGramFreq` rows.
     * Output: (id, s, e, len), one row per maximal span.
     */
   def maximalDupSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int, maxSpan: Int = 256): DataFrame = {
+      minLen: Int, maxSpan: Int = 256,
+      maxGramFreq: Option[Long] = None): DataFrame = {
     require(minLen >= 1, s"maximalDupSpans: minLen $minLen must be >= 1")
     require(maxSpan >= minLen,
       s"maximalDupSpans: maxSpan $maxSpan must be >= minLen $minLen")
+    require(maxGramFreq.forall(_ >= 2),
+      s"maximalDupSpans: maxGramFreq $maxGramFreq must be >= 2")
     val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
     val grams = toks
       .select(col(idCol),
         posexplode(overlappingGrams(col("toks"), minLen)).as(Seq("pos", "gram")))
       .withColumn("gh", md5Low60(col("gram")))
       .select(col(idCol), col("pos"), col("gh"))
-    val dup = grams.groupBy(col("gh"))
-      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2).select("gh")
+    val dupAll = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+    // skew cap (opt-in): the WARN evidence costs one extra gram-agg pass
+    // (eager action, no cache left behind) — charged only when the
+    // caller asked for the 100-TB skew cap; the cap-free default pays
+    // nothing.
+    val dup = maxGramFreq match {
+      case None => dupAll.select("gh")
+      case Some(cap) =>
+        val hot = dupAll.where(col("cnt") > cap)
+          .agg(count(lit(1)).as("n_hot"),
+            coalesce(sum(col("cnt")), lit(0L)).as("occ"))
+          .collect()(0)
+        if (hot.getLong(0) > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"maximalDupSpans: dropped ${hot.getLong(0)} hot grams " +
+              s"(cnt > $cap, ${hot.getLong(1)} occurrences) — spans " +
+              "witnessed only by boilerplate grams are MISSED " +
+              "(losslessness broken by cap)")
+        dupAll.where(col("cnt") <= cap).select("gh")
+    }
     val seeds = grams.join(dup.hint("SHUFFLE_HASH"), Seq("gh"))
     // island merge (the q153 union rule) — R(i) <= its island's end, so
     // the suffix slice below never needs to reach past it

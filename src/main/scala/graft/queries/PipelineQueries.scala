@@ -2461,7 +2461,50 @@ object PipelineQueries {
         |SELECT * FROM (
         |  SELECT lang, level, n, CAST(NULL AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v FROM l
         |  UNION ALL SELECT lang, level, n, u, v FROM s)
-        |ORDER BY lang, v ASC NULLS FIRST, u ASC NULLS FIRST""".stripMargin))
+        |ORDER BY lang, v ASC NULLS FIRST, u ASC NULLS FIRST""".stripMargin)),
+
+    // LINE-level boilerplate scrub (RefinedWeb, Penedo et al. 2023): a
+    // normalized line in >= 2 distinct docs is removed from every doc.
+    // The fixture has no newlines, so — q165's synthesis precedent —
+    // boilerplate lines are appended in-plan (same expressions both
+    // engines): a newsletter line (every 3rd doc), a copyright footer
+    // (every 4th), doc 42's WeIrD-CaSe copy of the footer (appears ONCE
+    // — removable only through key normalization, the case this pins),
+    // and a per-doc unique ref-code line (never removed — pins the
+    // "unique lines survive" side). Three hash/id-key shuffles.
+    QueryDef("q166_line_dedup",
+      (s, d) => {
+        val synth = Tables.documents(s, d).select(col("doc_id"),
+          concat_ws("\n",
+            col("text"),
+            when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter")),
+            when(col("doc_id") === 42, lit("CoPyRiGhT 2024 example corp ALL RIGHTS RESERVED")),
+            when(col("doc_id") % 4 === 0, lit("copyright 2024 example corp all rights reserved")),
+            when(col("doc_id") % 17 === 0, concat(lit("ref code "), col("doc_id"))))
+            .as("text"))
+        Dedup.lineDedup(synth, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH synth AS (SELECT doc_id, concat_ws(chr(10), text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' END,
+        |    CASE WHEN doc_id = 42 THEN 'CoPyRiGhT 2024 example corp ALL RIGHTS RESERVED' END,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'copyright 2024 example corp all rights reserved' END,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'ref code ' || CAST(doc_id AS VARCHAR) END) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, CAST(generate_subscripts(ls, 1) - 1 AS INT) AS pos, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth)),
+        |h AS (SELECT doc_id, pos, line,
+        |  CAST('0x'||substr(md5(lower(trim(line))),18,15) AS BIGINT) AS lh FROM l),
+        |hot AS (SELECT lh FROM h WHERE trim(line) <> ''
+        |  GROUP BY lh HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT * FROM h WHERE lh NOT IN (SELECT lh FROM hot)),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM h GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_lines,
+        |  b.n_lines - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS removed_lines,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

@@ -927,6 +927,62 @@ class DedupSpec extends SparkSpec {
     assert(cov === (0L until 40L).toSet)
   }
 
+  test("maximalDupSpans maxGramFreq cap: boilerplate-witnessed spans drop, " +
+      "genuine low-frequency duplicates survive untouched") {
+    import spark.implicits._
+    // one 8-token boilerplate phrase in 6 docs (its single 8-gram has
+    // cnt=6) + a genuine 12-token 2-way duplicate (every gram cnt=2)
+    val hot = ws("h", 0, 8)
+    val pair = ws("p", 0, 12)
+    val docs = ((1 to 6).map(i => (i.toLong, ws(s"n$i", 0, 10) + " " + hot)) ++
+      Seq((7L, pair + " " + ws("s", 0, 10)), (8L, ws("r", 0, 10) + " " + pair)))
+      .toDF("doc_id", "text")
+    val un = Dedup.maximalDupSpans(docs, "doc_id", "text", minLen = 8)
+      .select("doc_id", "s", "e").as[(Long, Long, Long)].collect().toSeq
+    assert(un.count(_._1 <= 6L) === 6, un.mkString(", "))  // hot spans present
+    val capped = Dedup.maximalDupSpans(docs, "doc_id", "text", minLen = 8,
+        maxGramFreq = Some(4L))
+      .select("doc_id", "s", "e").as[(Long, Long, Long)].collect().toSeq
+    assert(capped.forall(_._1 >= 7L), capped.mkString(", ")) // hot spans gone
+    // the genuine duplicate's spans are IDENTICAL to the uncapped run
+    assert(capped.toSet === un.filter(_._1 >= 7L).toSet)
+    assert(capped.toSet === Set((7L, 0L, 12L), (8L, 10L, 22L)))
+    intercept[IllegalArgumentException] {
+      Dedup.maximalDupSpans(docs, "doc_id", "text", minLen = 8,
+        maxGramFreq = Some(1L))
+    }
+  }
+
+  // ---- lineDedup (RefinedWeb boilerplate-line scrub) ----
+
+  test("lineDedup: cross-doc boilerplate lines removed everywhere, " +
+      "case-normalized keys match, unique and blank lines survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha body one\nSubscribe to our newsletter\nunique tail 1"),
+      (2L, "beta body two\nsubscribe TO OUR newsletter\n\nunique tail 2"),
+      (3L, "gamma\n\ngamma second paragraph"),
+      (4L, "Subscribe to our newsletter"), // fully-boilerplate doc
+      (5L, "delta\nrepeat me\nrepeat me")) // within-doc repeat: KEPT
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 1L, "alpha body one\nunique tail 1"),
+      (2L, 4L, 1L, "beta body two\n\nunique tail 2"), // blank line survives
+      (3L, 3L, 0L, "gamma\n\ngamma second paragraph"),
+      (4L, 1L, 1L, ""),                               // empty, not vanished
+      (5L, 3L, 0L, "delta\nrepeat me\nrepeat me")),   // within-doc untouched
+      got.mkString("; "))
+    // minDocs raised past the hottest line -> nothing removed
+    val loose = Dedup.lineDedup(docs, "doc_id", "text", minDocs = 4)
+      .agg(sum("removed_lines")).collect()(0).getLong(0)
+    assert(loose === 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.lineDedup(docs, "doc_id", "text", minDocs = 1)
+    }
+  }
+
   test("semanticDedup keeps the LEAST-centroid-similar member of each dup group") {
     import spark.implicits._
     val vecs = Seq(
