@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Decontaminate, Dedup, Graph, Knn, Pq, Rank, SimilaritySearch}
+import graft.operators.{Decontaminate, Dedup, Graph, Knn, Pq, Rank, SimilaritySearch, Web}
 
 /** Training-data-pipeline operators as oracle-checked queries (q17–q26):
   * near-dup detection (MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -2504,7 +2504,93 @@ object PipelineQueries {
         |  b.n_lines - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS removed_lines,
         |  coalesce(a.clean_text, '') AS clean_text
         |FROM base b LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization + registered-domain cap (RefinedWeb §3.1 URL
+    // hygiene): scheme/host lowercase, www. strip, default-port strip,
+    // tracking-param scrub + param sort, fragment drop; then eTLD+1
+    // extraction (multi-part suffix aware) and a deterministic <= 8
+    // docs-per-domain cap with auditable rank/kept columns. URLs are
+    // synthesized in-plan (fixture has no url column — q165 precedent),
+    // covering every rewrite rule: mixed-case scheme/host, www + cdn
+    // subdomains, :80/:443 dropped vs :8443 kept, utm params scrubbed
+    // around kept params (sort pins the order), fragments, and .co.uk
+    // vs .com suffixes. Canonicalization is row-local codegen; the cap
+    // is the query's only shuffle (domain-key window).
+    QueryDef("q167_url_canonical_domain_cap",
+      (s, d) => {
+        val did = col("doc_id")
+        val urls = Tables.documents(s, d).select(did, col("n_chars"),
+          concat(
+            when(did % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+            when(did % 3 === 0, lit("WWW.")).otherwise(lit("")),
+            when(did % 8 === 0, lit("CDN.")).otherwise(lit("")),
+            col("source"), lit("-Example"),
+            when(did % 5 === 0, lit(".co.uk")).otherwise(lit(".COM")),
+            when(did % 2 === 0, lit(":80"))
+              .when(did % 9 === 0, lit(":443"))
+              .when(did % 7 === 0, lit(":8443")).otherwise(lit("")),
+            lit("/Articles/Item"), (did % 50).cast("string"),
+            when(did % 4 === 0, lit("?utm_source=feed&z=26&a=1"))
+              .when(did % 4 === 1,
+                concat(lit("?id="), (did % 20).cast("string"),
+                  lit("&utm_campaign=x")))
+              .otherwise(lit("")),
+            when(did % 6 === 0, lit("#Section-2")).otherwise(lit("")))
+            .as("url"))
+        val canon = urls
+          .withColumn("canon_url", Web.canonicalizeUrl(col("url")))
+          .withColumn("domain", Web.registeredDomain(Web.hostOf(col("canon_url"))))
+        Web.domainCap(canon, "domain", maxPerDomain = 8,
+            col("n_chars").desc, col("doc_id").asc)
+          .select("doc_id", "canon_url", "domain", "domain_rank", "kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, n_chars,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 8 = 0 THEN 'CDN.' ELSE '' END) ||
+        |  source || '-Example' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.COM' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN ':80'
+        |        WHEN doc_id % 9 = 0 THEN ':443'
+        |        WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END) ||
+        |  '/Articles/Item' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&z=26&a=1'
+        |        WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 20 AS VARCHAR) || '&utm_campaign=x'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_chars,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS h0,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+        |  FROM u),
+        |c2 AS (SELECT doc_id, n_chars, scheme, rest,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(h0, ':80$$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(h0, ':443$$', '')
+        |       ELSE h0 END AS host FROM c),
+        |p AS (SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS p0,
+        |  coalesce(array_to_string(list_sort(list_filter(string_split(regexp_extract(rest, '\\?(.*)$$', 1), '&'),
+        |    x -> NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)(=|$$)') AND x <> '')), '&'), '') AS qq
+        |  FROM c2),
+        |canon AS (SELECT doc_id, n_chars,
+        |  scheme || '://' || host || (CASE WHEN p0 = '' THEN '/' ELSE p0 END) ||
+        |    (CASE WHEN qq = '' THEN '' ELSE '?' || qq END) AS canon_url,
+        |  string_split(regexp_replace(host, ':[0-9]+$$', ''), '.') AS ls,
+        |  regexp_replace(host, ':[0-9]+$$', '') AS hostname FROM p),
+        |d2 AS (SELECT *, len(ls) AS n,
+        |  (CASE WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1] END) AS last2 FROM canon),
+        |d3 AS (SELECT doc_id, n_chars, canon_url,
+        |  CASE WHEN n <= 1 THEN hostname
+        |       WHEN n >= 3 AND last2 IN (${Web.MultiPartTlds.map(t => s"'$t'").mkString(",")})
+        |         THEN ls[-3] || '.' || last2
+        |       ELSE last2 END AS domain FROM d2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+        |  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS domain_rank FROM d3)
+        |SELECT doc_id, canon_url, domain, domain_rank,
+        |  CAST(CASE WHEN domain_rank <= 8 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

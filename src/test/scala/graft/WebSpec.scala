@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Web
+
+/** URL canonicalization / registered-domain / domain-cap semantics on
+  * adversarial fixtures; oracle parity over engine-synthesized URLs is
+  * q167_url_canonical_domain_cap.
+  */
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canonOne(s: String): String =
+    Seq(s).toDF("url").select(Web.canonicalizeUrl(col("url")).as("c"))
+      .as[String].head()
+
+  private def domainOne(s: String): String =
+    Seq(s).toDF("url")
+      .select(Web.registeredDomain(Web.hostOf(Web.canonicalizeUrl(col("url"))))
+        .as("d"))
+      .as[String].head()
+
+  test("canonicalizeUrl: case, www, default ports, tracking params, " +
+      "param sort, fragment") {
+    assert(canonOne("HTTP://WWW.Example.COM:80/Path/A?b=2&utm_source=x&a=1#frag")
+      === "http://example.com/Path/A?a=1&b=2")
+    assert(canonOne("https://Sub.Site.co.uk:443/") === "https://sub.site.co.uk/")
+    // non-default port kept; path case preserved
+    assert(canonOne("https://host.com:8443/CaseSensitive") ===
+      "https://host.com:8443/CaseSensitive")
+    // empty path -> '/'; fully-tracking query loses its '?'
+    assert(canonOne("http://a.com?utm_campaign=x&fbclid=1&gclid=2") ===
+      "http://a.com/")
+    // a param merely CONTAINING 'utm_' mid-key is kept; bare flag w/o '='
+    assert(canonOne("http://a.com/p?xutm_q=1&utm_x") === "http://a.com/p?xutm_q=1")
+    // :80 on https is NOT default -> kept
+    assert(canonOne("https://a.com:80/x") === "https://a.com:80/x")
+  }
+
+  test("registeredDomain: eTLD+1 with multi-part suffixes, subdomains, " +
+      "and fail-soft degenerate hosts") {
+    assert(domainOne("http://www.news.bbc.co.uk/story") === "bbc.co.uk")
+    assert(domainOne("https://cdn.assets.example.com/x") === "example.com")
+    assert(domainOne("http://example.com/") === "example.com")
+    assert(domainOne("http://localhost:8080/x") === "localhost")
+    // kept non-default port is not part of the domain
+    assert(domainOne("https://deep.sub.site.org:9999/") === "site.org")
+  }
+
+  test("domainCap: deterministic rank within domain, kept flag at the cap") {
+    val df = Seq(
+      ("a.com", 1L, 100L), ("a.com", 2L, 300L), ("a.com", 3L, 300L),
+      ("a.com", 4L, 200L), ("b.org", 5L, 10L))
+      .toDF("domain", "id", "quality")
+    val got = Web.domainCap(df, "domain", maxPerDomain = 2,
+        col("quality").desc, col("id").asc)
+      .select("id", "domain_rank", "kept")
+      .as[(Long, Long, Long)].collect().toSet
+    // a.com order: id2 (300), id3 (300, id tie-break), id4 (200), id1 (100)
+    assert(got === Set((2L, 1L, 1L), (3L, 2L, 1L), (4L, 3L, 0L),
+      (1L, 4L, 0L), (5L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      Web.domainCap(df, "domain", maxPerDomain = 0, col("id").asc)
+    }
+  }
+}
