@@ -214,6 +214,80 @@ object Profile {
       .orderBy("bucket")
   }
 
+  /** Exact-integer TOKEN-DISTRIBUTION drift between every pair of
+    * sources — the data-mixing diagnostic next to [[ksDrift]] (which
+    * watches ONE numeric column between TWO named samples; this watches
+    * the whole unigram distribution across ALL source pairs): tokens
+    * hash to `buckets` md5 buckets (the DSIR bounded-state discipline,
+    * salt `"tvd:"`), and per source pair the TOTAL-VARIATION distance
+    * over bucketed distributions comes out as an exact rational —
+    * numerator Σ_b |c_A·N_B − c_B·N_A| on common denominator 2·N_A·N_B.
+    * TV needs no logs (unlike KL/JS), so the whole statistic is integer
+    * arithmetic both engines replay bit-for-bit; `tv_permille` =
+    * 1000·num div denom is the 0..1000 headline number.
+    *
+    * One-sided buckets never join, so the numerator decomposes as
+    * Σ_{b∈both} |c_A·N_B − c_B·N_A| + (N_A − S_A)·N_B + (N_B − S_B)·N_A
+    * with S = the joined-bucket partial sums — the inner equi-join on
+    * bucket is all that runs; nothing materializes the bucket union.
+    *
+    * Scale shape: one hash-agg to (source, bucket) counts (≤ S·buckets
+    * rows — bounded state, map-side combined), a bucket equi-join of
+    * that bounded relation with itself (≤ S²·buckets rows), and a
+    * broadcast of the S-row totals. The corpus is read once; products
+    * run in decimal(38,0) so nothing wraps at 100 TB (N_A·N_B at 10^13
+    * tokens per source exceeds Long). Output: (src_a, src_b, n_a, n_b,
+    * tv_num, tv_permille), src_a < src_b — tv_num is decimal(38,0), the
+    * width the arithmetic needs at corpus scale.
+    */
+  def tokenTvDrift(df: DataFrame, groupCol: String, textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1, s"tokenTvDrift: buckets $buckets must be >= 1")
+    val dec = "decimal(38,0)"
+    val toks = df.select(col(groupCol).as("__g"),
+        explode(graft.functions.TextFunctions.wsTokens(col(textCol))).as("tok"))
+      .select(col("__g"),
+        graft.functions.TextFunctions.md5Bucket(col("tok"), buckets, "tvd:")
+          .as("bucket"))
+    val c = toks.groupBy(col("__g"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val n = toks.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    val pairs = n.select(col("__g").as("src_a"), col("n").as("n_a"))
+      .join(n.select(col("__g").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val inner = c.select(col("__g").as("src_a"), col("bucket"), col("c").as("ca"))
+      .join(c.select(col("__g").as("src_b"), col("bucket"), col("c").as("cb")),
+        Seq("bucket"))
+      .where(col("src_a") < col("src_b"))
+      .join(broadcast(n.select(col("__g").as("src_a"), col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(n.select(col("__g").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ca")).as("sa"), sum(col("cb")).as("sb"),
+        sum(abs(col("ca").cast(dec) * col("nb").cast(dec) -
+          col("cb").cast(dec) * col("na").cast(dec))).cast(dec).as("inner_num"))
+    pairs.join(inner, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        (coalesce(col("inner_num"), lit(0L).cast(dec)) +
+          (col("n_a") - coalesce(col("sa"), lit(0L))).cast(dec) * col("n_b").cast(dec) +
+          (col("n_b") - coalesce(col("sb"), lit(0L))).cast(dec) * col("n_a").cast(dec))
+          .cast(dec).as("__num"))
+      // permille first (IntegralDivide on decimals -> Long, exact), THEN
+      // the numerator narrowed to BIGINT under a fail-loud guard — at
+      // 10^13-token sources the numerator outgrows Long and the right
+      // fix is per-source sampling or a wider output contract, not a
+      // silent wrap (the Dsir scale-guard discipline).
+      .withColumn("tv_permille", expr(
+        "(__num * CAST(1000 AS DECIMAL(38,0))) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))"))
+      .withColumn("tv_num",
+        when(col("__num") <= lit(Long.MaxValue).cast(dec),
+          col("__num").cast("long"))
+          .otherwise(raise_error(concat(lit("tokenTvDrift: tv_num overflows "),
+            lit("BIGINT for pair ("), col("src_a"), lit(", "), col("src_b"),
+            lit(") — sample per source or widen the output contract")))))
+      .select("src_a", "src_b", "n_a", "n_b", "tv_num", "tv_permille")
+  }
+
   def trendExact(df: DataFrame, groupCol: String,
       xCol: String, yCol: String): DataFrame = {
     val dec = "decimal(38,0)"

@@ -414,6 +414,42 @@ object SelectionQueries {
         |  CAST(abs(cum_a * tb - cum_b * ta) AS BIGINT) AS gap_num
         |FROM c, t ORDER BY bucket""".stripMargin)),
 
+    // Token-distribution drift across ALL source pairs (r10): q149's
+    // twin one level up — not one numeric column between two named
+    // samples, but the whole unigram distribution over every pair.
+    // Total-variation distance needs no logs (KL/JS do), so the whole
+    // statistic is exact integer/decimal arithmetic: tokens hash into
+    // 4096 md5 buckets (bounded state), numerator Σ|c_A·N_B − c_B·N_A|
+    // on denominator 2·N_A·N_B; one-sided buckets fold in via the
+    // S_A/S_B decomposition so only a bucket equi-join of the bounded
+    // count relation runs. tv_permille is the 0..1000 headline.
+    QueryDef("q168_token_tv_drift",
+      (s, d) => graft.operators.Profile.tokenTvDrift(
+          Tables.documents(s, d), "source", "text")
+        .orderBy("src_a", "src_b"),
+      Some("""WITH t AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |b AS (SELECT source, CAST('0x'||substr(md5('tvd:'||tok),25,8) AS BIGINT) % 4096 AS bucket FROM t),
+        |c AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY source, bucket),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY source),
+        |p AS (SELECT a.source AS src_a, bb.source AS src_b, a.n AS n_a, bb.n AS n_b
+        |  FROM n a JOIN n bb ON a.source < bb.source),
+        |i AS (SELECT ca.source AS src_a, cb.source AS src_b,
+        |    CAST(SUM(ca.c) AS BIGINT) AS sa, CAST(SUM(cb.c) AS BIGINT) AS sb,
+        |    SUM(abs(CAST(ca.c AS DECIMAL(38,0)) * CAST(nb.n AS DECIMAL(38,0))
+        |          - CAST(cb.c AS DECIMAL(38,0)) * CAST(na.n AS DECIMAL(38,0)))) AS inner_num
+        |  FROM c ca JOIN c cb ON ca.bucket = cb.bucket AND ca.source < cb.source
+        |  JOIN n na ON na.source = ca.source JOIN n nb ON nb.source = cb.source
+        |  GROUP BY 1, 2),
+        |f AS (SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+        |    coalesce(i.inner_num, CAST(0 AS DECIMAL(38,0)))
+        |      + CAST(p.n_a - coalesce(i.sa, 0) AS DECIMAL(38,0)) * CAST(p.n_b AS DECIMAL(38,0))
+        |      + CAST(p.n_b - coalesce(i.sb, 0) AS DECIMAL(38,0)) * CAST(p.n_a AS DECIMAL(38,0)) AS num
+        |  FROM p LEFT JOIN i ON i.src_a = p.src_a AND i.src_b = p.src_b)
+        |SELECT src_a, src_b, n_a, n_b, CAST(num AS BIGINT) AS tv_num,
+        |  CAST(CAST(num * 1000 AS HUGEINT) //
+        |    (CAST(2 AS HUGEINT) * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)) AS BIGINT) AS tv_permille
+        |FROM f ORDER BY src_a, src_b""".stripMargin)),
+
     // Majority-vote label aggregation (r8): N raters / weak classifiers
     // per item → one consolidated training label, deterministic
     // tie-break to the smallest label. total_votes rides along so a

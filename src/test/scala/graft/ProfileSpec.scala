@@ -143,4 +143,25 @@ class ProfileSpec extends SparkSpec {
       plan.take(3000))
     assert(!plan.contains("Join"), plan.take(3000))
   }
+
+  test("tokenTvDrift: hand-checked TV numerators — identical 0, " +
+      "disjoint 1000 permille, mixed pair exact") {
+    val docs = Seq(
+      ("A", "x x y"), ("B", "x z"),          // mixed: num 6 / denom 12
+      ("C", "x x y"),                        // identical to A
+      ("D", "d1 d2 d3"))                     // disjoint from A
+      .toDF("source", "text")
+    val got = graft.operators.Profile.tokenTvDrift(docs, "source", "text")
+      .select("src_a", "src_b", "n_a", "n_b", "tv_num", "tv_permille")
+      .as[(String, String, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.size === 6) // all pairs present, even zero-overlap ones
+    // A vs B: counts A{x:2,y:1} N=3, B{x:1,z:1} N=2 ->
+    //   |2*2-1*3| + |1*2-0*3| + |0*2-1*3| = 1+2+3 = 6; 6000 div 12 = 500
+    assert(got(("A", "B")) === (("A", "B", 3L, 2L, 6L, 500L)))
+    // identical sources: zero drift
+    assert(got(("A", "C")) === (("A", "C", 3L, 3L, 0L, 0L)))
+    // disjoint vocab: num = 2*N_A*N_B -> permille exactly 1000
+    assert(got(("A", "D")) === (("A", "D", 3L, 3L, 18L, 1000L)))
+  }
 }
