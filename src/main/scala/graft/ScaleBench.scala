@@ -57,7 +57,10 @@ object ScaleBench {
     // round-9 additions
     "q159_span_calibration", "q160_perplexity_tiers",
     "q161_maximal_dup_spans", "q162_incremental_clusters",
-    "q163_kll_sketch", "q164_fate_with_recipe", "q165_repetition_rules")
+    "q163_kll_sketch", "q164_fate_with_recipe", "q165_repetition_rules",
+    // round-10 additions
+    "q166_line_dedup", "q167_url_canonical_domain_cap",
+    "q168_token_tv_drift", "q169_line_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -114,6 +117,15 @@ object ScaleBench {
       val dt = (System.nanoTime() - t0) / 1e9
       val n = obs.get("rows").asInstanceOf[Long]
       spark.catalog.clearCache()
+      // free the run's shuffle files NOW: ContextCleaner deletes them
+      // only after a driver GC, which a 32g sweep heap may never do on
+      // its own — measured (VarianceProbe, SCALE.md "variance
+      // diagnosed"): 10× minhash reps accumulate ~5 GB of shuffle files
+      // EACH, writes degrade ~10× as the dir grows, and a 59-family
+      // sweep can hit ENOSPC. One driver GC per observation is
+      // milliseconds against multi-second rows and removes the
+      // cross-family contamination term from every sweep delta.
+      System.gc()
       (dt, n)
     }
     // shared warmup on both dirs (JIT + parquet footer caches)

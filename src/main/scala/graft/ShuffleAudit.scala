@@ -65,7 +65,12 @@ object ShuffleAudit {
         "q161_maximal_dup_spans", // dup-bounded suffix-slice group sort
         "q162_incremental_clusters", // label-pair collect + broadcast remap
         "q163_kll_sketch",        // tiny count agg + row-local coin filter
-        "q165_repetition_rules")  // row-local: expect ~zero shuffle bytes
+        "q165_repetition_rules",  // row-local: expect ~zero shuffle bytes
+        // round-10 additions
+        "q121_leakage_safe_split", // minhash verify leg — the shingle-payload shuffle (measured after the 10× probe found ~5 GB/rep there)
+        "q166_line_dedup",        // three hash/id-key shuffles, line hashes not strings
+        "q168_token_tv_drift",    // bounded (source, bucket) state only
+        "q169_line_dedup_incremental") // row-local frozen-index probe: ~zero
     val spark = graft.core.GraftSession.fromEnv()
     spark.sparkContext.setLogLevel("ERROR")
     val acc = new Acc

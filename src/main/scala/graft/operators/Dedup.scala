@@ -152,6 +152,67 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Frozen BOILERPLATE-LINE index from a reference corpus — the
+    * [[dupSpanIndex]] discipline at line granularity: the sorted 60-bit
+    * hashes of every normalized line in >= `minDocs` distinct reference
+    * documents, for gating NEW data row-locally ([[lineDedupInline]]).
+    * Engine-sorted (TakeOrdered via orderBy+limit, never a driver
+    * sort), capped fail-loud: the inline gate is for a bounded
+    * boilerplate set (and real boilerplate IS bounded — it is the
+    * text that repeats verbatim across a corpus); past the cap, run
+    * [[lineDedup]] on the unioned corpus instead.
+    */
+  def lineDedupIndex(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, maxLines: Int = 1 << 20): Array[Long] = {
+    require(minDocs >= 2, s"lineDedupIndex: minDocs $minDocs must be >= 2")
+    val lhs = df
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
+      .where(trim(col("line")) =!= "")
+      .select(col(idCol), md5Low60(exactKey(col("line"))).as("lh"))
+      .groupBy(col("lh")).agg(countDistinct(col(idCol)).as("dfreq"))
+      .where(col("dfreq") >= minDocs)
+      .select("lh").orderBy("lh").limit(maxLines + 1)
+      .collect().map(_.getLong(0))
+    require(lhs.length <= maxLines,
+      s"lineDedupIndex: more than $maxLines boilerplate lines — too big " +
+        "for the inline gate; run lineDedup on the unioned corpus instead")
+    lhs
+  }
+
+  /** Incremental line scrub of NEW data against a frozen
+    * [[lineDedupIndex]]: every line whose normalized-key hash is IN the
+    * index is known reference-corpus boilerplate and is removed (the
+    * delete-everywhere policy of [[lineDedup]], applied across the
+    * corpus boundary). ROW-LOCAL — the probe is the same
+    * `PositionsInSortedSet` codegen gate as [[dupSpanScrubInline]] (the
+    * index lives once per executor and rides the expression), the
+    * rebuild an indexed filter — no join, no aggregation, no state, so
+    * the SAME plan runs batch and inside a streaming query. Lines
+    * duplicated only WITHIN the new batch are not removed (they are not
+    * in the frozen index — the q158 B-internal-dup contract; catch them
+    * with a periodic [[lineDedup]] over the union). Output:
+    * (id, n_lines, removed_lines, clean_text) — [[lineDedup]]'s
+    * contract.
+    */
+  def lineDedupInline(df: DataFrame, idCol: String, textCol: String,
+      index: Array[Long], keepCols: Seq[String] = Nil): DataFrame = {
+    require(index.nonEmpty, "lineDedupInline: empty index")
+    import graft.functions.expressions.TextHashExpressions
+    val keep = keepCols.map(col)
+    val linesDf = df.select(
+      col(idCol) +: split(col(textCol), "\n").as("lines") +: keep: _*)
+    val hashes = transform(col("lines"), l => md5Low60(exactKey(l)))
+    linesDf
+      .withColumn("__hits",
+        TextHashExpressions.positionsInSortedSet(hashes, index))
+      .select(col(idCol) +:
+        size(col("lines")).cast("long").as("n_lines") +:
+        size(col("__hits")).cast("long").as("removed_lines") +:
+        array_join(filter(col("lines"), (l: Column, i: Column) =>
+          !array_contains(col("__hits"), i)), "\n").as("clean_text") +:
+        keep: _*)
+  }
+
   /** [[exact]] on the CANONICAL key ([[canonicalText]] — lowercase,
     * punctuation/whitespace-insensitive): the CCNet normalization step
     * before exact dedup, catching re-punctuated/re-cased republications
@@ -330,22 +391,71 @@ object Dedup {
   def saveSpanIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       n: Int, index: Array[Long]): Unit = {
     require(n >= 1, s"saveSpanIndex: n $n must be >= 1")
+    saveLongIndex(spark, dir, SpanIndexMagic, "span_index.bin", n, index)
+  }
+
+  private val SpanIndexMagic = 0x5350414e // "SPAN"
+  private val LineIndexMagic = 0x4c494e45 // "LINE"
+
+  /** Shared writer for the hash-index artifact family (span/line): magic
+    * + one meta int + the sorted hashes, committed with a `_SUCCESS`
+    * marker (the embedder-artifact discipline) — a partially written
+    * index must never silently gate.
+    */
+  private def saveLongIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, magic: Int, file: String, meta: Int,
+      index: Array[Long]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p)
     val out = new java.io.DataOutputStream(
-      fs.create(new org.apache.hadoop.fs.Path(p, "span_index.bin"), true))
+      fs.create(new org.apache.hadoop.fs.Path(p, file), true))
     try {
-      out.writeInt(SpanIndexMagic)
-      out.writeInt(n)
+      out.writeInt(magic)
+      out.writeInt(meta)
       out.writeInt(index.length)
       index.foreach(out.writeLong)
     } finally out.close()
     fs.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
 
-  private val SpanIndexMagic = 0x5350414e // "SPAN"
+  /** Shared loader — fail-loud `_SUCCESS`/magic checks, per-JVM cache
+    * keyed by (magic, dir) on the marker mtime with ONE entry per dir
+    * (re-saved artifact replaces its stale predecessor; a RESTARTED
+    * stream rebuilding its plan picks up a regenerated artifact while a
+    * RUNNING query keeps the snapshot it started with).
+    */
+  private def loadLongIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, magic: Int, file: String,
+      what: String): (Int, Array[Long]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    require(fs.exists(marker),
+      s"no complete $what artifact at $dir (missing _SUCCESS)")
+    val mtime = fs.getFileStatus(marker).getModificationTime
+    val key = s"$magic:$dir"
+    spanIndexCache.get(key) match {
+      case Some((m, v)) if m == mtime => v
+      case _ =>
+        val in = new java.io.DataInputStream(
+          fs.open(new org.apache.hadoop.fs.Path(p, file)))
+        val v = try {
+          require(in.readInt() == magic,
+            s"$dir/$file is not a graft $what artifact (bad magic)")
+          val meta = in.readInt()
+          val len = in.readInt()
+          val arr = new Array[Long](len)
+          var i = 0
+          while (i < len) { arr(i) = in.readLong(); i += 1 }
+          (meta, arr)
+        } finally in.close()
+        spanIndexCache.put(key, (mtime, v))
+        v
+    }
+  }
 
   /** Load a persisted span index: (n, sorted hashes). Fails loud on a
     * missing `_SUCCESS` or wrong magic. Cached per JVM keyed by the
@@ -356,33 +466,25 @@ object Dedup {
     * started with (per-run frozen — the reproducibility contract).
     */
   def loadSpanIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Array[Long]) = {
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(conf)
-    val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-    require(fs.exists(marker),
-      s"no complete span-index artifact at $dir (missing _SUCCESS)")
-    val mtime = fs.getFileStatus(marker).getModificationTime
-    spanIndexCache.get(dir) match {
-      case Some((m, v)) if m == mtime => v
-      case _ =>
-        val in = new java.io.DataInputStream(
-          fs.open(new org.apache.hadoop.fs.Path(p, "span_index.bin")))
-        val v = try {
-          require(in.readInt() == SpanIndexMagic,
-            s"$dir/span_index.bin is not a graft span-index artifact (bad magic)")
-          val n = in.readInt()
-          val len = in.readInt()
-          val arr = new Array[Long](len)
-          var i = 0
-          while (i < len) { arr(i) = in.readLong(); i += 1 }
-          (n, arr)
-        } finally in.close()
-        spanIndexCache.put(dir, (mtime, v))
-        v
-    }
+      dir: String): (Int, Array[Long]) =
+    loadLongIndex(spark, dir, SpanIndexMagic, "span_index.bin", "span-index")
+
+  /** Persist a [[lineDedupIndex]] artifact — the [[saveSpanIndex]]
+    * discipline with minDocs carried inside as the meta int (a loader
+    * can report the policy the index was built under).
+    */
+  def saveLineIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      minDocs: Int, index: Array[Long]): Unit = {
+    require(minDocs >= 2, s"saveLineIndex: minDocs $minDocs must be >= 2")
+    saveLongIndex(spark, dir, LineIndexMagic, "line_index.bin", minDocs, index)
   }
+
+  /** Load a persisted line index: (minDocs, sorted hashes). Same
+    * fail-loud + mtime-cache contract as [[loadSpanIndex]].
+    */
+  def loadLineIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Array[Long]) =
+    loadLongIndex(spark, dir, LineIndexMagic, "line_index.bin", "line-index")
 
   private val spanIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, (Int, Array[Long]))]

@@ -2590,7 +2590,59 @@ object PipelineQueries {
         |  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS domain_rank FROM d3)
         |SELECT doc_id, canon_url, domain, domain_rank,
         |  CAST(CASE WHEN domain_rank <= 8 THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM r ORDER BY doc_id""".stripMargin))
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Incremental line scrub vs a FROZEN boilerplate index (r10): q166's
+    // delete-everywhere policy across the corpus boundary, q158's
+    // frozen-index discipline at line granularity — the index is built
+    // from docs < 250, docs >= 250 are gated ROW-LOCALLY (the
+    // PositionsInSortedSet probe; no join/agg/state, batch == streaming
+    // plan). The new-half-only 'flash sale' line pins the B-internal
+    // contract: boilerplate born inside the new batch is NOT in the
+    // frozen index and survives (a periodic q166 over the union catches
+    // it). Oracle re-derives the reference hot set and replays removal.
+    QueryDef("q169_line_dedup_incremental",
+      (s, d) => {
+        val synth = Tables.documents(s, d).select(col("doc_id"),
+          concat_ws("\n",
+            col("text"),
+            when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter")),
+            when(col("doc_id") % 4 === 0, lit("copyright 2024 example corp all rights reserved")),
+            when(col("doc_id") >= 250 && col("doc_id") % 11 === 0,
+              lit("flash sale ends tonight")),
+            when(col("doc_id") % 17 === 0, concat(lit("ref code "), col("doc_id"))))
+            .as("text"))
+        val index = Dedup.lineDedupIndex(
+          synth.where(col("doc_id") < 250), "doc_id", "text")
+        Dedup.lineDedupInline(
+            synth.where(col("doc_id") >= 250 && col("doc_id") < 500),
+            "doc_id", "text", index)
+          .orderBy("doc_id")
+      },
+      Some("""WITH synth AS (SELECT doc_id, concat_ws(chr(10), text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' END,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'copyright 2024 example corp all rights reserved' END,
+        |    CASE WHEN doc_id >= 250 AND doc_id % 11 = 0 THEN 'flash sale ends tonight' END,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'ref code ' || CAST(doc_id AS VARCHAR) END) AS text
+        |  FROM documents),
+        |rl AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM synth WHERE doc_id < 250),
+        |hot AS (SELECT CAST('0x'||substr(md5(lower(trim(line))),18,15) AS BIGINT) AS lh
+        |  FROM rl WHERE trim(line) <> '' GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |  FROM synth WHERE doc_id >= 250 AND doc_id < 500),
+        |l AS (SELECT doc_id, CAST(generate_subscripts(ls, 1) - 1 AS INT) AS pos, unnest(ls) AS line FROM t),
+        |h AS (SELECT doc_id, pos, line,
+        |  CAST('0x'||substr(md5(lower(trim(line))),18,15) AS BIGINT) AS lh FROM l),
+        |kept AS (SELECT * FROM h WHERE lh NOT IN (SELECT lh FROM hot)),
+        |base AS (SELECT doc_id, CAST(length(ls) AS BIGINT) AS n_lines FROM t),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_lines,
+        |  b.n_lines - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS removed_lines,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values

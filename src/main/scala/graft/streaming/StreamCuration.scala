@@ -119,7 +119,9 @@ object StreamCuration {
       dsirMinMeanScore: Long = 0L,
       spanIndex: Option[Array[Long]] = None,
       spanIndexN: Int = 8,
-      spanIndexDir: Option[String] = None): DataFrame = {
+      spanIndexDir: Option[String] = None,
+      lineIndex: Option[Array[Long]] = None,
+      lineIndexDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
       cfg.curriculumBandWidth.isEmpty && cfg.epochBudgets.isEmpty,
@@ -129,6 +131,9 @@ object StreamCuration {
     require(spanIndex.isEmpty || spanIndexDir.isEmpty,
       "StreamCuration.run: pass EITHER spanIndex (a literal array) OR " +
         "spanIndexDir (a persisted Dedup.saveSpanIndex artifact), not both")
+    require(lineIndex.isEmpty || lineIndexDir.isEmpty,
+      "StreamCuration.run: pass EITHER lineIndex (a literal array) OR " +
+        "lineIndexDir (a persisted Dedup.saveLineIndex artifact), not both")
     // dir form: resolved at PLAN-BUILD time through the mtime-keyed
     // registry (Dedup.loadSpanIndex) and carrying its own window size —
     // a RESTARTED stream picks up a regenerated artifact, a RUNNING one
@@ -161,6 +166,31 @@ object StreamCuration {
           .select(idCol)
         cur = cur.join(survivors, Seq(idCol), "left_semi")
       }
+    }
+
+    val resolvedLineIndex: Option[Array[Long]] =
+      lineIndex.orElse(lineIndexDir.map(dir =>
+        graft.operators.Dedup.loadLineIndex(docs.sparkSession, dir)._2))
+    resolvedLineIndex.foreach { index =>
+      // incremental boilerplate-LINE scrub against a frozen reference
+      // index (Dedup.lineDedupIndex, built batch-side) — the same
+      // row-local PositionsInSortedSet discipline as the span stage,
+      // run FIRST (coarse line-level boilerplate before token-level
+      // spans); fully-boilerplate docs drop like the span stage's
+      // emptied docs
+      val others = cur.columns.filter(c => c != idCol && c != textCol).toSeq
+      val reserved = Set("n_lines", "removed_lines", "clean_text",
+        "lines", "__hits")
+      val clash = others.filter(reserved)
+      require(clash.isEmpty,
+        s"StreamCuration.run lineIndex stage: column(s) ${clash.mkString(", ")} " +
+          "collide with the line scrub's output names — rename them " +
+          "upstream of the gate")
+      cur = graft.operators.Dedup
+        .lineDedupInline(cur, idCol, textCol, index, keepCols = others)
+        .where(col("clean_text") =!= "")
+        .withColumnRenamed("clean_text", textCol)
+        .select((idCol +: textCol +: others).map(col): _*)
     }
 
     resolvedIndex.foreach { case (idxN, index) =>

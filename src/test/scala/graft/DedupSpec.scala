@@ -983,6 +983,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lineDedupIndex + lineDedupInline: frozen-index line gate — " +
+      "reference boilerplate cut row-locally, new-batch-internal dups kept") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "body a\nSubscribe to our newsletter"),
+      (2L, "body b\nsubscribe TO OUR newsletter"), // same normalized key
+      (3L, "body c\nonly once here"))              // dfreq 1 -> NOT hot
+      .toDF("doc_id", "text")
+    val index = Dedup.lineDedupIndex(ref, "doc_id", "text")
+    assert(index.length === 1, index.mkString(", ")) // just the newsletter
+    val incoming = Seq(
+      (10L, "new body\nSUBSCRIBE to our NEWSLETTER\ntail"),
+      (11L, "Subscribe to our newsletter"),  // fully boilerplate -> empty
+      (12L, "batch dup\nclean"),
+      (13L, "batch dup\nclean2"),            // new-internal dup: KEPT
+      (14L, "only once here"))               // non-hot ref line: KEPT
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedupInline(incoming, "doc_id", "text", index)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (10L, 3L, 1L, "new body\ntail"),
+      (11L, 1L, 1L, ""),
+      (12L, 2L, 0L, "batch dup\nclean"),
+      (13L, 2L, 0L, "batch dup\nclean2"),
+      (14L, 1L, 0L, "only once here")), got.mkString("; "))
+    // row-local: the inline gate's plan has no join/aggregate/exchange
+    val plan = Dedup.lineDedupInline(incoming, "doc_id", "text", index)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange") &&
+      !plan.contains("Aggregate"), plan.take(2000))
+    // artifact round-trip: minDocs rides inside, hashes bit-identical
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lineidx-").toString
+    Dedup.saveLineIndex(spark, tmp, minDocs = 2, index)
+    val (md, loaded) = Dedup.loadLineIndex(spark, tmp)
+    assert(md === 2 && loaded.toSeq === index.toSeq)
+    assertThrows[Exception] {
+      Dedup.loadSpanIndex(spark, tmp) // wrong family: no span_index.bin here
+    }
+  }
+
   test("semanticDedup keeps the LEAST-centroid-similar member of each dup group") {
     import spark.implicits._
     val vecs = Seq(

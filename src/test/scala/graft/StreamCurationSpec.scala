@@ -280,6 +280,54 @@ class StreamCurationSpec extends SparkSpec {
       (12L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")))
   }
 
+  test("incremental line gate in the stream: scrubbed text == batch twin, " +
+      "fully-boilerplate docs drop") {
+    import graft.operators.{Curate, Dedup}
+    val tmp = Files.createTempDirectory("graft-linestream-").toString
+    // frozen reference corpus -> boilerplate-line index, built batch-side
+    val index = Dedup.lineDedupIndex(Seq(
+        (1L, "a\nSubscribe to our newsletter"),
+        (2L, "b\nsubscribe TO OUR newsletter"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val docs = Seq(
+      (10L, "body ten\nSUBSCRIBE to our NEWSLETTER\ntail", 100L),
+      (11L, "Subscribe to our newsletter", 200L), // consumed whole -> drops
+      (12L, "clean doc", 300L))
+      .toDF("doc_id", "text", "ts")
+    docs.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val cfg = Curate.Config(exactDedup = false)
+    val curated = StreamCuration.run(stream, "doc_id", "text", cfg,
+      lineIndex = Some(index))
+    assert(curated.isStreaming)
+    val q = curated.writeStream.format("memory").queryName("line_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("line_out").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val batch = StreamCuration.run(docs, "doc_id", "text", cfg,
+        lineIndex = Some(index))
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    assert(batch === Seq((10L, "body ten\ntail"), (12L, "clean doc")))
+    // dir form resolves through the mtime registry like the span stage
+    val idxDir = s"$tmp/line_idx"
+    Dedup.saveLineIndex(spark, idxDir, minDocs = 2, index)
+    val viaDir = StreamCuration.run(docs, "doc_id", "text", cfg,
+        lineIndexDir = Some(idxDir))
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(viaDir === batch)
+    // both-forms misuse fails loud
+    val ex = intercept[IllegalArgumentException] {
+      StreamCuration.run(docs, "doc_id", "text", cfg,
+        lineIndex = Some(index), lineIndexDir = Some(idxDir))
+    }
+    assert(ex.getMessage.contains("not both"), ex.getMessage)
+  }
+
   test("span-index swap contract: a restarted stream picks up the " +
       "regenerated artifact via the mtime registry, no stale reads") {
     import graft.operators.{Curate, Dedup}
