@@ -33,6 +33,7 @@ object Curate {
 
   case class Config(
       exactDedup: Boolean = true,
+      lineDedupMinDocs: Option[Int] = None,
       spanDedupK: Option[Int] = None,
       dupSpanN: Option[Int] = None,
       decontaminateBench: Option[DataFrame] = None,
@@ -100,6 +101,14 @@ object Curate {
         .join(rewritten, Seq(idCol))
         .withColumnRenamed("clean_text", textCol)
       mark(fate)
+    }
+
+    cfg.lineDedupMinDocs.foreach { m =>
+      // LINE-level boilerplate scrub first (coarse-to-fine: whole
+      // repeated lines before chunk- and window-level spans); a doc
+      // that was ALL boilerplate drops with its own fate
+      rewriteStage(Dedup.lineDedup(cur, idCol, textCol, m),
+        "line_dedup_empty")
     }
 
     cfg.spanDedupK.foreach { k =>

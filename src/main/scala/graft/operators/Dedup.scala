@@ -133,8 +133,12 @@ object Dedup {
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"lineDedup: minDocs $minDocs must be >= 2")
+    // null text coalesces to one blank line so the one-row-per-input-doc
+    // contract holds (posexplode of a null array would drop the doc)
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
       .withColumn("lh", md5Low60(exactKey(col("line"))))
     val base = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
     val hot = lines.where(trim(col("line")) =!= "")
@@ -200,7 +204,8 @@ object Dedup {
     import graft.functions.expressions.TextHashExpressions
     val keep = keepCols.map(col)
     val linesDf = df.select(
-      col(idCol) +: split(col(textCol), "\n").as("lines") +: keep: _*)
+      col(idCol) +: split(coalesce(col(textCol), lit("")), "\n").as("lines") +:
+        keep: _*)
     val hashes = transform(col("lines"), l => md5Low60(exactKey(l)))
     linesDf
       .withColumn("__hits",

@@ -241,17 +241,47 @@ object Profile {
     * width the arithmetic needs at corpus scale.
     */
   def tokenTvDrift(df: DataFrame, groupCol: String, textCol: String,
+      buckets: Int = 4096): DataFrame =
+    tokenTvDriftFromCounts(tokenBucketCounts(df, groupCol, textCol, buckets))
+
+  /** The (source, bucket, c) count STATE behind [[tokenTvDrift]] — one
+    * corpus scan into ≤ S·buckets rows. The state is an additive monoid
+    * (counts sum), so it maintains INCREMENTALLY: persist it, aggregate
+    * only the delta on new ingest, and merge by summing per key
+    * ([[mergeTokenBucketCounts]]) — the Ivm refresh discipline applied
+    * to the drift monitor; [[tokenTvDriftFromCounts]] reads the merged
+    * state and must equal a from-scratch recompute bit-for-bit (q170).
+    */
+  def tokenBucketCounts(df: DataFrame, groupCol: String, textCol: String,
       buckets: Int = 4096): DataFrame = {
-    require(buckets >= 1, s"tokenTvDrift: buckets $buckets must be >= 1")
-    val dec = "decimal(38,0)"
-    val toks = df.select(col(groupCol).as("__g"),
+    require(buckets >= 1, s"tokenBucketCounts: buckets $buckets must be >= 1")
+    df.select(col(groupCol).as("__g"),
         explode(graft.functions.TextFunctions.wsTokens(col(textCol))).as("tok"))
       .select(col("__g"),
         graft.functions.TextFunctions.md5Bucket(col("tok"), buckets, "tvd:")
           .as("bucket"))
-    val c = toks.groupBy(col("__g"), col("bucket"))
+      .groupBy(col("__g"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    val n = toks.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge count states by key-wise sum — O(state), never the corpus. */
+  def mergeTokenBucketCounts(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeTokenBucketCounts: no states")
+    states.reduce(_ unionByName _)
+      .groupBy(col("__g"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** [[tokenTvDrift]] served from a (pre-aggregated, possibly
+    * incrementally merged) count state — all arithmetic from here on
+    * touches only the bounded state.
+    */
+  def tokenTvDriftFromCounts(counts: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = counts
+    // totals re-aggregate the BOUNDED count relation (≤ S·buckets rows),
+    // not the corpus — one corpus scan feeds everything
+    val n = c.groupBy(col("__g")).agg(sum(col("c")).as("n"))
     val pairs = n.select(col("__g").as("src_a"), col("n").as("n_a"))
       .join(n.select(col("__g").as("src_b"), col("n").as("n_b")),
         col("src_a") < col("src_b"))

@@ -414,6 +414,9 @@ object SelectionQueries {
         |  CAST(abs(cum_a * tb - cum_b * ta) AS BIGINT) AS gap_num
         |FROM c, t ORDER BY bucket""".stripMargin)),
 
+    // (tvDriftOracle — the shared from-scratch recompute — is defined
+    // below the list; q168 and q170 must stay bit-identical to it.)
+    //
     // Token-distribution drift across ALL source pairs (r10): q149's
     // twin one level up — not one numeric column between two named
     // samples, but the whole unigram distribution over every pair.
@@ -427,28 +430,26 @@ object SelectionQueries {
       (s, d) => graft.operators.Profile.tokenTvDrift(
           Tables.documents(s, d), "source", "text")
         .orderBy("src_a", "src_b"),
-      Some("""WITH t AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
-        |b AS (SELECT source, CAST('0x'||substr(md5('tvd:'||tok),25,8) AS BIGINT) % 4096 AS bucket FROM t),
-        |c AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY source, bucket),
-        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY source),
-        |p AS (SELECT a.source AS src_a, bb.source AS src_b, a.n AS n_a, bb.n AS n_b
-        |  FROM n a JOIN n bb ON a.source < bb.source),
-        |i AS (SELECT ca.source AS src_a, cb.source AS src_b,
-        |    CAST(SUM(ca.c) AS BIGINT) AS sa, CAST(SUM(cb.c) AS BIGINT) AS sb,
-        |    SUM(abs(CAST(ca.c AS DECIMAL(38,0)) * CAST(nb.n AS DECIMAL(38,0))
-        |          - CAST(cb.c AS DECIMAL(38,0)) * CAST(na.n AS DECIMAL(38,0)))) AS inner_num
-        |  FROM c ca JOIN c cb ON ca.bucket = cb.bucket AND ca.source < cb.source
-        |  JOIN n na ON na.source = ca.source JOIN n nb ON nb.source = cb.source
-        |  GROUP BY 1, 2),
-        |f AS (SELECT p.src_a, p.src_b, p.n_a, p.n_b,
-        |    coalesce(i.inner_num, CAST(0 AS DECIMAL(38,0)))
-        |      + CAST(p.n_a - coalesce(i.sa, 0) AS DECIMAL(38,0)) * CAST(p.n_b AS DECIMAL(38,0))
-        |      + CAST(p.n_b - coalesce(i.sb, 0) AS DECIMAL(38,0)) * CAST(p.n_a AS DECIMAL(38,0)) AS num
-        |  FROM p LEFT JOIN i ON i.src_a = p.src_a AND i.src_b = p.src_b)
-        |SELECT src_a, src_b, n_a, n_b, CAST(num AS BIGINT) AS tv_num,
-        |  CAST(CAST(num * 1000 AS HUGEINT) //
-        |    (CAST(2 AS HUGEINT) * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)) AS BIGINT) AS tv_permille
-        |FROM f ORDER BY src_a, src_b""".stripMargin)),
+      Some(tvDriftOracle)),
+
+    // IVM-served TV drift (r10): q127's refresh discipline applied to
+    // q168 — the (source, bucket) count state is an additive monoid, so
+    // it maintains in O(delta): base state ⊕ delta state, merged by
+    // key-wise sum, read through tokenTvDriftFromCounts. The oracle is
+    // q168's from-scratch recompute VERBATIM — the hash match proves
+    // merge == recompute on the full drift table.
+    QueryDef("q170_ivm_tv_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = graft.operators.Profile.tokenBucketCounts(
+          docs.where(col("doc_id") < 250), "source", "text")
+        val delta = graft.operators.Profile.tokenBucketCounts(
+          docs.where(col("doc_id") >= 250), "source", "text")
+        graft.operators.Profile.tokenTvDriftFromCounts(
+            graft.operators.Profile.mergeTokenBucketCounts(Seq(base, delta)))
+          .orderBy("src_a", "src_b")
+      },
+      Some(tvDriftOracle)),
 
     // Majority-vote label aggregation (r8): N raters / weak classifiers
     // per item → one consolidated training label, deterministic
@@ -638,6 +639,36 @@ object SelectionQueries {
   private def RepTop = Seq(2 -> 200L, 3 -> 180L, 4 -> 160L)
   private def RepDup = Seq(5 -> 150L, 6 -> 140L, 7 -> 130L, 8 -> 120L,
     9 -> 110L, 10 -> 100L)
+
+  /** q168/q170 shared oracle — the from-scratch TV-drift recompute (a
+    * `def`, not a val: this object initializes `all` first, and a val
+    * defined after it would interpolate as null — the q148 lesson).
+    * q170 reading a merged incremental state through the SAME oracle is
+    * the merge == recompute proof.
+    */
+  private def tvDriftOracle: String =
+    """WITH t AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+      |b AS (SELECT source, CAST('0x'||substr(md5('tvd:'||tok),25,8) AS BIGINT) % 4096 AS bucket FROM t),
+      |c AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY source, bucket),
+      |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY source),
+      |p AS (SELECT a.source AS src_a, bb.source AS src_b, a.n AS n_a, bb.n AS n_b
+      |  FROM n a JOIN n bb ON a.source < bb.source),
+      |i AS (SELECT ca.source AS src_a, cb.source AS src_b,
+      |    CAST(SUM(ca.c) AS BIGINT) AS sa, CAST(SUM(cb.c) AS BIGINT) AS sb,
+      |    SUM(abs(CAST(ca.c AS DECIMAL(38,0)) * CAST(nb.n AS DECIMAL(38,0))
+      |          - CAST(cb.c AS DECIMAL(38,0)) * CAST(na.n AS DECIMAL(38,0)))) AS inner_num
+      |  FROM c ca JOIN c cb ON ca.bucket = cb.bucket AND ca.source < cb.source
+      |  JOIN n na ON na.source = ca.source JOIN n nb ON nb.source = cb.source
+      |  GROUP BY 1, 2),
+      |f AS (SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+      |    coalesce(i.inner_num, CAST(0 AS DECIMAL(38,0)))
+      |      + CAST(p.n_a - coalesce(i.sa, 0) AS DECIMAL(38,0)) * CAST(p.n_b AS DECIMAL(38,0))
+      |      + CAST(p.n_b - coalesce(i.sb, 0) AS DECIMAL(38,0)) * CAST(p.n_a AS DECIMAL(38,0)) AS num
+      |  FROM p LEFT JOIN i ON i.src_a = p.src_a AND i.src_b = p.src_b)
+      |SELECT src_a, src_b, n_a, n_b, CAST(num AS BIGINT) AS tv_num,
+      |  CAST(CAST(num * 1000 AS HUGEINT) //
+      |    (CAST(2 AS HUGEINT) * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)) AS BIGINT) AS tv_permille
+      |FROM f ORDER BY src_a, src_b""".stripMargin
 
   /** q165 oracle: nine per-n CTE chains, each re-deriving grams →
     * per-doc counts → (top) max count or (dup) the q153 island-union

@@ -107,10 +107,12 @@ object StreamCuration {
     *     top-N selection is a corpus-shape operation and cannot hold on
     *     an unbounded stream.
     *
-    * Corpus-SHAPE stages (`spanDedupK`, `dupSpanN`, `curriculumBandWidth`,
-    * `epochBudgets`) raise: they belong at snapshot time, after the
-    * stream lands — silently skipping them would let one config mean two
-    * different pipelines.
+    * Corpus-SHAPE stages (`spanDedupK`, `dupSpanN`, `lineDedupMinDocs`,
+    * `curriculumBandWidth`, `epochBudgets`) raise: they belong at
+    * snapshot time, after the stream lands — silently skipping them
+    * would let one config mean two different pipelines. The streaming
+    * twin of `lineDedupMinDocs` is the frozen `lineIndex`/`lineIndexDir`
+    * gate below, the q158 discipline at line granularity.
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
       cfg: graft.operators.Curate.Config,
@@ -124,10 +126,12 @@ object StreamCuration {
       lineIndexDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
+      cfg.lineDedupMinDocs.isEmpty &&
       cfg.curriculumBandWidth.isEmpty && cfg.epochBudgets.isEmpty,
-      "StreamCuration.run: spanDedupK/dupSpanN/curriculumBandWidth/" +
-        "epochBudgets are corpus-shape stages — run them batch-side at " +
-        "snapshot time")
+      "StreamCuration.run: spanDedupK/dupSpanN/lineDedupMinDocs/" +
+        "curriculumBandWidth/epochBudgets are corpus-shape stages — run " +
+        "them batch-side at snapshot time (the stream twin of " +
+        "lineDedupMinDocs is the frozen lineIndex/lineIndexDir gate)")
     require(spanIndex.isEmpty || spanIndexDir.isEmpty,
       "StreamCuration.run: pass EITHER spanIndex (a literal array) OR " +
         "spanIndexDir (a persisted Dedup.saveSpanIndex artifact), not both")

@@ -59,6 +59,30 @@ class CurateSpec extends SparkSpec {
     assert(got(1L) == "aa bb cc dd")
   }
 
+  test("line dedup stage scrubs cross-doc boilerplate lines; explain " +
+      "labels fully-boilerplate docs line_dedup_empty") {
+    val docs = Seq(
+      (1L, "alpha body\nSubscribe to our newsletter"),
+      (2L, "beta body\nsubscribe TO OUR newsletter"), // case-variant key
+      (3L, "Subscribe to our newsletter"),            // all boilerplate
+      (4L, "gamma body"))
+      .toDF("doc_id", "text")
+    val cfg = Curate.Config(exactDedup = false, lineDedupMinDocs = Some(2))
+    val got = Curate.run(docs, "doc_id", "text", cfg)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "alpha body", 2L -> "beta body",
+      4L -> "gamma body"))
+    val fates = Curate.explain(docs, "doc_id", "text", cfg)
+      .select("doc_id", "fate").as[(Long, String)].collect().toMap
+    assert(fates === Map(1L -> "kept", 2L -> "kept",
+      3L -> "line_dedup_empty", 4L -> "kept"))
+    // corpus-shape on a stream: the config fails loud, naming the twin
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamCuration.run(docs, "doc_id", "text", cfg)
+    }
+    assert(ex.getMessage.contains("lineIndex"), ex.getMessage)
+  }
+
   test("withCurated: same result as run, and no cached blocks leak") {
     val cfg = Curate.Config(dsirTarget = Some(col("lang") === "en"),
       dsirTopN = 5, dsirBuckets = 256, minTokens = 3L)

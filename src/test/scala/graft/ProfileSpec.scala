@@ -164,4 +164,24 @@ class ProfileSpec extends SparkSpec {
     // disjoint vocab: num = 2*N_A*N_B -> permille exactly 1000
     assert(got(("A", "D")) === (("A", "D", 3L, 3L, 18L, 1000L)))
   }
+
+  test("tokenTvDrift incremental state: base ⊕ delta merge == from-scratch " +
+      "recompute, empty delta is identity") {
+    val docs = Seq((1L, "A", "x x y"), (2L, "B", "x z"), (3L, "A", "y w"),
+      (4L, "B", "w w x"), (5L, "A", "z q"))
+      .toDF("id", "source", "text")
+    val P = graft.operators.Profile
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src_a", "src_b")
+        .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val direct = rows(P.tokenTvDrift(docs, "source", "text"))
+    val merged = rows(P.tokenTvDriftFromCounts(P.mergeTokenBucketCounts(Seq(
+      P.tokenBucketCounts(docs.where(col("id") <= 2), "source", "text"),
+      P.tokenBucketCounts(docs.where(col("id") > 2), "source", "text")))))
+    assert(merged === direct, s"merged $merged != direct $direct")
+    val withEmpty = rows(P.tokenTvDriftFromCounts(P.mergeTokenBucketCounts(Seq(
+      P.tokenBucketCounts(docs, "source", "text"),
+      P.tokenBucketCounts(docs.where(lit(false)), "source", "text")))))
+    assert(withEmpty === direct)
+  }
 }
