@@ -310,18 +310,35 @@ object Dedup {
       posCap: Long = 1L << 20): DataFrame = {
     require(n >= 1, s"dupSpanScrub: n $n must be >= 1")
     require(posCap >= 2, s"dupSpanScrub: posCap $posCap must be >= 2")
-    val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+    val toks = df.select(col(idCol), wsTokens(col(textCol)).as("units"))
+    spanScrubUnits(toks, idCol, n, posCap, " ", "dupSpanScrub")
+      .withColumnRenamed("n_units", "n_tokens")
+      .withColumnRenamed("removed_units", "removed_tokens")
+  }
+
+  /** The unit-generic keep-first overlapping-span scrub engine behind
+    * [[dupSpanScrub]] (units = whitespace tokens) and
+    * [[C4.spanDedup]] (units = sentences). `units` must carry
+    * (`idCol`, `units` array<string>); output is (id, n_units, n_spans,
+    * removed_units, clean_text) with removed unit intervals
+    * union-merged per doc and survivors rejoined with `sep`. One
+    * hash-key shuffle for the (min-occurrence, count) agg, an equi-join
+    * back on the same key (SHUFFLE_HASH off size-estimate broadcasts),
+    * a duplication-bounded per-doc window, row-local interval rebuild.
+    */
+  private[operators] def spanScrubUnits(units: DataFrame, idCol: String,
+      n: Int, posCap: Long, sep: String, opName: String): DataFrame = {
     val idL = col(idCol).cast("long")
-    val grams = toks
+    val grams = units
       .select(col(idCol),
-        posexplode(overlappingGrams(col("toks"), n)).as(Seq("pos", "gram")))
+        posexplode(overlappingGrams(col("units"), n)).as(Seq("pos", "gram")))
       .withColumn("gh", md5Low60(col("gram")))
       .withColumn("occ",
         when(col("pos") < lit(posCap) && idL >= 0 &&
             idL < lit(Long.MaxValue / posCap),
           idL * lit(posCap) + col("pos"))
           .otherwise(raise_error(concat(
-            lit(s"dupSpanScrub: (id, pos) = ("), idL.cast("string"),
+            lit(s"$opName: (id, pos) = ("), idL.cast("string"),
             lit(", "), col("pos").cast("string"),
             lit(s") outside the posCap=$posCap composite-order domain")))))
       .select(col(idCol), col("pos"), col("gh"), col("occ"))
@@ -346,17 +363,17 @@ object Dedup {
       .agg(min(col("pos")).as("s"), max(col("end")).as("e"))
     val perDoc = islands.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_spans"),
-      sum(col("e") - col("s")).cast("long").as("removed_tokens"),
+      sum(col("e") - col("s")).cast("long").as("removed_units"),
       array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
     val emptySpans = array().cast("array<struct<s:int,e:int>>")
-    toks.join(perDoc.hint("SHUFFLE_HASH"), Seq(idCol), "left")
+    units.join(perDoc.hint("SHUFFLE_HASH"), Seq(idCol), "left")
       .select(col(idCol),
-        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("units")).cast("long").as("n_units"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
-        array_join(filter(col("toks"), (t: Column, i: Column) =>
+        coalesce(col("removed_units"), lit(0L)).as("removed_units"),
+        array_join(filter(col("units"), (t: Column, i: Column) =>
           !exists(coalesce(col("spans"), emptySpans),
-            s => i >= s.getField("s") && i < s.getField("e"))), " ")
+            s => i >= s.getField("s") && i < s.getField("e"))), sep)
           .as("clean_text"))
   }
 

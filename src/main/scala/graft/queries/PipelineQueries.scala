@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Decontaminate, Dedup, Graph, Knn, Pq, Rank, SimilaritySearch, Web}
+import graft.operators.{C4, Decontaminate, Dedup, Graph, Knn, Pq, Rank, SimilaritySearch, Web}
 
 /** Training-data-pipeline operators as oracle-checked queries (q17–q26):
   * near-dup detection (MinHash+LSH, SimHash, n-gram Jaccard, embedding
@@ -2642,7 +2642,142 @@ object PipelineQueries {
         |  b.n_lines - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS removed_lines,
         |  coalesce(a.clean_text, '') AS clean_text
         |FROM base b LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // C4 page cleaning (Raffel et al. 2020 §2.2) — the third canonical
+    // curation rule-pack next to Gopher (q165) and RefinedWeb (q166):
+    // line retention (terminal punct + >= 3 words + no "javascript"),
+    // page drops (< 3 retained sentences / "lorem ipsum" / curly
+    // bracket / bad-word token). Pages are synthesized in-plan (q165
+    // precedent) so every rule has passing AND failing docs: the
+    // "Click here" line fails both word-count and punctuation, the
+    // JavaScript line is punct-clean but script boilerplate, the lorem/
+    // brace/badword lines are line-KEPT but page-fatal (page flags look
+    // at the ORIGINAL text). One row-local pass — zero shuffles; the
+    // rejection flags are the q165 audit-matrix discipline.
+    QueryDef("q171_c4_clean",
+      (s, d) => {
+        val did = col("doc_id")
+        val synth = Tables.documents(s, d).select(did, col("source"),
+          concat_ws("\n",
+            concat(lit("Doc "), did.cast("string"),
+              lit(" opens with a clean first line.")),
+            lit("Click here"),
+            when(did % 3 === 0,
+              lit("Please enable JavaScript to view this page.")),
+            when(did % 4 === 0, lit("tiny line.")),
+            concat(lit("A body line from source "), col("source"),
+              lit(" carries real content.")),
+            when(did % 2 === 0,
+              lit("One more thought. And another one follows. Plus a third idea.")),
+            when(did % 6 === 0, lit("Read more about this topic now!")),
+            when(did % 5 === 0, lit("This page uses Lorem Ipsum filler text.")),
+            when(did % 7 === 0, lit("var f = function() { return 1; }.")),
+            when(did % 11 === 0, lit("warning badword1 appears right here.")))
+            .as("text"))
+        C4.clean(synth, "doc_id", "text", minSentences = 3, minWords = 3,
+            badWords = Seq("badword1", "badword2"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH synth AS (SELECT doc_id, concat_ws(chr(10),
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' opens with a clean first line.',
+        |    'Click here',
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Please enable JavaScript to view this page.' END,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'tiny line.' END,
+        |    'A body line from source ' || source || ' carries real content.',
+        |    CASE WHEN doc_id % 2 = 0 THEN 'One more thought. And another one follows. Plus a third idea.' END,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'Read more about this topic now!' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'This page uses Lorem Ipsum filler text.' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'var f = function() { return 1; }.' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'warning badword1 appears right here.' END) AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"]\s*$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |      AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS ka
+        |  FROM synth),
+        |g AS (SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(ka) AS BIGINT) AS kept_lines,
+        |    CAST(len(regexp_extract_all(array_to_string(ka, chr(10)), '[.!?]+')) AS BIGINT) AS n_sentences,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_brace,
+        |    list_has_any(regexp_split_to_array(lower(text), '\s+'),
+        |      ['badword1', 'badword2']) AS has_bad_word,
+        |    array_to_string(ka, chr(10)) AS retained
+        |  FROM f)
+        |SELECT doc_id, n_lines, kept_lines, n_sentences,
+        |  has_lorem, has_brace, has_bad_word,
+        |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+        |    AND NOT has_bad_word) AS kept_page,
+        |  CASE WHEN n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+        |    AND NOT has_bad_word THEN retained ELSE '' END AS clean_text
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // C4 three-SENTENCE-span corpus dedup (Raffel et al. 2020 §2.2:
+    // "we discarded all but one of any three-sentence span occurring
+    // more than once") — q153's keep-first overlapping-window machine
+    // at sentence granularity. Docs are synthesized as sentence runs: an
+    // (Alpha, Bravo, Charlie) opener shared across the doc_id%10 group
+    // (duplicated 3-span; earliest doc keeps it), a per-doc unique
+    // Delta/Echo pair (never removed — windows containing them are
+    // unique), and a (Foxtrot, Golf, Hotel) tail on doc_id%4 docs (a
+    // SECOND dup family, overlap-union exercised on docs in both). The
+    // oracle re-derives sentence split, windows, first occurrences,
+    // island merge and the interval rebuild independently.
+    QueryDef("q172_c4_span_dedup",
+      (s, d) => {
+        val did = col("doc_id")
+        val g10 = (did % 10).cast("string")
+        val synth = Tables.documents(s, d).select(did,
+          concat_ws(" ",
+            concat(lit("Alpha shared opener "), g10, lit(" level one.")),
+            concat(lit("Bravo shared middle "), g10, lit(" level two.")),
+            concat(lit("Charlie shared closer "), g10, lit(" level three.")),
+            concat(lit("Delta unique detail "), did.cast("string"),
+              lit(" here.")),
+            when(did % 4 === 0,
+              lit("Foxtrot common tail starts. Golf common tail continues. Hotel common tail ends.")),
+            concat(lit("Echo final remark "), did.cast("string"),
+              lit(" closes.")))
+            .as("text"))
+        C4.spanDedup(synth, "doc_id", "text", n = 3).orderBy("doc_id")
+      },
+      Some("""WITH synth AS (SELECT doc_id, concat_ws(' ',
+        |    'Alpha shared opener ' || CAST(doc_id % 10 AS VARCHAR) || ' level one.',
+        |    'Bravo shared middle ' || CAST(doc_id % 10 AS VARCHAR) || ' level two.',
+        |    'Charlie shared closer ' || CAST(doc_id % 10 AS VARCHAR) || ' level three.',
+        |    'Delta unique detail ' || CAST(doc_id AS VARCHAR) || ' here.',
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Foxtrot common tail starts. Golf common tail continues. Hotel common tail ends.' END,
+        |    'Echo final remark ' || CAST(doc_id AS VARCHAR) || ' closes.') AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(regexp_replace(trim(text),
+        |    '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS us FROM synth),
+        |c AS (SELECT doc_id, us, list_transform(range(0, greatest(len(us)-2, 0)),
+        |  i -> array_to_string(list_slice(us, CAST(i+1 AS INT), CAST(i+3 AS INT)), ' ')) AS grams FROM t),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(grams, 1) - 1 AS INT) AS pos, unnest(grams) AS gram FROM c),
+        |h AS (SELECT doc_id, pos, CAST('0x'||substr(md5(gram),18,15) AS BIGINT) AS gh FROM e),
+        |f AS (SELECT gh, min(doc_id*1048576 + pos) AS fo, count(*) AS cnt FROM h GROUP BY gh),
+        |rem AS (SELECT h.doc_id, h.pos, h.pos + 3 AS e FROM h JOIN f ON h.gh = f.gh
+        |  WHERE f.cnt >= 2 AND h.doc_id*1048576 + h.pos > f.fo),
+        |w AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM rem),
+        |i0 AS (SELECT doc_id, pos, e, CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS ni FROM w),
+        |i1 AS (SELECT doc_id, pos, e, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i0),
+        |isl AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS en FROM i1 GROUP BY doc_id, isl),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(en - s) AS BIGINT) AS removed_sentences FROM isl GROUP BY doc_id),
+        |tp AS (SELECT doc_id, CAST(generate_subscripts(us, 1) - 1 AS INT) AS tpos, unnest(us) AS tok FROM t),
+        |keep AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp WHERE NOT EXISTS
+        |  (SELECT 1 FROM isl WHERE isl.doc_id = tp.doc_id AND tp.tpos >= isl.s AND tp.tpos < isl.en)),
+        |k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.us) AS BIGINT) AS n_sentences,
+        |  coalesce(d.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        |  coalesce(d.removed_sentences, CAST(0 AS BIGINT)) AS removed_sentences,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin))
   )
 
   /** Per-user event-value series as fixed-length vectors: first 8 values
