@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture optimization for training-data recipes — DoReMi-style
+  * reweighting (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures
+  * Speeds Up Language Model Pretraining") with the multiplicative-weights
+  * update of Arora–Hazan–Kale 2012 in EXACT scaled-integer arithmetic:
+  *
+  *  - per-domain EXCESS LOSS = clamp(avg proxy-model loss − avg
+  *    reference-model loss, ≥ 0) — DoReMi's clipped regret signal
+  *    (domains the proxy already fits as well as the reference get 0
+  *    and decay toward the uniform floor);
+  *  - T rounds of w_d ← w_d · (k·P + (excess̃_d − mean)) / (k·P), the
+  *    first-order multiplicative-weights form of DoReMi's exponentiated
+  *    gradient (η = 1/k; exact integers so the trajectory is
+  *    oracle-replayable — `exp()` never bit-matches across engines).
+  *
+  * Scale shape: ONE map-side-combinable hash aggregate over the corpus
+  * (the shuffle carries |domains| partial sums per task, never rows);
+  * the MW loop runs on the collected |domains|-row table — a bounded
+  * driver artifact (the Bpe merge-loop / KMeans-codebook discipline),
+  * fail-loud past `maxDomains`. At 100 TB the corpus pass is the whole
+  * cost; the loop is microseconds.
+  *
+  * All arithmetic is nonnegative-integer division (truncation == floor,
+  * identical in JVM `/` and DuckDB `//`), so the full (round, domain,
+  * weight, mixture) trajectory hash-matches an unrolled-CTE oracle
+  * (q173).
+  */
+object Mixture {
+
+  /** Parts-per-million fixed-point base for weights and mixtures. */
+  final val P = 1000000L
+
+  /** DoReMi-style domain reweighting. `df` carries one row per document
+    * with a string domain column and nonnegative integral per-document
+    * loss surrogates for the proxy and reference models. Returns the
+    * full trajectory: (round, domain, excess_ppm, w, mix_ppm) for
+    * round = 0 (uniform) .. iters, ordered by (round, domain).
+    *
+    *  - `excess_ppm`: the domain's clipped excess loss, normalized by
+    *    the max over domains into [0, P] (so η is loss-scale-free);
+    *  - `w`: the raw multiplicative weight (starts at P);
+    *  - `mix_ppm`: w·P / Σw — the training mixture DoReMi feeds the
+    *    large run, largest-excess domains upweighted.
+    *
+    * `invEta` is the inverse learning rate k (η = 1/k, k ≥ 2 keeps every
+    * multiplier positive since |excess̃ − mean| ≤ P).
+    */
+  def domainReweight(df: DataFrame, domainCol: String, proxyCol: String,
+      refCol: String, iters: Int = 5, invEta: Int = 2,
+      maxDomains: Int = 1 << 16): DataFrame = {
+    require(iters >= 1, s"Mixture.domainReweight: iters $iters must be >= 1")
+    require(invEta >= 2, s"Mixture.domainReweight: invEta $invEta must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // one corpus pass: map-side-combinable sums per domain
+    val stats = df.groupBy(col(domainCol)).agg(
+        count(lit(1)).as("n"),
+        sum(col(proxyCol).cast("long")).as("sp"),
+        sum(col(refCol).cast("long")).as("sr"))
+      .orderBy(col(domainCol)).limit(maxDomains + 1)
+      .collect()
+    require(stats.length <= maxDomains,
+      s"Mixture.domainReweight: more than $maxDomains domains — the MW " +
+        "loop is a bounded driver artifact; coarsen the domain key")
+    require(stats.nonEmpty, "Mixture.domainReweight: empty input")
+
+    val doms = stats.map { r =>
+      val (dom, n, sp, sr) =
+        (r.getAs[String](0), r.getLong(1), r.getLong(2), r.getLong(3))
+      require(sp >= 0 && sr >= 0 && sp < Long.MaxValue / P &&
+        sr < Long.MaxValue / P,
+        s"Mixture.domainReweight: loss sums for '$dom' outside the exact " +
+          "fixed-point domain — rescale the per-document losses")
+      val ex = math.max(0L, sp * P / n - sr * P / n)
+      (dom, ex)
+    }
+    val mx = math.max(doms.map(_._2).max, 1L)
+    val exn = doms.map { case (dom, ex) => (dom, ex * P / mx) }
+
+    val kP = invEta * P
+    var w = exn.map(_ => P)
+    val rows = Seq.newBuilder[(Long, String, Long, Long, Long)]
+    def emit(round: Int): Unit = {
+      val tot = w.sum
+      exn.indices.foreach { i =>
+        rows += ((round.toLong, exn(i)._1, exn(i)._2, w(i), w(i) * P / tot))
+      }
+    }
+    emit(0)
+    // overflow fence: Σ w·excess̃ and w·(kP+δ) must stay in Long — w grows
+    // ≤ (1+1/k)× per round, so this only trips at extreme iters
+    val wCap = Long.MaxValue / (kP + P) / doms.length
+    for (t <- 1 to iters) {
+      require(w.forall(x => x > 0 && x < wCap),
+        s"Mixture.domainReweight: weights left the exact Long domain at " +
+          s"round $t — lower iters or raise invEta")
+      val tot = w.sum
+      val mean = exn.indices.map(i => w(i) * exn(i)._2).sum / tot
+      w = exn.indices.toArray.map(i => w(i) * (kP + exn(i)._2 - mean) / kP)
+      emit(t)
+    }
+    rows.result().toDF("round", domainCol, "excess_ppm", "w", "mix_ppm")
+  }
+}

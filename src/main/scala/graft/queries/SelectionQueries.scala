@@ -631,7 +631,70 @@ object SelectionQueries {
                 when(col("pass_rep"), 1L).otherwise(0L).as("pass_rep"))): _*)
           .orderBy("doc_id")
       },
-      Some(repetitionOracle)))
+      Some(repetitionOracle)),
+
+    // DoReMi-style domain reweighting (Xie et al. 2023) via exact-integer
+    // multiplicative weights (r10): per-source clipped excess loss
+    // (proxy − reference), normalized to ppm, then 5 MW rounds
+    // w ← w·(2P + excess̃ − mix-weighted mean)/2P — the full (round,
+    // domain, weight, mixture) trajectory hash-matched against a
+    // 5-stage unrolled-CTE oracle (the q56/q88 discipline). Loss
+    // surrogates are synthesized in-plan from (n_chars, source index)
+    // with per-domain offsets so some domains clip to 0 excess and
+    // decay while others grow — both MW branches exercised. One
+    // map-side-combinable corpus aggregate; the loop is a bounded
+    // driver artifact (Bpe merge-loop discipline, fail-loud cap).
+    QueryDef("q173_domain_reweight",
+      (s, d) => {
+        val idx = substring(col("source"), 4, 10).cast("long")
+        val perDoc = Tables.documents(s, d).select(
+          col("source").as("domain"),
+          ((col("n_chars") % 191) + (idx * 37 % 29) * 10).as("proxy_loss"),
+          ((col("n_chars") % 191) + (idx * 17 % 23) * 10).as("ref_loss"))
+        graft.operators.Mixture.domainReweight(
+            perDoc, "domain", "proxy_loss", "ref_loss",
+            iters = 5, invEta = 2)
+          .orderBy("round", "domain")
+      },
+      Some(doremiOracle(5))))
+
+  /** Generate the `iters`-stage unrolled multiplicative-weights oracle
+    * for q173 — each stage w{t} recomputes the mix-weighted mean excess
+    * over w{t-1} with scalar subqueries and applies the exact-integer
+    * update `Mixture.domainReweight` performs (all operands nonnegative,
+    * so DuckDB `//` floor == JVM `/` truncation; sums CAST from HUGEINT
+    * back to BIGINT).
+    */
+  private def doremiOracle(iters: Int): String = {
+    val P = 1000000L
+    val stages = (1 to iters).map { t =>
+      val p = t - 1
+      s"""w$t AS (SELECT domain, exn,
+         |  (w * (${2 * P} + exn -
+         |    CAST((SELECT sum(w*exn) FROM w$p) AS BIGINT)
+         |      // CAST((SELECT sum(w) FROM w$p) AS BIGINT))) // ${2 * P} AS w
+         |  FROM w$p)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to iters).map(t =>
+      s"SELECT $t AS round, domain, exn, w FROM w$t").mkString("\n  UNION ALL ")
+    s"""WITH perdoc AS (SELECT source AS domain,
+       |  (n_chars % 191) + ((CAST(substr(source, 4) AS BIGINT) * 37) % 29) * 10 AS proxy_loss,
+       |  (n_chars % 191) + ((CAST(substr(source, 4) AS BIGINT) * 17) % 23) * 10 AS ref_loss
+       |  FROM documents),
+       |s AS (SELECT domain, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(proxy_loss) AS BIGINT) AS sp,
+       |  CAST(sum(ref_loss) AS BIGINT) AS sr FROM perdoc GROUP BY domain),
+       |e0 AS (SELECT domain, greatest((sp*$P)//n - (sr*$P)//n, 0) AS ex FROM s),
+       |ex AS (SELECT domain,
+       |  (ex*$P)//greatest((SELECT max(ex) FROM e0), 1) AS exn FROM e0),
+       |w0 AS (SELECT domain, exn, CAST($P AS BIGINT) AS w FROM ex),
+       |$stages,
+       |trail AS ($unions)
+       |SELECT CAST(round AS BIGINT) AS round, domain,
+       |  CAST(exn AS BIGINT) AS excess_ppm, CAST(w AS BIGINT) AS w,
+       |  CAST((w*$P)//CAST(SUM(w) OVER (PARTITION BY round) AS BIGINT) AS BIGINT) AS mix_ppm
+       |FROM trail ORDER BY round, domain""".stripMargin
+  }
 
   /** Gopher thresholds (permille) the engine call above defaults to —
     * named here so the oracle generator and the query share one list.
