@@ -277,6 +277,69 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** CONTENT-DEFINED chunking dedup — the rsync / LBFS discipline
+    * (Muthitacharoen et al. 2001; FastCDC, Xia et al. 2016) applied to
+    * token streams: a chunk boundary falls after token `i` whenever the
+    * 60-bit hash of the `w`-token window ENDING at `i` lands in the
+    * divisor-0 residue class (expected chunk length ≈ `divisor`
+    * tokens), plus a forced final cut. Because boundaries depend only
+    * on LOCAL content, an insertion or a variable-length prefix shifts
+    * only the chunk containing it — downstream boundaries resynchronize
+    * within `w` tokens, so a passage repeated at ARBITRARY unaligned
+    * offsets still yields identical interior chunks corpus-wide.
+    * Fixed-`k` [[chunkDedup]] misses exactly that case (boundaries are
+    * position-aligned; DedupSpec pins the contrast); [[dupSpanScrub]]
+    * catches it at n× token blowup — CDC catches it at 1× (each token
+    * in one chunk), the cheap middle of the dedup-granularity ladder.
+    *
+    * Policy and output match [[chunkDedup]]: a chunk in more than
+    * `maxDocFreq` distinct docs is boilerplate and cut from EVERY doc;
+    * survivors reassemble in order → (id, n_chunks, n_dropped,
+    * clean_text). Scale shape: boundary detection and chunk building
+    * are ROW-LOCAL higher-order expressions (no explode of grams);
+    * then [[chunkDedup]]'s three hash/id-key shuffles.
+    */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, divisor: Int = 8, maxDocFreq: Int = 1): DataFrame = {
+    require(w >= 1, s"cdcChunkDedup: w $w must be >= 1")
+    require(divisor >= 2, s"cdcChunkDedup: divisor $divisor must be >= 2")
+    val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+    val n = size(col("toks"))
+    val grams = overlappingGrams(col("toks"), w)
+    // content cuts: gram starting at p covers [p, p+w-1] — its END index
+    // is the candidate cut; the final token is always a cut (and is
+    // excluded here so the append never duplicates it)
+    val contentCuts = filter(
+      transform(grams, (g, p) =>
+        when(md5Low60(g) % divisor === 0, p + lit(w - 1)).otherwise(lit(-1))),
+      c => c >= 0 && c < n - 1)
+    val cuts = concat(contentCuts, array(n - 1))
+    val chunksArr = transform(cuts, (c, j) =>
+      array_join(
+        slice(col("toks"),
+          when(j === 0, lit(1)).otherwise(element_at(cuts, j) + 2),
+          when(j === 0, c + 1).otherwise(c - element_at(cuts, j))), " "))
+    val withChunks = toks.select(col(idCol), chunksArr.as("chunks"))
+    val base = withChunks.select(col(idCol),
+      size(col("chunks")).cast("long").as("n_chunks"))
+    val ex = withChunks
+      .select(col(idCol), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+      .withColumn("ch", md5Low60(col("chunk")))
+    val hot = ex.groupBy(col("ch"))
+      .agg(countDistinct(col(idCol)).as("dfreq"))
+      .where(col("dfreq") > maxDocFreq)
+      .select("ch")
+    val kept = ex.join(hot, Seq("ch"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("clean_text"))
+    base.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Duplicated-SPAN scrub — Lee et al. 2022 ("Deduplicating Training
     * Data Makes Language Models Better") ExactSubstr semantics at token
     * granularity: every OVERLAPPING n-token window occurring >= 2 times

@@ -2777,8 +2777,64 @@ object PipelineQueries {
         |  coalesce(d.removed_sentences, CAST(0 AS BIGINT)) AS removed_sentences,
         |  coalesce(k.clean_text, '') AS clean_text
         |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN k USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin))
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // Content-defined chunking dedup (rsync/LBFS, Muthitacharoen et al.
+    // 2001; FastCDC): chunk boundaries from the divisor-0 residue of
+    // the rolling 3-token window hash, so a 30-token passage appended
+    // after each doc's VARIABLE-LENGTH text (arbitrary unaligned
+    // offsets, doc_id%6 group) resynchronizes to identical interior
+    // chunks and is scrubbed corpus-wide — the duplication fixed-k
+    // chunking (q52) is structurally blind to. Unique per-doc tails pin
+    // the survivor side. Boundary detection and chunk building are
+    // row-local; then q52's three hash/id-key shuffles. The oracle
+    // re-derives windows, cuts, variable chunks and the hot set.
+    QueryDef("q174_cdc_chunk_dedup",
+      (s, d) => {
+        val did = col("doc_id")
+        val synth = Tables.documents(s, d).select(did,
+          concat_ws(" ",
+            col("text"),
+            when(did % 6 === 0, lit(CdcPassage)),
+            concat(lit("tail"), did.cast("string"))).as("text"))
+        Dedup.cdcChunkDedup(synth, "doc_id", "text", w = 3, divisor = 4)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH synth AS (SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 6 = 0 THEN '$CdcPassage' END,
+        |    'tail' || CAST(doc_id AS VARCHAR)) AS text FROM documents),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM synth),
+        |g AS (SELECT doc_id, toks, list_transform(range(0, greatest(len(toks)-2, 0)),
+        |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+3 AS INT)), ' ')) AS grams FROM t),
+        |cu AS (SELECT doc_id, toks, list_append(
+        |  list_filter(list_transform(range(0, len(grams)), j ->
+        |    CASE WHEN CAST('0x'||substr(md5(grams[CAST(j AS INT)+1]),18,15) AS BIGINT) % 4 = 0
+        |      THEN j + 2 ELSE CAST(-1 AS BIGINT) END),
+        |    x -> x >= 0 AND x < len(toks) - 1),
+        |  CAST(len(toks) - 1 AS BIGINT)) AS cuts FROM g),
+        |c AS (SELECT doc_id, list_transform(range(0, len(cuts)), j ->
+        |  array_to_string(list_slice(toks,
+        |    CAST(CASE WHEN j = 0 THEN 1 ELSE cuts[CAST(j AS INT)] + 2 END AS INT),
+        |    CAST(cuts[CAST(j AS INT)+1] + 1 AS INT)), ' ')) AS chunks FROM cu),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS pos, unnest(chunks) AS chunk FROM c),
+        |h AS (SELECT doc_id, pos, chunk, CAST('0x'||substr(md5(chunk),18,15) AS BIGINT) AS ch FROM e),
+        |hot AS (SELECT ch FROM h GROUP BY ch HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (SELECT * FROM h WHERE ch NOT IN (SELECT ch FROM hot)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(length(c.chunks) AS BIGINT) AS n_chunks,
+        |  CAST(length(c.chunks) AS BIGINT) - coalesce(a.n_kept, 0) AS n_dropped,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM c LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
   )
+
+  /** The shared 30-token passage q174 plants at variable offsets — one
+    * literal, interpolated into BOTH the Spark plan and the oracle SQL.
+    * A `def` (not `val`): the `all` list interpolates it during object
+    * init, and a later-declared val would still be null there.
+    */
+  private def CdcPassage: String =
+    (0 until 30).map(i => s"cdc$i").mkString(" ")
 
   /** Per-user event-value series as fixed-length vectors: first 8 values
     * in (ts, event_id, value) order — value as the final tie-break key so
