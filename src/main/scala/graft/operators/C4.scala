@@ -65,7 +65,7 @@ object C4 {
     */
   def clean(df: DataFrame, idCol: String, textCol: String,
       minSentences: Int = 5, minWords: Int = 3,
-      badWords: Seq[String] = Nil): DataFrame = {
+      badWords: Seq[String] = Nil, keepCols: Seq[String] = Nil): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
     val lines = split(text, "\n")
     val keptArr = filter(lines, l => lineKept(l, minWords))
@@ -74,14 +74,15 @@ object C4 {
       if (badWords.isEmpty) lit(false)
       else arrays_overlap(split(lower(text), "\\s+"),
         lit(badWords.map(_.toLowerCase).toArray))
-    df.select(col(idCol),
-        size(lines).cast("long").as("n_lines"),
-        size(keptArr).cast("long").as("kept_lines"),
-        regexp_count(retained, lit("[.!?]+")).cast("long").as("n_sentences"),
-        contains(lower(text), lit("lorem ipsum")).as("has_lorem"),
-        contains(text, lit("{")).as("has_brace"),
-        hasBad.as("has_bad_word"),
-        retained.as("__retained"))
+    df.select(col(idCol) +:
+        size(lines).cast("long").as("n_lines") +:
+        size(keptArr).cast("long").as("kept_lines") +:
+        regexp_count(retained, lit("[.!?]+")).cast("long").as("n_sentences") +:
+        contains(lower(text), lit("lorem ipsum")).as("has_lorem") +:
+        contains(text, lit("{")).as("has_brace") +:
+        hasBad.as("has_bad_word") +:
+        retained.as("__retained") +:
+        keepCols.map(col): _*)
       .withColumn("kept_page",
         col("n_sentences") >= minSentences && !col("has_lorem") &&
           !col("has_brace") && !col("has_bad_word"))

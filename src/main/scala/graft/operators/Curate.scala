@@ -15,8 +15,12 @@ import graft.functions.TextFunctions
   *
   * Stage order (each narrows the corpus the next stage sees — filters
   * first, the expensive selection last):
+  *   0. C4 page cleaning (row-local rule-pack, optional — raw-web
+  *      hygiene precedes dedup, as in Raffel et al. §2.2)
   *   1. exact dedup (keep min-id survivor per normalized text)
-  *   2. first-occurrence span dedup (Lee et al. keep-first, optional)
+  *   2. line dedup, then C4 sentence-span dedup (coarse-to-fine,
+  *      both optional)
+  *   2b. first-occurrence span dedup (Lee et al. keep-first, optional)
   *   3. duplicated-span scrub (OVERLAPPING-window ExactSubstr, optional)
   *   4. benchmark decontamination (n-gram collision vs a bench table)
   *   5. blocklist gate (Aho-Corasick, drop any-hit docs)
@@ -32,6 +36,10 @@ import graft.functions.TextFunctions
 object Curate {
 
   case class Config(
+      c4MinSentences: Option[Int] = None,
+      c4MinWords: Int = 3,
+      c4BadWords: Seq[String] = Nil,
+      c4SpanDedupN: Option[Int] = None,
       exactDedup: Boolean = true,
       lineDedupMinDocs: Option[Int] = None,
       spanDedupK: Option[Int] = None,
@@ -84,14 +92,8 @@ object Curate {
     def mark(stage: String): Unit =
       if (trace != null) trace += stage -> cur.select(col(idCol))
 
-    if (cfg.exactDedup) {
-      val survivors = Dedup.exact(cur, idCol, textCol).select(idCol)
-      cur = cur.join(survivors, Seq(idCol), "left_semi")
-      mark("exact_dup")
-    }
-
-    // shared rewrite-and-rejoin contract of both span stages: the
-    // operator rewrites text, emptied docs drop, the rewritten text
+    // shared rewrite-and-rejoin contract of every text-rewriting stage:
+    // the operator rewrites text, emptied docs drop, the rewritten text
     // rejoins the surviving metadata columns
     def rewriteStage(rewrittenAll: DataFrame, fate: String): Unit = {
       val rewritten = rewrittenAll
@@ -103,12 +105,34 @@ object Curate {
       mark(fate)
     }
 
+    cfg.c4MinSentences.foreach { m =>
+      // C4 page cleaning FIRST — raw-web hygiene precedes dedup in the
+      // published pipeline (Raffel et al. §2.2 cleans, then dedups); a
+      // page failing any rule has clean_text = '' and drops here (with
+      // minSentences >= 1 kept_page and nonempty clean_text coincide)
+      require(m >= 1, s"Curate: c4MinSentences $m must be >= 1")
+      rewriteStage(C4.clean(cur, idCol, textCol, m, cfg.c4MinWords,
+        cfg.c4BadWords), "c4_rules")
+    }
+
+    if (cfg.exactDedup) {
+      val survivors = Dedup.exact(cur, idCol, textCol).select(idCol)
+      cur = cur.join(survivors, Seq(idCol), "left_semi")
+      mark("exact_dup")
+    }
+
     cfg.lineDedupMinDocs.foreach { m =>
       // LINE-level boilerplate scrub first (coarse-to-fine: whole
       // repeated lines before chunk- and window-level spans); a doc
       // that was ALL boilerplate drops with its own fate
       rewriteStage(Dedup.lineDedup(cur, idCol, textCol, m),
         "line_dedup_empty")
+    }
+
+    cfg.c4SpanDedupN.foreach { n =>
+      // C4's three-sentence-span corpus dedup — sentence granularity
+      // sits between whole-line scrub above and token chunks below
+      rewriteStage(C4.spanDedup(cur, idCol, textCol, n), "c4_span_empty")
     }
 
     cfg.spanDedupK.foreach { k =>

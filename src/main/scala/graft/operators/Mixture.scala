@@ -51,18 +51,48 @@ object Mixture {
     */
   def domainReweight(df: DataFrame, domainCol: String, proxyCol: String,
       refCol: String, iters: Int = 5, invEta: Int = 2,
-      maxDomains: Int = 1 << 16): DataFrame = {
+      maxDomains: Int = 1 << 16): DataFrame =
+    domainReweightFromStats(domainStats(df, domainCol, proxyCol, refCol),
+      iters, invEta, maxDomains)
+      .withColumnRenamed("domain", domainCol)
+
+  /** The additive per-domain loss-stat MONOID behind [[domainReweight]]:
+    * (domain, doc count, Σ proxy loss, Σ ref loss) — key-wise sums, so
+    * the state maintains in O(delta) (the q127/q170 IVM discipline: a
+    * daily ingest merges its delta instead of rescanning the corpus) and
+    * the reweighting is served off the bounded state
+    * ([[domainReweightFromStats]]). One map-side-combinable hash agg.
+    */
+  def domainStats(df: DataFrame, domainCol: String, proxyCol: String,
+      refCol: String): DataFrame =
+    df.groupBy(col(domainCol).as("__d")).agg(
+      count(lit(1)).as("n"),
+      sum(col(proxyCol).cast("long")).as("sp"),
+      sum(col(refCol).cast("long")).as("sr"))
+
+  /** Merge loss-stat states by key-wise sum — O(state), never the
+    * corpus. merge == recompute is oracle-proven by q175 (its oracle is
+    * q173's from-scratch unrolled CTE verbatim).
+    */
+  def mergeDomainStats(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "Mixture.mergeDomainStats: no states")
+    states.reduce(_ unionByName _)
+      .groupBy(col("__d"))
+      .agg(sum(col("n")).as("n"), sum(col("sp")).as("sp"),
+        sum(col("sr")).as("sr"))
+  }
+
+  /** The MW loop served off a (possibly incrementally merged)
+    * [[domainStats]] state — output column `domain`. */
+  def domainReweightFromStats(statsDf: DataFrame, iters: Int = 5,
+      invEta: Int = 2, maxDomains: Int = 1 << 16): DataFrame = {
     require(iters >= 1, s"Mixture.domainReweight: iters $iters must be >= 1")
     require(invEta >= 2, s"Mixture.domainReweight: invEta $invEta must be >= 2")
-    val spark = df.sparkSession
+    val spark = statsDf.sparkSession
     import spark.implicits._
 
-    // one corpus pass: map-side-combinable sums per domain
-    val stats = df.groupBy(col(domainCol)).agg(
-        count(lit(1)).as("n"),
-        sum(col(proxyCol).cast("long")).as("sp"),
-        sum(col(refCol).cast("long")).as("sr"))
-      .orderBy(col(domainCol)).limit(maxDomains + 1)
+    val stats = statsDf
+      .orderBy(col("__d")).limit(maxDomains + 1)
       .collect()
     require(stats.length <= maxDomains,
       s"Mixture.domainReweight: more than $maxDomains domains — the MW " +
@@ -104,6 +134,6 @@ object Mixture {
       w = exn.indices.toArray.map(i => w(i) * (kP + exn(i)._2 - mean) / kP)
       emit(t)
     }
-    rows.result().toDF("round", domainCol, "excess_ppm", "w", "mix_ppm")
+    rows.result().toDF("round", "domain", "excess_ppm", "w", "mix_ppm")
   }
 }

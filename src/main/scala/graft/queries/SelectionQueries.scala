@@ -645,18 +645,44 @@ object SelectionQueries {
     // map-side-combinable corpus aggregate; the loop is a bounded
     // driver artifact (Bpe merge-loop discipline, fail-loud cap).
     QueryDef("q173_domain_reweight",
+      (s, d) => graft.operators.Mixture.domainReweight(
+          doremiPerDoc(Tables.documents(s, d)),
+          "domain", "proxy_loss", "ref_loss", iters = 5, invEta = 2)
+        .orderBy("round", "domain"),
+      Some(doremiOracle(5))),
+
+    // IVM-served domain reweighting (r10): q170's refresh discipline
+    // applied to q173 — the per-domain (n, Σproxy, Σref) loss-stat
+    // state is an additive monoid, so a daily ingest maintains it in
+    // O(delta) (base ⊕ delta, key-wise sum) and the MW trajectory is
+    // served off the bounded state. The oracle is q173's from-scratch
+    // unrolled CTE VERBATIM — the hash match proves merge == recompute
+    // through the full trajectory.
+    QueryDef("q175_ivm_domain_reweight",
       (s, d) => {
-        val idx = substring(col("source"), 4, 10).cast("long")
-        val perDoc = Tables.documents(s, d).select(
-          col("source").as("domain"),
-          ((col("n_chars") % 191) + (idx * 37 % 29) * 10).as("proxy_loss"),
-          ((col("n_chars") % 191) + (idx * 17 % 23) * 10).as("ref_loss"))
-        graft.operators.Mixture.domainReweight(
-            perDoc, "domain", "proxy_loss", "ref_loss",
+        val docs = Tables.documents(s, d)
+        val M = graft.operators.Mixture
+        val base = M.domainStats(doremiPerDoc(docs.where(col("doc_id") < 250)),
+          "domain", "proxy_loss", "ref_loss")
+        val delta = M.domainStats(doremiPerDoc(docs.where(col("doc_id") >= 250)),
+          "domain", "proxy_loss", "ref_loss")
+        M.domainReweightFromStats(M.mergeDomainStats(Seq(base, delta)),
             iters = 5, invEta = 2)
           .orderBy("round", "domain")
       },
       Some(doremiOracle(5))))
+
+  /** q173/q175's shared in-plan loss-surrogate synthesis: per-domain
+    * offsets from the source index so some domains clip to zero excess
+    * (decay) and others grow — one definition, two queries. */
+  private def doremiPerDoc(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast("long")
+    docs.select(
+      col("source").as("domain"),
+      ((col("n_chars") % 191) + (idx * 37 % 29) * 10).as("proxy_loss"),
+      ((col("n_chars") % 191) + (idx * 17 % 23) * 10).as("ref_loss"))
+  }
 
   /** Generate the `iters`-stage unrolled multiplicative-weights oracle
     * for q173 — each stage w{t} recomputes the mix-weighted mean excess

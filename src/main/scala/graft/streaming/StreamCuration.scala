@@ -107,8 +107,13 @@ object StreamCuration {
     *     top-N selection is a corpus-shape operation and cannot hold on
     *     an unbounded stream.
     *
+    *   - `c4MinSentences` → [[graft.operators.C4.clean]] is one
+    *     row-local codegen pass, so the rule-pack streams unchanged
+    *     (keepCols projection instead of the batch rejoin).
+    *
     * Corpus-SHAPE stages (`spanDedupK`, `dupSpanN`, `lineDedupMinDocs`,
-    * `curriculumBandWidth`, `epochBudgets`) raise: they belong at
+    * `c4SpanDedupN`, `curriculumBandWidth`, `epochBudgets`) raise: they
+    * belong at
     * snapshot time, after the stream lands — silently skipping them
     * would let one config mean two different pipelines. The streaming
     * twin of `lineDedupMinDocs` is the frozen `lineIndex`/`lineIndexDir`
@@ -126,12 +131,12 @@ object StreamCuration {
       lineIndexDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
-      cfg.lineDedupMinDocs.isEmpty &&
+      cfg.lineDedupMinDocs.isEmpty && cfg.c4SpanDedupN.isEmpty &&
       cfg.curriculumBandWidth.isEmpty && cfg.epochBudgets.isEmpty,
       "StreamCuration.run: spanDedupK/dupSpanN/lineDedupMinDocs/" +
-        "curriculumBandWidth/epochBudgets are corpus-shape stages — run " +
-        "them batch-side at snapshot time (the stream twin of " +
-        "lineDedupMinDocs is the frozen lineIndex/lineIndexDir gate)")
+        "c4SpanDedupN/curriculumBandWidth/epochBudgets are corpus-shape " +
+        "stages — run them batch-side at snapshot time (the stream twin " +
+        "of lineDedupMinDocs is the frozen lineIndex/lineIndexDir gate)")
     require(spanIndex.isEmpty || spanIndexDir.isEmpty,
       "StreamCuration.run: pass EITHER spanIndex (a literal array) OR " +
         "spanIndexDir (a persisted Dedup.saveSpanIndex artifact), not both")
@@ -148,6 +153,30 @@ object StreamCuration {
         .orElse(spanIndexDir.map(dir =>
           graft.operators.Dedup.loadSpanIndex(docs.sparkSession, dir)))
     var cur = docs
+
+    cfg.c4MinSentences.foreach { m =>
+      // C4 page cleaning is one row-local codegen pass (every rule a
+      // per-line/per-page string predicate), so it streams unchanged —
+      // same stage position as batch Curate.run (hygiene before dedup);
+      // failed pages have clean_text = '' and drop exactly as there.
+      // Non-text columns ride the keepCols projection (no rejoin — a
+      // stream-stream self-join would be stateful).
+      require(m >= 1, s"StreamCuration.run: c4MinSentences $m must be >= 1")
+      val others = cur.columns.filter(c => c != idCol && c != textCol).toSeq
+      val reserved = Set("n_lines", "kept_lines", "n_sentences",
+        "has_lorem", "has_brace", "has_bad_word", "kept_page",
+        "clean_text", "__retained")
+      val clash = others.filter(reserved)
+      require(clash.isEmpty,
+        s"StreamCuration.run c4 stage: column(s) ${clash.mkString(", ")} " +
+          "collide with C4.clean's output names — rename them upstream")
+      cur = graft.operators.C4
+        .clean(cur, idCol, textCol, m, cfg.c4MinWords, cfg.c4BadWords,
+          keepCols = others)
+        .where(col("clean_text") =!= "")
+        .withColumnRenamed("clean_text", textCol)
+        .select((idCol +: textCol +: others).map(col): _*)
+    }
 
     if (cfg.exactDedup) {
       if (cur.isStreaming) {

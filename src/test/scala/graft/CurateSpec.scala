@@ -236,4 +236,32 @@ class CurateSpec extends SparkSpec {
       cfg.copy(epochBudgets = Map.empty)).columns.toSeq
     assert(cols === Seq("doc_id", "fate"))
   }
+
+  test("C4 stages: rule-pack cleans pages first, sentence-span dedup " +
+      "keeps the earliest copy; explain labels both") {
+    val docs = Seq(
+      (1L, "Good one stays here. Good two stays put. Good three stays on."),
+      (2L, "Shared alpha line one. Shared bravo line two. Shared charlie line three. Unique two tail."),
+      (3L, "Shared alpha line one. Shared bravo line two. Shared charlie line three."),
+      (4L, "Only this page uses lorem ipsum badly. Second fine sentence here. Third fine sentence too."),
+      (5L, "Tiny page."))
+      .toDF("doc_id", "text")
+    val cfg = Curate.Config(c4MinSentences = Some(3), c4SpanDedupN = Some(3),
+      exactDedup = false)
+    val got = Curate.run(docs, "doc_id", "text", cfg)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // 4 fails the lorem rule, 5 the sentence minimum; 3's whole text is
+    // a later copy of 2's opening three-sentence span -> emptied
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(2L).endsWith("Unique two tail."))
+    val fates = Curate.explain(docs, "doc_id", "text", cfg)
+      .select("doc_id", "fate").as[(Long, String)].collect().toMap
+    assert(fates === Map(1L -> "kept", 2L -> "kept",
+      3L -> "c4_span_empty", 4L -> "c4_rules", 5L -> "c4_rules"))
+    // the sentence-span dedup is corpus-shape: the stream twin raises
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamCuration.run(docs, "doc_id", "text", cfg)
+    }
+    assert(ex.getMessage.contains("c4SpanDedupN"), ex.getMessage)
+  }
 }

@@ -72,4 +72,17 @@ class MixtureSpec extends SparkSpec {
       traj(Seq(("a", 10L, 10L), ("b", 3000L, 10L)), iters = 200)
     }
   }
+
+  test("domainStats is an additive monoid: base + delta == recompute") {
+    val all = Seq(("a", 10L, 5L), ("a", 20L, 5L), ("b", 9L, 2L),
+      ("c", 7L, 7L), ("c", 1L, 3L))
+    def stats(rows: Seq[(String, Long, Long)]) =
+      Mixture.domainStats(rows.toDF("domain", "proxy", "ref"),
+        "domain", "proxy", "ref")
+    val merged = Mixture.domainReweightFromStats(Mixture.mergeDomainStats(
+      Seq(stats(all.take(2)), stats(all.drop(2)))))
+    val direct = Mixture.domainReweightFromStats(stats(all))
+    assert(merged.orderBy("round", "domain").collect().toSeq ===
+      direct.orderBy("round", "domain").collect().toSeq)
+  }
 }

@@ -377,4 +377,38 @@ class StreamCurationSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("not both"), ex.getMessage)
   }
+
+  test("C4 rule gate runs stateless inside a stream; survivors and " +
+      "rewritten text == the batch stage") {
+    val tmp = Files.createTempDirectory("graft-c4stream-").toString
+    val docs = Seq(
+      (1L, "First good sentence right here. Second good sentence follows on.", "s0"),
+      (2L, "no terminal punctuation line", "s1"),
+      (3L, "Enable javascript for this page. More fine text would not save it.", "s2"),
+      (4L, "A brace { appears here. Plus another good sentence too.", "s3"),
+      (5L, "Single sentence only here.", "s4"))
+      .toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$tmp/in")
+    val cfg = graft.operators.Curate.Config(
+      c4MinSentences = Some(2), exactDedup = false)
+    val stream = spark.readStream
+      .schema(docs.schema).option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val gated = StreamCuration.run(stream, "doc_id", "text", cfg)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.format("memory").queryName("c4_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("c4_out")
+      .select("doc_id", "text", "source").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    val batch = graft.operators.Curate.run(docs, "doc_id", "text", cfg)
+      .select("doc_id", "text", "source").orderBy("doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(streamed === batch)
+    // only doc 1 passes: 2 has no terminal punct, 3 is a javascript
+    // line (its whole text is one line), 4 has a brace, 5 one sentence
+    assert(streamed.map(_._1) === Seq(1L))
+    assert(streamed.head._3 === "s0") // rider column survived the gate
+  }
 }
