@@ -82,6 +82,28 @@ object TextFunctions {
   def tokenNgrams(text: Column, n: Int): Column =
     ngramsOfTokens(wsTokens(text), n)
 
+  /** Declarative twin of the native
+    * [[graft.functions.expressions.CdcChunks]] kernel (content-defined
+    * chunking: cut after any `w`-token window whose md5-low-60 hash ≡ 0
+    * mod `divisor`, final token always cuts, chunks space-joined) —
+    * kept ONLY as the bit-parity oracle shape
+    * (TextHashExpressionsSpec); never use on a hot path: the
+    * interpreted higher-order lambdas re-inline the upstream token
+    * split per gram (measured at 10×: one scan task, 460+ s).
+    */
+  def cdcChunksFold(toks: Column, w: Int, divisor: Int): Column = {
+    val n = size(toks)
+    val contentCuts = filter(
+      transform(overlappingGrams(toks, w), (g, p) =>
+        when(md5Low60(g) % divisor === 0, p + lit(w - 1)).otherwise(lit(-1))),
+      c => c >= 0 && c < n - 1)
+    val cuts = concat(contentCuts, array(n - 1))
+    zip_with(
+      cuts,
+      concat(array(lit(-1)), slice(cuts, lit(1), size(cuts) - 1)),
+      (c, p) => array_join(slice(toks, p + 2, c - p), " "))
+  }
+
   /** NON-overlapping `k`-token chunks of an already-materialized tokens
     * column (same lambda-re-evaluation rule as [[ngramsOfTokens]]): chunk i
     * = tokens [i·k, i·k+k). The last chunk may be shorter; a short/empty

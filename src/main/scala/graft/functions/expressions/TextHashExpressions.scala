@@ -686,6 +686,117 @@ object RepetitionStatsUtil {
   }
 }
 
+/** Content-defined chunks of a token array (the [[graft.operators.Dedup]]
+  * `cdcChunkDedup` kernel): one pass extracts the per-token UTF-8 bytes,
+  * hashes each `w`-token window once (the [[Md5Low60Util]] digest — the
+  * exact `md5Low60(concat_ws(" ", window))` value, null tokens skipped
+  * with separators only between written tokens), cuts after any window
+  * whose 60-bit hash ≡ 0 (mod `divisor`), and emits the space-joined
+  * chunks (`array_join` null-skip contract). The declarative twin
+  * (`TextFunctions.cdcChunksFold` — zip_with over cut indices) is
+  * bit-parity-pinned in TextHashExpressionsSpec; it exists for the
+  * oracle-shaped proof only: interpreted higher-order lambdas re-inline
+  * the token split per gram (measured: one 10× scan task pinned a core
+  * for 15+ minutes), where this is one native O(tokens·w) loop.
+  */
+case class CdcChunks(child: Expression, w: Int, divisor: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"cdc_chunks: w $w must be >= 1")
+  require(divisor >= 2, s"cdc_chunks: divisor $divisor must be >= 2")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks expects array<string>, got ${child.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunksUtil.compute(input.asInstanceOf[ArrayData], w, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.CdcChunksUtil.compute($c, $w, $divisor)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "cdc_chunks"
+}
+
+object CdcChunksUtil {
+  private val digests = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      override def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+
+  def compute(toks: ArrayData, w: Int, divisor: Int): GenericArrayData = {
+    val t = toks.numElements()
+    val empty = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+    if (t == 0) return new GenericArrayData(Array[Any](empty))
+    val tb = new Array[Array[Byte]](t)
+    var i = 0
+    while (i < t) {
+      tb(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = digests.get()
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    def emit(end: Int): Unit = { // chunk = tokens [start..end], space-joined
+      var len = 0
+      var n = 0
+      var j = start
+      while (j <= end) {
+        if (tb(j) != null) { len += tb(j).length; n += 1 }
+        j += 1
+      }
+      val out = new Array[Byte](len + (if (n > 1) n - 1 else 0))
+      var p = 0
+      var wrote = false
+      j = start
+      while (j <= end) {
+        if (tb(j) != null) {
+          if (wrote) { out(p) = ' '.toByte; p += 1 }
+          System.arraycopy(tb(j), 0, out, p, tb(j).length)
+          p += tb(j).length
+          wrote = true
+        }
+        j += 1
+      }
+      chunks += org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+      start = end + 1
+    }
+    i = 0
+    while (i < t) {
+      var cut = i == t - 1 // the final token always closes a chunk
+      if (!cut && i >= w - 1) {
+        md.reset()
+        var j = i - w + 1
+        var wrote = false
+        while (j <= i) {
+          if (tb(j) != null) {
+            if (wrote) md.update(' '.toByte)
+            md.update(tb(j))
+            wrote = true
+          }
+          j += 1
+        }
+        val d = md.digest()
+        var acc = d(8) & 0x0fL
+        var k = 9
+        while (k < 16) { acc = (acc << 8) | (d(k) & 0xffL); k += 1 }
+        cut = acc % divisor == 0
+      }
+      if (cut) emit(i)
+      i += 1
+    }
+    new GenericArrayData(chunks.toArray)
+  }
+}
+
 object TextHashExpressions {
   def minhashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
@@ -716,6 +827,9 @@ object TextHashExpressions {
         s"(${set(i - 1)} !< ${set(i)}); build it with dupSpanIndex/" +
         "benchGramSet, or sort+distinct a hand-built array first")
   }
+
+  def cdcChunks(toks: Column, w: Int, divisor: Int): Column =
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(toks), w, divisor))
 
   def countInSortedSet(arr: Column, set: Array[Long]): Column = {
     requireStrictlyAscending(set, "countInSortedSet")

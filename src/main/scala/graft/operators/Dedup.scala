@@ -304,21 +304,13 @@ object Dedup {
     require(w >= 1, s"cdcChunkDedup: w $w must be >= 1")
     require(divisor >= 2, s"cdcChunkDedup: divisor $divisor must be >= 2")
     val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
-    val n = size(col("toks"))
-    val grams = overlappingGrams(col("toks"), w)
-    // content cuts: gram starting at p covers [p, p+w-1] — its END index
-    // is the candidate cut; the final token is always a cut (and is
-    // excluded here so the append never duplicates it)
-    val contentCuts = filter(
-      transform(grams, (g, p) =>
-        when(md5Low60(g) % divisor === 0, p + lit(w - 1)).otherwise(lit(-1))),
-      c => c >= 0 && c < n - 1)
-    val cuts = concat(contentCuts, array(n - 1))
-    val chunksArr = transform(cuts, (c, j) =>
-      array_join(
-        slice(col("toks"),
-          when(j === 0, lit(1)).otherwise(element_at(cuts, j) + 2),
-          when(j === 0, c + 1).otherwise(c - element_at(cuts, j))), " "))
+    // chunk building is the NATIVE CdcChunks kernel (one pass: token
+    // bytes once, one md5 per window) — the declarative zip_with twin
+    // (TextFunctions.cdcChunksFold, bit-parity-pinned) re-inlines the
+    // token split per gram in the interpreted higher-order path, which
+    // measured as ONE 10× scan task pinning a core for 15+ minutes
+    val chunksArr = graft.functions.expressions.TextHashExpressions
+      .cdcChunks(col("toks"), w, divisor)
     val withChunks = toks.select(col(idCol), chunksArr.as("chunks"))
     val base = withChunks.select(col(idCol),
       size(col("chunks")).cast("long").as("n_chunks"))

@@ -318,6 +318,57 @@ object Profile {
       .select("src_a", "src_b", "n_a", "n_b", "tv_num", "tv_permille")
   }
 
+  /** Collocation extraction — Church & Hanks 1990 association-ratio
+    * mining, the new-term/multi-word-expression discovery pass a
+    * tokenizer-vocab pipeline runs before training: adjacent token
+    * pairs ranked by lift = P(ab) / (P(a)·P(b)) = c_ab·N / (c_a·c_b),
+    * reported as EXACT integer permille via decimal(38,0)
+    * cross-multiplication (PMI is log(lift) — monotone, so the ranking
+    * IS the PMI ranking, with zero float ops). `minCount` gates both
+    * the pair and each unigram — the standard mitigation for PMI's
+    * rare-pair bias (a hapax pair otherwise tops any list).
+    *
+    * Scale shape: two map-side-combinable hash aggs (observed-bigram /
+    * vocab bounded — never row-bounded), the minCount filter prunes
+    * BEFORE the two unigram-count joins, N broadcasts as a 1-row agg,
+    * and the top-k is TakeOrderedAndProject (k rows per partition move,
+    * no global sort). Output: (a, b, c_ab, lift_permille), top `topK`
+    * by (lift desc, a asc, b asc).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Int = 5,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"collocations: minCount $minCount must be >= 1")
+    require(topK >= 1, s"collocations: topK $topK must be >= 1")
+    val dec = "decimal(38,0)"
+    val toks = df.select(
+      graft.functions.TextFunctions.wsTokens(col(textCol)).as("toks"))
+    val uc = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = uc.agg(sum(col("c")).as("n"))
+    // overlappingGrams (NOT ngramsOfTokens): occurrence multiplicity is
+    // the statistic here, and a sub-n doc must yield zero pairs
+    val bc = toks
+      .select(explode(
+        graft.functions.TextFunctions.overlappingGrams(col("toks"), 2))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .select(split_part(col("pair"), lit(" "), lit(1)).as("a"),
+        split_part(col("pair"), lit(" "), lit(2)).as("b"), col("c_ab"))
+    bc
+      .join(uc.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uc.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .where(col("c_a") >= minCount && col("c_b") >= minCount)
+      .crossJoin(broadcast(n))
+      .withColumn("lift_permille", expr(
+        "(CAST(c_ab AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * " +
+          "CAST(1000 AS DECIMAL(38,0))) div " +
+          "(CAST(c_a AS DECIMAL(38,0)) * CAST(c_b AS DECIMAL(38,0)))"))
+      .select("a", "b", "c_ab", "lift_permille")
+      .orderBy(col("lift_permille").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
   def trendExact(df: DataFrame, groupCol: String,
       xCol: String, yCol: String): DataFrame = {
     val dec = "decimal(38,0)"

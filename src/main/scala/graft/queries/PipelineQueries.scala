@@ -2825,7 +2825,33 @@ object PipelineQueries {
         |  CAST(length(c.chunks) AS BIGINT) - coalesce(a.n_kept, 0) AS n_dropped,
         |  coalesce(a.clean_text, '') AS clean_text
         |FROM c LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Collocation extraction (Church & Hanks 1990): adjacent token
+    // pairs ranked by exact-integer lift permille (PMI is its log —
+    // monotone, so this IS the PMI ranking with zero float ops; the
+    // decimal(38,0) `div` keeps 10^13-token corpora exact, the q168
+    // HUGEINT discipline on the oracle side). minCount=5 on pair AND
+    // unigrams is the standard rare-pair-bias guard. Two hash aggs,
+    // filter-before-join, broadcast 1-row N, TakeOrdered top-50.
+    QueryDef("q176_collocations",
+      (s, d) => graft.operators.Profile.collocations(
+        Tables.documents(s, d), "text", minCount = 5, topK = 50),
+      Some("""WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |u AS (SELECT unnest(toks) AS tok FROM t),
+        |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+        |p AS (SELECT unnest(list_transform(range(0, greatest(len(toks)-1, 0)),
+        |  i -> toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2])) AS pair FROM t),
+        |bc AS (SELECT pair, CAST(count(*) AS BIGINT) AS c_ab FROM p GROUP BY pair HAVING count(*) >= 5),
+        |j AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b, c_ab FROM bc),
+        |m AS (SELECT j.a, j.b, j.c_ab, ua.c AS c_a, ub.c AS c_b FROM j
+        |  JOIN uc ua ON ua.tok = j.a JOIN uc ub ON ub.tok = j.b
+        |  WHERE ua.c >= 5 AND ub.c >= 5)
+        |SELECT a, b, c_ab,
+        |  CAST((CAST(c_ab AS HUGEINT) * nn.n * 1000) // (CAST(c_a AS HUGEINT) * c_b) AS BIGINT) AS lift_permille
+        |FROM m, nn
+        |ORDER BY lift_permille DESC, a, b LIMIT 50""".stripMargin))
   )
 
   /** The shared 30-token passage q174 plants at variable offsets — one

@@ -185,4 +185,31 @@ class TextHashExpressionsSpec extends SparkSpec {
       assert(pos.length === cnt && pos === pos.sorted)
     }
   }
+
+  test("CdcChunks == declarative cdcChunksFold on real documents, " +
+      "plus edge shapes") {
+    val toks = wsTokens(col("text"))
+    val diff = docs.select(
+        TextHashExpressions.cdcChunks(toks, 3, 4).as("native"),
+        cdcChunksFold(toks, 3, 4).as("fold"))
+      .where(to_json(col("native")) =!= to_json(col("fold")))
+      .count()
+    assert(diff === 0)
+    // w > tokens (no content window), single token, empty-string token
+    val edges = Seq(Seq("a", "b"), Seq("solo"), Seq(""), Seq("x", null, "y"))
+      .toDF("toks")
+    val pairs = edges.select(
+        TextHashExpressions.cdcChunks(col("toks"), 3, 4).as("native"),
+        cdcChunksFold(col("toks"), 3, 4).as("fold"))
+      .as[(Seq[String], Seq[String])].collect()
+    pairs.foreach { case (n, f) => assert(n === f) }
+    // the fold's divisor residue drives real cuts at divisor 2 on the
+    // fixture (probability 1/2 per window) — parity must hold there too
+    val diff2 = docs.select(
+        TextHashExpressions.cdcChunks(toks, 2, 2).as("native"),
+        cdcChunksFold(toks, 2, 2).as("fold"))
+      .where(to_json(col("native")) =!= to_json(col("fold")))
+      .count()
+    assert(diff2 === 0)
+  }
 }
