@@ -62,7 +62,8 @@ object ScaleBench {
     "q166_line_dedup", "q167_url_canonical_domain_cap",
     "q168_token_tv_drift", "q169_line_dedup_incremental",
     "q171_c4_clean", "q172_c4_span_dedup", "q173_domain_reweight",
-    "q174_cdc_chunk_dedup", "q175_ivm_domain_reweight")
+    "q174_cdc_chunk_dedup", "q175_ivm_domain_reweight",
+    "q176_collocations")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -136,4 +136,55 @@ object Mixture {
     }
     rows.result().toDF("round", "domain", "excess_ppm", "w", "mix_ppm")
   }
+
+  /** Integer token-budget allocation from a mixture — the bridge from
+    * [[domainReweight]]'s optimized mix to
+    * [[Sampling.epochExpand]]'s per-source budgets: largest-remainder
+    * apportionment (Hamilton's method) of `totalTokens` across the
+    * (domain, mix_ppm) rows, EXACT by construction — floor quotas
+    * `total·mix/P`, then the leftover tokens go one each to the largest
+    * remainders (`total·mix mod P`, domain-ascending tie-break), so the
+    * budgets always sum to exactly `totalTokens` (a float rounding pass
+    * can be off by ±|domains| and either over-commits the token budget
+    * or silently under-trains).
+    *
+    * All-Long arithmetic (`totalTokens` ≤ Long.Max / P fail-loud), a
+    * |domains|-row window — the input is the bounded mixture table, not
+    * the corpus. Output: (domain, mix_ppm, budget), ordered by domain.
+    */
+  def budgetsFromMix(mix: DataFrame, totalTokens: Long): DataFrame = {
+    require(totalTokens >= 0,
+      s"Mixture.budgetsFromMix: totalTokens $totalTokens must be >= 0")
+    require(totalTokens < Long.MaxValue / P,
+      s"Mixture.budgetsFromMix: totalTokens $totalTokens outside the " +
+        "exact fixed-point domain — allocate in larger units (e.g. Ki-tokens)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("domain").asc)
+    // normalize by the ACTUAL share sum S, not the nominal P: mix_ppm
+    // values are themselves floored (Σ ≤ P), and dividing by P would
+    // leave more leftover tokens than domains — the +1 pass could then
+    // never restore the exact sum. With S the leftover is < |domains|
+    // by the standard largest-remainder argument. S = 0 (degenerate
+    // all-zero mix) fails loud rather than dividing by zero.
+    val s = broadcast(mix.agg(
+      when(sum(col("mix_ppm")) > 0, sum(col("mix_ppm")))
+        .otherwise(raise_error(
+          lit("Mixture.budgetsFromMix: mixture sums to zero")))
+        .as("__s")))
+    val floors = mix.select(col("domain"), col("mix_ppm"))
+      .crossJoin(s)
+      // `div` (IntegralDivide), not `/` (Divide -> DOUBLE on longs)
+      .withColumn("__floor", expr(s"mix_ppm * ${totalTokens}L div __s"))
+      .withColumn("__rem", expr(s"(mix_ppm * ${totalTokens}L) % __s"))
+    // leftover = total − Σ floors: a second 1-row agg over the same
+    // bounded relation; the global window is |domains| rows by contract
+    floors
+      .crossJoin(broadcast(floors.agg(
+        (lit(totalTokens) - sum(col("__floor"))).as("__left"))))
+      .withColumn("__rank", row_number().over(w))
+      .select(col("domain"), col("mix_ppm"),
+        (col("__floor") + when(col("__rank") <= col("__left"), 1L)
+          .otherwise(0L)).as("budget"))
+      .orderBy("domain")
+  }
 }

@@ -670,7 +670,26 @@ object SelectionQueries {
             iters = 5, invEta = 2)
           .orderBy("round", "domain")
       },
-      Some(doremiOracle(5))))
+      Some(doremiOracle(5))),
+
+    // Token budgets FROM the optimized mixture (r10): the DoReMi →
+    // recipe bridge — the q173 final-round mix apportioned over a
+    // 1,000,003-token budget by largest-remainder (Hamilton), exact by
+    // construction (budgets sum to the total; a float rounding pass is
+    // off by ±|domains|). The odd total forces a nonzero leftover so
+    // the remainder-ranked +1 pass is actually exercised. The output
+    // feeds Sampling.epochExpand (q145's budget map) unchanged.
+    QueryDef("q177_mixture_budgets",
+      (s, d) => {
+        val M = graft.operators.Mixture
+        val traj = M.domainReweight(doremiPerDoc(Tables.documents(s, d)),
+          "domain", "proxy_loss", "ref_loss", iters = 5, invEta = 2)
+        M.budgetsFromMix(
+            traj.where(col("round") === 5).select("domain", "mix_ppm"),
+            totalTokens = 1000003L)
+          .orderBy("domain")
+      },
+      Some(doremiBudgetOracle(5, 1000003L))))
 
   /** q173/q175's shared in-plan loss-surrogate synthesis: per-domain
     * offsets from the source index so some domains clip to zero excess
@@ -691,8 +710,13 @@ object SelectionQueries {
     * so DuckDB `//` floor == JVM `/` truncation; sums CAST from HUGEINT
     * back to BIGINT).
     */
-  private def doremiOracle(iters: Int): String = {
-    val P = 1000000L
+  private val DoremiP = 1000000L
+
+  /** The shared q173/q175/q177 CTE chain: per-doc synthesis → per-domain
+    * stats → normalized excess → the `iters`-stage unrolled MW loop,
+    * ending at relation `w{iters}(domain, exn, w)`. */
+  private def doremiCtePrefix(iters: Int): String = {
+    val P = DoremiP
     val stages = (1 to iters).map { t =>
       val p = t - 1
       s"""w$t AS (SELECT domain, exn,
@@ -701,8 +725,6 @@ object SelectionQueries {
          |      // CAST((SELECT sum(w) FROM w$p) AS BIGINT))) // ${2 * P} AS w
          |  FROM w$p)""".stripMargin
     }.mkString(",\n")
-    val unions = (0 to iters).map(t =>
-      s"SELECT $t AS round, domain, exn, w FROM w$t").mkString("\n  UNION ALL ")
     s"""WITH perdoc AS (SELECT source AS domain,
        |  (n_chars % 191) + ((CAST(substr(source, 4) AS BIGINT) * 37) % 29) * 10 AS proxy_loss,
        |  (n_chars % 191) + ((CAST(substr(source, 4) AS BIGINT) * 17) % 23) * 10 AS ref_loss
@@ -714,12 +736,39 @@ object SelectionQueries {
        |ex AS (SELECT domain,
        |  (ex*$P)//greatest((SELECT max(ex) FROM e0), 1) AS exn FROM e0),
        |w0 AS (SELECT domain, exn, CAST($P AS BIGINT) AS w FROM ex),
-       |$stages,
+       |$stages""".stripMargin
+  }
+
+  private def doremiOracle(iters: Int): String = {
+    val P = DoremiP
+    val unions = (0 to iters).map(t =>
+      s"SELECT $t AS round, domain, exn, w FROM w$t").mkString("\n  UNION ALL ")
+    s"""${doremiCtePrefix(iters)},
        |trail AS ($unions)
        |SELECT CAST(round AS BIGINT) AS round, domain,
        |  CAST(exn AS BIGINT) AS excess_ppm, CAST(w AS BIGINT) AS w,
        |  CAST((w*$P)//CAST(SUM(w) OVER (PARTITION BY round) AS BIGINT) AS BIGINT) AS mix_ppm
        |FROM trail ORDER BY round, domain""".stripMargin
+  }
+
+  /** q177: the final-round mix apportioned over `total` tokens by
+    * largest remainder — floors off the ACTUAL share sum, leftover +1s
+    * by (remainder desc, domain asc). */
+  private def doremiBudgetOracle(iters: Int, total: Long): String = {
+    val P = DoremiP
+    s"""${doremiCtePrefix(iters)},
+       |mix AS (SELECT domain,
+       |  CAST((w*$P)//CAST((SELECT sum(w) FROM w$iters) AS BIGINT) AS BIGINT) AS mix_ppm
+       |  FROM w$iters),
+       |ss AS (SELECT CAST(sum(mix_ppm) AS BIGINT) AS s FROM mix),
+       |fl AS (SELECT domain, mix_ppm, (mix_ppm*$total)//ss.s AS fl,
+       |  (mix_ppm*$total) % ss.s AS rem FROM mix, ss),
+       |lo AS (SELECT $total - CAST(sum(fl) AS BIGINT) AS leftover FROM fl),
+       |r AS (SELECT domain, mix_ppm, fl, rem,
+       |  row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk FROM fl)
+       |SELECT domain, mix_ppm,
+       |  CAST(fl + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS budget
+       |FROM r, lo ORDER BY domain""".stripMargin
   }
 
   /** Gopher thresholds (permille) the engine call above defaults to —
