@@ -63,7 +63,9 @@ object ScaleBench {
     "q168_token_tv_drift", "q169_line_dedup_incremental",
     "q171_c4_clean", "q172_c4_span_dedup", "q173_domain_reweight",
     "q174_cdc_chunk_dedup", "q175_ivm_domain_reweight",
-    "q176_collocations")
+    "q176_collocations", "q177_mixture_budgets",
+    // round-11 additions
+    "q178_cdc_chunk_incremental", "q180_minhash_retuned")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -725,12 +725,143 @@ case class CdcChunks(child: Expression, w: Int, divisor: Int)
   override def prettyName: String = "cdc_chunks"
 }
 
+/** [[CdcChunks]] with a ROLLING window hash — the FastCDC / LBFS
+  * discipline proper (Xia et al. 2016; Muthitacharoen et al. 2001): the
+  * MD5 form recomputes a full digest per w-token window
+  * (O(tokens·w·digest)); this kernel gear-hashes each token's bytes ONCE
+  * (h = (h << 1) + GEAR[b], the FastCDC per-unit table mix) and then
+  * maintains the w-token window as a polynomial rolling hash —
+  * H_{i+1} = (H_i − B^{w−1}·th(i−w+1))·B + th(i+1) mod 2^64 — O(1) per
+  * position, O(bytes + tokens) per document. Cut rule: after token i
+  * (i ≥ w−1) whenever the window hash's low 60 bits ≡ 0 (mod divisor),
+  * plus the forced final cut — [[CdcChunks]]'s rule under a different
+  * window hash, so the CHUNK CONTRACT is identical (same emit/null-skip
+  * semantics, concatenation property, content-defined resynchronization)
+  * while the cut POSITIONS differ. The MD5 form stays the oracle-parity
+  * twin (q174's DuckDB oracle replays md5 windows); this is the scale
+  * kernel — SCALE.md carries the A/B.
+  */
+case class CdcChunksGear(child: Expression, w: Int, divisor: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"cdc_chunks_gear: w $w must be >= 1")
+  require(divisor >= 2, s"cdc_chunks_gear: divisor $divisor must be >= 2")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks_gear expects array<string>, got ${child.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunksUtil.computeGear(input.asInstanceOf[ArrayData], w, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.CdcChunksUtil.computeGear($c, $w, $divisor)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "cdc_chunks_gear"
+}
+
 object CdcChunksUtil {
   private val digests = ThreadLocal.withInitial(
     new java.util.function.Supplier[java.security.MessageDigest] {
       override def get(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     })
+
+  // deterministic 256-entry gear table (FastCDC's per-byte mix),
+  // generated from splitmix64 so it ships as code, not data
+  private val Gear: Array[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    Array.fill(256) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+  private val NullTokenHash = 0x2545F4914F6CDD1DL
+  private val RollB = 0x100000001B3L // FNV-64 prime (odd -> invertible mod 2^64)
+
+  /** Rolling-hash twin of [[compute]]: same chunk-emit contract,
+    * content-defined cut positions from the gear/polynomial window hash.
+    */
+  def computeGear(toks: ArrayData, w: Int, divisor: Int): GenericArrayData = {
+    val t = toks.numElements()
+    val empty = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+    if (t == 0) return new GenericArrayData(Array[Any](empty))
+    val tb = new Array[Array[Byte]](t)
+    val th = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      if (toks.isNullAt(i)) { tb(i) = null; th(i) = NullTokenHash }
+      else {
+        val b = toks.getUTF8String(i).getBytes
+        tb(i) = b
+        var h = 0L
+        var j = 0
+        while (j < b.length) { h = (h << 1) + Gear(b(j) & 0xff); j += 1 }
+        th(i) = h
+      }
+      i += 1
+    }
+    // B^(w-1) mod 2^64 for the outgoing term
+    var bw = 1L
+    i = 1
+    while (i < w) { bw *= RollB; i += 1 }
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var roll = 0L
+    i = 0
+    while (i < t) {
+      roll =
+        if (i < w) roll * RollB + th(i)
+        else (roll - th(i - w) * bw) * RollB + th(i)
+      var cut = i == t - 1 // the final token always closes a chunk
+      if (!cut && i >= w - 1) cut = (roll & 0x0FFFFFFFFFFFFFFFL) % divisor == 0
+      if (cut) {
+        chunks += joinTokens(tb, start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(chunks.toArray)
+  }
+
+  /** Shared chunk emit: tokens [start..end] space-joined, null tokens
+    * skipped with separators only between written tokens (the
+    * `array_join` null-skip contract both kernels pin).
+    */
+  private def joinTokens(tb: Array[Array[Byte]], start: Int, end: Int)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    var len = 0
+    var n = 0
+    var j = start
+    while (j <= end) {
+      if (tb(j) != null) { len += tb(j).length; n += 1 }
+      j += 1
+    }
+    val out = new Array[Byte](len + (if (n > 1) n - 1 else 0))
+    var p = 0
+    var wrote = false
+    j = start
+    while (j <= end) {
+      if (tb(j) != null) {
+        if (wrote) { out(p) = ' '.toByte; p += 1 }
+        System.arraycopy(tb(j), 0, out, p, tb(j).length)
+        p += tb(j).length
+        wrote = true
+      }
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
 
   def compute(toks: ArrayData, w: Int, divisor: Int): GenericArrayData = {
     val t = toks.numElements()
@@ -746,27 +877,7 @@ object CdcChunksUtil {
     val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
     var start = 0
     def emit(end: Int): Unit = { // chunk = tokens [start..end], space-joined
-      var len = 0
-      var n = 0
-      var j = start
-      while (j <= end) {
-        if (tb(j) != null) { len += tb(j).length; n += 1 }
-        j += 1
-      }
-      val out = new Array[Byte](len + (if (n > 1) n - 1 else 0))
-      var p = 0
-      var wrote = false
-      j = start
-      while (j <= end) {
-        if (tb(j) != null) {
-          if (wrote) { out(p) = ' '.toByte; p += 1 }
-          System.arraycopy(tb(j), 0, out, p, tb(j).length)
-          p += tb(j).length
-          wrote = true
-        }
-        j += 1
-      }
-      chunks += org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+      chunks += joinTokens(tb, start, end)
       start = end + 1
     }
     i = 0
@@ -830,6 +941,9 @@ object TextHashExpressions {
 
   def cdcChunks(toks: Column, w: Int, divisor: Int): Column =
     ColumnBridge.column(CdcChunks(ColumnBridge.expression(toks), w, divisor))
+
+  def cdcChunksGear(toks: Column, w: Int, divisor: Int): Column =
+    ColumnBridge.column(CdcChunksGear(ColumnBridge.expression(toks), w, divisor))
 
   def countInSortedSet(arr: Column, set: Array[Long]): Column = {
     requireStrictlyAscending(set, "countInSortedSet")

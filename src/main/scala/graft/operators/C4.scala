@@ -70,9 +70,15 @@ object C4 {
     val lines = split(text, "\n")
     val keptArr = filter(lines, l => lineKept(l, minWords))
     val retained = array_join(keptArr, "\n")
+    // Tokens are compared after stripping leading/trailing ASCII
+    // punctuation, so "badword!" / "(badword)" still trip the page gate —
+    // C4's blocklist filtering is word-level, not whitespace-chunk-level
+    // (Raffel et al. 2020 §2.2).
     val hasBad =
       if (badWords.isEmpty) lit(false)
-      else arrays_overlap(split(lower(text), "\\s+"),
+      else arrays_overlap(
+        transform(split(lower(text), "\\s+"),
+          t => regexp_replace(t, "^\\p{Punct}+|\\p{Punct}+$", "")),
         lit(badWords.map(_.toLowerCase).toArray))
     df.select(col(idCol) +:
         size(lines).cast("long").as("n_lines") +:

@@ -300,17 +300,27 @@ object Dedup {
     * then [[chunkDedup]]'s three hash/id-key shuffles.
     */
   def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 3, divisor: Int = 8, maxDocFreq: Int = 1): DataFrame = {
+      w: Int = 3, divisor: Int = 8, maxDocFreq: Int = 1,
+      kernel: String = "md5"): DataFrame = {
     require(w >= 1, s"cdcChunkDedup: w $w must be >= 1")
     require(divisor >= 2, s"cdcChunkDedup: divisor $divisor must be >= 2")
+    require(kernel == "md5" || kernel == "gear",
+      s"cdcChunkDedup: kernel '$kernel' must be 'md5' or 'gear'")
     val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
-    // chunk building is the NATIVE CdcChunks kernel (one pass: token
-    // bytes once, one md5 per window) — the declarative zip_with twin
-    // (TextFunctions.cdcChunksFold, bit-parity-pinned) re-inlines the
-    // token split per gram in the interpreted higher-order path, which
-    // measured as ONE 10× scan task pinning a core for 15+ minutes
-    val chunksArr = graft.functions.expressions.TextHashExpressions
-      .cdcChunks(col("toks"), w, divisor)
+    // chunk building is a NATIVE kernel (one pass: token bytes once) —
+    // the declarative zip_with twin (TextFunctions.cdcChunksFold,
+    // bit-parity-pinned) re-inlines the token split per gram in the
+    // interpreted higher-order path, which measured as ONE 10× scan
+    // task pinning a core for 15+ minutes. kernel="md5" (default) is
+    // the oracle-parity form (one digest per window, q174's DuckDB twin
+    // replays it); kernel="gear" is the FastCDC rolling-hash scale form
+    // (O(1) per position — different cut positions, same chunk
+    // contract; SCALE.md carries the A/B)
+    val chunksArr =
+      if (kernel == "gear") graft.functions.expressions.TextHashExpressions
+        .cdcChunksGear(col("toks"), w, divisor)
+      else graft.functions.expressions.TextHashExpressions
+        .cdcChunks(col("toks"), w, divisor)
     val withChunks = toks.select(col(idCol), chunksArr.as("chunks"))
     val base = withChunks.select(col(idCol),
       size(col("chunks")).cast("long").as("n_chunks"))
@@ -330,6 +340,79 @@ object Dedup {
       .select(col(idCol), col("n_chunks"),
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Frozen HOT-CDC-CHUNK index from a reference corpus — the
+    * [[lineDedupIndex]] discipline at content-defined-chunk granularity,
+    * the missing middle rung of the q158/q169 incremental ladder (span →
+    * line → chunk): the sorted 60-bit hashes of every CDC chunk
+    * appearing in more than `maxDocFreq` distinct reference documents
+    * ([[cdcChunkDedup]]'s delete-everywhere boilerplate policy), for
+    * gating NEW data row-locally ([[cdcChunkDedupInline]]) without
+    * re-running the corpus-wide pass. Geometry (`w`, `divisor`) is the
+    * probe contract — persist with [[saveCdcChunkIndex]] so a loader can
+    * never chunk new data under a different geometry than the index was
+    * built with. Engine-sorted, capped fail-loud: real cross-document
+    * boilerplate is bounded; past the cap, run [[cdcChunkDedup]] on the
+    * unioned corpus instead.
+    */
+  def cdcChunkIndex(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, divisor: Int = 8, maxDocFreq: Int = 1,
+      maxChunks: Int = 1 << 20): Array[Long] = {
+    require(w >= 1, s"cdcChunkIndex: w $w must be >= 1")
+    require(divisor >= 2, s"cdcChunkIndex: divisor $divisor must be >= 2")
+    require(maxDocFreq >= 1, s"cdcChunkIndex: maxDocFreq $maxDocFreq must be >= 1")
+    val chunks = df
+      .select(col(idCol), graft.functions.expressions.TextHashExpressions
+        .cdcChunks(wsTokens(col(textCol)), w, divisor).as("chunks"))
+      .select(col(idCol), explode(col("chunks")).as("chunk"))
+      .select(col(idCol), md5Low60(col("chunk")).as("ch"))
+      .groupBy(col("ch")).agg(countDistinct(col(idCol)).as("dfreq"))
+      .where(col("dfreq") > maxDocFreq)
+      .select("ch").orderBy("ch").limit(maxChunks + 1)
+      .collect().map(_.getLong(0))
+    require(chunks.length <= maxChunks,
+      s"cdcChunkIndex: more than $maxChunks hot chunks — too big for " +
+        "the inline gate; run cdcChunkDedup on the unioned corpus instead")
+    chunks
+  }
+
+  /** Incremental CDC-chunk scrub of NEW data against a frozen
+    * [[cdcChunkIndex]]: new data is chunked under the SAME (w, divisor)
+    * geometry (content-defined boundaries resynchronize regardless of
+    * surrounding offsets — that is the point of CDC), and every chunk
+    * whose hash is IN the index is known reference-corpus boilerplate
+    * and removed ([[cdcChunkDedup]]'s delete-everywhere policy across
+    * the corpus boundary). ROW-LOCAL — the native [[CdcChunks]] kernel
+    * plus the PositionsInSortedSet codegen probe; no join, no
+    * aggregation, no state, so the SAME plan runs batch and inside a
+    * streaming query ([[graft.streaming.StreamCuration]]'s cdc stage).
+    * Chunks duplicated only WITHIN the new batch are not removed (not
+    * in the frozen index — the q158/q169 B-internal-dup contract; a
+    * periodic [[cdcChunkDedup]] over the union catches them). Output:
+    * (id, n_chunks, n_dropped, clean_text) — [[cdcChunkDedup]]'s
+    * contract.
+    */
+  def cdcChunkDedupInline(df: DataFrame, idCol: String, textCol: String,
+      w: Int, divisor: Int, index: Array[Long],
+      keepCols: Seq[String] = Nil): DataFrame = {
+    require(index.nonEmpty, "cdcChunkDedupInline: empty index")
+    import graft.functions.expressions.TextHashExpressions
+    val keep = keepCols.map(col)
+    val chunksDf = df.select(
+      col(idCol) +: TextHashExpressions
+        .cdcChunks(wsTokens(col(textCol)), w, divisor).as("chunks") +:
+        keep: _*)
+    val hashes = transform(col("chunks"), c => md5Low60(c))
+    chunksDf
+      .withColumn("__hits",
+        TextHashExpressions.positionsInSortedSet(hashes, index))
+      .select(col(idCol) +:
+        size(col("chunks")).cast("long").as("n_chunks") +:
+        size(col("__hits")).cast("long").as("n_dropped") +:
+        array_join(filter(col("chunks"), (c: Column, i: Column) =>
+          !array_contains(col("__hits"), i)), " ").as("clean_text") +:
+        keep: _*)
   }
 
   /** Duplicated-SPAN scrub — Lee et al. 2022 ("Deduplicating Training
@@ -562,6 +645,35 @@ object Dedup {
   def loadLineIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Array[Long]) =
     loadLongIndex(spark, dir, LineIndexMagic, "line_index.bin", "line-index")
+
+  private val CdcIndexMagic = 0x43444349 // "CDCI"
+
+  /** Persist a [[cdcChunkIndex]] artifact — the [[saveSpanIndex]]
+    * discipline with the chunking GEOMETRY carried inside: `w` and
+    * `divisor` pack into the shared writer's one meta int (16 bits
+    * each), so [[cdcChunkDedupInline]] via [[loadCdcChunkIndex]] can
+    * never probe with boundaries the index wasn't built under — the
+    * SigMeta rule at chunk granularity.
+    */
+  def saveCdcChunkIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, w: Int, divisor: Int, index: Array[Long]): Unit = {
+    require(w >= 1 && w < (1 << 16),
+      s"saveCdcChunkIndex: w $w must be in [1, 65535]")
+    require(divisor >= 2 && divisor < (1 << 16),
+      s"saveCdcChunkIndex: divisor $divisor must be in [2, 65535]")
+    saveLongIndex(spark, dir, CdcIndexMagic, "cdc_chunk_index.bin",
+      (w << 16) | divisor, index)
+  }
+
+  /** Load a persisted CDC-chunk index: (w, divisor, sorted hashes).
+    * Same fail-loud + mtime-cache contract as [[loadSpanIndex]].
+    */
+  def loadCdcChunkIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Array[Long]) = {
+    val (meta, arr) = loadLongIndex(spark, dir, CdcIndexMagic,
+      "cdc_chunk_index.bin", "cdc-chunk-index")
+    (meta >>> 16, meta & 0xffff, arr)
+  }
 
   private val spanIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, (Int, Array[Long]))]
@@ -892,6 +1004,143 @@ object Dedup {
     out.persist().count() // bounded histogram; free the big input
     mh.unpersist()
     out
+  }
+
+  /** A retuned LSH band geometry: `bands` × `rowsPerBand` =
+    * the signature's hash count; `recallPpm` = 1 − (1 − t^r)^b at the
+    * target similarity, in ppm; `expectedCandidates` = the importance-
+    * reweighted candidate-pair estimate under this geometry (see
+    * [[minhashRetune]]).
+    */
+  case class LshGeometry(bands: Int, rowsPerBand: Int,
+      recallPpm: Long, expectedCandidates: Long)
+
+  /** CLOSE THE CALIBRATION LOOP — from a [[minhashCalibration]]
+    * histogram to the (bands, rowsPerBand) to USE. SCALE.md measured the
+    * problem this solves: at fixed band geometry the band-join candidate
+    * set is ~quadratic in corpus size (25.9k → 4.56M → 368M at
+    * 1×/10×/100×), and retuning 4×4 → 2×8 collapses the 10× candidates
+    * −99.5%; until now that retune was a human reading the calibration
+    * table. This operator does the reading:
+    *
+    *  1. The histogram's (jac_bucket, n_pairs) rows are OBSERVED
+    *     candidates under the CURRENT geometry — biased toward pairs
+    *     the current bands catch. Importance-reweight each bucket by
+    *     1/p_cur(s) (s = the bucket's true-Jaccard midpoint,
+    *     p_geom(s) = 1 − (1 − s^r)^b, the standard LSH S-curve) to
+    *     estimate the underlying pair POPULATION — the denominator is
+    *     never 0 because an observed bucket's midpoint is > 0.
+    *  2. For every divisor geometry b·r = numHashes, estimate recall at
+    *     `targetJaccard` and the expected candidate count
+    *     Σ pop(s)·p_new(s).
+    *  3. Pick the TIGHTEST recall-feasible geometry (min expected
+    *     candidates among recall ≥ minRecall) — raising the target only
+    *     grows the feasible set (recall is increasing in t), so the
+    *     selected candidate load is monotone non-increasing in the
+    *     target (spec-pinned). Fail LOUD if even that geometry exceeds
+    *     `candidateBudget` (the maxCandidates discipline): no geometry
+    *     at this signature size meets both constraints — spend more
+    *     hashes.
+    *
+    * If the calibration ran on a `sampleFraction` f, pass
+    * `populationScale` = 1/f² (pair counts scale quadratically in the
+    * sampled fraction) so the budget comparison is in CORPUS units.
+    * Float arithmetic is fine here: this is a bounded driver-side
+    * decision procedure (≤ (H+1)² histogram rows), ScalaTest-pinned,
+    * not an oracle-hashed corpus operator.
+    */
+  def minhashRetune(calib: DataFrame, numHashes: Int, curBands: Int,
+      targetJaccard: Double, candidateBudget: Long,
+      minRecall: Double = 0.8, populationScale: Double = 1.0)
+      : LshGeometry = {
+    require(numHashes >= 2, s"minhashRetune: numHashes $numHashes must be >= 2")
+    require(numHashes % curBands == 0,
+      s"minhashRetune: curBands $curBands must divide numHashes $numHashes")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"minhashRetune: targetJaccard $targetJaccard must be in (0, 1)")
+    require(candidateBudget >= 1,
+      s"minhashRetune: candidateBudget $candidateBudget must be >= 1")
+    require(minRecall > 0 && minRecall <= 1,
+      s"minhashRetune: minRecall $minRecall must be in (0, 1]")
+    require(populationScale >= 1.0,
+      s"minhashRetune: populationScale $populationScale must be >= 1")
+    def pCatch(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val curR = numHashes / curBands
+    // bounded histogram -> population estimate per true-jaccard bucket
+    val hist = calib.groupBy(col("jac_bucket"))
+      .agg(sum(col("n_pairs")).as("n"))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    require(hist.nonEmpty, "minhashRetune: empty calibration histogram")
+    val pop = hist.map { case (bucket, n) =>
+      val s = math.min((bucket + 0.5) / numHashes, 1.0)
+      (s, n * populationScale / pCatch(s, curBands, curR))
+    }
+    val geoms = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      val recall = pCatch(targetJaccard, b, r)
+      val cand = pop.map { case (s, p) => p * pCatch(s, b, r) }.sum
+      LshGeometry(b, r, math.round(recall * 1000000L),
+        math.ceil(cand).toLong)
+    }
+    val feasible = geoms.filter(_.recallPpm >= minRecall * 1000000L)
+    require(feasible.nonEmpty,
+      s"minhashRetune: no b×r = $numHashes geometry reaches recall " +
+        s"$minRecall at target $targetJaccard (best: " +
+        s"${geoms.maxBy(_.recallPpm)}) — spend more hashes")
+    val chosen = feasible.minBy(g => (g.expectedCandidates, g.bands))
+    require(chosen.expectedCandidates <= candidateBudget,
+      s"minhashRetune: tightest recall-feasible geometry $chosen still " +
+        s"exceeds candidateBudget $candidateBudget — spend more hashes " +
+        "or relax the budget/recall")
+    chosen
+  }
+
+  /** [[minhashPairs]] under AUTO-RETUNED band geometry: calibrate on a
+    * sample at the current geometry, [[minhashRetune]] to the tightest
+    * budget-feasible bands for the target similarity, then run the full
+    * pairs pass under the chosen geometry. The calibration sample is
+    * cheap by construction (sampleFraction² of the candidate load); the
+    * returned geometry is also handed back for logging/persistence.
+    */
+  def minhashPairsRetuned(df: DataFrame, idCol: String, textCol: String,
+      targetJaccard: Double, candidateBudget: Long,
+      shingleN: Int = 5, numHashes: Int = 16, curBands: Int = 4,
+      sampleFraction: Double = 0.1, minRecall: Double = 0.8,
+      seed: Long = 42L): (DataFrame, LshGeometry) = {
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"minhashPairsRetuned: sampleFraction $sampleFraction not in (0, 1]")
+    val calib = minhashCalibration(df, idCol, textCol, shingleN,
+      numHashes, curBands, sampleFraction = Some(sampleFraction),
+      seed = seed)
+    val geometry = minhashRetune(calib, numHashes, curBands,
+      targetJaccard, candidateBudget, minRecall,
+      populationScale = 1.0 / (sampleFraction * sampleFraction))
+    (minhashPairs(df, idCol, textCol, shingleN, numHashes,
+      geometry.bands), geometry)
+  }
+
+  /** [[minhashPairsRetuned]] with OWNED cache lifetime (the
+    * [[withMinhashPairs]] contract): nothing stays cached after the
+    * call — the form long-lived sessions and multi-leg consumers
+    * should use.
+    */
+  def withMinhashPairsRetuned[T](df: DataFrame, idCol: String,
+      textCol: String, targetJaccard: Double, candidateBudget: Long,
+      shingleN: Int = 5, numHashes: Int = 16, curBands: Int = 4,
+      sampleFraction: Double = 0.1, minRecall: Double = 0.8,
+      seed: Long = 42L)(use: (DataFrame, LshGeometry) => T): T = {
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"withMinhashPairsRetuned: sampleFraction $sampleFraction not in (0, 1]")
+    val calib = minhashCalibration(df, idCol, textCol, shingleN,
+      numHashes, curBands, sampleFraction = Some(sampleFraction),
+      seed = seed)
+    val geometry = minhashRetune(calib, numHashes, curBands,
+      targetJaccard, candidateBudget, minRecall,
+      populationScale = 1.0 / (sampleFraction * sampleFraction))
+    withMinhashPairs(df, idCol, textCol, shingleN, numHashes,
+      geometry.bands)(pairs => use(pairs, geometry))
   }
 
   /** INCREMENTAL near-dup check — a NEW batch band-joined against the

@@ -339,7 +339,6 @@ object Profile {
       topK: Int = 50): DataFrame = {
     require(minCount >= 1, s"collocations: minCount $minCount must be >= 1")
     require(topK >= 1, s"collocations: topK $topK must be >= 1")
-    val dec = "decimal(38,0)"
     val toks = df.select(
       graft.functions.TextFunctions.wsTokens(col(textCol)).as("toks"))
     val uc = toks.select(explode(col("toks")).as("tok"))

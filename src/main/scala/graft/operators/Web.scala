@@ -99,20 +99,58 @@ object Web {
     *
     * Scale shape: ONE shuffle + sort on the domain key. A degenerate
     * domain (a single host contributing 100M of 100 TB) makes one sort
-    * group; since only ranks <= cap matter, the mitigation at that
-    * scale is a salted pre-pass (local row_number over (domain, salt),
-    * keep <= cap per salt — <= 32·cap survivors per domain — then this
-    * exact window), which preserves every kept/rank <= cap verdict.
-    * Not wired by default: the pre-pass doubles the plan for a skew
-    * profile most corpora don't have.
+    * group; the mitigation is the opt-in `saltFactor` pre-pass (the
+    * [[Dedup]] maxGramFreq opt-in discipline): a local row_number over
+    * (domain, salt) keeps <= cap rows per salt — <= saltFactor·cap
+    * survivors per domain — before this exact window, so the hottest
+    * sort group is bounded. Every kept / rank <= cap verdict is
+    * PRESERVED (each true top-cap row ranks <= cap inside its own salt
+    * bucket too); rows pruned by the pre-pass were already beyond the
+    * cap within one salt bucket and are definitively not-kept — the
+    * salted form returns only the surviving rows (capped audit margin),
+    * where the unsalted form returns every input row. Not on by
+    * default: the pre-pass doubles the plan for a skew profile most
+    * corpora don't have.
     */
   def domainCap(df: DataFrame, domainCol: String, maxPerDomain: Int,
-      order: Column*): DataFrame = {
+      order: Column*): DataFrame =
+    domainCapImpl(df, domainCol, maxPerDomain, None, order)
+
+  /** [[domainCap]] with the salted pre-pass wired — see the scale note
+    * there. `saltFactor` ~ the worker count (32 locally) bounds the
+    * degenerate domain's final sort group at saltFactor·cap rows.
+    */
+  def domainCapSalted(df: DataFrame, domainCol: String, maxPerDomain: Int,
+      saltFactor: Int, order: Column*): DataFrame = {
+    require(saltFactor >= 2,
+      s"domainCapSalted: saltFactor $saltFactor must be >= 2")
+    domainCapImpl(df, domainCol, maxPerDomain, Some(saltFactor), order)
+  }
+
+  private def domainCapImpl(df: DataFrame, domainCol: String,
+      maxPerDomain: Int, saltFactor: Option[Int],
+      order: Seq[Column]): DataFrame = {
     require(maxPerDomain >= 1,
       s"domainCap: maxPerDomain $maxPerDomain must be >= 1")
     require(order.nonEmpty, "domainCap: a deterministic order is required")
+    val base = saltFactor match {
+      case None => df
+      case Some(f) =>
+        // deterministic salt: a pure row function (whole-row hash), so
+        // re-runs salt identically — which bucket a row lands in is
+        // irrelevant to correctness, only that each bucket's local
+        // top-cap covers the global top-cap. (NOT the .desc/.asc order
+        // columns themselves: SortOrder is unevaluable inside hash().)
+        val wPre = Window
+          .partitionBy(col(domainCol),
+            pmod(hash(df.columns.map(col).toSeq: _*), lit(f)))
+          .orderBy(order: _*)
+        df.withColumn("__pre_rank", row_number().over(wPre))
+          .where(col("__pre_rank") <= maxPerDomain)
+          .drop("__pre_rank")
+    }
     val w = Window.partitionBy(col(domainCol)).orderBy(order: _*)
-    df.withColumn("domain_rank", row_number().over(w).cast("long"))
+    base.withColumn("domain_rank", row_number().over(w).cast("long"))
       .withColumn("kept",
         when(col("domain_rank") <= maxPerDomain, 1L).otherwise(0L))
   }

@@ -2673,7 +2673,8 @@ object PipelineQueries {
             when(did % 6 === 0, lit("Read more about this topic now!")),
             when(did % 5 === 0, lit("This page uses Lorem Ipsum filler text.")),
             when(did % 7 === 0, lit("var f = function() { return 1; }.")),
-            when(did % 11 === 0, lit("warning badword1 appears right here.")))
+            when(did % 11 === 0, lit("warning badword1 appears right here.")),
+            when(did % 13 === 0, lit("It even shouts (badword2!) mid-line.")))
             .as("text"))
         C4.clean(synth, "doc_id", "text", minSentences = 3, minWords = 3,
             badWords = Seq("badword1", "badword2"))
@@ -2689,7 +2690,8 @@ object PipelineQueries {
         |    CASE WHEN doc_id % 6 = 0 THEN 'Read more about this topic now!' END,
         |    CASE WHEN doc_id % 5 = 0 THEN 'This page uses Lorem Ipsum filler text.' END,
         |    CASE WHEN doc_id % 7 = 0 THEN 'var f = function() { return 1; }.' END,
-        |    CASE WHEN doc_id % 11 = 0 THEN 'warning badword1 appears right here.' END) AS text
+        |    CASE WHEN doc_id % 11 = 0 THEN 'warning badword1 appears right here.' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'It even shouts (badword2!) mid-line.' END) AS text
         |  FROM documents),
         |f AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
         |    list_filter(string_split(text, chr(10)), l ->
@@ -2703,7 +2705,9 @@ object PipelineQueries {
         |    CAST(len(regexp_extract_all(array_to_string(ka, chr(10)), '[.!?]+')) AS BIGINT) AS n_sentences,
         |    contains(lower(text), 'lorem ipsum') AS has_lorem,
         |    contains(text, '{') AS has_brace,
-        |    list_has_any(regexp_split_to_array(lower(text), '\s+'),
+        |    list_has_any(list_transform(
+        |        regexp_split_to_array(lower(text), '\s+'),
+        |        t -> regexp_replace(t, '^[[:punct:]]+|[[:punct:]]+$', '', 'g')),
         |      ['badword1', 'badword2']) AS has_bad_word,
         |    array_to_string(ka, chr(10)) AS retained
         |  FROM f)
@@ -2851,7 +2855,113 @@ object PipelineQueries {
         |SELECT a, b, c_ab,
         |  CAST((CAST(c_ab AS HUGEINT) * nn.n * 1000) // (CAST(c_a AS HUGEINT) * c_b) AS BIGINT) AS lift_permille
         |FROM m, nn
-        |ORDER BY lift_permille DESC, a, b LIMIT 50""".stripMargin))
+        |ORDER BY lift_permille DESC, a, b LIMIT 50""".stripMargin)),
+
+    // Incremental CDC-chunk scrub vs a FROZEN hot-chunk index (the
+    // q158/q169 ladder's missing middle rung, at q174's granularity):
+    // the index is built from docs < 250 (where the planted passage at
+    // %6 recurs → its interior chunks are hot), docs >= 250 are chunked
+    // under the SAME (w=3, divisor=4) geometry and gated ROW-LOCALLY —
+    // the native CdcChunks kernel + PositionsInSortedSet probe, no
+    // join/agg/state, batch == streaming plan. CDC boundaries
+    // resynchronize past each doc's variable-length prefix, so the
+    // reference passage is caught at arbitrary unaligned offsets in NEW
+    // data. The new-half-only %9 passage pins the B-internal contract:
+    // boilerplate born inside the new batch is NOT in the frozen index
+    // and survives (a periodic q174 over the union catches it). The
+    // oracle re-derives windows, cuts, chunks, and the reference hot
+    // set, then replays the removal.
+    QueryDef("q178_cdc_chunk_incremental",
+      (s, d) => {
+        val did = col("doc_id")
+        val synth = Tables.documents(s, d).select(did,
+          concat_ws(" ",
+            col("text"),
+            when(did % 6 === 0, lit(CdcPassage)),
+            when(did >= 250 && did % 9 === 0, lit(CdcNewPassage)),
+            concat(lit("tail"), did.cast("string"))).as("text"))
+        val index = Dedup.cdcChunkIndex(
+          synth.where(did < 250), "doc_id", "text", w = 3, divisor = 4)
+        Dedup.cdcChunkDedupInline(
+            synth.where(did >= 250 && did < 500),
+            "doc_id", "text", w = 3, divisor = 4, index)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH synth AS (SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 6 = 0 THEN '$CdcPassage' END,
+        |    CASE WHEN doc_id >= 250 AND doc_id % 9 = 0 THEN '$CdcNewPassage' END,
+        |    'tail' || CAST(doc_id AS VARCHAR)) AS text FROM documents),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM synth),
+        |g AS (SELECT doc_id, toks, list_transform(range(0, greatest(len(toks)-2, 0)),
+        |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+3 AS INT)), ' ')) AS grams FROM t),
+        |cu AS (SELECT doc_id, toks, list_append(
+        |  list_filter(list_transform(range(0, len(grams)), j ->
+        |    CASE WHEN CAST('0x'||substr(md5(grams[CAST(j AS INT)+1]),18,15) AS BIGINT) % 4 = 0
+        |      THEN j + 2 ELSE CAST(-1 AS BIGINT) END),
+        |    x -> x >= 0 AND x < len(toks) - 1),
+        |  CAST(len(toks) - 1 AS BIGINT)) AS cuts FROM g),
+        |c AS (SELECT doc_id, list_transform(range(0, len(cuts)), j ->
+        |  array_to_string(list_slice(toks,
+        |    CAST(CASE WHEN j = 0 THEN 1 ELSE cuts[CAST(j AS INT)] + 2 END AS INT),
+        |    CAST(cuts[CAST(j AS INT)+1] + 1 AS INT)), ' ')) AS chunks FROM cu),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS pos, unnest(chunks) AS chunk FROM c),
+        |h AS (SELECT doc_id, pos, chunk, CAST('0x'||substr(md5(chunk),18,15) AS BIGINT) AS ch FROM e),
+        |hot AS (SELECT ch FROM h WHERE doc_id < 250 GROUP BY ch HAVING count(DISTINCT doc_id) > 1),
+        |nh AS (SELECT * FROM h WHERE doc_id >= 250 AND doc_id < 500),
+        |kept AS (SELECT * FROM nh WHERE ch NOT IN (SELECT ch FROM hot)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(length(chunks) AS BIGINT) AS n_chunks FROM c
+        |  WHERE doc_id >= 250 AND doc_id < 500)
+        |SELECT b.doc_id, b.n_chunks,
+        |  b.n_chunks - coalesce(a.n_kept, 0) AS n_dropped,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // The q64 minhash-cluster family under AUTO-RETUNED band geometry
+    // (r11): the loop SCALE.md proved by hand (4×4 → 2×8 collapses 10×
+    // candidates −99.5%) closed by the engine itself —
+    // minhashCalibration on a corpus-size-bounded sample (the fraction
+    // adapts so the calibration join stays ~flat as the corpus grows,
+    // exactly what a 100-TB operator does), minhashRetune picks the
+    // tightest recall-feasible divisor geometry inside the candidate
+    // budget, and the full pairs + connected-components pass runs under
+    // the CHOSEN bands. Output = the 1-row recipe + result summary.
+    // No SQL oracle: the retune is a float S-curve decision procedure
+    // (ScalaTest-pinned, monotone + budget-respected in DedupSpec); the
+    // driver records the rows-only check, and the 10× sweep is the
+    // scale evidence this query exists to produce.
+    QueryDef("q180_minhash_retuned",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val f = math.min(1.0, 4000.0 / math.max(n, 1L))
+        val (gBands, gRows, nPairs, nClusters) =
+          // target 0.95 = "catch near-exact dups": the retune's tightest
+          // 0.8-recall-feasible divisor geometry is then 2 bands × r=8 —
+          // the exact hand-proven SCALE.md collapse (−99.5% candidates
+          // at 10×); a LOW target would legitimately pick a looser
+          // geometry (recall at low similarity demands short bands)
+          Dedup.withMinhashPairsRetuned(docs, "doc_id", "text",
+              targetJaccard = 0.95, candidateBudget = 50000000L,
+              sampleFraction = f, minRecall = 0.8) { (pairs, g) =>
+            // consume the cached pairs INSIDE the owned-lifetime block
+            // (the returned frame is lazy; acting after unpersist would
+            // silently recompute the band join for each leg)
+            val close = pairs.where(col("jac") >= 0.5)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val np = close.count()
+              val nc = Graph.dedupClusters(close, "a", "b")
+                .agg(countDistinct(col("component"))).head().getLong(0)
+              (g.bands.toLong, g.rowsPerBand.toLong, np, nc)
+            } finally close.unpersist()
+          }
+        import s.implicits._
+        Seq((gBands, gRows, nPairs, nClusters))
+          .toDF("bands", "rows_per_band", "n_pairs", "n_clusters")
+      },
+      None)
   )
 
   /** The shared 30-token passage q174 plants at variable offsets — one
@@ -2861,6 +2971,14 @@ object PipelineQueries {
     */
   private def CdcPassage: String =
     (0 until 30).map(i => s"cdc$i").mkString(" ")
+
+  /** q178's NEW-half-only passage — duplicated across the arriving
+    * batch but absent from the frozen reference index, so it must
+    * SURVIVE the inline gate (the B-internal-dup contract). Same
+    * def-not-val init-order discipline as [[CdcPassage]].
+    */
+  private def CdcNewPassage: String =
+    (0 until 30).map(i => s"new$i").mkString(" ")
 
   /** Per-user event-value series as fixed-length vectors: first 8 values
     * in (ts, event_id, value) order — value as the final tie-break key so

@@ -689,7 +689,38 @@ object SelectionQueries {
             totalTokens = 1000003L)
           .orderBy("domain")
       },
-      Some(doremiBudgetOracle(5, 1000003L))))
+      Some(doremiBudgetOracle(5, 1000003L))),
+
+    // The DoReMi → recipe bridge END TO END (r11): the OPTIMIZED mixture
+    // actually drives emission — domainReweight's final-round mix →
+    // largest-remainder token budgets (q177) → Curate.explain's fate
+    // audit with those budgets as the epoch recipe (q164's machinery,
+    // budgets computed instead of hand-configured). Per-doc output:
+    // (fate through exact-dedup + token gate, emitted_copies from the
+    // exact-integer epoch coin over the apportioned budgets). The
+    // budget table is a bounded |domains|-row driver artifact between
+    // the two corpus passes (the codebook discipline). Zero-budget
+    // domains are dropped from the recipe on both sides (emitting
+    // nothing ≡ not budgeted; keeps epochExpand's absent-source
+    // fail-loud contract meaningful for funded sources only).
+    QueryDef("q179_doremi_recipe",
+      (s, d) => {
+        val M = graft.operators.Mixture
+        val docs = Tables.documents(s, d)
+        val traj = M.domainReweight(doremiPerDoc(docs),
+          "domain", "proxy_loss", "ref_loss", iters = 5, invEta = 2)
+        val budgets = M.budgetsFromMix(
+            traj.where(col("round") === 5).select("domain", "mix_ppm"),
+            totalTokens = 1000003L)
+          .collect()
+          .map(r => r.getAs[String]("domain") -> r.getAs[Long]("budget"))
+          .filter(_._2 > 0).toMap
+        graft.operators.Curate.explain(docs, "doc_id", "text",
+            graft.operators.Curate.Config(exactDedup = true, minTokens = 30,
+              epochBudgets = budgets))
+          .orderBy("doc_id")
+      },
+      Some(doremiRecipeOracle(5, 1000003L))))
 
   /** q173/q175's shared in-plan loss-surrogate synthesis: per-domain
     * offsets from the source index so some domains clip to zero excess
@@ -710,7 +741,13 @@ object SelectionQueries {
     * so DuckDB `//` floor == JVM `/` truncation; sums CAST from HUGEINT
     * back to BIGINT).
     */
-  private val DoremiP = 1000000L
+  // `final val` with a literal and no type ascription is a Scala
+  // compile-time constant: the compiler inlines it at every use site,
+  // so it is immune to the object-init-order trap (`val all` at line 63
+  // initializes before later plain vals — the q148 lesson, hit again in
+  // round 10 when this was a plain `private val` and the q173/q175/q177
+  // oracle SQL shipped with P=0). OracleLintSpec guards the output.
+  private final val DoremiP = 1000000L
 
   /** The shared q173/q175/q177 CTE chain: per-doc synthesis → per-domain
     * stats → normalized excess → the `iters`-stage unrolled MW loop,
@@ -769,6 +806,49 @@ object SelectionQueries {
        |SELECT domain, mix_ppm,
        |  CAST(fl + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS budget
        |FROM r, lo ORDER BY domain""".stripMargin
+  }
+
+  /** q179: the full bridge oracle — [[doremiBudgetOracle]]'s CTE chain
+    * through the apportioned budgets, feeding q164's fate/epoch-coin
+    * replay with the COMPUTED budget table in place of hand-written
+    * VALUES. Zero-budget domains filtered on both sides.
+    */
+  private def doremiRecipeOracle(iters: Int, total: Long): String = {
+    val P = DoremiP
+    s"""${doremiCtePrefix(iters)},
+       |mix AS (SELECT domain,
+       |  CAST((w*$P)//CAST((SELECT sum(w) FROM w$iters) AS BIGINT) AS BIGINT) AS mix_ppm
+       |  FROM w$iters),
+       |ss AS (SELECT CAST(sum(mix_ppm) AS BIGINT) AS s FROM mix),
+       |fl AS (SELECT domain, mix_ppm, (mix_ppm*$total)//ss.s AS fl,
+       |  (mix_ppm*$total) % ss.s AS rem FROM mix, ss),
+       |lo AS (SELECT $total - CAST(sum(fl) AS BIGINT) AS leftover FROM fl),
+       |r AS (SELECT domain, mix_ppm, fl, rem,
+       |  row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk FROM fl),
+       |b AS (SELECT domain AS source,
+       |  CAST(fl + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS budget
+       |  FROM r, lo
+       |  WHERE fl + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END > 0),
+       |c0 AS (SELECT * FROM documents),
+       |ded AS (SELECT min(doc_id) AS doc_id FROM c0 GROUP BY lower(trim(text))),
+       |dd AS (SELECT d.* FROM c0 d JOIN ded USING (doc_id)),
+       |gated AS (SELECT dd.*, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM dd WHERE length(regexp_split_to_array(trim(text), '\\s+')) >= 30),
+       |a AS (SELECT source, SUM(n_tok) AS avail FROM gated GROUP BY source),
+       |p AS (SELECT a.source, budget // avail AS fullc, budget % avail AS rem, avail
+       |      FROM a JOIN b USING (source)),
+       |x AS (SELECT g.doc_id, p.fullc +
+       |    CASE WHEN CAST(CAST('0x'||substr(md5('epoch:'||CAST(g.doc_id AS VARCHAR)),25,8) AS BIGINT) AS DECIMAL(38,0))
+       |             * CAST(p.avail AS DECIMAL(38,0))
+       |           < CAST(p.rem AS DECIMAL(38,0)) * CAST(4294967296 AS DECIMAL(38,0))
+       |         THEN 1 ELSE 0 END AS copies
+       |  FROM gated g JOIN p USING (source))
+       |SELECT c0.doc_id,
+       |  CASE WHEN c0.doc_id NOT IN (SELECT doc_id FROM dd) THEN 'exact_dup'
+       |       WHEN c0.doc_id NOT IN (SELECT doc_id FROM gated) THEN 'token_gate'
+       |       ELSE 'kept' END AS fate,
+       |  CAST(coalesce(x.copies, 0) AS BIGINT) AS emitted_copies
+       |FROM c0 LEFT JOIN x USING (doc_id) ORDER BY c0.doc_id""".stripMargin
   }
 
   /** Gopher thresholds (permille) the engine call above defaults to —

@@ -117,7 +117,9 @@ object StreamCuration {
     * snapshot time, after the stream lands — silently skipping them
     * would let one config mean two different pipelines. The streaming
     * twin of `lineDedupMinDocs` is the frozen `lineIndex`/`lineIndexDir`
-    * gate below, the q158 discipline at line granularity.
+    * gate below, the q158 discipline at line granularity; the twin of a
+    * batch cdcChunkDedup pass is the frozen `cdcIndex`/`cdcIndexDir`
+    * gate (chunk granularity, the ladder's middle rung).
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
       cfg: graft.operators.Curate.Config,
@@ -128,7 +130,11 @@ object StreamCuration {
       spanIndexN: Int = 8,
       spanIndexDir: Option[String] = None,
       lineIndex: Option[Array[Long]] = None,
-      lineIndexDir: Option[String] = None): DataFrame = {
+      lineIndexDir: Option[String] = None,
+      cdcIndex: Option[Array[Long]] = None,
+      cdcIndexW: Int = 3,
+      cdcIndexDivisor: Int = 8,
+      cdcIndexDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
       cfg.lineDedupMinDocs.isEmpty && cfg.c4SpanDedupN.isEmpty &&
@@ -143,6 +149,9 @@ object StreamCuration {
     require(lineIndex.isEmpty || lineIndexDir.isEmpty,
       "StreamCuration.run: pass EITHER lineIndex (a literal array) OR " +
         "lineIndexDir (a persisted Dedup.saveLineIndex artifact), not both")
+    require(cdcIndex.isEmpty || cdcIndexDir.isEmpty,
+      "StreamCuration.run: pass EITHER cdcIndex (a literal array) OR " +
+        "cdcIndexDir (a persisted Dedup.saveCdcChunkIndex artifact), not both")
     // dir form: resolved at PLAN-BUILD time through the mtime-keyed
     // registry (Dedup.loadSpanIndex) and carrying its own window size —
     // a RESTARTED stream picks up a regenerated artifact, a RUNNING one
@@ -221,6 +230,35 @@ object StreamCuration {
           "upstream of the gate")
       cur = graft.operators.Dedup
         .lineDedupInline(cur, idCol, textCol, index, keepCols = others)
+        .where(col("clean_text") =!= "")
+        .withColumnRenamed("clean_text", textCol)
+        .select((idCol +: textCol +: others).map(col): _*)
+    }
+
+    // dir form resolves at plan-build through the mtime-keyed registry
+    // and carries its own (w, divisor) — the geometry can never silently
+    // mismatch the artifact (the spanIndexDir contract)
+    val resolvedCdc: Option[(Int, Int, Array[Long])] =
+      cdcIndex.map(a => (cdcIndexW, cdcIndexDivisor, a))
+        .orElse(cdcIndexDir.map(dir =>
+          graft.operators.Dedup.loadCdcChunkIndex(docs.sparkSession, dir)))
+    resolvedCdc.foreach { case (w, divisor, index) =>
+      // incremental CDC-chunk scrub against a frozen reference hot-chunk
+      // index (Dedup.cdcChunkIndex, built batch-side) — the granularity
+      // ladder's middle rung: after the coarse line gate, before the
+      // token-level span gate. Same row-local PositionsInSortedSet
+      // discipline; fully-boilerplate docs drop like the other gates.
+      val others = cur.columns.filter(c => c != idCol && c != textCol).toSeq
+      val reserved = Set("n_chunks", "n_dropped", "clean_text",
+        "chunks", "__hits")
+      val clash = others.filter(reserved)
+      require(clash.isEmpty,
+        s"StreamCuration.run cdcIndex stage: column(s) ${clash.mkString(", ")} " +
+          "collide with the chunk scrub's output names — rename them " +
+          "upstream of the gate")
+      cur = graft.operators.Dedup
+        .cdcChunkDedupInline(cur, idCol, textCol, w, divisor, index,
+          keepCols = others)
         .where(col("clean_text") =!= "")
         .withColumnRenamed("clean_text", textCol)
         .select((idCol +: textCol +: others).map(col): _*)

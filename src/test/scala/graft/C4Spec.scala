@@ -66,6 +66,17 @@ class C4Spec extends SparkSpec {
     val sub = cleanOne("Good line one stays. Good two stays. " +
       "Good three stays here.", badWords = Seq("stay"))
     assert(!sub._6 && sub._7)
+    // adjacent punctuation never shields a bad word: tokens are compared
+    // after stripping leading/trailing punct ("(badword!)" == "badword")
+    val punct = cleanOne("Good line one stays. Good two stays. " +
+      "It shouts (badword!) and still counts here.",
+      badWords = Seq("badword"))
+    assert(punct._6 && !punct._7)
+    // ...but stripping is edge-only: an interior hyphen is part of the
+    // token, so "bad-word" is NOT the token "badword"
+    val hyphen = cleanOne("Good line one stays. Good two stays. " +
+      "A bad-word hyphenation stays fine here.", badWords = Seq("badword"))
+    assert(!hyphen._6 && hyphen._7)
   }
 
   test("sentence split keeps marks attached and handles runs") {

@@ -1157,4 +1157,107 @@ class DedupSpec extends SparkSpec {
     assert(out(0)._3 >= out(0)._2 - 3,
       s"base doc must lose all but the boundary chunks: ${out(0)}")
   }
+
+  test("minhashRetune: tightest recall-feasible geometry; candidate load " +
+      "monotone non-increasing in the target; budget and recall fail loud") {
+    import spark.implicits._
+    // synthetic calibration histogram under the default 16-hash, 4-band
+    // geometry: heavy low-similarity mass (random band collisions — the
+    // measured 10× blow-up shape), a mid bump, a thin true-dup tail
+    val calib = Seq(
+      (2L, 1L, 100000L), (6L, 8L, 500L), (15L, 15L, 50L))
+      .toDF("est_matches", "jac_bucket", "n_pairs")
+    def tune(t: Double, budget: Long = Long.MaxValue / 4) =
+      Dedup.minhashRetune(calib, numHashes = 16, curBands = 4,
+        targetJaccard = t, candidateBudget = budget)
+    // at target 0.5 the 4×4 S-curve has recall 0.23 — infeasible; 8
+    // bands × r=2 reaches 0.90 and is tighter than 16×1
+    val g05 = tune(0.5)
+    assert(g05.bands === 8 && g05.rowsPerBand === 2, g05.toString)
+    assert(g05.recallPpm >= 800000L)
+    // at target 0.9, 4×4 is feasible (recall 0.986) and MUCH tighter
+    val g09 = tune(0.9)
+    assert(g09.bands === 4 && g09.rowsPerBand === 4, g09.toString)
+    // raising the target only tightens: candidate load non-increasing
+    val loads = Seq(0.3, 0.5, 0.7, 0.9, 0.95).map(tune(_).expectedCandidates)
+    assert(loads.sliding(2).forall(p => p(0) >= p(1)),
+      s"candidate load must be monotone non-increasing in target: $loads")
+    // budget respected: an impossible budget fails loud, not silently over
+    val exB = intercept[IllegalArgumentException] { tune(0.9, budget = 1L) }
+    assert(exB.getMessage.contains("candidateBudget"), exB.getMessage)
+    // recall infeasible at this signature size fails loud
+    val exR = intercept[IllegalArgumentException] {
+      Dedup.minhashRetune(calib, 16, 4, targetJaccard = 0.05,
+        candidateBudget = Long.MaxValue / 4, minRecall = 0.999)
+    }
+    assert(exR.getMessage.contains("more hashes"), exR.getMessage)
+  }
+
+  test("minhashPairsRetuned: auto-tuned pass still finds the planted " +
+      "near-dups and reports its geometry") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val docs = ((1L, base) +: (2L, base) +: // exact dup pair
+      (3L to 40L).map(i => (i, (0 until 60).map(j => s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val (pairs, g) = Dedup.minhashPairsRetuned(docs, "doc_id", "text",
+      targetJaccard = 0.9, candidateBudget = 1000000L,
+      sampleFraction = 1.0)
+    assert(g.bands * g.rowsPerBand === 16, g.toString)
+    assert(g.expectedCandidates <= 1000000L)
+    val got = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) === 1.0,
+      s"exact dup must survive any geometry: $got")
+  }
+
+  test("cdcChunkIndex + cdcChunkDedupInline: frozen gate == batch verdicts " +
+      "across the corpus boundary; batch-internal dups survive; artifact " +
+      "round-trips with its geometry") {
+    val passage = (0 until 24).map(i => s"p$i").mkString(" ")
+    val newOnly = (0 until 18).map(i => s"q$i").mkString(" ")
+    // reference corpus: the passage recurs at unaligned offsets -> its
+    // interior chunks are hot
+    val ref = Seq(
+      (0L, "u0 u1 u2 u3 u4 " + passage + " t0end"),
+      (1L, "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 " + passage + " t1end"))
+      .toDF("id", "text")
+    val index = Dedup.cdcChunkIndex(ref, "id", "text", w = 3, divisor = 4)
+    assert(index.nonEmpty)
+    assert(index.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "index must be strictly ascending")
+    // new batch: doc 10 repeats the reference passage at yet another
+    // offset (gated out); docs 11+12 share a NEW-batch-only passage
+    // (NOT in the frozen index -> survives: the B-internal contract)
+    val fresh = Seq(
+      (10L, "x0 x1 x2 " + passage + " t10end"),
+      (11L, "y0 " + newOnly + " t11end"),
+      (12L, "z0 z1 z2 z3 " + newOnly + " t12end"))
+      .toDF("id", "text")
+    val out = Dedup.cdcChunkDedupInline(fresh, "id", "text",
+        w = 3, divisor = 4, index)
+      .select("id", "n_chunks", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc 10: reference passage interior scrubbed, unique edges survive
+    assert(out(0)._3 >= 1, s"doc 10 must lose hot chunks: ${out(0)}")
+    assert(out(0)._4.startsWith("x0") && out(0)._4.endsWith("t10end"))
+    assert(!out(0)._4.split(" ").toSet.equals(
+      ("x0 x1 x2 " + passage + " t10end").split(" ").toSet))
+    // docs 11/12: zero drops — their shared passage is batch-internal
+    assert(out(1)._3 === 0L && out(2)._3 === 0L,
+      s"batch-internal dups must survive the frozen gate: ${out.toSeq}")
+    assert(out(1)._4 === "y0 " + newOnly + " t11end")
+    // the inline verdicts agree with the batch operator run over the
+    // UNION for the cross-boundary doc: same surviving token set
+    val union = Dedup.cdcChunkDedup(ref.union(fresh), "id", "text",
+        w = 3, divisor = 4)
+      .where(col("id") === 10L).select("clean_text").as[String].head()
+    assert(out(0)._4.split(" ").toSet === union.split(" ").toSet,
+      "inline gate and unioned batch pass must agree on doc 10")
+    // artifact round-trip: the (w, divisor) geometry rides inside
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdcidx-").toString
+    Dedup.saveCdcChunkIndex(spark, tmp, w = 3, divisor = 4, index)
+    val (w2, d2, idx2) = Dedup.loadCdcChunkIndex(spark, tmp)
+    assert(w2 === 3 && d2 === 4 && idx2.toSeq === index.toSeq)
+  }
 }

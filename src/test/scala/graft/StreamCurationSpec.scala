@@ -328,6 +328,61 @@ class StreamCurationSpec extends SparkSpec {
     assert(ex.getMessage.contains("not both"), ex.getMessage)
   }
 
+  test("incremental CDC-chunk gate in the stream: scrubbed text == batch " +
+      "twin, geometry rides the artifact") {
+    import graft.operators.{Curate, Dedup}
+    val tmp = Files.createTempDirectory("graft-cdcstream-").toString
+    val passage = (0 until 24).map(i => s"p$i").mkString(" ")
+    // frozen reference corpus -> hot-chunk index, built batch-side: the
+    // STANDALONE passage twice, so every one of its chunks (edges
+    // included) is hot — a new doc that IS the passage drops whole,
+    // while an offset copy keeps only its unique-edge chunks (interior
+    // boundaries resynchronize to the standalone form's)
+    val index = Dedup.cdcChunkIndex(Seq(
+        (1L, passage), (2L, passage))
+      .toDF("doc_id", "text"), "doc_id", "text", w = 3, divisor = 4)
+    val docs = Seq(
+      (10L, "c0 c1 c2 " + passage + " cEnd", 100L), // interior scrubbed
+      (11L, passage, 200L), // consumed whole -> drops
+      (12L, "clean doc stays intact", 300L))
+      .toDF("doc_id", "text", "ts")
+    docs.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val cfg = Curate.Config(exactDedup = false)
+    val curated = StreamCuration.run(stream, "doc_id", "text", cfg,
+      cdcIndex = Some(index), cdcIndexW = 3, cdcIndexDivisor = 4)
+    assert(curated.isStreaming)
+    val q = curated.writeStream.format("memory").queryName("cdc_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cdc_out").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val batch = StreamCuration.run(docs, "doc_id", "text", cfg,
+        cdcIndex = Some(index), cdcIndexW = 3, cdcIndexDivisor = 4)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    assert(batch.map(_._1) === Seq(10L, 12L),
+      s"doc 11 (fully hot) must drop, 10 and 12 survive: $batch")
+    assert(batch(0)._2.startsWith("c0") && batch(0)._2.endsWith("cEnd"))
+    assert(batch(1)._2 === "clean doc stays intact")
+    // dir form resolves through the mtime registry, geometry inside
+    val idxDir = s"$tmp/cdc_idx"
+    Dedup.saveCdcChunkIndex(spark, idxDir, w = 3, divisor = 4, index)
+    val viaDir = StreamCuration.run(docs, "doc_id", "text", cfg,
+        cdcIndexDir = Some(idxDir))
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(viaDir === batch)
+    // both-forms misuse fails loud
+    val ex = intercept[IllegalArgumentException] {
+      StreamCuration.run(docs, "doc_id", "text", cfg,
+        cdcIndex = Some(index), cdcIndexDir = Some(idxDir))
+    }
+    assert(ex.getMessage.contains("not both"), ex.getMessage)
+  }
+
   test("span-index swap contract: a restarted stream picks up the " +
       "regenerated artifact via the mtime registry, no stale reads") {
     import graft.operators.{Curate, Dedup}

@@ -212,4 +212,70 @@ class TextHashExpressionsSpec extends SparkSpec {
       .count()
     assert(diff2 === 0)
   }
+
+  test("CdcChunksGear: same chunk contract as the md5 kernel " +
+      "(concatenation, null-skip, edges), content-defined cuts that " +
+      "resynchronize, real cut mass on the fixture") {
+    val toks = wsTokens(col("text"))
+    // CONTRACT parity: whatever the cut positions, the chunks partition
+    // the token stream — space-rejoined chunks == the md5 kernel's
+    // rejoined chunks == the normalized token stream, on every doc
+    val diff = docs.select(
+        array_join(TextHashExpressions.cdcChunksGear(toks, 3, 4), " ").as("g"),
+        array_join(TextHashExpressions.cdcChunks(toks, 3, 4), " ").as("m"))
+      .where(col("g") =!= col("m")).count()
+    assert(diff === 0)
+    // edge shapes behave like the md5 kernel: short/solo/empty/null
+    val edges = Seq(Seq("a", "b"), Seq("solo"), Seq(""), Seq("x", null, "y"))
+      .toDF("toks")
+    edges.select(
+        TextHashExpressions.cdcChunksGear(col("toks"), 3, 4).as("g"),
+        TextHashExpressions.cdcChunks(col("toks"), 3, 4).as("m"))
+      .as[(Seq[String], Seq[String])].collect()
+      .foreach { case (g, m) =>
+        // below w no window exists, so BOTH kernels emit the forced
+        // final chunk only — bitwise equal on the edge shapes
+        assert(g === m, s"edge shape drift: $g vs $m")
+      }
+    // the rolling hash actually CUTS on the fixture (divisor 4 -> ~1/4
+    // of positions), i.e. this isn't the degenerate one-chunk kernel
+    val counts = docs.select(
+        size(TextHashExpressions.cdcChunksGear(toks, 3, 4)).as("n"),
+        size(wsTokens(col("text"))).as("t"))
+      .as[(Int, Int)].collect()
+    assert(counts.exists(_._1 > 1), "gear kernel never cut on the fixture")
+    val totalChunks = counts.map(_._1.toLong).sum.toDouble
+    val totalToks = counts.map(_._2.toLong).sum.toDouble
+    assert(totalChunks / totalToks > 0.1 && totalChunks / totalToks < 0.5,
+      s"cut rate ${totalChunks / totalToks} far from the 1/divisor design")
+    // CONTENT-DEFINED: the same passage after different-length prefixes
+    // yields identical interior chunks (the resynchronization property
+    // the kernel exists for)
+    val passage = (0 until 40).map(i => s"p$i")
+    val a = ("a0" +: "a1" +: passage) ++ Seq("aEnd")
+    val b = ("b0" +: "b1" +: "b2" +: "b3" +: "b4" +: "b5" +: "b6" +: passage) ++ Seq("bEnd")
+    val two = Seq(a, b).toDF("toks")
+      .select(TextHashExpressions.cdcChunksGear(col("toks"), 3, 4).as("c"))
+      .as[Seq[String]].collect()
+    val interiorA = two(0).filter(c => c.split(" ").forall(_.startsWith("p")))
+    val interiorB = two(1).filter(c => c.split(" ").forall(_.startsWith("p")))
+    // cuts at windows still straddling the prefix (the first w−1
+    // in-passage positions) may differ, so the FIRST interior chunk can
+    // differ; every later cut is content-identical — the aligned tails
+    // must agree exactly
+    val tails = interiorA.reverse.zip(interiorB.reverse)
+    assert(tails.nonEmpty,
+      s"no pure-interior chunks to compare: ${two(0)} vs ${two(1)}")
+    tails.zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x === y || i === tails.length - 1,
+        s"interior chunks must resynchronize: $interiorA vs $interiorB")
+    }
+    // and the operator accepts the kernel flag end to end
+    val viaOp = graft.operators.Dedup.cdcChunkDedup(
+        Seq((0L, a.mkString(" ")), (1L, b.mkString(" "))).toDF("id", "text"),
+        "id", "text", w = 3, divisor = 4, kernel = "gear")
+      .select("id", "n_dropped").as[(Long, Long)].collect().sortBy(_._1)
+    assert(viaOp.forall(_._2 >= 1),
+      s"gear-kernel dedup must scrub the shared interior: ${viaOp.toSeq}")
+  }
 }

@@ -64,4 +64,36 @@ class WebSpec extends SparkSpec {
       Web.domainCap(df, "domain", maxPerDomain = 0, col("id").asc)
     }
   }
+
+  test("domainCapSalted: kept / rank <= cap verdicts identical to the " +
+      "exact window on a skewed fixture; degenerate group bounded") {
+    // skew profile: one domain carries 400 of 430 rows (the crawl shape
+    // the salted pre-pass exists for), two healthy domains around it
+    val rows =
+      (1L to 400L).map(i => ("megasite.com", i, (i * 37) % 211)) ++
+        (401L to 415L).map(i => ("a.com", i, (i * 37) % 211)) ++
+        (416L to 430L).map(i => ("b.org", i, (i * 37) % 211))
+    val df = rows.toDF("domain", "id", "quality")
+    val cap = 8
+    def keptView(out: org.apache.spark.sql.DataFrame) = out
+      .where(col("kept") === 1L)
+      .select("domain", "id", "domain_rank")
+      .as[(String, Long, Long)].collect().toSet
+    val exact = Web.domainCap(df, "domain", cap,
+      col("quality").desc, col("id").asc)
+    val salted = Web.domainCapSalted(df, "domain", cap, saltFactor = 32,
+      col("quality").desc, col("id").asc)
+    // every kept verdict AND its exact rank agree
+    assert(keptView(salted) === keptView(exact))
+    // the pre-pass bounded the audit margin: <= saltFactor·cap
+    // survivors per domain reach the exact window
+    val perDomain = salted.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(perDomain("megasite.com") <= 32L * cap,
+      s"degenerate domain not bounded: $perDomain")
+    // survivors' sub-cap ranks are exact, so non-kept survivors rank
+    // strictly above the cap
+    assert(salted.where(col("kept") === 0L && col("domain_rank") <= cap)
+      .count() === 0L)
+  }
 }
