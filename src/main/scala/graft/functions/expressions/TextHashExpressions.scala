@@ -789,6 +789,19 @@ object CdcChunksUtil {
   private val NullTokenHash = 0x2545F4914F6CDD1DL
   private val RollB = 0x100000001B3L // FNV-64 prime (odd -> invertible mod 2^64)
 
+  // splitmix64 finalizer: the cut decision reads `roll % divisor`, i.e.
+  // its LOW bits — but the gear/polynomial combine leaves low bits
+  // dominated by each token's FINAL characters (h<<1 shifts earlier
+  // bytes up), which measurably skewed the cut rate on suffix-patterned
+  // corpora (the 10× fixture: 1.77× the design rate). One avalanche on
+  // the window value before the mod restores 1/divisor.
+  private def mix64(v: Long): Long = {
+    var z = v
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Rolling-hash twin of [[compute]]: same chunk-emit contract,
     * content-defined cut positions from the gear/polynomial window hash.
     */
@@ -824,7 +837,8 @@ object CdcChunksUtil {
         if (i < w) roll * RollB + th(i)
         else (roll - th(i - w) * bw) * RollB + th(i)
       var cut = i == t - 1 // the final token always closes a chunk
-      if (!cut && i >= w - 1) cut = (roll & 0x0FFFFFFFFFFFFFFFL) % divisor == 0
+      if (!cut && i >= w - 1)
+        cut = (mix64(roll) & 0x0FFFFFFFFFFFFFFFL) % divisor == 0
       if (cut) {
         chunks += joinTokens(tb, start, i)
         start = i + 1
