@@ -1255,6 +1255,64 @@ object Dedup {
       .write.partitionBy("band_idx").mode("append").parquet(path)
   }
 
+  /** RE-BAND a persisted signature index under a NEW band geometry —
+    * the [[minhashRetune]] follow-through at index scale: when the
+    * calibration loop decides the bands are wrong (e.g. 4×4 → 2×8 as
+    * the corpus grows), the expensive artifact — per-document shingles
+    * + minhash signatures, one corpus scan + H hashes per doc — is
+    * still valid; only the band keys are geometry-bound. A band key is
+    * the colon-joined signature slots in slot order ([[bandKeys]]), so
+    * the FULL signature reconstructs exactly from one pass over the
+    * index rows (group per doc, order by band_idx, split+concat;
+    * empty-shingle docs round-trip through their all-null-slot empty
+    * keys), and the re-banded index is written WITHOUT touching corpus
+    * text. Output layout + sidecar match [[buildSignatureIndex]]; the
+    * new geometry must tile the same `numHashes`.
+    */
+  def rebandSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newBands: Int, outPath: String): Unit = {
+    require(outPath != path,
+      "rebandSignatureIndex: write the re-banded index to a NEW path " +
+        "(readers of the old geometry must not see mixed bands)")
+    val m = readSigMeta(spark, path)
+    require(newBands >= 1 && m.numHashes % newBands == 0,
+      s"rebandSignatureIndex: newBands $newBands must divide " +
+        s"numHashes ${m.numHashes}")
+    val newR = m.numHashes / newBands
+    // one row per doc: band keys back to signature slots (band_idx
+    // orders the fragments; '' keys are the all-null signature of an
+    // empty-shingle doc — concat_ws drops null slots, and minhash slots
+    // are all-null or all-present, never mixed)
+    val perDoc = spark.read.parquet(path)
+      .groupBy(col("id"))
+      .agg(first(col("shingles")).as("shingles"),
+        sort_array(collect_list(struct(col("band_idx"), col("band_key"))))
+          .as("bk"))
+    val sig = when(element_at(col("bk"), 1).getField("band_key") === "",
+        array((0 until m.numHashes).map(_ => lit(null).cast("long")): _*))
+      .otherwise(flatten(transform(col("bk"),
+        b => transform(split(b.getField("band_key"), ":"),
+          s => s.cast("long")))))
+    val rebanded = perDoc
+      .select(col("id"), col("shingles"),
+        graft.functions.TextFunctions.bandKeys(sig, newBands, newR)
+          .as("bands"))
+      .select(col("id"), col("shingles"),
+        posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+    // fail-loud geometry guard: a malformed key (hand-edited index)
+    // must never silently re-band — verified via the slot count
+    val bad = perDoc.where(
+      element_at(col("bk"), 1).getField("band_key") =!= "" &&
+        size(flatten(transform(col("bk"),
+          b => split(b.getField("band_key"), ":")))) =!= m.numHashes)
+      .limit(1).count()
+    require(bad == 0L,
+      s"rebandSignatureIndex: index rows at $path do not parse back to " +
+        s"${m.numHashes} signature slots (geometry drift or a corrupt key)")
+    rebanded.write.partitionBy("band_idx").mode("overwrite").parquet(outPath)
+    writeSigMeta(spark, outPath, SigMeta(m.shingleN, m.numHashes, newBands))
+  }
+
   /** [[minhashPairsAgainst]] served from the PERSISTED index: the corpus
     * side is a scan of precomputed signature rows — no corpus text is
     * read, no shingling or hashing re-runs; the arriving batch is the

@@ -335,6 +335,54 @@ object Profile {
     * no global sort). Output: (a, b, c_ab, lift_permille), top `topK`
     * by (lift desc, a asc, b asc).
     */
+  /** Cross-source N-GRAM CONTAINMENT matrix — the corpus-composition
+    * twin of decontamination (q50 guards the eval boundary; this guards
+    * the SOURCE boundaries): for every pair of sources, the size of the
+    * distinct word-n-gram set intersection and both asymmetric
+    * containments in exact permille (1000·|A∩B| div |A| — "how much of
+    * source A already exists in source B", the signal that one crawl
+    * snapshot swallowed another, a mirror got ingested twice, or two
+    * vendors sold the same scrape). TV drift (q168) compares unigram
+    * DISTRIBUTIONS — near-identical token mixes score low there even
+    * when zero passages are shared; containment is the opposite lens:
+    * verbatim n-gram overlap, robust to mix differences.
+    *
+    * Scale shape: grams shuffle once as 60-bit hashes of the distinct
+    * (source, gram) relation (never the strings); sizes are a bounded
+    * |S|-row agg, the intersection one gh equi-join of that relation
+    * grouped to |S|² rows — no all-pairs documents, no text re-scan.
+    * Output: (src_a, src_b, n_a, n_b, inter, cont_a_in_b_permille,
+    * cont_b_in_a_permille), src_a < src_b, every pair present (0-filled).
+    */
+  def crossSourceContainment(df: DataFrame, srcCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"crossSourceContainment: n $n must be >= 1")
+    import graft.functions.TextFunctions
+    val grams = df
+      .select(col(srcCol).as("__g"),
+        explode(TextFunctions.overlappingGrams(
+          TextFunctions.wsTokens(col(textCol)), n)).as("gram"))
+      .select(col("__g"), TextFunctions.md5Low60(col("gram")).as("gh"))
+      .distinct()
+    val sizes = grams.groupBy(col("__g")).agg(count(lit(1)).as("sz"))
+    val pairs = sizes.select(col("__g").as("src_a"), col("sz").as("n_a"))
+      .join(sizes.select(col("__g").as("src_b"), col("sz").as("n_b")),
+        col("src_a") < col("src_b"))
+    val inter = grams.select(col("__g").as("src_a"), col("gh"))
+      .join(grams.select(col("__g").as("src_b"), col("gh")), Seq("gh"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
+      .withColumn("cont_a_in_b_permille",
+        expr("inter * 1000L div greatest(n_a, 1L)"))
+      .withColumn("cont_b_in_a_permille",
+        expr("inter * 1000L div greatest(n_b, 1L)"))
+      .orderBy("src_a", "src_b")
+  }
+
   def collocations(df: DataFrame, textCol: String, minCount: Int = 5,
       topK: Int = 50): DataFrame = {
     require(minCount >= 1, s"collocations: minCount $minCount must be >= 1")

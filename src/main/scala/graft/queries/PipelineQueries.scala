@@ -2961,7 +2961,102 @@ object PipelineQueries {
         Seq((gBands, gRows, nPairs, nClusters))
           .toDF("bands", "rows_per_band", "n_pairs", "n_clusters")
       },
-      None)
+      None),
+
+    // Cross-source n-gram CONTAINMENT matrix (r11) — the corpus-
+    // composition twin of decontamination: per source pair, distinct
+    // 8-gram intersection + both asymmetric containments in exact
+    // permille ("how much of A already exists in B" — a swallowed crawl
+    // snapshot, a double-ingested mirror). q168's TV drift compares
+    // unigram DISTRIBUTIONS; this is the verbatim-overlap lens. Two
+    // passages planted in-plan on different residues so every pair has
+    // nonzero overlap with per-pair-different set sizes; the fixture's
+    // own text contributes (near-)zero cross-source 8-grams — the
+    // planted mass IS the measured signal. Grams shuffle once as 60-bit
+    // hashes; |S|-row sizes + one gh equi-join to |S|^2 rows.
+    QueryDef("q181_cross_source_containment",
+      (s, d) => {
+        val did = col("doc_id")
+        val synth = Tables.documents(s, d).select(col("source"),
+          concat_ws(" ",
+            col("text"),
+            when(did % 4 === 0, lit(ShareA)),
+            when(did % 3 === 0, lit(ShareB))).as("text"))
+        graft.operators.Profile.crossSourceContainment(
+          synth, "source", "text", n = 8)
+      },
+      Some(s"""WITH synth AS (SELECT source, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 4 = 0 THEN '$ShareA' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN '$ShareB' END) AS text FROM documents),
+        |t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM synth),
+        |g AS (SELECT source, unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
+        |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS gram FROM t),
+        |d AS (SELECT DISTINCT source, CAST('0x'||substr(md5(gram),18,15) AS BIGINT) AS gh FROM g),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM d GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, a.sz AS n_a, b.sz AS n_b
+        |  FROM s a JOIN s b ON a.source < b.source),
+        |i AS (SELECT da.source AS src_a, db.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM d da JOIN d db ON da.gh = db.gh AND da.source < db.source GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+        |  coalesce(i.inter, CAST(0 AS BIGINT)) AS inter,
+        |  coalesce(i.inter, CAST(0 AS BIGINT)) * 1000 // greatest(p.n_a, 1) AS cont_a_in_b_permille,
+        |  coalesce(i.inter, CAST(0 AS BIGINT)) * 1000 // greatest(p.n_b, 1) AS cont_b_in_a_permille
+        |FROM p LEFT JOIN i USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin)),
+
+    // HTML/markup text extraction (r11) — the WET-extraction front gate
+    // every raw-web stage assumes has already run (C4 §2.2 consumes WET
+    // text, i.e. the product of exactly this tag-strip + normalize
+    // class). Pages synthesized in-plan around the documents text:
+    // style/script blocks WITH contents (incl. a '<' inside script
+    // code — block removal must precede tag stripping), uppercase tags,
+    // a nav with links on %3, an entity-bearing paragraph on %4, a
+    // comment. Output = clean text + exact-integer markup-density
+    // signals (the jusText-style page evidence). One row-local
+    // projection, zero shuffles; the oracle replays regex for regex.
+    QueryDef("q182_html_extract",
+      (s, d) => {
+        val did = col("doc_id")
+        val synth = Tables.documents(s, d).select(did,
+          concat(
+            lit("<HTML><head><title>Doc "), did.cast("string"),
+            lit("</title><style type=\"text/css\">p { color: red; }" +
+              "</style><script>var x = 1; if (x < 2) { x++; }</script>" +
+              "</head><body>"),
+            when(did % 3 === 0,
+              lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+                "<A HREF=\"/about\">About</A></div>")).otherwise(lit("")),
+            lit("<h1>Title "), did.cast("string"), lit("</h1><p>"),
+            col("text"), lit("</p>"),
+            when(did % 4 === 0,
+              lit("<p>Tom &amp; Jerry say &quot;hi&quot;&nbsp;" +
+                "&lt;always&gt;.</p>")).otherwise(lit("")),
+            lit("<!-- hidden comment --></body></html>")).as("html"))
+        graft.operators.Markup.markupStats(synth, "doc_id", "html")
+          .orderBy("doc_id")
+      },
+      Some("""WITH synth AS (SELECT doc_id,
+        |  '<HTML><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style type="text/css">p { color: red; }</style><script>var x = 1; if (x < 2) { x++; }</script></head><body>'
+        |  || CASE WHEN doc_id % 3 = 0 THEN '<div class="nav"><a href="/">Home</a> <A HREF="/about">About</A></div>' ELSE '' END
+        |  || '<h1>Title ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'
+        |  || CASE WHEN doc_id % 4 = 0 THEN '<p>Tom &amp; Jerry say &quot;hi&quot;&nbsp;&lt;always&gt;.</p>' ELSE '' END
+        |  || '<!-- hidden comment --></body></html>' AS html FROM documents),
+        |c1 AS (SELECT doc_id, html, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS s FROM synth),
+        |c2 AS (SELECT doc_id, html, regexp_replace(s, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM c1),
+        |c3 AS (SELECT doc_id, html, regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM c2),
+        |c4 AS (SELECT doc_id, html, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s FROM c3),
+        |c5 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(replace(s,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s FROM c4),
+        |c6 AS (SELECT doc_id, html, trim(regexp_replace(s, '\s+', ' ', 'g')) AS clean_text FROM c5)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(html) AS BIGINT) AS n_raw_chars,
+        |  CAST(length(clean_text) AS BIGINT) AS n_text_chars,
+        |  CAST(length(clean_text) AS BIGINT) * 1000
+        |    // greatest(CAST(length(html) AS BIGINT), 1) AS text_ratio_permille,
+        |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  CAST(len(regexp_extract_all(html, '(?i)<a[\s>]')) AS BIGINT) AS n_links
+        |FROM c6 ORDER BY doc_id""".stripMargin))
   )
 
   /** The shared 30-token passage q174 plants at variable offsets — one
@@ -2979,6 +3074,13 @@ object PipelineQueries {
     */
   private def CdcNewPassage: String =
     (0 until 30).map(i => s"new$i").mkString(" ")
+
+  /** q181's two planted cross-source passages — different lengths so
+    * each source pair's containment denominators differ. Defs, not
+    * vals: the init-order discipline.
+    */
+  private def ShareA: String = (0 until 12).map(i => s"sharea$i").mkString(" ")
+  private def ShareB: String = (0 until 9).map(i => s"shareb$i").mkString(" ")
 
   /** Per-user event-value series as fixed-length vectors: first 8 values
     * in (ts, event_id, value) order — value as the final tie-break key so

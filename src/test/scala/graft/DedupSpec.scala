@@ -320,6 +320,49 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("buildSignatureIndex"))
   }
 
+  test("rebandSignatureIndex: re-banded artifact == fresh build at the " +
+      "new geometry, no corpus re-scan; empty-shingle docs round-trip") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different corpus content nothing shared elsewhere"),
+      (3L, "a third document with its own phrasing all the way through"),
+      (4L, "")) // empty shingles -> all-null signature -> '' band keys
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again x"),
+      (11L, "")) // empty-shingle probe pairs with the empty-shingle doc
+      .toDF("doc_id", "text")
+    val oldDir = java.nio.file.Files.createTempDirectory("graft-rb-old-").toString
+    val newDir = java.nio.file.Files.createTempDirectory("graft-rb-new-").toString + "/idx"
+    val freshDir = java.nio.file.Files.createTempDirectory("graft-rb-fresh-").toString
+    Dedup.buildSignatureIndex(corpus, "doc_id", "text", oldDir,
+      numHashes = 16, bands = 4)
+    Dedup.rebandSignatureIndex(spark, oldDir, newBands = 2, newDir)
+    Dedup.buildSignatureIndex(corpus, "doc_id", "text", freshDir,
+      numHashes = 16, bands = 2)
+    // the re-banded index IS the fresh 2-band build: identical rows
+    def idx(dir: String) = spark.read.parquet(dir)
+      .select("id", "band_idx", "band_key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(1 + 1)))
+      .toSet
+    assert(idx(newDir) === idx(freshDir))
+    // and identical pair verdicts through the serving path
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(Dedup.pairsAgainstIndex(newDocs, "doc_id", "text", newDir))
+      === rows(Dedup.pairsAgainstIndex(newDocs, "doc_id", "text", freshDir)))
+    // geometry misuse fails loud
+    val exDiv = intercept[IllegalArgumentException] {
+      Dedup.rebandSignatureIndex(spark, oldDir, newBands = 3,
+        newDir + "-bad")
+    }
+    assert(exDiv.getMessage.contains("divide"), exDiv.getMessage)
+    val exSame = intercept[IllegalArgumentException] {
+      Dedup.rebandSignatureIndex(spark, oldDir, newBands = 2, oldDir)
+    }
+    assert(exSame.getMessage.contains("NEW path"), exSame.getMessage)
+  }
+
   /** JVM mirror of winnowing selection: md5-low-32 k-gram hashes,
     * hp = hash·2²⁰ + pos, window minima over full windows, distinct.
     */
