@@ -39,6 +39,7 @@ object Curate {
       c4MinSentences: Option[Int] = None,
       c4MinWords: Int = 3,
       c4BadWords: Seq[String] = Nil,
+      htmlExtract: Boolean = false,
       c4SpanDedupN: Option[Int] = None,
       exactDedup: Boolean = true,
       lineDedupMinDocs: Option[Int] = None,
@@ -105,8 +106,17 @@ object Curate {
       mark(fate)
     }
 
+    if (cfg.htmlExtract) {
+      // markup extraction FIRST — ahead even of the C4 rules: every
+      // downstream stage (sentence counts, token gates, dedup keys)
+      // assumes prose, not tag soup; a page that is ALL markup extracts
+      // to '' and drops with its own fate. Row-local, zero shuffles.
+      rewriteStage(cur.select(col(idCol),
+        Markup.stripHtml(col(textCol)).as("clean_text")), "html_empty")
+    }
+
     cfg.c4MinSentences.foreach { m =>
-      // C4 page cleaning FIRST — raw-web hygiene precedes dedup in the
+      // C4 page cleaning next — raw-web hygiene precedes dedup in the
       // published pipeline (Raffel et al. §2.2 cleans, then dedups); a
       // page failing any rule has clean_text = '' and drops here (with
       // minSentences >= 1 kept_page and nonempty clean_text coincide)

@@ -163,6 +163,16 @@ object StreamCuration {
           graft.operators.Dedup.loadSpanIndex(docs.sparkSession, dir)))
     var cur = docs
 
+    if (cfg.htmlExtract) {
+      // markup extraction first (the batch Curate stage order) — one
+      // row-local rewrite, no rejoin needed since the text is replaced
+      // in place; all-markup docs extract to '' and drop
+      cur = cur
+        .withColumn(textCol,
+          graft.operators.Markup.stripHtml(col(textCol)))
+        .where(col(textCol) =!= "")
+    }
+
     cfg.c4MinSentences.foreach { m =>
       // C4 page cleaning is one row-local codegen pass (every rule a
       // per-line/per-page string predicate), so it streams unchanged —

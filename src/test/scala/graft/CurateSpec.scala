@@ -59,6 +59,33 @@ class CurateSpec extends SparkSpec {
     assert(got(1L) == "aa bb cc dd")
   }
 
+  test("html extract stage strips markup first; all-markup docs drop " +
+      "with their own fate") {
+    val pages = Seq(
+      (1L, "<html><body><p>real prose one here.</p>" +
+        "<script>var x = 1;</script></body></html>"),
+      (2L, "<div><style>p{}</style><!-- only markup --></div>"), // -> ''
+      (3L, "plain text untouched."))
+      .toDF("doc_id", "text")
+    val cfg = Curate.Config(exactDedup = false, htmlExtract = true)
+    val got = Curate.run(pages, "doc_id", "text", cfg)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "real prose one here.",
+      3L -> "plain text untouched."))
+    val fates = Curate.explain(pages, "doc_id", "text", cfg)
+      .as[(Long, String)].collect().toMap
+    assert(fates(2L) === "html_empty" && fates(1L) === "kept")
+    // stage ORDER: extraction feeds the C4 rules (the stripped prose
+    // passes a sentence gate its tag-soup form would fail)
+    val ordered = Curate.run(
+      Seq((9L, "<p>One real line stays.</p><p>Two real lines stay.</p>" +
+        "<p>Three lines stay here.</p>")).toDF("doc_id", "text"),
+      "doc_id", "text",
+      Curate.Config(exactDedup = false, htmlExtract = true,
+        c4MinSentences = Some(3)))
+    assert(ordered.count() === 1L)
+  }
+
   test("line dedup stage scrubs cross-doc boilerplate lines; explain " +
       "labels fully-boilerplate docs line_dedup_empty") {
     val docs = Seq(

@@ -328,6 +328,32 @@ class StreamCurationSpec extends SparkSpec {
     assert(ex.getMessage.contains("not both"), ex.getMessage)
   }
 
+  test("html extract stage runs stateless inside a stream; text and " +
+      "survivors == batch") {
+    import graft.operators.Curate
+    val tmp = Files.createTempDirectory("graft-htmlstream-").toString
+    val docs = Seq(
+      (1L, "<html><body><p>kept prose.</p><script>x()</script></body></html>", 10L),
+      (2L, "<div><!-- markup only --></div>", 20L),
+      (3L, "already plain.", 30L))
+      .toDF("doc_id", "text", "ts")
+    docs.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val cfg = Curate.Config(exactDedup = false, htmlExtract = true)
+    val q = StreamCuration.run(stream, "doc_id", "text", cfg)
+      .writeStream.format("memory").queryName("html_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("html_out").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val batch = StreamCuration.run(docs, "doc_id", "text", cfg)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed === batch)
+    assert(batch === Seq((1L, "kept prose."), (3L, "already plain.")))
+  }
+
   test("incremental CDC-chunk gate in the stream: scrubbed text == batch " +
       "twin, geometry rides the artifact") {
     import graft.operators.{Curate, Dedup}
