@@ -66,7 +66,8 @@ object ScaleBench {
     "q176_collocations", "q177_mixture_budgets",
     // round-11 additions
     "q178_cdc_chunk_incremental", "q180_minhash_retuned",
-    "q181_cross_source_containment", "q182_html_extract")
+    "q181_cross_source_containment", "q182_html_extract",
+    "q183_curate_web_pipeline")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -40,6 +40,8 @@ object Curate {
       c4MinWords: Int = 3,
       c4BadWords: Seq[String] = Nil,
       htmlExtract: Boolean = false,
+      piiRedact: Boolean = false,
+      domainCap: Option[(String, Int)] = None,
       c4SpanDedupN: Option[Int] = None,
       exactDedup: Boolean = true,
       lineDedupMinDocs: Option[Int] = None,
@@ -113,6 +115,31 @@ object Curate {
       // to '' and drops with its own fate. Row-local, zero shuffles.
       rewriteStage(cur.select(col(idCol),
         Markup.stripHtml(col(textCol)).as("clean_text")), "html_empty")
+    }
+
+    if (cfg.piiRedact) {
+      // PII redaction right after extraction, BEFORE any dedup/hash
+      // stage: redaction rewrites text, so keys computed earlier would
+      // be stale; placeholders (<EMAIL>, <URL>, <IP>, <PHONE>) also
+      // make re-published pages with rotated tracking URLs dedup
+      // together, which the raw text would miss. Pure rewrite — no doc
+      // ever drops here (a row-local projection, no fate entry).
+      cur = cur.withColumn(textCol, Scrub.redact(col(textCol)))
+    }
+
+    cfg.domainCap.foreach { case (domainCol, cap) =>
+      // per-domain cap before dedup: bound any single registered
+      // domain's contribution (the crawl-skew rule); deterministic
+      // preference = longest text first, id tie-break (quality proxies
+      // belong to the caller via Web.domainCap directly). Rejection
+      // stage -> its own fate.
+      require(cap >= 1, s"Curate: domainCap $cap must be >= 1")
+      val kept = Web.domainCap(cur, domainCol, cap,
+          length(col(textCol)).desc, col(idCol).asc)
+        .where(col("kept") === 1L)
+        .select(col(idCol))
+      cur = cur.join(kept, Seq(idCol), "left_semi")
+      mark("domain_capped")
     }
 
     cfg.c4MinSentences.foreach { m =>

@@ -3056,7 +3056,78 @@ object PipelineQueries {
         |    // greatest(CAST(length(html) AS BIGINT), 1) AS text_ratio_permille,
         |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
         |  CAST(len(regexp_extract_all(html, '(?i)<a[\s>]')) AS BIGINT) AS n_links
-        |FROM c6 ORDER BY doc_id""".stripMargin))
+        |FROM c6 ORDER BY doc_id""".stripMargin)),
+
+    // The raw-web front of the pipeline COMPOSED (r11): html extraction
+    // (q182) → PII redaction (q53) → per-domain cap (q167's window as a
+    // Curate stage) → exact dedup, with Curate.explain's fate audit —
+    // the ordering is the point and is pinned by construction: docs
+    // identical except for ROTATED tracking URLs (%25 family) dedup
+    // together ONLY because redaction runs before the dedup key, and
+    // the domain rank is measured on the extracted+redacted text. The
+    // oracle replays every stage in order: strip chain, redact chain,
+    // rank window, min-id dedup, fate CASE.
+    QueryDef("q183_curate_web_pipeline",
+      (s, d) => {
+        val did = col("doc_id")
+        val synth = Tables.documents(s, d).select(did,
+          concat(lit("d"), (did % 7).cast("string")).as("domain"),
+          concat(
+            lit("<html><body><p>"),
+            when(did % 25 === 0, lit(SharedPage)).otherwise(col("text")),
+            lit("</p>"),
+            when(did % 5 === 0, concat(
+              lit(" <a href=\"x\">visit</a> https://t.co/x?tok="),
+              did.cast("string"))).otherwise(lit("")),
+            when(did % 6 === 0, concat(
+              lit(" mail a"), (did % 3).cast("string"),
+              lit("@ex.com now"))).otherwise(lit("")),
+            lit("<script>var t = 1;</script></body></html>")).as("text"))
+        val cfg = graft.operators.Curate.Config(exactDedup = true,
+          htmlExtract = true, piiRedact = true,
+          domainCap = Some(("domain", 30)))
+        val fates = graft.operators.Curate.explain(
+          synth, "doc_id", "text", cfg)
+        val out = graft.operators.Curate.run(synth, "doc_id", "text", cfg)
+          .select(col("doc_id"), col("text").as("final_text"))
+        fates.join(out, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("fate"),
+            coalesce(col("final_text"), lit("")).as("final_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH synth AS (SELECT doc_id,
+        |  'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+        |  '<html><body><p>' ||
+        |  CASE WHEN doc_id % 25 = 0 THEN '$SharedPage' ELSE text END ||
+        |  '</p>' ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' <a href="x">visit</a> https://t.co/x?tok=' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0 THEN ' mail a' || CAST(doc_id % 3 AS VARCHAR) || '@ex.com now' ELSE '' END ||
+        |  '<script>var t = 1;</script></body></html>' AS text FROM documents),
+        |h1 AS (SELECT doc_id, domain, regexp_replace(text, '(?s)<!--.*?-->', ' ', 'g') AS s FROM synth),
+        |h2 AS (SELECT doc_id, domain, regexp_replace(s, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM h1),
+        |h3 AS (SELECT doc_id, domain, regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM h2),
+        |h4 AS (SELECT doc_id, domain, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s FROM h3),
+        |h5 AS (SELECT doc_id, domain, replace(replace(replace(replace(replace(replace(s,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s FROM h4),
+        |h6 AS (SELECT doc_id, domain, trim(regexp_replace(s, '\\s+', ' ', 'g')) AS s FROM h5),
+        |red AS (SELECT doc_id, domain,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+        |    'https?://[^\\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        |    '\\+?\\d[\\d()]*[\\s\\-][\\d\\s\\-()]{4,}\\d', '<PHONE>', 'g') AS s FROM h6),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY domain
+        |  ORDER BY length(s) DESC, doc_id) AS rnk FROM red),
+        |capped AS (SELECT * FROM rk WHERE rnk <= 30),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM capped GROUP BY lower(trim(s))),
+        |kept AS (SELECT c.doc_id, c.s FROM capped c JOIN ded USING (doc_id))
+        |SELECT r.doc_id,
+        |  CASE WHEN r.doc_id NOT IN (SELECT doc_id FROM capped) THEN 'domain_capped'
+        |       WHEN r.doc_id NOT IN (SELECT doc_id FROM ded) THEN 'exact_dup'
+        |       ELSE 'kept' END AS fate,
+        |  coalesce(k.s, '') AS final_text
+        |FROM red r LEFT JOIN kept k USING (doc_id)
+        |ORDER BY r.doc_id""".stripMargin))
   )
 
   /** The shared 30-token passage q174 plants at variable offsets — one
@@ -3081,6 +3152,14 @@ object PipelineQueries {
     */
   private def ShareA: String = (0 until 12).map(i => s"sharea$i").mkString(" ")
   private def ShareB: String = (0 until 9).map(i => s"shareb$i").mkString(" ")
+
+  /** q183's shared landing page — LONG (80 tokens) so it outranks real
+    * documents in the per-domain length window and reaches the dedup
+    * stage (a short shared page would be domain-capped first and the
+    * exact_dup path would carry no mass). Def, not val: init order.
+    */
+  private def SharedPage: String =
+    (0 until 80).map(i => s"landing$i").mkString(" ")
 
   /** Per-user event-value series as fixed-length vectors: first 8 values
     * in (ts, event_id, value) order — value as the final tie-break key so

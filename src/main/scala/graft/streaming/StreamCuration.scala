@@ -138,11 +138,13 @@ object StreamCuration {
     import org.apache.spark.sql.functions._
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
       cfg.lineDedupMinDocs.isEmpty && cfg.c4SpanDedupN.isEmpty &&
-      cfg.curriculumBandWidth.isEmpty && cfg.epochBudgets.isEmpty,
+      cfg.curriculumBandWidth.isEmpty && cfg.epochBudgets.isEmpty &&
+      cfg.domainCap.isEmpty,
       "StreamCuration.run: spanDedupK/dupSpanN/lineDedupMinDocs/" +
-        "c4SpanDedupN/curriculumBandWidth/epochBudgets are corpus-shape " +
-        "stages — run them batch-side at snapshot time (the stream twin " +
-        "of lineDedupMinDocs is the frozen lineIndex/lineIndexDir gate)")
+        "c4SpanDedupN/curriculumBandWidth/epochBudgets/domainCap are " +
+        "corpus-shape stages — run them batch-side at snapshot time " +
+        "(the stream twin of lineDedupMinDocs is the frozen " +
+        "lineIndex/lineIndexDir gate)")
     require(spanIndex.isEmpty || spanIndexDir.isEmpty,
       "StreamCuration.run: pass EITHER spanIndex (a literal array) OR " +
         "spanIndexDir (a persisted Dedup.saveSpanIndex artifact), not both")
@@ -171,6 +173,13 @@ object StreamCuration {
         .withColumn(textCol,
           graft.operators.Markup.stripHtml(col(textCol)))
         .where(col(textCol) =!= "")
+    }
+
+    if (cfg.piiRedact) {
+      // pure row-local rewrite (batch Curate stage order: after
+      // extraction, before every hash/dedup stage) — streams unchanged
+      cur = cur.withColumn(textCol,
+        graft.operators.Scrub.redact(col(textCol)))
     }
 
     cfg.c4MinSentences.foreach { m =>

@@ -86,6 +86,39 @@ class CurateSpec extends SparkSpec {
     assert(ordered.count() === 1L)
   }
 
+  test("pii redaction rewrites before dedup keys; domain cap rejects " +
+      "with its own fate") {
+    // two docs identical EXCEPT for rotated tracking URLs: only the
+    // redacted form dedups them together (the stage-order point)
+    val docs = Seq(
+      (1L, "read this at https://a.io/?tok=111 thanks", "a.io"),
+      (2L, "read this at https://a.io/?tok=222 thanks", "a.io"),
+      (3L, "mail me: someone@example.com now", "b.org"),
+      (4L, "pure text from the capped domain number four", "spam.net"),
+      (5L, "pure text from the capped domain number five!", "spam.net"),
+      (6L, "pure text from the capped domain number six!!", "spam.net"))
+      .toDF("doc_id", "text", "domain")
+    val cfg = Curate.Config(exactDedup = true, piiRedact = true,
+      domainCap = Some(("domain", 2)))
+    val got = Curate.run(docs, "doc_id", "text", cfg)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // 1/2 collapse through the <URL> placeholder; email redacted;
+    // spam.net keeps its 2 longest (6: 46 chars, 5: 45) and drops 4
+    assert(got.keySet === Set(1L, 3L, 5L, 6L), got.toString)
+    assert(got(1L) === "read this at <URL> thanks")
+    assert(got(3L) === "mail me: <EMAIL> now")
+    val fates = Curate.explain(docs, "doc_id", "text", cfg)
+      .as[(Long, String)].collect().toMap
+    assert(fates(4L) === "domain_capped")
+    assert(fates(2L) === "exact_dup")
+    assert(fates(5L) === "kept" && fates(1L) === "kept")
+    // domainCap is corpus-shape: the streaming twin raises
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamCuration.run(docs, "doc_id", "text", cfg)
+    }
+    assert(ex.getMessage.contains("domainCap"), ex.getMessage)
+  }
+
   test("line dedup stage scrubs cross-doc boilerplate lines; explain " +
       "labels fully-boilerplate docs line_dedup_empty") {
     val docs = Seq(
