@@ -67,7 +67,7 @@ object ScaleBench {
     // round-11 additions
     "q178_cdc_chunk_incremental", "q180_minhash_retuned",
     "q181_cross_source_containment", "q182_html_extract",
-    "q183_curate_web_pipeline")
+    "q183_curate_web_pipeline", "q184_containment_sketch")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -383,6 +383,64 @@ object Profile {
       .orderBy("src_a", "src_b")
   }
 
+  /** [[crossSourceContainment]]'s 100-TB path — KMV / bottom-k sketches
+    * (Bar-Yossef et al. 2002; Beyer et al. 2007): per source keep the k
+    * SMALLEST distinct 60-bit gram hashes (a bounded, merge-friendly
+    * set synopsis — the union of two sources' bottom-k's re-trimmed to
+    * k IS the union's bottom-k, so the state is an IVM-able monoid),
+    * then estimate each pair's Jaccard on the union's bottom-k sample:
+    * jac_est = |K ∩ A ∩ B| / |K| with K = bottom-k(bottom-k(A) ∪
+    * bottom-k(B)). Every step is integer/array arithmetic on the hash
+    * values — DETERMINISTIC, so unlike most sketches the whole table is
+    * oracle-hashable. Exact-form cost it avoids: the q181 gh equi-join
+    * shuffles EVERY distinct gram; here the per-source synopsis is ≤ k
+    * rows and the pair arithmetic runs on broadcastable |S|·k state.
+    *
+    * The bottom-k extraction avoids one giant per-source sort group at
+    * scale with the [[Web.domainCapSalted]] pre-pass discipline: a
+    * per-(source, gh mod saltFactor) bottom-k keeps every true
+    * bottom-k row alive, then the exact per-source window runs on
+    * ≤ saltFactor·k survivors. Output: (src_a, src_b, k_used, inter_k,
+    * jac_est_permille), src_a < src_b, every pair present.
+    */
+  def crossSourceContainmentSketch(df: DataFrame, srcCol: String,
+      textCol: String, n: Int = 8, k: Int = 256,
+      saltFactor: Int = 32): DataFrame = {
+    require(n >= 1, s"crossSourceContainmentSketch: n $n must be >= 1")
+    require(k >= 2, s"crossSourceContainmentSketch: k $k must be >= 2")
+    require(saltFactor >= 1,
+      s"crossSourceContainmentSketch: saltFactor $saltFactor must be >= 1")
+    import graft.functions.TextFunctions
+    val grams = df
+      .select(col(srcCol).as("__g"),
+        explode(TextFunctions.overlappingGrams(
+          TextFunctions.wsTokens(col(textCol)), n)).as("gram"))
+      .select(col("__g"), TextFunctions.md5Low60(col("gram")).as("gh"))
+      .distinct()
+    val wPre = Window
+      .partitionBy(col("__g"), pmod(col("gh"), lit(saltFactor.toLong)))
+      .orderBy(col("gh"))
+    val wExact = Window.partitionBy(col("__g")).orderBy(col("gh"))
+    val bottomK = grams
+      .withColumn("__pr", row_number().over(wPre)).where(col("__pr") <= k)
+      .withColumn("__r", row_number().over(wExact)).where(col("__r") <= k)
+    val sets = bottomK.groupBy(col("__g"))
+      .agg(sort_array(collect_list(col("gh"))).as("bk"))
+    val pairs = sets.select(col("__g").as("src_a"), col("bk").as("bka"))
+      .join(sets.select(col("__g").as("src_b"), col("bk").as("bkb")),
+        col("src_a") < col("src_b"))
+    pairs
+      .withColumn("__union_k",
+        slice(array_sort(array_union(col("bka"), col("bkb"))), 1, k))
+      .select(col("src_a"), col("src_b"),
+        size(col("__union_k")).cast("long").as("k_used"),
+        size(array_intersect(array_intersect(col("__union_k"), col("bka")),
+          col("bkb"))).cast("long").as("inter_k"))
+      .withColumn("jac_est_permille",
+        expr("inter_k * 1000L div greatest(k_used, 1L)"))
+      .orderBy("src_a", "src_b")
+  }
+
   def collocations(df: DataFrame, textCol: String, minCount: Int = 5,
       topK: Int = 50): DataFrame = {
     require(minCount >= 1, s"collocations: minCount $minCount must be >= 1")

@@ -3127,7 +3127,49 @@ object PipelineQueries {
         |       ELSE 'kept' END AS fate,
         |  coalesce(k.s, '') AS final_text
         |FROM red r LEFT JOIN kept k USING (doc_id)
-        |ORDER BY r.doc_id""".stripMargin))
+        |ORDER BY r.doc_id""".stripMargin)),
+
+    // KMV bottom-k containment sketch (r11) — q181's 100-TB path: the
+    // exact form shuffles every distinct gram; the sketch keeps each
+    // source's k SMALLEST gram hashes (a bounded merge-able synopsis)
+    // and estimates pairwise Jaccard on the union's bottom-k sample.
+    // Same planted fixture as q181 so the estimates track the exact
+    // matrix. Every step is deterministic integer/array arithmetic on
+    // the hash values — a sketch the oracle can hash-match, unusual and
+    // deliberate. The salted pre-pass bounds the per-source sort group
+    // (the domainCapSalted discipline).
+    QueryDef("q184_containment_sketch",
+      (s, d) => {
+        val did = col("doc_id")
+        val synth = Tables.documents(s, d).select(col("source"),
+          concat_ws(" ",
+            col("text"),
+            when(did % 4 === 0, lit(ShareA)),
+            when(did % 3 === 0, lit(ShareB))).as("text"))
+        graft.operators.Profile.crossSourceContainmentSketch(
+          synth, "source", "text", n = 8, k = 128)
+      },
+      Some(s"""WITH synth AS (SELECT source, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 4 = 0 THEN '$ShareA' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN '$ShareB' END) AS text FROM documents),
+        |t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM synth),
+        |g AS (SELECT source, unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
+        |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS gram FROM t),
+        |d AS (SELECT DISTINCT source, CAST('0x'||substr(md5(gram),18,15) AS BIGINT) AS gh FROM g),
+        |bk AS (SELECT source, gh FROM (SELECT source, gh,
+        |    row_number() OVER (PARTITION BY source ORDER BY gh) AS rn FROM d)
+        |  WHERE rn <= 128),
+        |st AS (SELECT source, list_sort(array_agg(gh)) AS bk FROM bk GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, a.bk AS bka, b.bk AS bkb
+        |  FROM st a JOIN st b ON a.source < b.source),
+        |u AS (SELECT src_a, src_b, bka, bkb,
+        |  list_slice(list_sort(list_distinct(list_concat(bka, bkb))), 1, 128) AS uk FROM p)
+        |SELECT src_a, src_b,
+        |  CAST(len(uk) AS BIGINT) AS k_used,
+        |  CAST(len(list_intersect(list_intersect(uk, bka), bkb)) AS BIGINT) AS inter_k,
+        |  CAST(len(list_intersect(list_intersect(uk, bka), bkb)) AS BIGINT) * 1000
+        |    // greatest(CAST(len(uk) AS BIGINT), 1) AS jac_est_permille
+        |FROM u ORDER BY src_a, src_b""".stripMargin))
   )
 
   /** The shared 30-token passage q174 plants at variable offsets — one

@@ -184,4 +184,54 @@ class ProfileSpec extends SparkSpec {
       P.tokenBucketCounts(docs.where(lit(false)), "source", "text")))))
     assert(withEmpty === direct)
   }
+
+  test("crossSourceContainment: exact intersections and containments on " +
+      "a hand fixture; sketch is exact when k covers the sets and " +
+      "tracks the true jaccard when it does not") {
+    val P = graft.operators.Profile
+    // sources share a 10-token passage; 3-gram sets small + countable
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      ("a", shared + " ax0 ax1 ax2"),
+      ("b", shared + " bx0 bx1 bx2 bx3"),
+      ("c", "totally disjoint content cx0 cx1 cx2 cx3 cx4 cx5"))
+      .toDF("source", "text")
+    val exact = P.crossSourceContainment(docs, "source", "text", n = 3)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // doc a: 11 3-grams (13 toks), doc b: 12, shared prefix grams: the
+    // 8 fully-inside-shared + none crossing (suffixes differ)
+    val ab = exact(("a", "b"))
+    assert(ab._3 === 11L && ab._4 === 12L)
+    assert(ab._5 === 8L, ab.toString)
+    assert(ab._6 === 8000L / 11L && ab._7 === 8000L / 12L)
+    assert(exact(("a", "c"))._5 === 0L)
+    // k large enough -> the union bottom-k IS the union: estimate exact
+    val sk = P.crossSourceContainmentSketch(docs, "source", "text",
+        n = 3, k = 64)
+      .as[(String, String, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val skAb = sk(("a", "b"))
+    // |A u B| = 11 + 12 - 8 = 15 <= 64 -> k_used = 15, inter = 8
+    assert(skAb._3 === 15L && skAb._4 === 8L)
+    assert(skAb._5 === 8000L / 15L)
+    assert(sk(("a", "c"))._4 === 0L)
+    // k SMALLER than the union: the estimate stays in [0, 1000] and
+    // within coarse range of the true jaccard (8/15 = 533 permille)
+    val tight = P.crossSourceContainmentSketch(docs, "source", "text",
+        n = 3, k = 8)
+      .as[(String, String, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val t = tight(("a", "b"))
+    assert(t._3 === 8L)
+    assert(t._5 >= 0L && t._5 <= 1000L)
+    // salt pre-pass parity: any saltFactor gives the same sketch
+    val salted = P.crossSourceContainmentSketch(docs, "source", "text",
+        n = 3, k = 8, saltFactor = 5)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val unsalted = P.crossSourceContainmentSketch(docs, "source", "text",
+        n = 3, k = 8, saltFactor = 1)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(salted === unsalted)
+  }
 }
