@@ -405,11 +405,23 @@ object Profile {
     */
   def crossSourceContainmentSketch(df: DataFrame, srcCol: String,
       textCol: String, n: Int = 8, k: Int = 256,
-      saltFactor: Int = 32): DataFrame = {
-    require(n >= 1, s"crossSourceContainmentSketch: n $n must be >= 1")
-    require(k >= 2, s"crossSourceContainmentSketch: k $k must be >= 2")
-    require(saltFactor >= 1,
-      s"crossSourceContainmentSketch: saltFactor $saltFactor must be >= 1")
+      saltFactor: Int = 32): DataFrame =
+    containmentFromSketches(
+      gramBottomK(df, srcCol, textCol, n, k, saltFactor), k)
+
+  /** The per-source bottom-k gram synopsis behind
+    * [[crossSourceContainmentSketch]]: (__g = source, bk = the k
+    * smallest distinct gram hashes, ascending). THE MONOID of this
+    * family ([[mergeGramBottomK]] is its ⊕): bottom-k(A ∪ B) =
+    * bottom-k(bottom-k(A) ∪ bottom-k(B)), so a daily ingest maintains
+    * the synopsis in O(delta) and the pair matrix serves off ≤ |S|·k
+    * state — the q170/q175 refresh discipline for set overlap.
+    */
+  def gramBottomK(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 8, k: Int = 256, saltFactor: Int = 32): DataFrame = {
+    require(n >= 1, s"gramBottomK: n $n must be >= 1")
+    require(k >= 2, s"gramBottomK: k $k must be >= 2")
+    require(saltFactor >= 1, s"gramBottomK: saltFactor $saltFactor must be >= 1")
     import graft.functions.TextFunctions
     val grams = df
       .select(col(srcCol).as("__g"),
@@ -421,11 +433,34 @@ object Profile {
       .partitionBy(col("__g"), pmod(col("gh"), lit(saltFactor.toLong)))
       .orderBy(col("gh"))
     val wExact = Window.partitionBy(col("__g")).orderBy(col("gh"))
-    val bottomK = grams
+    grams
       .withColumn("__pr", row_number().over(wPre)).where(col("__pr") <= k)
       .withColumn("__r", row_number().over(wExact)).where(col("__r") <= k)
-    val sets = bottomK.groupBy(col("__g"))
+      .groupBy(col("__g"))
       .agg(sort_array(collect_list(col("gh"))).as("bk"))
+  }
+
+  /** Merge bottom-k synopses by key-wise union + re-trim — O(state),
+    * never the corpus. merge == recompute is spec-pinned (ProfileSpec),
+    * the exactness following from the bottom-k composition identity.
+    */
+  def mergeGramBottomK(states: Seq[DataFrame], k: Int): DataFrame = {
+    require(states.nonEmpty, "Profile.mergeGramBottomK: no states")
+    require(k >= 2, s"mergeGramBottomK: k $k must be >= 2")
+    states.reduce(_ unionByName _)
+      .select(col("__g"), explode(col("bk")).as("gh"))
+      .distinct()
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("gh"))))
+      .where(col("__r") <= k)
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(col("gh"))).as("bk"))
+  }
+
+  /** The pair-matrix stage of [[crossSourceContainmentSketch]], served
+    * off a (possibly incrementally merged) synopsis table. */
+  def containmentFromSketches(sets: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"containmentFromSketches: k $k must be >= 2")
     val pairs = sets.select(col("__g").as("src_a"), col("bk").as("bka"))
       .join(sets.select(col("__g").as("src_b"), col("bk").as("bkb")),
         col("src_a") < col("src_b"))

@@ -233,5 +233,22 @@ class ProfileSpec extends SparkSpec {
         n = 3, k = 8, saltFactor = 1)
       .as[(String, String, Long, Long, Long)].collect().toSeq
     assert(salted === unsalted)
+    // INCREMENTAL: batch synopses merged == from-scratch over the
+    // union, with source 'a' split ACROSS batches and k=8 genuinely
+    // trimming (a's union carries 15 distinct grams) — the bottom-k
+    // composition identity at work, the q175 merge == recompute shape
+    val b1 = Seq(("a", shared), ("b", shared + " bx0 bx1 bx2 bx3"))
+      .toDF("source", "text")
+    val b2 = Seq(("a", "ax0 ax1 ax2 ax3 ax4 ax5 ax6 ax7 ax8"),
+      ("c", "cc0 cc1 cc2 cc3 cc4")).toDF("source", "text")
+    def pairsOf(sets: org.apache.spark.sql.DataFrame) =
+      P.containmentFromSketches(sets, k = 8)
+        .as[(String, String, Long, Long, Long)].collect().toSeq.sorted
+    val direct = pairsOf(
+      P.gramBottomK(b1.union(b2), "source", "text", n = 3, k = 8))
+    val merged = pairsOf(P.mergeGramBottomK(Seq(
+      P.gramBottomK(b1, "source", "text", n = 3, k = 8),
+      P.gramBottomK(b2, "source", "text", n = 3, k = 8)), k = 8))
+    assert(merged === direct, s"merged $merged != direct $direct")
   }
 }
