@@ -65,7 +65,8 @@ object ScaleBench {
     "q174_cdc_chunk_dedup", "q175_ivm_domain_reweight",
     "q176_collocations", "q177_mixture_budgets",
     // round-11 additions
-    "q178_cdc_chunk_incremental", "q180_minhash_retuned",
+    "q178_cdc_chunk_incremental", "q179_doremi_recipe",
+    "q180_minhash_retuned",
     "q181_cross_source_containment", "q182_html_extract",
     "q183_curate_web_pipeline", "q184_containment_sketch")
 

@@ -320,7 +320,7 @@ object Dedup {
       if (kernel == "gear") graft.functions.expressions.TextHashExpressions
         .cdcChunksGear(col("toks"), w, divisor)
       else graft.functions.expressions.TextHashExpressions
-        .cdcChunks(col("toks"), w, divisor)
+        .cdcChunks(col("toks"), w, divisor) // (toks already projected)
     val withChunks = toks.select(col(idCol), chunksArr.as("chunks"))
     val base = withChunks.select(col(idCol),
       size(col("chunks")).cast("long").as("n_chunks"))
@@ -358,13 +358,15 @@ object Dedup {
     */
   def cdcChunkIndex(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, divisor: Int = 8, maxDocFreq: Int = 1,
-      maxChunks: Int = 1 << 20): Array[Long] = {
+      maxChunks: Int = 1 << 20, kernel: String = "md5"): Array[Long] = {
     require(w >= 1, s"cdcChunkIndex: w $w must be >= 1")
     require(divisor >= 2, s"cdcChunkIndex: divisor $divisor must be >= 2")
     require(maxDocFreq >= 1, s"cdcChunkIndex: maxDocFreq $maxDocFreq must be >= 1")
+    require(kernel == "md5" || kernel == "gear",
+      s"cdcChunkIndex: kernel '$kernel' must be 'md5' or 'gear'")
     val chunks = df
-      .select(col(idCol), graft.functions.expressions.TextHashExpressions
-        .cdcChunks(wsTokens(col(textCol)), w, divisor).as("chunks"))
+      .select(col(idCol), cdcChunksOf(col(textCol), w, divisor, kernel)
+        .as("chunks"))
       .select(col(idCol), explode(col("chunks")).as("chunk"))
       .select(col(idCol), md5Low60(col("chunk")).as("ch"))
       .groupBy(col("ch")).agg(countDistinct(col(idCol)).as("dfreq"))
@@ -393,16 +395,30 @@ object Dedup {
     * (id, n_chunks, n_dropped, clean_text) — [[cdcChunkDedup]]'s
     * contract.
     */
+  /** The kernel dispatch both CDC entry points share — chunks must be
+    * built under the SAME kernel as the index that gates them.
+    */
+  private def cdcChunksOf(text: Column, w: Int, divisor: Int,
+      kernel: String): Column = {
+    val toks = wsTokens(text)
+    if (kernel == "gear")
+      graft.functions.expressions.TextHashExpressions
+        .cdcChunksGear(toks, w, divisor)
+    else graft.functions.expressions.TextHashExpressions
+      .cdcChunks(toks, w, divisor)
+  }
+
   def cdcChunkDedupInline(df: DataFrame, idCol: String, textCol: String,
       w: Int, divisor: Int, index: Array[Long],
-      keepCols: Seq[String] = Nil): DataFrame = {
+      keepCols: Seq[String] = Nil, kernel: String = "md5"): DataFrame = {
     require(index.nonEmpty, "cdcChunkDedupInline: empty index")
+    require(kernel == "md5" || kernel == "gear",
+      s"cdcChunkDedupInline: kernel '$kernel' must be 'md5' or 'gear'")
     import graft.functions.expressions.TextHashExpressions
     val keep = keepCols.map(col)
     val chunksDf = df.select(
-      col(idCol) +: TextHashExpressions
-        .cdcChunks(wsTokens(col(textCol)), w, divisor).as("chunks") +:
-        keep: _*)
+      col(idCol) +: cdcChunksOf(col(textCol), w, divisor, kernel)
+        .as("chunks") +: keep: _*)
     val hashes = transform(col("chunks"), c => md5Low60(c))
     chunksDf
       .withColumn("__hits",
@@ -656,23 +672,33 @@ object Dedup {
     * SigMeta rule at chunk granularity.
     */
   def saveCdcChunkIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, w: Int, divisor: Int, index: Array[Long]): Unit = {
-    require(w >= 1 && w < (1 << 16),
-      s"saveCdcChunkIndex: w $w must be in [1, 65535]")
+      dir: String, w: Int, divisor: Int, index: Array[Long],
+      kernel: String = "md5"): Unit = {
+    require(w >= 1 && w < (1 << 15),
+      s"saveCdcChunkIndex: w $w must be in [1, 32767]")
     require(divisor >= 2 && divisor < (1 << 16),
       s"saveCdcChunkIndex: divisor $divisor must be in [2, 65535]")
+    require(kernel == "md5" || kernel == "gear",
+      s"saveCdcChunkIndex: kernel '$kernel' must be 'md5' or 'gear'")
+    // kernel rides bit 31 of the meta int (0 = md5, so pre-kernel
+    // artifacts load as the md5 form they were built with)
+    val kBit = if (kernel == "gear") 1 << 31 else 0
     saveLongIndex(spark, dir, CdcIndexMagic, "cdc_chunk_index.bin",
-      (w << 16) | divisor, index)
+      kBit | (w << 16) | divisor, index)
   }
 
-  /** Load a persisted CDC-chunk index: (w, divisor, sorted hashes).
-    * Same fail-loud + mtime-cache contract as [[loadSpanIndex]].
+  /** Load a persisted CDC-chunk index: (w, divisor, kernel, sorted
+    * hashes). Same fail-loud + mtime-cache contract as
+    * [[loadSpanIndex]]; the kernel string feeds straight into
+    * [[cdcChunkDedupInline]] so a gear-built index can never be probed
+    * with md5 chunks (different cut positions => silent misses).
     */
   def loadCdcChunkIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Int, Array[Long]) = {
+      dir: String): (Int, Int, String, Array[Long]) = {
     val (meta, arr) = loadLongIndex(spark, dir, CdcIndexMagic,
       "cdc_chunk_index.bin", "cdc-chunk-index")
-    (meta >>> 16, meta & 0xffff, arr)
+    val kernel = if ((meta & (1 << 31)) != 0) "gear" else "md5"
+    ((meta >>> 16) & 0x7fff, meta & 0xffff, kernel, arr)
   }
 
   private val spanIndexCache =

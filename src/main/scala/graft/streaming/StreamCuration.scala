@@ -134,6 +134,7 @@ object StreamCuration {
       cdcIndex: Option[Array[Long]] = None,
       cdcIndexW: Int = 3,
       cdcIndexDivisor: Int = 8,
+      cdcIndexKernel: String = "md5",
       cdcIndexDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
@@ -257,11 +258,11 @@ object StreamCuration {
     // dir form resolves at plan-build through the mtime-keyed registry
     // and carries its own (w, divisor) — the geometry can never silently
     // mismatch the artifact (the spanIndexDir contract)
-    val resolvedCdc: Option[(Int, Int, Array[Long])] =
-      cdcIndex.map(a => (cdcIndexW, cdcIndexDivisor, a))
+    val resolvedCdc: Option[(Int, Int, String, Array[Long])] =
+      cdcIndex.map(a => (cdcIndexW, cdcIndexDivisor, cdcIndexKernel, a))
         .orElse(cdcIndexDir.map(dir =>
           graft.operators.Dedup.loadCdcChunkIndex(docs.sparkSession, dir)))
-    resolvedCdc.foreach { case (w, divisor, index) =>
+    resolvedCdc.foreach { case (w, divisor, kernel, index) =>
       // incremental CDC-chunk scrub against a frozen reference hot-chunk
       // index (Dedup.cdcChunkIndex, built batch-side) — the granularity
       // ladder's middle rung: after the coarse line gate, before the
@@ -277,7 +278,7 @@ object StreamCuration {
           "upstream of the gate")
       cur = graft.operators.Dedup
         .cdcChunkDedupInline(cur, idCol, textCol, w, divisor, index,
-          keepCols = others)
+          keepCols = others, kernel = kernel)
         .where(col("clean_text") =!= "")
         .withColumnRenamed("clean_text", textCol)
         .select((idCol +: textCol +: others).map(col): _*)

@@ -1297,10 +1297,25 @@ class DedupSpec extends SparkSpec {
       .where(col("id") === 10L).select("clean_text").as[String].head()
     assert(out(0)._4.split(" ").toSet === union.split(" ").toSet,
       "inline gate and unioned batch pass must agree on doc 10")
-    // artifact round-trip: the (w, divisor) geometry rides inside
+    // artifact round-trip: the (w, divisor, kernel) geometry rides inside
     val tmp = java.nio.file.Files.createTempDirectory("graft-cdcidx-").toString
     Dedup.saveCdcChunkIndex(spark, tmp, w = 3, divisor = 4, index)
-    val (w2, d2, idx2) = Dedup.loadCdcChunkIndex(spark, tmp)
-    assert(w2 === 3 && d2 === 4 && idx2.toSeq === index.toSeq)
+    val (w2, d2, k2, idx2) = Dedup.loadCdcChunkIndex(spark, tmp)
+    assert(w2 === 3 && d2 === 4 && k2 === "md5" && idx2.toSeq === index.toSeq)
+    // gear-kernel end to end: index, persist, load, gate — the kernel
+    // travels with the artifact so the probe can never mismatch the cuts
+    val gearIdx = Dedup.cdcChunkIndex(ref, "id", "text", w = 3,
+      divisor = 4, kernel = "gear")
+    val tmpG = java.nio.file.Files.createTempDirectory("graft-cdcidxg-").toString
+    Dedup.saveCdcChunkIndex(spark, tmpG, w = 3, divisor = 4, gearIdx,
+      kernel = "gear")
+    val (wg, dg, kg, idxG) = Dedup.loadCdcChunkIndex(spark, tmpG)
+    assert(wg === 3 && dg === 4 && kg === "gear" && idxG.toSeq === gearIdx.toSeq)
+    val gearOut = Dedup.cdcChunkDedupInline(fresh, "id", "text",
+        wg, dg, idxG, kernel = kg)
+      .select("id", "n_dropped").as[(Long, Long)].collect().sortBy(_._1)
+    assert(gearOut(0)._2 >= 1,
+      s"gear gate must scrub the reference passage: ${gearOut.toSeq}")
+    assert(gearOut(1)._2 === 0L && gearOut(2)._2 === 0L)
   }
 }
