@@ -69,6 +69,10 @@ object ScaleBench {
     "q180_minhash_retuned",
     "q181_cross_source_containment", "q182_html_extract",
     "q183_curate_web_pipeline", "q184_containment_sketch")
+    // q185_sketch_accuracy is DELIBERATELY not swept: it is the one-time
+    // evidence audit that recomputes BOTH q181 and q184 (each swept
+    // individually above) just to difference them — sweeping it would
+    // double-count their scale behavior at 2× the cost.
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -3169,7 +3169,67 @@ object PipelineQueries {
         |  CAST(len(list_intersect(list_intersect(uk, bka), bkb)) AS BIGINT) AS inter_k,
         |  CAST(len(list_intersect(list_intersect(uk, bka), bkb)) AS BIGINT) * 1000
         |    // greatest(CAST(len(uk) AS BIGINT), 1) AS jac_est_permille
-        |FROM u ORDER BY src_a, src_b""".stripMargin))
+        |FROM u ORDER BY src_a, src_b""".stripMargin)),
+
+    // Sketch-vs-exact ACCURACY audit (r11): per source pair, the exact
+    // Jaccard (q181's matrix) next to the KMV estimate (q184's sketch)
+    // and the absolute error — the table an operator reads BEFORE
+    // trusting the k=128 synopsis at 100 TB, produced by the engine
+    // itself rather than taken on faith from the KMV literature. Both
+    // sides share one gram derivation; the join is |S|² rows.
+    QueryDef("q185_sketch_accuracy",
+      (s, d) => {
+        val did = col("doc_id")
+        val synth = Tables.documents(s, d).select(col("source"),
+          concat_ws(" ",
+            col("text"),
+            when(did % 4 === 0, lit(ShareA)),
+            when(did % 3 === 0, lit(ShareB))).as("text"))
+        val P = graft.operators.Profile
+        val exact = P.crossSourceContainment(synth, "source", "text", n = 8)
+          .select(col("src_a"), col("src_b"),
+            expr("inter * 1000L div greatest(n_a + n_b - inter, 1L)")
+              .as("jac_permille"))
+        val sk = P.crossSourceContainmentSketch(synth, "source", "text",
+            n = 8, k = 128)
+          .select(col("src_a"), col("src_b"), col("jac_est_permille"))
+        exact.join(sk, Seq("src_a", "src_b"))
+          .withColumn("abs_err_permille",
+            abs(col("jac_permille") - col("jac_est_permille")))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH synth AS (SELECT source, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 4 = 0 THEN '$ShareA' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN '$ShareB' END) AS text FROM documents),
+        |t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM synth),
+        |g AS (SELECT source, unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
+        |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS gram FROM t),
+        |d AS (SELECT DISTINCT source, CAST('0x'||substr(md5(gram),18,15) AS BIGINT) AS gh FROM g),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+        |  FROM sz a JOIN sz b ON a.source < b.source),
+        |iv AS (SELECT da.source AS src_a, db.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM d da JOIN d db ON da.gh = db.gh AND da.source < db.source GROUP BY 1, 2),
+        |ex AS (SELECT p.src_a, p.src_b,
+        |  coalesce(iv.inter, CAST(0 AS BIGINT)) * 1000
+        |    // greatest(p.n_a + p.n_b - coalesce(iv.inter, CAST(0 AS BIGINT)), 1) AS jac_permille
+        |  FROM p LEFT JOIN iv USING (src_a, src_b)),
+        |bk AS (SELECT source, gh FROM (SELECT source, gh,
+        |    row_number() OVER (PARTITION BY source ORDER BY gh) AS rn FROM d)
+        |  WHERE rn <= 128),
+        |st AS (SELECT source, list_sort(array_agg(gh)) AS bk FROM bk GROUP BY source),
+        |pp AS (SELECT a.source AS src_a, b.source AS src_b, a.bk AS bka, b.bk AS bkb
+        |  FROM st a JOIN st b ON a.source < b.source),
+        |u AS (SELECT src_a, src_b,
+        |  list_slice(list_sort(list_distinct(list_concat(bka, bkb))), 1, 128) AS uk,
+        |  bka, bkb FROM pp),
+        |sk AS (SELECT src_a, src_b,
+        |  CAST(len(list_intersect(list_intersect(uk, bka), bkb)) AS BIGINT) * 1000
+        |    // greatest(CAST(len(uk) AS BIGINT), 1) AS jac_est_permille FROM u)
+        |SELECT ex.src_a, ex.src_b, ex.jac_permille, sk.jac_est_permille,
+        |  abs(ex.jac_permille - sk.jac_est_permille) AS abs_err_permille
+        |FROM ex JOIN sk USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin))
   )
 
   /** The shared 30-token passage q174 plants at variable offsets — one
