@@ -1,0 +1,114 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML NUMERIC character references decoded in one left-to-right pass —
+  * the `&#233;` / `&#x2019;` forms ubiquitous in real crawl HTML that
+  * [[graft.operators.Markup.stripHtml]]'s named-entity table cannot cover
+  * (VERDICT r11 #3). The decode contract is deliberately BOUNDED so the
+  * DuckDB oracle can replay it exactly (a sentinel-split +
+  * `list_transform` twin — see q182's SQL):
+  *
+  *  - candidate syntax: `&#` + (`x` + 1–6 hex digits | 1–6 decimal
+  *    digits) + `;` — the same regex both engines anchor on; a lowercase
+  *    `x` only (`&#XE9;` passes through), digits may carry leading zeros
+  *    (`&#039;`);
+  *  - decoded code points: 9, 10, 13 and 32–255 (ASCII + Latin-1 — the
+  *    range that matters after tag stripping; the later whitespace
+  *    collapse normalizes the decoded 9/10/13);
+  *  - anything else — out-of-range (`&#x2019;`), malformed (`&#1e3;` is
+  *    neither decimal nor `x`-prefixed) — passes through VERBATIM;
+  *  - ONE pass, no re-scan of output: `&amp;#60;` stays `&#60;` after
+  *    the later named-entity step, the standard HTML double-escape
+  *    semantics.
+  *
+  * Null-safe (null → null), O(len) per row, codegen via a static helper
+  * (the [[Md5Low60Util]] discipline).
+  */
+case class DecodeNumericEntities(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"decode_numeric_entities expects string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    DecodeNumericEntitiesUtil.decode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.DecodeNumericEntitiesUtil.decode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "decode_numeric_entities"
+}
+
+object DecodeNumericEntities {
+  def column(text: Column): Column =
+    ColumnBridge.column(DecodeNumericEntities(ColumnBridge.expression(text)))
+}
+
+object DecodeNumericEntitiesUtil {
+
+  /** The exact candidate pattern the DuckDB twin uses
+    * (`&#(x?[0-9a-fA-F]{1,6});`): the hex class deliberately also
+    * matches NON-x bodies like `1e3` so both engines agree that such a
+    * body is a matched-then-passed-through candidate (not a decode).
+    */
+  private val Candidate =
+    java.util.regex.Pattern.compile("&#(x?[0-9a-fA-F]{1,6});")
+
+  private def allowed(cp: Long): Boolean =
+    cp == 9L || cp == 10L || cp == 13L || (cp >= 32L && cp <= 255L)
+
+  /** Body → decoded char, or -1 for pass-through. */
+  private def decodeBody(body: String): Int = {
+    if (body.charAt(0) == 'x') {
+      // hex: ≤ 6 digits after the x, so parseLong can't overflow
+      val v = java.lang.Long.parseLong(body.substring(1), 16)
+      if (allowed(v)) v.toInt else -1
+    } else if (isAllDecimal(body)) {
+      val v = java.lang.Long.parseLong(body, 10)
+      if (allowed(v)) v.toInt else -1
+    } else -1 // hex letters without the x prefix: not a valid reference
+  }
+
+  private def isAllDecimal(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return false
+      i += 1
+    }
+    true
+  }
+
+  def decode(input: UTF8String): UTF8String = {
+    val s = input.toString
+    // fast path: no '&' at all (most prose after tag stripping)
+    if (s.indexOf('&') < 0) return input
+    val m = Candidate.matcher(s)
+    if (!m.find()) return input
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    do {
+      sb.append(s, last, m.start())
+      val cp = decodeBody(m.group(1))
+      if (cp >= 0) sb.append(cp.toChar) else sb.append(m.group(0))
+      last = m.end()
+    } while (m.find())
+    sb.append(s, last, s.length)
+    UTF8String.fromString(sb.toString)
+  }
+}

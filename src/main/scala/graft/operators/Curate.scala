@@ -39,9 +39,6 @@ object Curate {
       c4MinSentences: Option[Int] = None,
       c4MinWords: Int = 3,
       c4BadWords: Seq[String] = Nil,
-      htmlExtract: Boolean = false,
-      piiRedact: Boolean = false,
-      domainCap: Option[(String, Int)] = None,
       c4SpanDedupN: Option[Int] = None,
       exactDedup: Boolean = true,
       lineDedupMinDocs: Option[Int] = None,
@@ -59,7 +56,14 @@ object Curate {
       dsirScale: Long = 10000L,
       curriculumBandWidth: Option[Long] = None,
       epochBudgets: Map[String, Long] = Map.empty,
-      epochSourceCol: String = "source")
+      epochSourceCol: String = "source",
+      // NEW fields are appended, never inserted mid-list: an existing
+      // positional Config(...) caller must keep compiling with every
+      // argument meaning what it meant (ADVICE r11 — the r11 additions
+      // originally landed mid-list and shifted c4SpanDedupN and friends)
+      htmlExtract: Boolean = false,
+      piiRedact: Boolean = false,
+      domainCap: Option[(String, Int)] = None)
 
   /** Scoped-cache form — the `withMinhashPairs` discipline: the filtered
     * corpus is persisted before the multi-pass tail (DSIR reads it twice,

@@ -1021,9 +1021,17 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("long").as("est_matches"),
         inter.as("inter"),
         (size(col("sha")) + size(col("shb"))).cast("long").as("szsum"))
-      // integer div (never float-then-truncate): bucket = ⌊inter·H/union⌋
+      // integer div (never float-then-truncate): bucket = ⌊inter·H/union⌋.
+      // DEGENERATE pairs — two docs whose shingle sets are BOTH empty
+      // (text shorter than shingleN) band-join on equal all-null band
+      // keys, giving inter = szsum = 0 and a 0-div-0 NULL bucket; they
+      // are "identical empty sets", so they land in the TOP bucket
+      // (jac = 1) instead of a null row that would NPE the retune's
+      // histogram collect (ADVICE r11). The oracle twin coalesces the
+      // same way.
       .select(col("est_matches"),
-        expr(s"(inter * $numHashes) div (szsum - inter)").as("jac_bucket"))
+        coalesce(expr(s"(inter * $numHashes) div (szsum - inter)"),
+          lit(numHashes.toLong)).as("jac_bucket"))
       .groupBy("est_matches", "jac_bucket")
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("est_matches", "jac_bucket")
@@ -1093,8 +1101,13 @@ object Dedup {
     def pCatch(s: Double, b: Int, r: Int): Double =
       1.0 - math.pow(1.0 - math.pow(s, r), b)
     val curR = numHashes / curBands
-    // bounded histogram -> population estimate per true-jaccard bucket
-    val hist = calib.groupBy(col("jac_bucket"))
+    // bounded histogram -> population estimate per true-jaccard bucket.
+    // Null buckets are dropped defensively: minhashCalibration now
+    // coalesces degenerate 0-div-0 pairs to the top bucket, but a
+    // PERSISTED pre-fix calibration table (or an external one) may still
+    // carry null rows, and Row.getLong on a null would NPE the retune.
+    val hist = calib.where(col("jac_bucket").isNotNull)
+      .groupBy(col("jac_bucket"))
       .agg(sum(col("n_pairs")).as("n"))
       .collect()
       .map(row => (row.getLong(0), row.getLong(1)))

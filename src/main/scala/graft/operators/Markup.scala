@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   *     backreferences, so no `<(script|style)>.*?</\1>`);
   *  3. every remaining tag `<[^>]*>` becomes a single space (block
   *     boundaries must separate words: `<p>a</p><p>b</p>` → "a b");
-  *  4. the five XML entities + `&nbsp;` decoded (AFTER tag removal, so
+  *  4. NUMERIC character references decoded in one pass
+  *     ([[graft.functions.expressions.DecodeNumericEntities]]:
+  *     `&#233;`/`&#x2019;`-style, ASCII + Latin-1 range, out-of-range
+  *     verbatim) — BEFORE the named table, so `&amp;#60;` stays the
+  *     literal `&#60;` (standard double-escape semantics);
+  *  5. the named XML entities + `&nbsp;` decoded (AFTER tag removal, so
   *     escaped markup in the text stays text: `&lt;b&gt;` → "<b>");
-  *  5. whitespace collapsed and trimmed.
+  *  6. whitespace collapsed and trimmed.
   */
 object Markup {
 
@@ -35,10 +40,15 @@ object Markup {
     val noStyle = regexp_replace(noScript,
       "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    // numeric references first (subsumes the old literal &#39; entry);
+    // &amp; stays LAST in the named table so a decoded '&' can never
+    // re-trigger an earlier replace
+    val numDecoded =
+      graft.functions.expressions.DecodeNumericEntities.column(noTags)
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) =>
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(numDecoded) { case (c, (from, to)) =>
         replace(c, lit(from), lit(to))
       }
     trim(regexp_replace(decoded, "\\s+", " "))

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -364,7 +364,14 @@ object Profile {
           TextFunctions.wsTokens(col(textCol)), n)).as("gram"))
       .select(col("__g"), TextFunctions.md5Low60(col("gram")).as("gh"))
       .distinct()
-    val sizes = grams.groupBy(col("__g")).agg(count(lit(1)).as("sz"))
+    // sizes anchor on the DISTINCT source list, not the gram relation: a
+    // source whose docs are all shorter than n tokens has zero grams and
+    // would otherwise vanish from the matrix, breaking the documented
+    // "every pair present (0-filled)" contract (ADVICE r11)
+    val sizes = df.select(col(srcCol).as("__g")).distinct()
+      .join(grams.groupBy(col("__g")).agg(count(lit(1)).as("__sz")),
+        Seq("__g"), "left")
+      .select(col("__g"), coalesce(col("__sz"), lit(0L)).as("sz"))
     val pairs = sizes.select(col("__g").as("src_a"), col("sz").as("n_a"))
       .join(sizes.select(col("__g").as("src_b"), col("sz").as("n_b")),
         col("src_a") < col("src_b"))
@@ -433,11 +440,18 @@ object Profile {
       .partitionBy(col("__g"), pmod(col("gh"), lit(saltFactor.toLong)))
       .orderBy(col("gh"))
     val wExact = Window.partitionBy(col("__g")).orderBy(col("gh"))
-    grams
+    val synopses = grams
       .withColumn("__pr", row_number().over(wPre)).where(col("__pr") <= k)
       .withColumn("__r", row_number().over(wExact)).where(col("__r") <= k)
       .groupBy(col("__g"))
-      .agg(sort_array(collect_list(col("gh"))).as("bk"))
+      .agg(sort_array(collect_list(col("gh"))).as("__bk"))
+    // anchor on the distinct source list so a gram-less source (all docs
+    // shorter than n tokens) still carries an EMPTY synopsis — the same
+    // every-pair-present contract as the exact matrix (ADVICE r11)
+    df.select(col(srcCol).as("__g")).distinct()
+      .join(synopses, Seq("__g"), "left")
+      .select(col("__g"),
+        coalesce(col("__bk"), array().cast("array<long>")).as("bk"))
   }
 
   /** Merge bottom-k synopses by key-wise union + re-trim — O(state),
@@ -447,20 +461,52 @@ object Profile {
   def mergeGramBottomK(states: Seq[DataFrame], k: Int): DataFrame = {
     require(states.nonEmpty, "Profile.mergeGramBottomK: no states")
     require(k >= 2, s"mergeGramBottomK: k $k must be >= 2")
-    states.reduce(_ unionByName _)
+    val all = states.reduce(_ unionByName _)
+    val merged = all
       .select(col("__g"), explode(col("bk")).as("gh"))
       .distinct()
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("__g")).orderBy(col("gh"))))
       .where(col("__r") <= k)
       .groupBy(col("__g"))
-      .agg(sort_array(collect_list(col("gh"))).as("bk"))
+      .agg(sort_array(collect_list(col("gh"))).as("__bk"))
+    // a source carrying an EMPTY synopsis (gramBottomK's gram-less
+    // anchor row) must survive the merge — explode drops its rows, so
+    // group presence is re-anchored on the states' own source list
+    // (merge == recompute stays exact for 0-gram sources too)
+    all.select(col("__g")).distinct()
+      .join(merged, Seq("__g"), "left")
+      .select(col("__g"),
+        coalesce(col("__bk"), array().cast("array<long>")).as("bk"))
   }
 
   /** The pair-matrix stage of [[crossSourceContainmentSketch]], served
-    * off a (possibly incrementally merged) synopsis table. */
+    * off a (possibly incrementally merged) synopsis table.
+    *
+    * Beyond the symmetric `jac_est_permille`, the matrix estimates the
+    * ASYMMETRIC lens the exact form (q181) leads with — "how much of A
+    * already exists in B": per-source distinct sizes from the k-th
+    * minimum (Beyer et al. 2007, n̂ = (k−1)/v_k with v_k the k-th
+    * smallest hash normalized to the 2^60 space), the intersection size
+    * from jac_est · union-size estimate, and the containments as their
+    * integer-permille ratios. An UNSATURATED sketch (< k hashes) IS the
+    * full set, so its size — and, when union < k, the whole pair row —
+    * is EXACT, not estimated (ProfileSpec pins est == exact there).
+    * Everything stays integer arithmetic on the hash values (products in
+    * DECIMAL(38,0): (k−1)·2^60 overflows a long for k > 8), so the whole
+    * table remains oracle-hashable. Output adds: (n_a_est, n_b_est,
+    * union_est, inter_est, cont_a_in_b_est_permille,
+    * cont_b_in_a_est_permille).
+    */
   def containmentFromSketches(sets: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"containmentFromSketches: k $k must be >= 2")
+    val two60 = "1152921504606846976" // the md5Low60 hash space, 2^60
+    // k-th-minimum distinct-size estimator; the CASE keeps element_at
+    // in-bounds (bottom-k arrays never exceed k elements)
+    def distEst(bk: String): Column = expr(
+      s"CASE WHEN size($bk) < $k THEN CAST(size($bk) AS BIGINT) " +
+        s"ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * $two60) div " +
+        s"greatest(element_at($bk, $k), 1L) AS BIGINT) END")
     val pairs = sets.select(col("__g").as("src_a"), col("bk").as("bka"))
       .join(sets.select(col("__g").as("src_b"), col("bk").as("bkb")),
         col("src_a") < col("src_b"))
@@ -470,9 +516,25 @@ object Profile {
       .select(col("src_a"), col("src_b"),
         size(col("__union_k")).cast("long").as("k_used"),
         size(array_intersect(array_intersect(col("__union_k"), col("bka")),
-          col("bkb"))).cast("long").as("inter_k"))
+          col("bkb"))).cast("long").as("inter_k"),
+        distEst("bka").as("n_a_est"),
+        distEst("bkb").as("n_b_est"),
+        distEst("__union_k").as("union_est"))
       .withColumn("jac_est_permille",
         expr("inter_k * 1000L div greatest(k_used, 1L)"))
+      .withColumn("inter_est",
+        expr("CAST((CAST(inter_k AS DECIMAL(38,0)) * union_est) div " +
+          "greatest(k_used, 1L) AS BIGINT)"))
+      .withColumn("cont_a_in_b_est_permille",
+        expr("CAST((CAST(inter_est AS DECIMAL(38,0)) * 1000) div " +
+          "greatest(n_a_est, 1L) AS BIGINT)"))
+      .withColumn("cont_b_in_a_est_permille",
+        expr("CAST((CAST(inter_est AS DECIMAL(38,0)) * 1000) div " +
+          "greatest(n_b_est, 1L) AS BIGINT)"))
+      .select(col("src_a"), col("src_b"), col("k_used"), col("inter_k"),
+        col("jac_est_permille"), col("n_a_est"), col("n_b_est"),
+        col("union_est"), col("inter_est"),
+        col("cont_a_in_b_est_permille"), col("cont_b_in_a_est_permille"))
       .orderBy("src_a", "src_b")
   }
 

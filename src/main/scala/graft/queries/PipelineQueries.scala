@@ -2143,7 +2143,8 @@ object PipelineQueries {
         |  CAST(length(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
         |  CAST(length(sa.shingles) + length(sb.shingles) AS BIGINT) AS szsum
         |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b)
-        |SELECT est_matches, (inter * 16) // (szsum - inter) AS jac_bucket,
+        |SELECT est_matches,
+        |  coalesce((inter * 16) // nullif(szsum - inter, 0), 16) AS jac_bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
@@ -2992,7 +2993,10 @@ object PipelineQueries {
         |g AS (SELECT source, unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
         |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS gram FROM t),
         |d AS (SELECT DISTINCT source, CAST('0x'||substr(md5(gram),18,15) AS BIGINT) AS gh FROM g),
-        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM d GROUP BY source),
+        |srcs AS (SELECT DISTINCT source FROM synth),
+        |s0 AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM d GROUP BY source),
+        |s AS (SELECT srcs.source, coalesce(s0.sz, CAST(0 AS BIGINT)) AS sz
+        |  FROM srcs LEFT JOIN s0 USING (source)),
         |p AS (SELECT a.source AS src_a, b.source AS src_b, a.sz AS n_a, b.sz AS n_b
         |  FROM s a JOIN s b ON a.source < b.source),
         |i AS (SELECT da.source AS src_a, db.source AS src_b, CAST(count(*) AS BIGINT) AS inter
@@ -3031,31 +3035,41 @@ object PipelineQueries {
             when(did % 4 === 0,
               lit("<p>Tom &amp; Jerry say &quot;hi&quot;&nbsp;" +
                 "&lt;always&gt;.</p>")).otherwise(lit("")),
+            // NUMERIC references (r12): decoded Latin-1 (decimal, hex,
+            // leading zeros), pass-through out-of-range (&#x2019;),
+            // uppercase X, malformed (&#1e3;), and a decoded tab that
+            // the whitespace collapse then normalizes
+            when(did % 5 === 0,
+              lit("<p>Caf&#233; r&#xE9;sum&#x00E9; says &#039;hi&#039; " +
+                "&#x2019;smart&#x2019; &#XE9; &#1e3; a&#9;b.</p>"))
+              .otherwise(lit("")),
             lit("<!-- hidden comment --></body></html>")).as("html"))
         graft.operators.Markup.markupStats(synth, "doc_id", "html")
           .orderBy("doc_id")
       },
-      Some("""WITH synth AS (SELECT doc_id,
+      Some(s"""WITH synth AS (SELECT doc_id,
         |  '<HTML><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
         |  '</title><style type="text/css">p { color: red; }</style><script>var x = 1; if (x < 2) { x++; }</script></head><body>'
         |  || CASE WHEN doc_id % 3 = 0 THEN '<div class="nav"><a href="/">Home</a> <A HREF="/about">About</A></div>' ELSE '' END
         |  || '<h1>Title ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'
         |  || CASE WHEN doc_id % 4 = 0 THEN '<p>Tom &amp; Jerry say &quot;hi&quot;&nbsp;&lt;always&gt;.</p>' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN '<p>Caf&#233; r&#xE9;sum&#x00E9; says &#039;hi&#039; &#x2019;smart&#x2019; &#XE9; &#1e3; a&#9;b.</p>' ELSE '' END
         |  || '<!-- hidden comment --></body></html>' AS html FROM documents),
         |c1 AS (SELECT doc_id, html, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS s FROM synth),
         |c2 AS (SELECT doc_id, html, regexp_replace(s, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM c1),
         |c3 AS (SELECT doc_id, html, regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM c2),
         |c4 AS (SELECT doc_id, html, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s FROM c3),
-        |c5 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(replace(s,
-        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s FROM c4),
-        |c6 AS (SELECT doc_id, html, trim(regexp_replace(s, '\s+', ' ', 'g')) AS clean_text FROM c5)
+        |c4b AS (SELECT doc_id, html, ${duckDecodeNumEntities("s")} AS s FROM c4),
+        |c5 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(s,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&') AS s FROM c4b),
+        |c6 AS (SELECT doc_id, html, trim(regexp_replace(s, '\\s+', ' ', 'g')) AS clean_text FROM c5)
         |SELECT doc_id, clean_text,
         |  CAST(length(html) AS BIGINT) AS n_raw_chars,
         |  CAST(length(clean_text) AS BIGINT) AS n_text_chars,
         |  CAST(length(clean_text) AS BIGINT) * 1000
         |    // greatest(CAST(length(html) AS BIGINT), 1) AS text_ratio_permille,
         |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
-        |  CAST(len(regexp_extract_all(html, '(?i)<a[\s>]')) AS BIGINT) AS n_links
+        |  CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]')) AS BIGINT) AS n_links
         |FROM c6 ORDER BY doc_id""".stripMargin)),
 
     // The raw-web front of the pipeline COMPOSED (r11): html extraction
@@ -3107,8 +3121,9 @@ object PipelineQueries {
         |h2 AS (SELECT doc_id, domain, regexp_replace(s, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM h1),
         |h3 AS (SELECT doc_id, domain, regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM h2),
         |h4 AS (SELECT doc_id, domain, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s FROM h3),
-        |h5 AS (SELECT doc_id, domain, replace(replace(replace(replace(replace(replace(s,
-        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS s FROM h4),
+        |h4b AS (SELECT doc_id, domain, ${duckDecodeNumEntities("s")} AS s FROM h4),
+        |h5 AS (SELECT doc_id, domain, replace(replace(replace(replace(replace(s,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&') AS s FROM h4b),
         |h6 AS (SELECT doc_id, domain, trim(regexp_replace(s, '\\s+', ' ', 'g')) AS s FROM h5),
         |red AS (SELECT doc_id, domain,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
@@ -3159,17 +3174,37 @@ object PipelineQueries {
         |bk AS (SELECT source, gh FROM (SELECT source, gh,
         |    row_number() OVER (PARTITION BY source ORDER BY gh) AS rn FROM d)
         |  WHERE rn <= 128),
-        |st AS (SELECT source, list_sort(array_agg(gh)) AS bk FROM bk GROUP BY source),
+        |srcs AS (SELECT DISTINCT source FROM synth),
+        |st0 AS (SELECT source, list_sort(array_agg(gh)) AS bk FROM bk GROUP BY source),
+        |st AS (SELECT srcs.source, coalesce(st0.bk, CAST([] AS BIGINT[])) AS bk
+        |  FROM srcs LEFT JOIN st0 USING (source)),
         |p AS (SELECT a.source AS src_a, b.source AS src_b, a.bk AS bka, b.bk AS bkb
         |  FROM st a JOIN st b ON a.source < b.source),
         |u AS (SELECT src_a, src_b, bka, bkb,
-        |  list_slice(list_sort(list_distinct(list_concat(bka, bkb))), 1, 128) AS uk FROM p)
-        |SELECT src_a, src_b,
+        |  list_slice(list_sort(list_distinct(list_concat(bka, bkb))), 1, 128) AS uk FROM p),
+        |e AS (SELECT src_a, src_b,
         |  CAST(len(uk) AS BIGINT) AS k_used,
         |  CAST(len(list_intersect(list_intersect(uk, bka), bkb)) AS BIGINT) AS inter_k,
-        |  CAST(len(list_intersect(list_intersect(uk, bka), bkb)) AS BIGINT) * 1000
-        |    // greatest(CAST(len(uk) AS BIGINT), 1) AS jac_est_permille
-        |FROM u ORDER BY src_a, src_b""".stripMargin)),
+        |  CASE WHEN len(bka) < 128 THEN CAST(len(bka) AS BIGINT)
+        |    ELSE CAST((CAST(127 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |      // greatest(bka[128], 1) AS BIGINT) END AS n_a_est,
+        |  CASE WHEN len(bkb) < 128 THEN CAST(len(bkb) AS BIGINT)
+        |    ELSE CAST((CAST(127 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |      // greatest(bkb[128], 1) AS BIGINT) END AS n_b_est,
+        |  CASE WHEN len(uk) < 128 THEN CAST(len(uk) AS BIGINT)
+        |    ELSE CAST((CAST(127 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |      // greatest(uk[128], 1) AS BIGINT) END AS union_est
+        |  FROM u),
+        |ie AS (SELECT *, CAST((CAST(inter_k AS HUGEINT) * union_est)
+        |  // greatest(k_used, 1) AS BIGINT) AS inter_est FROM e)
+        |SELECT src_a, src_b, k_used, inter_k,
+        |  inter_k * 1000 // greatest(k_used, 1) AS jac_est_permille,
+        |  n_a_est, n_b_est, union_est, inter_est,
+        |  CAST((CAST(inter_est AS HUGEINT) * 1000)
+        |    // greatest(n_a_est, 1) AS BIGINT) AS cont_a_in_b_est_permille,
+        |  CAST((CAST(inter_est AS HUGEINT) * 1000)
+        |    // greatest(n_b_est, 1) AS BIGINT) AS cont_b_in_a_est_permille
+        |FROM ie ORDER BY src_a, src_b""".stripMargin)),
 
     // Sketch-vs-exact ACCURACY audit (r11): per source pair, the exact
     // Jaccard (q181's matrix) next to the KMV estimate (q184's sketch)
@@ -3189,13 +3224,21 @@ object PipelineQueries {
         val exact = P.crossSourceContainment(synth, "source", "text", n = 8)
           .select(col("src_a"), col("src_b"),
             expr("inter * 1000L div greatest(n_a + n_b - inter, 1L)")
-              .as("jac_permille"))
+              .as("jac_permille"),
+            col("cont_a_in_b_permille").as("cont_a_permille"),
+            col("cont_b_in_a_permille").as("cont_b_permille"))
         val sk = P.crossSourceContainmentSketch(synth, "source", "text",
             n = 8, k = 128)
-          .select(col("src_a"), col("src_b"), col("jac_est_permille"))
+          .select(col("src_a"), col("src_b"), col("jac_est_permille"),
+            col("cont_a_in_b_est_permille").as("cont_a_est_permille"),
+            col("cont_b_in_a_est_permille").as("cont_b_est_permille"))
         exact.join(sk, Seq("src_a", "src_b"))
           .withColumn("abs_err_permille",
             abs(col("jac_permille") - col("jac_est_permille")))
+          .withColumn("abs_err_cont_a_permille",
+            abs(col("cont_a_permille") - col("cont_a_est_permille")))
+          .withColumn("abs_err_cont_b_permille",
+            abs(col("cont_b_permille") - col("cont_b_est_permille")))
           .orderBy("src_a", "src_b")
       },
       Some(s"""WITH synth AS (SELECT source, concat_ws(' ', text,
@@ -3205,32 +3248,97 @@ object PipelineQueries {
         |g AS (SELECT source, unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
         |  i -> array_to_string(list_slice(toks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' '))) AS gram FROM t),
         |d AS (SELECT DISTINCT source, CAST('0x'||substr(md5(gram),18,15) AS BIGINT) AS gh FROM g),
-        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+        |srcs AS (SELECT DISTINCT source FROM synth),
+        |sz0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+        |sz AS (SELECT srcs.source, coalesce(sz0.n, CAST(0 AS BIGINT)) AS n
+        |  FROM srcs LEFT JOIN sz0 USING (source)),
         |p AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
         |  FROM sz a JOIN sz b ON a.source < b.source),
         |iv AS (SELECT da.source AS src_a, db.source AS src_b, CAST(count(*) AS BIGINT) AS inter
         |  FROM d da JOIN d db ON da.gh = db.gh AND da.source < db.source GROUP BY 1, 2),
         |ex AS (SELECT p.src_a, p.src_b,
         |  coalesce(iv.inter, CAST(0 AS BIGINT)) * 1000
-        |    // greatest(p.n_a + p.n_b - coalesce(iv.inter, CAST(0 AS BIGINT)), 1) AS jac_permille
+        |    // greatest(p.n_a + p.n_b - coalesce(iv.inter, CAST(0 AS BIGINT)), 1) AS jac_permille,
+        |  coalesce(iv.inter, CAST(0 AS BIGINT)) * 1000
+        |    // greatest(p.n_a, 1) AS cont_a_permille,
+        |  coalesce(iv.inter, CAST(0 AS BIGINT)) * 1000
+        |    // greatest(p.n_b, 1) AS cont_b_permille
         |  FROM p LEFT JOIN iv USING (src_a, src_b)),
         |bk AS (SELECT source, gh FROM (SELECT source, gh,
         |    row_number() OVER (PARTITION BY source ORDER BY gh) AS rn FROM d)
         |  WHERE rn <= 128),
-        |st AS (SELECT source, list_sort(array_agg(gh)) AS bk FROM bk GROUP BY source),
+        |st0 AS (SELECT source, list_sort(array_agg(gh)) AS bk FROM bk GROUP BY source),
+        |st AS (SELECT srcs.source, coalesce(st0.bk, CAST([] AS BIGINT[])) AS bk
+        |  FROM srcs LEFT JOIN st0 USING (source)),
         |pp AS (SELECT a.source AS src_a, b.source AS src_b, a.bk AS bka, b.bk AS bkb
         |  FROM st a JOIN st b ON a.source < b.source),
         |u AS (SELECT src_a, src_b,
         |  list_slice(list_sort(list_distinct(list_concat(bka, bkb))), 1, 128) AS uk,
         |  bka, bkb FROM pp),
+        |se AS (SELECT src_a, src_b,
+        |  CAST(len(uk) AS BIGINT) AS k_used,
+        |  CAST(len(list_intersect(list_intersect(uk, bka), bkb)) AS BIGINT) AS inter_k,
+        |  CASE WHEN len(bka) < 128 THEN CAST(len(bka) AS BIGINT)
+        |    ELSE CAST((CAST(127 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |      // greatest(bka[128], 1) AS BIGINT) END AS n_a_est,
+        |  CASE WHEN len(bkb) < 128 THEN CAST(len(bkb) AS BIGINT)
+        |    ELSE CAST((CAST(127 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |      // greatest(bkb[128], 1) AS BIGINT) END AS n_b_est,
+        |  CASE WHEN len(uk) < 128 THEN CAST(len(uk) AS BIGINT)
+        |    ELSE CAST((CAST(127 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+        |      // greatest(uk[128], 1) AS BIGINT) END AS union_est
+        |  FROM u),
         |sk AS (SELECT src_a, src_b,
-        |  CAST(len(list_intersect(list_intersect(uk, bka), bkb)) AS BIGINT) * 1000
-        |    // greatest(CAST(len(uk) AS BIGINT), 1) AS jac_est_permille FROM u)
-        |SELECT ex.src_a, ex.src_b, ex.jac_permille, sk.jac_est_permille,
-        |  abs(ex.jac_permille - sk.jac_est_permille) AS abs_err_permille
+        |  inter_k * 1000 // greatest(k_used, 1) AS jac_est_permille,
+        |  CAST((CAST(CAST((CAST(inter_k AS HUGEINT) * union_est)
+        |      // greatest(k_used, 1) AS BIGINT) AS HUGEINT) * 1000)
+        |    // greatest(n_a_est, 1) AS BIGINT) AS cont_a_est_permille,
+        |  CAST((CAST(CAST((CAST(inter_k AS HUGEINT) * union_est)
+        |      // greatest(k_used, 1) AS BIGINT) AS HUGEINT) * 1000)
+        |    // greatest(n_b_est, 1) AS BIGINT) AS cont_b_est_permille
+        |  FROM se)
+        |SELECT ex.src_a, ex.src_b, ex.jac_permille, ex.cont_a_permille,
+        |  ex.cont_b_permille, sk.jac_est_permille, sk.cont_a_est_permille,
+        |  sk.cont_b_est_permille,
+        |  abs(ex.jac_permille - sk.jac_est_permille) AS abs_err_permille,
+        |  abs(ex.cont_a_permille - sk.cont_a_est_permille) AS abs_err_cont_a_permille,
+        |  abs(ex.cont_b_permille - sk.cont_b_est_permille) AS abs_err_cont_b_permille
         |FROM ex JOIN sk USING (src_a, src_b)
         |ORDER BY src_a, src_b""".stripMargin))
   )
+
+  /** DuckDB twin of [[graft.functions.expressions.DecodeNumericEntities]]
+    * over column `c` — the q182/q183 oracle's numeric-reference stage.
+    * Single-pass semantics replayed exactly: one global regexp_replace
+    * wraps every candidate body in chr(1) sentinels, str_split makes
+    * bodies the even (1-based) list slots, and a list_transform lambda
+    * decodes each body under the SAME bounded contract (decimal or
+    * lowercase-x hex, target in {9,10,13} ∪ [32,255], else the original
+    * text verbatim) — output is never re-scanned, so `&amp;#60;` style
+    * double-escapes behave identically on both engines. Hex→int is pure
+    * strpos arithmetic on the ≤ 2 significant digits an in-range value
+    * can have (DuckDB has no hex-parse for VARCHAR). Built by plain
+    * string concat so the regex backslash survives every interpolation
+    * context. A def — the init-order discipline of [[CdcPassage]].
+    */
+  private def duckDecodeNumEntities(c: String): String = {
+    // value of a lowercase-x hex body x: strip the x, drop leading
+    // zeros, left-pad back to 2 digits, then 16·hi + lo via strpos
+    val pad = "substr(lpad(ltrim(lower(substr(x, 2)), '0'), 2, '0')"
+    val hv = s"CAST((strpos('0123456789abcdef', $pad, 1, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', $pad, 2, 1)) - 1) AS INT)"
+    val passthrough = "'&#' || x || ';'"
+    "list_aggregate(list_transform(str_split(regexp_replace(" + c +
+      ", '&#(x?[0-9a-fA-F]{1,6});', chr(1) || '" + "\\1" + "' || chr(1), 'g'), chr(1)), " +
+      "(x, i) -> CASE WHEN i % 2 = 1 THEN x " +
+      "WHEN regexp_matches(x, '^[0-9]{1,6}$') THEN " +
+      "CASE WHEN CAST(x AS BIGINT) IN (9, 10, 13) OR CAST(x AS BIGINT) BETWEEN 32 AND 255 " +
+      s"THEN chr(CAST(x AS INT)) ELSE $passthrough END " +
+      "WHEN x LIKE 'x%' AND length(ltrim(lower(substr(x, 2)), '0')) <= 2 THEN " +
+      s"CASE WHEN $hv IN (9, 10, 13) OR $hv BETWEEN 32 AND 255 THEN chr($hv) " +
+      s"ELSE $passthrough END " +
+      s"ELSE $passthrough END), 'string_agg', '')"
+  }
 
   /** The shared 30-token passage q174 plants at variable offsets — one
     * literal, interpolated into BOTH the Spark plan and the oracle SQL.

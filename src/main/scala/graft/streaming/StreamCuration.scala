@@ -131,10 +131,12 @@ object StreamCuration {
       spanIndexDir: Option[String] = None,
       lineIndex: Option[Array[Long]] = None,
       lineIndexDir: Option[String] = None,
-      cdcIndex: Option[Array[Long]] = None,
-      cdcIndexW: Int = 3,
-      cdcIndexDivisor: Int = 8,
-      cdcIndexKernel: String = "md5",
+      // the literal form takes the FULL (w, divisor, kernel, index)
+      // tuple — exactly what Dedup.loadCdcChunkIndex returns — so chunk
+      // geometry can never be defaulted independently of the artifact:
+      // an index built under w=5 probed with a defaulted w=3 would cut
+      // differently and silently miss everything (ADVICE r11)
+      cdcIndex: Option[(Int, Int, String, Array[Long])] = None,
       cdcIndexDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
@@ -259,9 +261,8 @@ object StreamCuration {
     // and carries its own (w, divisor) — the geometry can never silently
     // mismatch the artifact (the spanIndexDir contract)
     val resolvedCdc: Option[(Int, Int, String, Array[Long])] =
-      cdcIndex.map(a => (cdcIndexW, cdcIndexDivisor, cdcIndexKernel, a))
-        .orElse(cdcIndexDir.map(dir =>
-          graft.operators.Dedup.loadCdcChunkIndex(docs.sparkSession, dir)))
+      cdcIndex.orElse(cdcIndexDir.map(dir =>
+        graft.operators.Dedup.loadCdcChunkIndex(docs.sparkSession, dir)))
     resolvedCdc.foreach { case (w, divisor, kernel, index) =>
       // incremental CDC-chunk scrub against a frozen reference hot-chunk
       // index (Dedup.cdcChunkIndex, built batch-side) — the granularity

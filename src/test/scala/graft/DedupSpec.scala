@@ -1254,6 +1254,34 @@ class DedupSpec extends SparkSpec {
       s"exact dup must survive any geometry: $got")
   }
 
+  test("minhashPairsRetuned survives sub-shingleN docs: two empty shingle " +
+      "sets band-join as a degenerate 0-div-0 pair — top-bucketed, never " +
+      "a null histogram row (ADVICE r11 NPE)") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    // 'ab' / 'cd': shorter than shingleN = 5 chars -> EMPTY shingle
+    // sets; their all-null signatures share every band key, so the
+    // calibration counts the (degenerate) candidate pair
+    val docs = ((1L, base) +: (2L, base) +: (90L, "ab") +: (91L, "cd") +:
+      (3L to 30L).map(i => (i, (0 until 60).map(j => s"v${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val (pairs, g) = Dedup.minhashPairsRetuned(docs, "doc_id", "text",
+      targetJaccard = 0.9, candidateBudget = 1000000L,
+      sampleFraction = 1.0)
+    assert(g.bands * g.rowsPerBand === 16, g.toString)
+    val got = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(got.contains((1L, 2L)), s"planted dup lost: $got")
+    // and the calibration table itself carries the degenerate pair in
+    // the TOP bucket, not a null row
+    val calib = Dedup.minhashCalibration(docs, "doc_id", "text")
+    val buckets = calib.select("jac_bucket").collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0L && b <= 16L))
+    assert(buckets.contains(16L), // the empty-pair mass
+      s"degenerate pair must land in the top bucket: ${buckets.toSeq}")
+  }
+
   test("cdcChunkIndex + cdcChunkDedupInline: frozen gate == batch verdicts " +
       "across the corpus boundary; batch-internal dups survive; artifact " +
       "round-trips with its geometry") {

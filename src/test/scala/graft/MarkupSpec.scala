@@ -36,6 +36,32 @@ class MarkupSpec extends SparkSpec {
       .select(Markup.stripHtml(col("h"))).as[String].head() === "")
   }
 
+  test("stripHtml: numeric character references — decimal, hex, leading " +
+      "zeros decode in the Latin-1 range; everything else passes through " +
+      "verbatim (the bounded r12 contract)") {
+    // decimal + hex + leading zeros, ASCII and Latin-1
+    assert(strip("Caf&#233; r&#xE9;sum&#x00E9;") === "Café résumé")
+    assert(strip("&#65;&#66;&#67;") === "ABC") // adjacent references
+    assert(strip("say &#039;hi&#39;") === "say 'hi'") // old literal subsumed
+    // decoded control whitespace (9/10/13) normalizes in the collapse
+    assert(strip("a&#9;b&#10;c&#13;d") === "a b c d")
+    // pass-through: out-of-range (above Latin-1), uppercase X, malformed
+    // decimal (hex letters without the x), below-32 non-whitespace, and
+    // an x with no digits
+    assert(strip("&#x2019;") === "&#x2019;")
+    assert(strip("&#8217;") === "&#8217;")
+    assert(strip("&#XE9;") === "&#XE9;")
+    assert(strip("&#1e3;") === "&#1e3;")
+    assert(strip("&#7;&#x1f;&#x0;") === "&#7;&#x1f;&#x0;")
+    assert(strip("&#x;&#;") === "&#x;&#;")
+    // ONE pass, no output re-scan: double escapes decode one level only
+    assert(strip("&amp;#60;") === "&#60;")
+    assert(strip("&#38;#60;") === "&#60;")
+    // numeric runs BEFORE the named table: a numeric amp can complete a
+    // named entity (consistent with the oracle twin's stage order)
+    assert(strip("&#38;lt;") === "<")
+  }
+
   test("markupStats: exact-integer density signals") {
     val html = "<html><body><a href=\"/\">x</a><A HREF=\"/y\">y</A>" +
       "<p>ten chars.</p></body></html>"

@@ -209,17 +209,26 @@ class ProfileSpec extends SparkSpec {
     // k large enough -> the union bottom-k IS the union: estimate exact
     val sk = P.crossSourceContainmentSketch(docs, "source", "text",
         n = 3, k = 64)
-      .as[(String, String, Long, Long, Long)]
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => (r._1, r._2) -> r).toMap
     val skAb = sk(("a", "b"))
     // |A u B| = 11 + 12 - 8 = 15 <= 64 -> k_used = 15, inter = 8
     assert(skAb._3 === 15L && skAb._4 === 8L)
     assert(skAb._5 === 8000L / 15L)
+    // UNSATURATED sketches are the full sets, so every estimator column
+    // is EXACT: sizes, union, intersection — and the asymmetric
+    // containments equal the exact matrix's (the r12 Beyer-estimator
+    // contract: < k hashes means nothing was ever estimated)
+    assert(skAb._6 === 11L && skAb._7 === 12L, skAb.toString) // n_a/b_est
+    assert(skAb._8 === 15L && skAb._9 === 8L) // union_est, inter_est
+    assert(skAb._10 === 8000L / 11L && skAb._11 === 8000L / 12L)
     assert(sk(("a", "c"))._4 === 0L)
+    assert(sk(("a", "c"))._10 === 0L && sk(("a", "c"))._11 === 0L)
     // k SMALLER than the union: the estimate stays in [0, 1000] and
     // within coarse range of the true jaccard (8/15 = 533 permille)
     val tight = P.crossSourceContainmentSketch(docs, "source", "text",
         n = 3, k = 8)
+      .select("src_a", "src_b", "k_used", "inter_k", "jac_est_permille")
       .as[(String, String, Long, Long, Long)]
       .collect().map(r => (r._1, r._2) -> r).toMap
     val t = tight(("a", "b"))
@@ -228,10 +237,10 @@ class ProfileSpec extends SparkSpec {
     // salt pre-pass parity: any saltFactor gives the same sketch
     val salted = P.crossSourceContainmentSketch(docs, "source", "text",
         n = 3, k = 8, saltFactor = 5)
-      .as[(String, String, Long, Long, Long)].collect().toSeq
+      .collect().map(_.toSeq).toSeq
     val unsalted = P.crossSourceContainmentSketch(docs, "source", "text",
         n = 3, k = 8, saltFactor = 1)
-      .as[(String, String, Long, Long, Long)].collect().toSeq
+      .collect().map(_.toSeq).toSeq
     assert(salted === unsalted)
     // INCREMENTAL: batch synopses merged == from-scratch over the
     // union, with source 'a' split ACROSS batches and k=8 genuinely
@@ -243,12 +252,47 @@ class ProfileSpec extends SparkSpec {
       ("c", "cc0 cc1 cc2 cc3 cc4")).toDF("source", "text")
     def pairsOf(sets: org.apache.spark.sql.DataFrame) =
       P.containmentFromSketches(sets, k = 8)
-        .as[(String, String, Long, Long, Long)].collect().toSeq.sorted
+        .collect().map(_.toSeq).toSeq
     val direct = pairsOf(
       P.gramBottomK(b1.union(b2), "source", "text", n = 3, k = 8))
     val merged = pairsOf(P.mergeGramBottomK(Seq(
       P.gramBottomK(b1, "source", "text", n = 3, k = 8),
       P.gramBottomK(b2, "source", "text", n = 3, k = 8)), k = 8))
     assert(merged === direct, s"merged $merged != direct $direct")
+  }
+
+  test("containment 0-fill contract: a gram-less source (all docs shorter " +
+      "than n tokens) still appears in every pair — exact matrix, " +
+      "synopsis, sketch matrix, and through the merge") {
+    val P = graft.operators.Profile
+    val docs = Seq(
+      ("a", "a0 a1 a2 a3 a4"),
+      ("b", "a0 a1 a2 b3 b4"),
+      ("d", "too short")) // 2 tokens, zero 3-grams
+      .toDF("source", "text")
+    val exact = P.crossSourceContainment(docs, "source", "text", n = 3)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(exact.keySet === Set(("a", "b"), ("a", "d"), ("b", "d")),
+      exact.keySet.toString) // d present despite zero grams (ADVICE r11)
+    assert(exact(("a", "d")) === (("a", "d", 3L, 0L, 0L, 0L, 0L)))
+    assert(exact(("b", "d"))._4 === 0L)
+    // synopsis: d rides as an EMPTY bottom-k, so the sketch matrix has
+    // the same every-pair-present shape
+    val sets = P.gramBottomK(docs, "source", "text", n = 3, k = 8)
+    val bk = sets.as[(String, Seq[Long])].collect().toMap
+    assert(bk.keySet === Set("a", "b", "d"))
+    assert(bk("d") === Seq.empty[Long] && bk("a").size === 3)
+    val skPairs = P.containmentFromSketches(sets, k = 8)
+      .select("src_a", "src_b", "k_used", "inter_k", "n_a_est", "n_b_est",
+        "cont_a_in_b_est_permille")
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(skPairs.keySet === Set(("a", "b"), ("a", "d"), ("b", "d")))
+    assert(skPairs(("a", "d")) === (("a", "d", 3L, 0L, 3L, 0L, 0L)))
+    // the empty synopsis survives a merge (explode would drop it)
+    val merged = P.mergeGramBottomK(Seq(sets, sets), k = 8)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged === bk)
   }
 }

@@ -377,7 +377,7 @@ class StreamCurationSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
     val cfg = Curate.Config(exactDedup = false)
     val curated = StreamCuration.run(stream, "doc_id", "text", cfg,
-      cdcIndex = Some(index), cdcIndexW = 3, cdcIndexDivisor = 4)
+      cdcIndex = Some((3, 4, "md5", index)))
     assert(curated.isStreaming)
     val q = curated.writeStream.format("memory").queryName("cdc_out")
       .trigger(Trigger.AvailableNow())
@@ -386,7 +386,7 @@ class StreamCurationSpec extends SparkSpec {
     val streamed = spark.table("cdc_out").select("doc_id", "text")
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     val batch = StreamCuration.run(docs, "doc_id", "text", cfg,
-        cdcIndex = Some(index), cdcIndexW = 3, cdcIndexDivisor = 4)
+        cdcIndex = Some((3, 4, "md5", index)))
       .select("doc_id", "text")
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(streamed === batch, s"stream $streamed != batch $batch")
@@ -404,7 +404,7 @@ class StreamCurationSpec extends SparkSpec {
     // both-forms misuse fails loud
     val ex = intercept[IllegalArgumentException] {
       StreamCuration.run(docs, "doc_id", "text", cfg,
-        cdcIndex = Some(index), cdcIndexDir = Some(idxDir))
+        cdcIndex = Some((3, 4, "md5", index)), cdcIndexDir = Some(idxDir))
     }
     assert(ex.getMessage.contains("not both"), ex.getMessage)
   }
