@@ -26,6 +26,15 @@ object Bench {
       }
     val dt = (System.nanoTime() - t0) / 1e9
     spark.catalog.clearCache()
+    // free the query's shuffle files NOW: ContextCleaner deletes them only
+    // after a driver GC, which a big heap may never do on its own — the
+    // measured r10/r11 mechanism (VarianceProbe, ScaleBench:140) where
+    // lexical-order shuffle-file accumulation inflates every query that
+    // runs after a heavy neighbor by a uniform ~1.2-1.3x. One driver GC
+    // per measurement is milliseconds against the suite's minutes and
+    // removes the cross-query contamination term from the round-over-round
+    // bench diff.
+    System.gc()
     if (failed) -1.0 else dt
   }
 

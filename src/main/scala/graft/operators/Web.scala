@@ -81,6 +81,19 @@ object Web {
       .otherwise(last2)
   }
 
+  /** [[registeredDomain]] through the swap seam it documents: the full
+    * Mozilla Public Suffix List ([[Psl.default]], the build-pinned
+    * `public_suffix_list.dat` artifact) evaluated by the real PSL
+    * algorithm — longest matching rule prevails, exception rules beat
+    * everything, `*.`-wildcards match one extra label, unmatched hosts
+    * fall to the implicit `*` rule (last label). Same fail-soft
+    * contract: a host that IS a public suffix, a single label, or empty
+    * returns as-is. One codegen expression, zero shuffles —
+    * per-row cost is labels × log(11.5k rules).
+    */
+  def registeredDomainPsl(host: Column): Column =
+    graft.functions.expressions.RegisteredDomainPsl.column(host, Psl.default)
+
   /** Host of a canonical URL (port already stripped by
     * [[canonicalizeUrl]] for default ports; a kept non-default port is
     * NOT part of the domain, so it is removed here).

@@ -3304,7 +3304,60 @@ object PipelineQueries {
         |  abs(ex.cont_a_permille - sk.cont_a_est_permille) AS abs_err_cont_a_permille,
         |  abs(ex.cont_b_permille - sk.cont_b_est_permille) AS abs_err_cont_b_permille
         |FROM ex JOIN sk USING (src_a, src_b)
-        |ORDER BY src_a, src_b""".stripMargin))
+        |ORDER BY src_a, src_b""".stripMargin)),
+
+    // PSL-backed per-domain cap (r12): q167's domain-cap workflow run
+    // through the PRODUCTION eTLD+1 — Web.registeredDomainPsl over the
+    // build-pinned Mozilla Public Suffix List — instead of the built-in
+    // 16-suffix fixture list. Hosts are synthesized over one suffix of
+    // each RULE CLASS (plain TLD, ICANN multi-part co.uk, PRIVATE-section
+    // github.io, wildcard *.ck, exception !www.ck, unknown TLD → the
+    // implicit * rule), so the oracle can replay each class's planted
+    // truth without re-implementing the PSL walk; the exception class
+    // collapses EVERY source into the single domain www.ck — the
+    // cross-source cap-pressure case. The full 11.5k-rule algorithm
+    // itself (longest-match, two-pass exception precedence, fail-soft
+    // degenerates) is pinned in WebSpec.
+    QueryDef("q186_psl_domain_cap",
+      (s, d) => {
+        val did = col("doc_id")
+        val hosts = Tables.documents(s, d).select(did, col("n_chars"),
+          concat(
+            lit("sub"), (did % 7).cast("string"), lit("."),
+            lower(col("source")), lit("site"),
+            when(did % 6 === 0, lit(".com"))
+              .when(did % 6 === 1, lit(".co.uk"))
+              .when(did % 6 === 2, lit(".github.io"))
+              .when(did % 6 === 3, lit(".stuff.ck"))
+              .when(did % 6 === 4, lit(".www.ck"))
+              .otherwise(lit(".zzunknown"))).as("host"))
+        val dom = hosts.withColumn("domain",
+          Web.registeredDomainPsl(col("host")))
+        Web.domainCap(dom, "domain", maxPerDomain = 16,
+            col("n_chars").desc, col("doc_id").asc)
+          .select("doc_id", "host", "domain", "domain_rank", "kept")
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, n_chars, source,
+        |  'sub' || CAST(doc_id % 7 AS VARCHAR) || '.' || lower(source) || 'site' ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '.com'
+        |        WHEN doc_id % 6 = 1 THEN '.co.uk'
+        |        WHEN doc_id % 6 = 2 THEN '.github.io'
+        |        WHEN doc_id % 6 = 3 THEN '.stuff.ck'
+        |        WHEN doc_id % 6 = 4 THEN '.www.ck'
+        |        ELSE '.zzunknown' END) AS host FROM documents),
+        |d2 AS (SELECT doc_id, n_chars, host,
+        |  CASE WHEN doc_id % 6 = 0 THEN lower(source) || 'site.com'
+        |       WHEN doc_id % 6 = 1 THEN lower(source) || 'site.co.uk'
+        |       WHEN doc_id % 6 = 2 THEN lower(source) || 'site.github.io'
+        |       WHEN doc_id % 6 = 3 THEN lower(source) || 'site.stuff.ck'
+        |       WHEN doc_id % 6 = 4 THEN 'www.ck'
+        |       ELSE lower(source) || 'site.zzunknown' END AS domain FROM h),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+        |  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS domain_rank FROM d2)
+        |SELECT doc_id, host, domain, domain_rank,
+        |  CAST(CASE WHEN domain_rank <= 16 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of [[graft.functions.expressions.DecodeNumericEntities]]

@@ -179,6 +179,57 @@ object StreamSketch {
       .toDF(groupCol, "hs")
   }
 
+  /** Streaming per-source GRAM bottom-k synopsis — the live face of
+    * [[graft.operators.Profile.gramBottomK]], maintaining the state the
+    * cross-source containment matrix (q184) serves off. Per source the
+    * state is the k smallest distinct 60-bit gram hashes; the update
+    * (set-union then keep the k smallest) is [[mergeGramBottomK]]'s ⊕ —
+    * associative, commutative, idempotent — so the streamed synopsis
+    * EQUALS the batch one over the same rows regardless of arrival
+    * order or batching (parity-pinned in StreamSketchSpec), exactly the
+    * bottom-k composition identity the batch monoid rests on. Shingling
+    * and hashing run IN-PLAN (codegen) with the SAME columns as the
+    * batch build (`overlappingGrams` → `md5Low60`) — one definition,
+    * agreement by construction.
+    *
+    * A doc shorter than n tokens contributes an empty gram array but
+    * still carries its source key, so a gram-less source appears with
+    * an EMPTY synopsis — the batch anchor contract (ADVICE r11) held
+    * live. Emits (__g STRING, bk ARRAY<LONG> ascending) per trigger,
+    * Update mode — the EXACT schema
+    * [[graft.operators.Profile.containmentFromSketches]] takes, so the
+    * live pair matrix is one batch call over the latest emit per
+    * source. ≤ k longs of state per source forever.
+    */
+  def gramBottomK(values: DataFrame, srcCol: String, textCol: String,
+      n: Int = 8, k: Int = 256): DataFrame = {
+    require(n >= 1, s"gramBottomK: n $n must be >= 1")
+    require(k >= 2, s"gramBottomK: k $k must be >= 2")
+    val spark = values.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val keyed: Dataset[(String, Seq[Long])] = values
+      .select(col(srcCol).cast("string"),
+        coalesce(
+          transform(
+            TextFunctions.overlappingGrams(
+              TextFunctions.wsTokens(col(textCol)), n),
+            g => TextFunctions.md5Low60(g)),
+          array().cast("array<long>")))
+      .as[(String, Seq[Long])]
+    keyed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (g, it, state) =>
+          val cur = state.getOption.getOrElse(Array.empty[Long])
+          val merged = (cur.toSet ++ it.flatMap(_._2))
+            .toSeq.sorted.take(k).toArray
+          state.update(merged)
+          (g, merged.toSeq)
+      }
+      .toDF("__g", "bk")
+  }
+
   /** The only output mode `mapGroupsWithState` supports. */
   /** Streaming KLL-style quantile sketch — the live face of
     * [[graft.operators.Sketch.kllState]]: per-group state is the exact

@@ -308,4 +308,68 @@ class StreamSketchSpec extends SparkSpec {
     assert(c >= 150L, s"cnt $c below true 150")   // upper bound
     assert(c - e <= 150L, s"cnt $c - err $e above true 150")
   }
+
+  test("streamed gram bottom-k synopsis equals the batch build over all " +
+      "waves, and the live containment matrix equals the batch sketch " +
+      "matrix") {
+    val n = 3
+    val k = 16
+    val dir = Files.createTempDirectory("graft-ssgbk-").toString
+    def doc(seed: Int, len: Int): String =
+      (0 until len).map(i => s"w${(seed * 31 + i * 7) % 97}").mkString(" ")
+    def put(name: String, rows: Seq[(String, String)], mtime: Long): Unit = {
+      val json = rows.map { case (s, t) => s"""{"src":"$s","text":"$t"}""" }
+        .mkString("", "\n", "\n")
+      val p = Paths.get(s"$dir/$name")
+      Files.write(p, json.getBytes)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    // cc and web share seeds 1-4 (real overlap); "tiny" is the gram-less
+    // source (every doc shorter than n tokens) riding the anchor contract
+    put("w1.json",
+      (1 to 6).map(i => ("cc", doc(i, 12))) ++
+        (1 to 4).map(i => ("web", doc(i, 12))) :+ ("tiny", "just two"),
+      t0)
+    put("w2.json",
+      (5 to 9).map(i => ("web", doc(i, 12))) ++
+        (7 to 8).map(i => ("cc", doc(i, 12))) :+ ("tiny", "so short"),
+      t0 + 30000)
+    val stream = spark.readStream
+      .schema("src STRING, text STRING")
+      .option("maxFilesPerTrigger", "1").json(dir)
+    val out = StreamSketch.gramBottomK(stream, "src", "text", n = n, k = k)
+    val q = out.writeStream.format("memory").queryName("ss_gbk")
+      .outputMode(StreamSketch.outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ssgbk-ckpt-").toString)
+      .start()
+    q.awaitTermination(60000)
+    // final emit per source: the synopsis only improves (length
+    // non-decreasing; at equal length, element-wise smaller), so
+    // max(struct(n, -bk…)) selects it — the kmv test's discipline
+    val finalSyn = spark.table("ss_gbk")
+      .groupBy("__g").agg(max(struct(size(col("bk")).as("n"),
+        transform(col("bk"), x => -x).as("neg"), col("bk").as("bk"))).as("m"))
+      .select(col("__g"), col("m.bk").as("bk"))
+    val streamed = finalSyn.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val batchDf = spark.read.schema("src STRING, text STRING").json(dir)
+    val batch = graft.operators.Profile
+      .gramBottomK(batchDf, "src", "text", n = n, k = k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(streamed === batch)
+    assert(streamed("tiny") === Seq.empty) // gram-less anchor, live
+    assert(streamed.values.forall(_.length <= k)) // bounded state
+    // the live matrix: containmentFromSketches over the final emits
+    // equals the batch sketch matrix end to end
+    val live = graft.operators.Profile
+      .containmentFromSketches(finalSyn, k).collect().map(_.toSeq)
+    val batchM = graft.operators.Profile
+      .crossSourceContainmentSketch(batchDf, "src", "text", n = n, k = k)
+      .collect().map(_.toSeq)
+    assert(live.toSeq === batchM.toSeq)
+  }
 }

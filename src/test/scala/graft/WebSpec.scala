@@ -48,6 +48,50 @@ class WebSpec extends SparkSpec {
     assert(domainOne("https://deep.sub.site.org:9999/") === "site.org")
   }
 
+  private def pslOne(host: String): String =
+    Seq(host).toDF("h").select(Web.registeredDomainPsl(col("h")).as("d"))
+      .as[String].head()
+
+  test("registeredDomainPsl: real PSL rules — multi-part, wildcard, " +
+      "exception, PRIVATE section, implicit *, fail-soft") {
+    // exact multi-part suffixes (ICANN section)
+    assert(pslOne("www.news.bbc.co.uk") === "bbc.co.uk")
+    assert(pslOne("shop.example.com.au") === "example.com.au")
+    assert(pslOne("a.b.example.co.jp") === "example.co.jp")
+    // plain TLD
+    assert(pslOne("cdn.assets.example.com") === "example.com")
+    // PRIVATE section: *.github.io-class site boundaries
+    assert(pslOne("project.user.github.io") === "user.github.io")
+    // wildcard rule *.ck: one extra label is part of the suffix
+    assert(pslOne("shop.stuff.example.ck") === "stuff.example.ck")
+    // exception rule !www.ck prevails over *.ck
+    assert(pslOne("anything.www.ck") === "www.ck")
+    assert(pslOne("www.ck") === "www.ck")
+    // implicit * rule: unknown TLD falls to last-two-labels
+    assert(pslOne("a.b.notarealtld") === "b.notarealtld")
+    // fail-soft: host IS a public suffix / single label / uppercase in
+    assert(pslOne("co.uk") === "co.uk")
+    assert(pslOne("localhost") === "localhost")
+    assert(pslOne("WWW.Example.COM") === "example.com")
+    // degenerate empty-label hosts return as-is, never throw
+    assert(pslOne("a..b") === "a..b")
+    assert(pslOne("a.b.") === "a.b.")
+  }
+
+  test("registeredDomainPsl agrees with the built-in registeredDomain " +
+      "on every suffix the built-in list knows") {
+    val hosts = Web.MultiPartTlds.map(t => s"sub.site.$t") ++
+      Seq("x.example.com", "example.org", "deep.a.b.example.net")
+    val df = hosts.toDF("h")
+    val both = df.select(
+      Web.registeredDomain(col("h")).as("builtin"),
+      Web.registeredDomainPsl(col("h")).as("psl"))
+    assert(both.where(col("builtin") =!= col("psl")).count() === 0L)
+    // and the PSL path null-propagates
+    assert(Seq[Option[String]](None).toDF("h")
+      .select(Web.registeredDomainPsl(col("h"))).head().isNullAt(0))
+  }
+
   test("domainCap: deterministic rank within domain, kept flag at the cap") {
     val df = Seq(
       ("a.com", 1L, 100L), ("a.com", 2L, 300L), ("a.com", 3L, 300L),
