@@ -63,7 +63,13 @@ object Curate {
       // originally landed mid-list and shifted c4SpanDedupN and friends)
       htmlExtract: Boolean = false,
       piiRedact: Boolean = false,
-      domainCap: Option[(String, Int)] = None)
+      domainCap: Option[(String, Int)] = None,
+      // (urlCol, cap): derive the registered domain IN-PIPELINE from a
+      // raw URL column — canonicalizeUrl → hostOf → the full-PSL
+      // registeredDomainPsl — then cap on it. The production form of
+      // `domainCap`, which takes a caller-prepared domain column;
+      // mutually exclusive with it.
+      domainCapFromUrl: Option[(String, Int)] = None)
 
   /** Scoped-cache form — the `withMinhashPairs` discipline: the filtered
     * corpus is persisted before the multi-pass tail (DSIR reads it twice,
@@ -131,14 +137,27 @@ object Curate {
       cur = cur.withColumn(textCol, Scrub.redact(col(textCol)))
     }
 
-    cfg.domainCap.foreach { case (domainCol, cap) =>
-      // per-domain cap before dedup: bound any single registered
-      // domain's contribution (the crawl-skew rule); deterministic
-      // preference = longest text first, id tie-break (quality proxies
-      // belong to the caller via Web.domainCap directly). Rejection
-      // stage -> its own fate.
+    require(cfg.domainCap.isEmpty || cfg.domainCapFromUrl.isEmpty,
+      "Curate: set domainCap OR domainCapFromUrl, not both — they are " +
+        "the same stage with the domain column prepared by the caller " +
+        "vs derived in-pipeline")
+    // per-domain cap before dedup: bound any single registered domain's
+    // contribution (the crawl-skew rule); deterministic preference =
+    // longest text first, id tie-break (quality proxies belong to the
+    // caller via Web.domainCap directly). Rejection stage -> its own
+    // fate. The FromUrl form derives the key first: canonical URL →
+    // host → full-PSL eTLD+1, all row-local codegen, so the stage still
+    // costs exactly one window shuffle on the domain key.
+    val capStage: Option[(DataFrame, String, Int)] =
+      cfg.domainCap.map { case (c, k) => (cur, c, k) }.orElse(
+        cfg.domainCapFromUrl.map { case (urlCol, k) =>
+          (cur.withColumn("__psl_domain", Web.registeredDomainPsl(
+            Web.hostOf(Web.canonicalizeUrl(col(urlCol))))),
+            "__psl_domain", k)
+        })
+    capStage.foreach { case (keyed, domainCol, cap) =>
       require(cap >= 1, s"Curate: domainCap $cap must be >= 1")
-      val kept = Web.domainCap(cur, domainCol, cap,
+      val kept = Web.domainCap(keyed, domainCol, cap,
           length(col(textCol)).desc, col(idCol).asc)
         .where(col("kept") === 1L)
         .select(col(idCol))

@@ -142,9 +142,9 @@ object StreamCuration {
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
       cfg.lineDedupMinDocs.isEmpty && cfg.c4SpanDedupN.isEmpty &&
       cfg.curriculumBandWidth.isEmpty && cfg.epochBudgets.isEmpty &&
-      cfg.domainCap.isEmpty,
+      cfg.domainCap.isEmpty && cfg.domainCapFromUrl.isEmpty,
       "StreamCuration.run: spanDedupK/dupSpanN/lineDedupMinDocs/" +
-        "c4SpanDedupN/curriculumBandWidth/epochBudgets/domainCap are " +
+        "c4SpanDedupN/curriculumBandWidth/epochBudgets/domainCap(FromUrl) are " +
         "corpus-shape stages — run them batch-side at snapshot time " +
         "(the stream twin of lineDedupMinDocs is the frozen " +
         "lineIndex/lineIndexDir gate)")

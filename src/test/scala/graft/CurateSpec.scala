@@ -119,6 +119,45 @@ class CurateSpec extends SparkSpec {
     assert(ex.getMessage.contains("domainCap"), ex.getMessage)
   }
 
+  test("domainCapFromUrl derives the PSL domain in-pipeline and equals " +
+      "the caller-prepared-column form; the two forms are exclusive") {
+    import graft.operators.Web
+    // three raw-URL shapes that all root to ONE registered domain once
+    // canonicalized (www./port/tracking noise) + a PRIVATE-suffix site
+    val docs = Seq(
+      (1L, "doc one from the capped site with padding", "HTTP://WWW.News.Site.co.uk:80/a?utm_source=x"),
+      (2L, "doc two from the capped site longer padding!", "https://news.site.co.uk/b"),
+      (3L, "doc three from the capped site yet more padding", "https://cdn.news.site.co.uk:443/c"),
+      (4L, "a github pages doc", "https://proj.user.github.io/d"))
+      .toDF("doc_id", "text", "url")
+    val cfgUrl = Curate.Config(exactDedup = false,
+      domainCapFromUrl = Some(("url", 2)))
+    val gotUrl = Curate.run(docs, "doc_id", "text", cfgUrl)
+      .select("doc_id").as[Long].collect().toSet
+    // site.co.uk keeps its 2 longest texts (3: 47 chars, 2: 44); the
+    // github.io site boundary is user.github.io — under the cap
+    assert(gotUrl === Set(2L, 3L, 4L), gotUrl.toString)
+    // equivalence: deriving the column by hand and using domainCap
+    // yields the identical survivor set
+    val prepared = docs.withColumn("domain", Web.registeredDomainPsl(
+      Web.hostOf(Web.canonicalizeUrl(col("url")))))
+    val gotCol = Curate.run(prepared, "doc_id", "text",
+        Curate.Config(exactDedup = false, domainCap = Some(("domain", 2))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotCol === gotUrl)
+    // fate attribution rides the same stage name
+    val fates = Curate.explain(docs, "doc_id", "text", cfgUrl)
+      .as[(Long, String)].collect().toMap
+    assert(fates(1L) === "domain_capped")
+    // both forms at once is a config error, fail-loud
+    val ex = intercept[IllegalArgumentException] {
+      Curate.run(docs, "doc_id", "text", Curate.Config(
+        domainCap = Some(("domain", 2)),
+        domainCapFromUrl = Some(("url", 2))))
+    }
+    assert(ex.getMessage.contains("not both"), ex.getMessage)
+  }
+
   test("line dedup stage scrubs cross-doc boilerplate lines; explain " +
       "labels fully-boilerplate docs line_dedup_empty") {
     val docs = Seq(
