@@ -246,4 +246,27 @@ object TextFunctions {
   def md5Bucket(key: Column, n: Int, salt: String = ""): Column =
     pmod(conv(substring(md5(concat(lit(salt), key)), 25, 8), 16, 10)
       .cast("long"), lit(n.toLong))
+
+  /** Unicode NFC normalization (composed canonical form) — see
+    * [[graft.functions.expressions.NfcNormalize]]. DuckDB twin:
+    * `nfc_normalize`.
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.expressions.NfcNormalize.column(text)
+
+  /** Accent folding (NFD → drop nonspacing marks → NFC) — see
+    * [[graft.functions.expressions.StripAccents]]. DuckDB twin:
+    * `strip_accents`.
+    */
+  def stripAccents(text: Column): Column =
+    graft.functions.expressions.StripAccents.column(text)
+
+  /** THE multilingual dedup key: NFC, accents folded, lowercased —
+    * composed/decomposed forms, diacritic variants, and case variants
+    * of the same text all collide, while distinct base letters
+    * (ø/æ/ß/Hangul) stay distinct. DuckDB twin:
+    * `lower(strip_accents(nfc_normalize(text)))`.
+    */
+  def foldedText(text: Column): Column =
+    lower(stripAccents(nfcNormalize(text)))
 }

@@ -69,7 +69,12 @@ object Curate {
       // registeredDomainPsl — then cap on it. The production form of
       // `domainCap`, which takes a caller-prepared domain column;
       // mutually exclusive with it.
-      domainCapFromUrl: Option[(String, Int)] = None)
+      domainCapFromUrl: Option[(String, Int)] = None,
+      // which normalization the exactDedup stage keys on:
+      // "byte" (lower+trim), "canonical" (ASCII CCNet fold), or
+      // "folded" (NFC + accent fold + lower — the multilingual key);
+      // one dispatch (Dedup.exactKeyFor) shared with the streaming twin
+      exactDedupKey: String = "byte")
 
   /** Scoped-cache form — the `withMinhashPairs` discipline: the filtered
     * corpus is persisted before the multi-pass tail (DSIR reads it twice,
@@ -176,7 +181,13 @@ object Curate {
     }
 
     if (cfg.exactDedup) {
-      val survivors = Dedup.exact(cur, idCol, textCol).select(idCol)
+      val survivors = (cfg.exactDedupKey match {
+        case "byte" => Dedup.exact(cur, idCol, textCol)
+        case "canonical" => Dedup.exactCanonical(cur, idCol, textCol)
+        case "folded" => Dedup.exactFolded(cur, idCol, textCol)
+        case other => throw new IllegalArgumentException(
+          s"Curate: exactDedupKey '$other' must be byte|canonical|folded")
+      }).select(idCol)
       cur = cur.join(survivors, Seq(idCol), "left_semi")
       mark("exact_dup")
     }

@@ -52,6 +52,23 @@ object Dedup {
     */
   def exactKey(text: Column): Column = lower(trim(text))
 
+  /** The three exact-dedup key forms by name — the ONE dispatch both
+    * [[Curate.Config.exactDedupKey]] and the streaming twin resolve
+    * through, so a form name can never mean different normalizations in
+    * the two pipelines. All three are row-local (stream-safe):
+    * "byte" = [[exactKey]] (lower+trim), "canonical" =
+    * [[canonicalText]] (ASCII lower/punct-fold), "folded" =
+    * [[graft.functions.TextFunctions.foldedText]] (NFC + accent fold +
+    * lower — the multilingual key).
+    */
+  def exactKeyFor(form: String, text: Column): Column = form match {
+    case "byte" => exactKey(text)
+    case "canonical" => canonicalText(text)
+    case "folded" => graft.functions.TextFunctions.foldedText(text)
+    case other => throw new IllegalArgumentException(
+      s"exactKeyFor: key form '$other' must be byte|canonical|folded")
+  }
+
   /** Exact dedup by normalized text (hash-groupBy): one shuffle on the
     * group key; keeps the smallest id as the canonical representative.
     * Output: (id, norm_text, group_size) for every KEPT row of a dup group.
@@ -226,6 +243,22 @@ object Dedup {
     */
   def exactCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exactBy(df, idCol, canonicalText(col(textCol)), "canon")
+
+  /** [[exact]] on the UNICODE-FOLDED key
+    * ([[graft.functions.TextFunctions.foldedText]] — NFC, accents
+    * dropped, lowercased): the multilingual-crawl rung of the exact
+    * ladder, catching composed-vs-decomposed republications ("café" in
+    * NFC vs NFD are byte-different) and diacritic-stripped mirrors that
+    * both the byte key ([[exact]]) and the ASCII canonical key
+    * ([[exactCanonical]] — which DELETES non-ASCII letters outright,
+    * collapsing unrelated CJK text) mishandle. Same one-hash-shuffle
+    * shape; the fold is row-local codegen with an ASCII fast path, so
+    * the rung costs nothing on English-dominant corpora. Output:
+    * (idCol = min-id survivor, folded, group_size).
+    */
+  def exactFolded(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactBy(df, idCol,
+      graft.functions.TextFunctions.foldedText(col(textCol)), "folded")
 
   /** FIRST-OCCURRENCE-KEPT span dedup — the other half of the Lee et al.
     * (2022) exact-substring policy: where [[chunkDedup]] deletes a

@@ -3357,7 +3357,47 @@ object PipelineQueries {
         |  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS domain_rank FROM d2)
         |SELECT doc_id, host, domain, domain_rank,
         |  CAST(CASE WHEN domain_rank <= 16 THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM r ORDER BY doc_id""".stripMargin))
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Unicode-folded exact dedup (r12): the multilingual rung of the
+    // exact ladder — NFC + accent fold + lowercase as the group key
+    // (Dedup.exactFolded), so composed vs decomposed forms ("Café" with
+    // U+00E9 vs "Cafe" + combining U+0301) and diacritic-stripped
+    // mirrors collide, while DISTINCT base letters (ø vs o) stay apart.
+    // Both engines synthesize the same bytes (chr() in SQL, \uXXXX in
+    // Scala) and fold with byte-equal functions: JVM Normalizer
+    // NFC/NFD-drop-Mn-NFC agrees with DuckDB nfc_normalize /
+    // strip_accents (probed divergence-free on 32 cases incl. Hangul
+    // recomposition and non-decomposables — see UnicodeNormalizeUtil).
+    QueryDef("q187_unicode_dedup",
+      (s, d) => {
+        val did = col("doc_id")
+        val synth = Tables.documents(s, d).select(did,
+          concat(
+            // explicit \u escapes, NOT literal chars: the NFC form
+            // (U+00E9) and the NFD form (e + combining U+0301) render
+            // identically, so only the escape makes the plant auditable
+            when(did % 3 === 0, lit("Caf\u00e9 "))
+              .when(did % 3 === 1, lit("Cafe\u0301 "))
+              .otherwise(lit("cafe ")),
+            lit("review "), (did % 50).cast("string"), lit(" "),
+            when(did % 7 === 0, lit("\u00f8")).otherwise(lit("o")))
+            .as("text"))
+        Dedup.exactFolded(synth, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH synth AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'Caf' || chr(233) || ' '
+        |        WHEN doc_id % 3 = 1 THEN 'Cafe' || chr(769) || ' '
+        |        ELSE 'cafe ' END) ||
+        |  'review ' || CAST(doc_id % 50 AS VARCHAR) || ' ' ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN chr(248) ELSE 'o' END) AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, lower(strip_accents(nfc_normalize(text))) AS folded
+        |  FROM synth)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, folded,
+        |  CAST(count(*) AS BIGINT) AS group_size
+        |FROM f GROUP BY folded ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of [[graft.functions.expressions.DecodeNumericEntities]]

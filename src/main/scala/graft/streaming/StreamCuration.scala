@@ -217,16 +217,22 @@ object StreamCuration {
         cur = cur
           .withColumn("__event_time", timestamp_millis(col(tsCol)))
           .withWatermark("__event_time", watermark)
-          // the SAME key expression as batch Dedup.exact — shared so the
-          // normalization can never drift between the two pipelines
+          // the SAME key dispatch as batch Curate — shared so the
+          // normalization (incl. the "folded"/"canonical" forms, both
+          // row-local and so stream-safe) can never drift between the
+          // two pipelines
           .withColumn("__norm_text",
-            graft.operators.Dedup.exactKey(col(textCol)))
+            graft.operators.Dedup.exactKeyFor(cfg.exactDedupKey,
+              col(textCol)))
           .dropDuplicatesWithinWatermark("__norm_text")
           .drop("__event_time", "__norm_text")
       } else {
         // on a batch frame this entry IS the batch pipeline for the
         // stateless subset — min-id survivor, the Curate.run discipline
-        val survivors = graft.operators.Dedup.exact(cur, idCol, textCol)
+        val survivors = cur
+          .select(col(idCol), graft.operators.Dedup.exactKeyFor(
+            cfg.exactDedupKey, col(textCol)).as("__k"))
+          .groupBy("__k").agg(min(col(idCol)).as(idCol))
           .select(idCol)
         cur = cur.join(survivors, Seq(idCol), "left_semi")
       }

@@ -119,6 +119,32 @@ class CurateSpec extends SparkSpec {
     assert(ex.getMessage.contains("domainCap"), ex.getMessage)
   }
 
+  test("exactDedupKey=folded collapses unicode republications the byte " +
+      "key misses; unknown forms fail loud") {
+    val docs = Seq(
+      (1L, "Caf\u00e9 menu today"),  // NFC
+      (2L, "Cafe\u0301 menu today"), // NFD twin — same text, other bytes
+      (3L, "cafe menu today"),        // accent-stripped republication
+      (4L, "a wholly different doc")).toDF("doc_id", "text")
+    val gotFolded = Curate.run(docs, "doc_id", "text",
+        Curate.Config(exactDedup = true, exactDedupKey = "folded"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotFolded === Set(1L, 4L)) // min-id survivor of the fold group
+    val gotByte = Curate.run(docs, "doc_id", "text",
+        Curate.Config(exactDedup = true))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotByte === Set(1L, 2L, 3L, 4L)) // byte key sees 4 distinct
+    val fates = Curate.explain(docs, "doc_id", "text",
+        Curate.Config(exactDedup = true, exactDedupKey = "folded"))
+      .as[(Long, String)].collect().toMap
+    assert(fates(2L) === "exact_dup" && fates(3L) === "exact_dup")
+    val ex = intercept[IllegalArgumentException] {
+      Curate.run(docs, "doc_id", "text",
+        Curate.Config(exactDedupKey = "nfkc"))
+    }
+    assert(ex.getMessage.contains("byte|canonical|folded"), ex.getMessage)
+  }
+
   test("domainCapFromUrl derives the PSL domain in-pipeline and equals " +
       "the caller-prepared-column form; the two forms are exclusive") {
     import graft.operators.Web

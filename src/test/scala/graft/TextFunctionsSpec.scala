@@ -87,4 +87,65 @@ class TextFunctionsSpec extends SparkSpec {
     // non-overlapping mode (stride == size) partitions the text
     assert(windows("abcdefgh", 2, 2).map(_._2).mkString === "abcdefgh")
   }
+
+  test("nfcNormalize / stripAccents / foldedText: DuckDB-twin semantics " +
+      "on the probe cases, recomposition, fast paths, null safety") {
+    def one(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        s: String): String =
+      Seq(s).toDF("t").select(f(col("t"))).as[String].head()
+    // NFC: decomposed composes; angstrom sign maps to Å; NFC input unchanged
+    assert(one(nfcNormalize, "Cafe\u0301") === "Caf\u00e9")
+    assert(one(nfcNormalize, "\u212b") === "\u00c5")
+    assert(one(nfcNormalize, "Caf\u00e9") === "Caf\u00e9")
+    // accent fold: marks drop, non-decomposables survive
+    assert(one(stripAccents, "mühleisen") === "muhleisen")
+    assert(one(stripAccents, "naïve") === "naive")
+    assert(one(stripAccents, "ø æ ß") === "ø æ ß")
+    // Cyrillic ё folds to е; Turkish İ loses its dot
+    assert(one(stripAccents, "ё") === "е")
+    assert(one(stripAccents, "İstanbul") === "Istanbul")
+    // RECOMPOSITION (the DuckDB strip_accents contract): Hangul output
+    // is composed syllables, not jamo — U+D55C, length 1
+    assert(one(stripAccents, "한") === "한")
+    assert(one(stripAccents, "한").length === 1)
+    // kana dakuten (a nonspacing mark) folds, recomposed: が -> か
+    assert(one(stripAccents, "が") === "か")
+    // ASCII fast path: byte-identical passthrough
+    assert(one(stripAccents, "plain ascii!") === "plain ascii!")
+    // the composed dedup key: NFC + fold + lower collide all variants
+    val folds = Seq("Caf\u00e9 X", "Cafe\u0301 X", "cafe x", "caf\u00e9 x")
+      .toDF("t").select(foldedText(col("t"))).as[String].collect().toSet
+    assert(folds === Set("cafe x"))
+    // distinct base letters stay distinct under the fold
+    assert(one(foldedText, "rød") !== one(foldedText, "rod"))
+    // null-safe end to end
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(foldedText(col("t"))).head().isNullAt(0))
+  }
+
+  test("exactFolded groups unicode variants; exact and exactCanonical " +
+      "demonstrate the gap it closes") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "Caf\u00e9 review"),   // NFC
+      (2L, "Cafe\u0301 review"),  // NFD of the same text
+      (3L, "cafe review"),        // accent-stripped republication
+      (4L, "caf\u00e9 review"),   // lowercase NFC
+      (5L, "other doc entirely"),
+      (6L, "한국")        // CJK text: must NOT collapse into Latin
+    ).toDF("doc_id", "text")
+    val folded = Dedup.exactFolded(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(folded.map(r => (r._1, r._3)).toSeq ===
+      Seq((1L, 4L), (5L, 1L), (6L, 1L)))
+    // the byte-level key (lower+trim) catches ONLY the case variant
+    // (1 ≡ 4); the NFD and stripped forms stay separate -> 5 groups
+    assert(Dedup.exact(docs, "doc_id", "text").count() === 5L)
+    // the ASCII canonical key DELETES the non-ASCII letters: é vanishes
+    // ("caf review") and the CJK doc collapses to an empty key — the
+    // failure mode exactFolded exists to fix
+    val canon = Dedup.exactCanonical(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(canon.contains("caf review"))
+  }
 }
