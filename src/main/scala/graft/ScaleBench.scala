@@ -70,7 +70,7 @@ object ScaleBench {
     "q181_cross_source_containment", "q182_html_extract",
     "q183_curate_web_pipeline", "q184_containment_sketch",
     // round-12 additions
-    "q186_psl_domain_cap")
+    "q186_psl_domain_cap", "q187_unicode_dedup")
     // q185_sketch_accuracy is DELIBERATELY not swept: it is the one-time
     // evidence audit that recomputes BOTH q181 and q184 (each swept
     // individually above) just to difference them — sweeping it would
