@@ -332,4 +332,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
       plan.take(3000))
   }
+
+  test("q186 PSL domain cap: the PSL probe is scan-side codegen, the cap " +
+      "is the ONE domain-key window — no join anywhere") {
+    val plan = executed("q186_psl_domain_cap")
+    // registered_domain_psl evaluates inside the scan projection (the
+    // 11.5k-rule arrays ride as reference objects, not a join relation)
+    assert(plan.contains("registered_domain_psl"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    // exactly one windowspec: the domain_rank cap window
+    assert("windowspecdefinition".r.findAllIn(plan).size >= 1, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q187 unicode-folded dedup: the fold is scan-side codegen feeding " +
+      "ONE hash-aggregate exchange — no window, no join") {
+    val plan = executed("q187_unicode_dedup")
+    assert(plan.contains("strip_accents") && plan.contains("nfc_normalize"),
+      plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(3000))
+    // partial_count before the exchange = map-side combine on the fold key
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      plan.take(3000))
+  }
 }
