@@ -96,8 +96,18 @@ object CdcGearScale {
       println(f"[cdcgear] $name base=$b%.2f scaled=$s%.2f ratio=$ratio%.2f")
       f""""$name":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$ratio%.2f}"""
     }
+    // paths are interpolated into a committed evidence artifact — escape
+    // them (a quote or backslash in a dir name must not produce invalid
+    // JSON; ADVICE r12)
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val json = rows.mkString(
-      s"""{"factor":$factor,"base_dir":"$base","scaled_dir":"$scaled","reps":$reps,"flows":{""",
+      s"""{"factor":$factor,"base_dir":${jstr(base)},"scaled_dir":${jstr(scaled)},"reps":$reps,"flows":{""",
       ",", "}}")
     Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
     println(s"[cdcgear] wrote $outPath")

@@ -68,7 +68,15 @@ object Curate {
       // raw URL column — canonicalizeUrl → hostOf → the full-PSL
       // registeredDomainPsl — then cap on it. The production form of
       // `domainCap`, which takes a caller-prepared domain column;
-      // mutually exclusive with it.
+      // mutually exclusive with it. JUNK-DOMAIN POLICY (ADVICE r12):
+      // canonicalizeUrl fail-softs non-URL input to an empty host, so a
+      // malformed-URL doc's derived key is '' (or a dot-less fragment) —
+      // NOT a real shared domain. Such rows are EXEMPT from the cap
+      // (passed through unkept-but-uncapped) instead of being lumped
+      // into one capped '' bucket that would silently drop docs with
+      // fine text and junk URL metadata. The caller-prepared `domainCap`
+      // form keeps delegating that filter to the caller (its column,
+      // its policy).
       domainCapFromUrl: Option[(String, Int)] = None,
       // which normalization the exactDedup stage keys on:
       // "byte" (lower+trim), "canonical" (ASCII CCNet fold), or
@@ -153,20 +161,28 @@ object Curate {
     // fate. The FromUrl form derives the key first: canonical URL →
     // host → full-PSL eTLD+1, all row-local codegen, so the stage still
     // costs exactly one window shuffle on the domain key.
-    val capStage: Option[(DataFrame, String, Int)] =
-      cfg.domainCap.map { case (c, k) => (cur, c, k) }.orElse(
+    val capStage: Option[(DataFrame, String, Int, Boolean)] =
+      cfg.domainCap.map { case (c, k) => (cur, c, k, false) }.orElse(
         cfg.domainCapFromUrl.map { case (urlCol, k) =>
           (cur.withColumn("__psl_domain", Web.registeredDomainPsl(
             Web.hostOf(Web.canonicalizeUrl(col(urlCol))))),
-            "__psl_domain", k)
+            "__psl_domain", k, true)
         })
-    capStage.foreach { case (keyed, domainCol, cap) =>
+    capStage.foreach { case (keyed, domainCol, cap, exemptJunk) =>
       require(cap >= 1, s"Curate: domainCap $cap must be >= 1")
-      val kept = Web.domainCap(keyed, domainCol, cap,
+      // a real registered domain has at least one dot (the fail-soft
+      // contracts of canonicalizeUrl/registeredDomainPsl can only emit
+      // a dot-less key for junk input: empty host, bare label, null)
+      val junk = !coalesce(col(domainCol).contains("."), lit(false))
+      val capped = if (exemptJunk) keyed.where(!junk) else keyed
+      val kept = Web.domainCap(capped, domainCol, cap,
           length(col(textCol)).desc, col(idCol).asc)
         .where(col("kept") === 1L)
         .select(col(idCol))
-      cur = cur.join(kept, Seq(idCol), "left_semi")
+      val keptAll =
+        if (exemptJunk) kept.unionByName(keyed.where(junk).select(col(idCol)))
+        else kept
+      cur = cur.join(keptAll, Seq(idCol), "left_semi")
       mark("domain_capped")
     }
 
