@@ -1,0 +1,170 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML NAMED character references decoded in one left-to-right pass —
+  * the [[DecodeNumericEntities]] contract extended to the names real
+  * crawl HTML actually carries (VERDICT r12 #4): the XML core
+  * (`&lt;` `&gt;` `&quot;` `&apos;` `&amp;`), the full HTML 4 Latin-1
+  * set (`&eacute;` … `&yuml;`, code points 160–255), and the common
+  * typography names (`&mdash;`, `&hellip;`, `&euro;`, …). Same bounded,
+  * oracle-replayable discipline:
+  *
+  *  - candidate syntax: `&` + letter + 1–31 alphanumerics + `;` — the
+  *    same regex both engines anchor on; names are CASE-SENSITIVE
+  *    (`&Eacute;` ≠ `&eacute;`, per the HTML entity tables);
+  *  - a candidate in the table decodes to its replacement; any other
+  *    candidate (`&unknown;`) passes through VERBATIM;
+  *  - ONE pass, no re-scan of output: `&amp;lt;` becomes the literal
+  *    `&lt;` (the emitted `&` is never re-scanned — standard HTML
+  *    double-escape semantics, and the reason the old replace-chain
+  *    kept `&amp;` last);
+  *  - two EXTRACTION-NORMALIZATION exceptions, both deliberate: the
+  *    non-ASCII whitespace names (`&nbsp;` `&ensp;` `&emsp;`
+  *    `&thinsp;`) decode to a PLAIN space (U+00A0/U+2002… would
+  *    survive the later ASCII `\s+` collapse as invisible non-joining
+  *    bytes in "prose"), and the zero-width/formatting names (`&shy;`
+  *    `&zwnj;` `&zwj;` `&lrm;` `&rlm;`) decode to the EMPTY string
+  *    (`hy&shy;phen` is the word "hyphen" — a rendering hint, not
+  *    text).
+  *
+  * The table is the single source of truth: the DuckDB twin
+  * ([[DecodeNamedEntitiesUtil.duckSql]]) is GENERATED from it, so the
+  * two engines cannot drift entity by entity.
+  *
+  * Null-safe (null → null), O(len) per row, codegen via a static helper
+  * (the [[Md5Low60Util]] discipline).
+  */
+case class DecodeNamedEntities(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"decode_named_entities expects string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    DecodeNamedEntitiesUtil.decode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.DecodeNamedEntitiesUtil.decode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "decode_named_entities"
+}
+
+object DecodeNamedEntities {
+  def column(text: Column): Column =
+    ColumnBridge.column(DecodeNamedEntities(ColumnBridge.expression(text)))
+}
+
+object DecodeNamedEntitiesUtil {
+
+  /** name → decoded code point; -1 = decode to empty (zero-width /
+    * formatting names), 32 = plain space (whitespace names — the two
+    * normalization exceptions in the scaladoc above). Everything else
+    * is the character the HTML 4 / WHATWG tables assign.
+    */
+  val Entities: Seq[(String, Int)] = Seq(
+    // XML core
+    "quot" -> 34, "amp" -> 38, "apos" -> 39, "lt" -> 60, "gt" -> 62,
+    // whitespace names → plain space (extraction normalization)
+    "nbsp" -> 32, "ensp" -> 32, "emsp" -> 32, "thinsp" -> 32,
+    // zero-width / formatting names → empty (extraction normalization)
+    "shy" -> -1, "zwnj" -> -1, "zwj" -> -1, "lrm" -> -1, "rlm" -> -1,
+    // HTML 4 Latin-1 set, 161–255 in code-point order
+    "iexcl" -> 161, "cent" -> 162, "pound" -> 163, "curren" -> 164,
+    "yen" -> 165, "brvbar" -> 166, "sect" -> 167, "uml" -> 168,
+    "copy" -> 169, "ordf" -> 170, "laquo" -> 171, "not" -> 172,
+    "reg" -> 174, "macr" -> 175, "deg" -> 176, "plusmn" -> 177,
+    "sup2" -> 178, "sup3" -> 179, "acute" -> 180, "micro" -> 181,
+    "para" -> 182, "middot" -> 183, "cedil" -> 184, "sup1" -> 185,
+    "ordm" -> 186, "raquo" -> 187, "frac14" -> 188, "frac12" -> 189,
+    "frac34" -> 190, "iquest" -> 191,
+    "Agrave" -> 192, "Aacute" -> 193, "Acirc" -> 194, "Atilde" -> 195,
+    "Auml" -> 196, "Aring" -> 197, "AElig" -> 198, "Ccedil" -> 199,
+    "Egrave" -> 200, "Eacute" -> 201, "Ecirc" -> 202, "Euml" -> 203,
+    "Igrave" -> 204, "Iacute" -> 205, "Icirc" -> 206, "Iuml" -> 207,
+    "ETH" -> 208, "Ntilde" -> 209, "Ograve" -> 210, "Oacute" -> 211,
+    "Ocirc" -> 212, "Otilde" -> 213, "Ouml" -> 214, "times" -> 215,
+    "Oslash" -> 216, "Ugrave" -> 217, "Uacute" -> 218, "Ucirc" -> 219,
+    "Uuml" -> 220, "Yacute" -> 221, "THORN" -> 222, "szlig" -> 223,
+    "agrave" -> 224, "aacute" -> 225, "acirc" -> 226, "atilde" -> 227,
+    "auml" -> 228, "aring" -> 229, "aelig" -> 230, "ccedil" -> 231,
+    "egrave" -> 232, "eacute" -> 233, "ecirc" -> 234, "euml" -> 235,
+    "igrave" -> 236, "iacute" -> 237, "icirc" -> 238, "iuml" -> 239,
+    "eth" -> 240, "ntilde" -> 241, "ograve" -> 242, "oacute" -> 243,
+    "ocirc" -> 244, "otilde" -> 245, "ouml" -> 246, "divide" -> 247,
+    "oslash" -> 248, "ugrave" -> 249, "uacute" -> 250, "ucirc" -> 251,
+    "uuml" -> 252, "yacute" -> 253, "thorn" -> 254, "yuml" -> 255,
+    // common typography / extraction names beyond Latin-1
+    "OElig" -> 338, "oelig" -> 339, "Scaron" -> 352, "scaron" -> 353,
+    "Yuml" -> 376, "fnof" -> 402, "circ" -> 710, "tilde" -> 732,
+    "ndash" -> 8211, "mdash" -> 8212, "lsquo" -> 8216, "rsquo" -> 8217,
+    "sbquo" -> 8218, "ldquo" -> 8220, "rdquo" -> 8221, "bdquo" -> 8222,
+    "dagger" -> 8224, "Dagger" -> 8225, "bull" -> 8226, "hellip" -> 8230,
+    "permil" -> 8240, "prime" -> 8242, "Prime" -> 8243, "lsaquo" -> 8249,
+    "rsaquo" -> 8250, "minus" -> 8722, "euro" -> 8364, "trade" -> 8482)
+
+  private val table: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](Entities.size * 2)
+    Entities.foreach { case (n, cp) =>
+      m.put(n, if (cp < 0) "" else new String(Character.toChars(cp)))
+    }
+    m
+  }
+
+  /** Same candidate shape on both engines: `&` + letter + 1–31 more
+    * alphanumerics + `;` (names like `sup2` / `frac12` carry digits,
+    * never in first position).
+    */
+  private val Candidate =
+    java.util.regex.Pattern.compile("&([a-zA-Z][a-zA-Z0-9]{1,31});")
+
+  def decode(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (s.indexOf('&') < 0) return input
+    val m = Candidate.matcher(s)
+    if (!m.find()) return input
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    do {
+      sb.append(s, last, m.start())
+      val rep = table.get(m.group(1))
+      if (rep != null) sb.append(rep) else sb.append(m.group(0))
+      last = m.end()
+    } while (m.find())
+    sb.append(s, last, s.length)
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** The GENERATED DuckDB twin over column expression `c` — the same
+    * sentinel-split one-pass shape as q182's numeric twin: one global
+    * regexp_replace wraps every candidate name in chr(1) sentinels,
+    * str_split makes names the even (1-based) slots, and the transform
+    * lambda decodes via a CASE generated from [[Entities]] (chr(cp) per
+    * branch — never a quoted literal, so no SQL-escaping edge), with
+    * unknown names re-emitted verbatim. Output never re-scanned.
+    */
+  def duckSql(c: String): String = {
+    val cases = Entities.map { case (n, cp) =>
+      if (cp < 0) s"WHEN x = '$n' THEN ''"
+      else s"WHEN x = '$n' THEN chr($cp)"
+    }.mkString(" ")
+    "list_aggregate(list_transform(str_split(regexp_replace(" + c +
+      ", '&([a-zA-Z][a-zA-Z0-9]{1,31});', chr(1) || '" + "\\1" +
+      "' || chr(1), 'g'), chr(1)), (x, i) -> CASE WHEN i % 2 = 1 THEN x " +
+      cases + " ELSE '&' || x || ';' END), 'string_agg', '')"
+  }
+}

@@ -15,10 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB oracle can replay it exactly (a sentinel-split +
   * `list_transform` twin — see q182's SQL):
   *
-  *  - candidate syntax: `&#` + (`x` + 1–6 hex digits | 1–6 decimal
-  *    digits) + `;` — the same regex both engines anchor on; a lowercase
-  *    `x` only (`&#XE9;` passes through), digits may carry leading zeros
-  *    (`&#039;`);
+  *  - candidate syntax: `&#` + (`x`/`X` + 1–6 hex digits | 1–6 decimal
+  *    digits) + `;` — the same regex both engines anchor on; both hex
+  *    markers decode (`&#XE9;` ≡ `&#xE9;`, the HTML spec's
+  *    case-insensitive marker — r12 shipped lowercase-only, closed per
+  *    VERDICT r12 #4), digits may carry leading zeros (`&#039;`);
   *  - decoded code points: 9, 10, 13 and 32–255 (ASCII + Latin-1 — the
   *    range that matters after tag stripping; the later whitespace
   *    collapse normalizes the decoded 9/10/13);
@@ -62,20 +63,21 @@ object DecodeNumericEntities {
 object DecodeNumericEntitiesUtil {
 
   /** The exact candidate pattern the DuckDB twin uses
-    * (`&#(x?[0-9a-fA-F]{1,6});`): the hex class deliberately also
+    * (`&#([xX]?[0-9a-fA-F]{1,6});`): the hex class deliberately also
     * matches NON-x bodies like `1e3` so both engines agree that such a
     * body is a matched-then-passed-through candidate (not a decode).
     */
   private val Candidate =
-    java.util.regex.Pattern.compile("&#(x?[0-9a-fA-F]{1,6});")
+    java.util.regex.Pattern.compile("&#([xX]?[0-9a-fA-F]{1,6});")
 
   private def allowed(cp: Long): Boolean =
     cp == 9L || cp == 10L || cp == 13L || (cp >= 32L && cp <= 255L)
 
   /** Body → decoded char, or -1 for pass-through. */
   private def decodeBody(body: String): Int = {
-    if (body.charAt(0) == 'x') {
-      // hex: ≤ 6 digits after the x, so parseLong can't overflow
+    val c0 = body.charAt(0)
+    if (c0 == 'x' || c0 == 'X') {
+      // hex: ≤ 6 digits after the x/X, so parseLong can't overflow
       val v = java.lang.Long.parseLong(body.substring(1), 16)
       if (allowed(v)) v.toInt else -1
     } else if (isAllDecimal(body)) {

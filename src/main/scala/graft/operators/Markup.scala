@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   *     boundaries must separate words: `<p>a</p><p>b</p>` → "a b");
   *  4. NUMERIC character references decoded in one pass
   *     ([[graft.functions.expressions.DecodeNumericEntities]]:
-  *     `&#233;`/`&#x2019;`-style, ASCII + Latin-1 range, out-of-range
-  *     verbatim) — BEFORE the named table, so `&amp;#60;` stays the
-  *     literal `&#60;` (standard double-escape semantics);
-  *  5. the named XML entities + `&nbsp;` decoded (AFTER tag removal, so
-  *     escaped markup in the text stays text: `&lt;b&gt;` → "<b>");
+  *     `&#233;`/`&#x2019;`/`&#XE9;`-style, ASCII + Latin-1 range,
+  *     out-of-range verbatim) — BEFORE the named pass, so `&amp;#60;`
+  *     stays the literal `&#60;` (standard double-escape semantics);
+  *  5. NAMED references decoded in one no-rescan pass
+  *     ([[graft.functions.expressions.DecodeNamedEntities]]: the XML
+  *     core + the HTML 4 Latin-1 set + common typography names;
+  *     unknown names verbatim) — AFTER tag removal, so escaped markup
+  *     in the text stays text (`&lt;b&gt;` → "<b>"), and single-pass,
+  *     so `&amp;lt;` stays the literal `&lt;`;
   *  6. whitespace collapsed and trimmed.
   */
 object Markup {
@@ -40,17 +44,14 @@ object Markup {
     val noStyle = regexp_replace(noScript,
       "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-    // numeric references first (subsumes the old literal &#39; entry);
-    // &amp; stays LAST in the named table so a decoded '&' can never
-    // re-trigger an earlier replace
+    // numeric references first, then the named single-pass decoder —
+    // both no-rescan, so a decoded '&' can never re-trigger a decode
+    // (the invariant the old replace-chain enforced by keeping &amp;
+    // last, now structural)
     val numDecoded =
       graft.functions.expressions.DecodeNumericEntities.column(noTags)
-    val decoded = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(numDecoded) { case (c, (from, to)) =>
-        replace(c, lit(from), lit(to))
-      }
+    val decoded =
+      graft.functions.expressions.DecodeNamedEntities.column(numDecoded)
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 

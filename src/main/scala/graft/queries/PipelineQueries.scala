@@ -3035,13 +3035,23 @@ object PipelineQueries {
             when(did % 4 === 0,
               lit("<p>Tom &amp; Jerry say &quot;hi&quot;&nbsp;" +
                 "&lt;always&gt;.</p>")).otherwise(lit("")),
-            // NUMERIC references (r12): decoded Latin-1 (decimal, hex,
-            // leading zeros), pass-through out-of-range (&#x2019;),
-            // uppercase X, malformed (&#1e3;), and a decoded tab that
-            // the whitespace collapse then normalizes
+            // NUMERIC references (r12, extended r13): decoded Latin-1
+            // (decimal, hex with BOTH marker cases — &#XE9; decodes
+            // since r13), pass-through out-of-range (&#x2019;),
+            // malformed (&#1e3;), and a decoded tab that the
+            // whitespace collapse then normalizes
             when(did % 5 === 0,
               lit("<p>Caf&#233; r&#xE9;sum&#x00E9; says &#039;hi&#039; " +
                 "&#x2019;smart&#x2019; &#XE9; &#1e3; a&#9;b.</p>"))
+              .otherwise(lit("")),
+            // NAMED references (r13): case-sensitive Latin-1 names,
+            // typography names, the zero-width drop (&shy;), the
+            // plain-space whitespace names, an unknown name verbatim,
+            // and the &amp;lt; double-escape staying literal
+            when(did % 7 === 2,
+              lit("<p>&Eacute;clair &eacute;clair &mdash; yes&hellip; " +
+                "&copy; 2020 &frac12; price &unknown; stays " +
+                "hy&shy;phen&nbsp;&euro;5 &amp;lt;tag</p>"))
               .otherwise(lit("")),
             lit("<!-- hidden comment --></body></html>")).as("html"))
         graft.operators.Markup.markupStats(synth, "doc_id", "html")
@@ -3054,14 +3064,14 @@ object PipelineQueries {
         |  || '<h1>Title ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'
         |  || CASE WHEN doc_id % 4 = 0 THEN '<p>Tom &amp; Jerry say &quot;hi&quot;&nbsp;&lt;always&gt;.</p>' ELSE '' END
         |  || CASE WHEN doc_id % 5 = 0 THEN '<p>Caf&#233; r&#xE9;sum&#x00E9; says &#039;hi&#039; &#x2019;smart&#x2019; &#XE9; &#1e3; a&#9;b.</p>' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 2 THEN '<p>&Eacute;clair &eacute;clair &mdash; yes&hellip; &copy; 2020 &frac12; price &unknown; stays hy&shy;phen&nbsp;&euro;5 &amp;lt;tag</p>' ELSE '' END
         |  || '<!-- hidden comment --></body></html>' AS html FROM documents),
         |c1 AS (SELECT doc_id, html, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS s FROM synth),
         |c2 AS (SELECT doc_id, html, regexp_replace(s, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM c1),
         |c3 AS (SELECT doc_id, html, regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM c2),
         |c4 AS (SELECT doc_id, html, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s FROM c3),
         |c4b AS (SELECT doc_id, html, ${duckDecodeNumEntities("s")} AS s FROM c4),
-        |c5 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(s,
-        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&') AS s FROM c4b),
+        |c5 AS (SELECT doc_id, html, ${duckDecodeNamedEntities("s")} AS s FROM c4b),
         |c6 AS (SELECT doc_id, html, trim(regexp_replace(s, '\\s+', ' ', 'g')) AS clean_text FROM c5)
         |SELECT doc_id, clean_text,
         |  CAST(length(html) AS BIGINT) AS n_raw_chars,
@@ -3122,8 +3132,7 @@ object PipelineQueries {
         |h3 AS (SELECT doc_id, domain, regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM h2),
         |h4 AS (SELECT doc_id, domain, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s FROM h3),
         |h4b AS (SELECT doc_id, domain, ${duckDecodeNumEntities("s")} AS s FROM h4),
-        |h5 AS (SELECT doc_id, domain, replace(replace(replace(replace(replace(s,
-        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&') AS s FROM h4b),
+        |h5 AS (SELECT doc_id, domain, ${duckDecodeNamedEntities("s")} AS s FROM h4b),
         |h6 AS (SELECT doc_id, domain, trim(regexp_replace(s, '\\s+', ' ', 'g')) AS s FROM h5),
         |red AS (SELECT doc_id, domain,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
@@ -3421,17 +3430,28 @@ object PipelineQueries {
     val hv = s"CAST((strpos('0123456789abcdef', $pad, 1, 1)) - 1) * 16 + " +
       s"(strpos('0123456789abcdef', $pad, 2, 1)) - 1) AS INT)"
     val passthrough = "'&#' || x || ';'"
+    // [xX]? + the two LIKEs: both hex-marker cases decode (r13 — the
+    // HTML spec's case-insensitive marker; `lower(substr(x, 2))` above
+    // already case-folds the digits)
     "list_aggregate(list_transform(str_split(regexp_replace(" + c +
-      ", '&#(x?[0-9a-fA-F]{1,6});', chr(1) || '" + "\\1" + "' || chr(1), 'g'), chr(1)), " +
+      ", '&#([xX]?[0-9a-fA-F]{1,6});', chr(1) || '" + "\\1" + "' || chr(1), 'g'), chr(1)), " +
       "(x, i) -> CASE WHEN i % 2 = 1 THEN x " +
       "WHEN regexp_matches(x, '^[0-9]{1,6}$') THEN " +
       "CASE WHEN CAST(x AS BIGINT) IN (9, 10, 13) OR CAST(x AS BIGINT) BETWEEN 32 AND 255 " +
       s"THEN chr(CAST(x AS INT)) ELSE $passthrough END " +
-      "WHEN x LIKE 'x%' AND length(ltrim(lower(substr(x, 2)), '0')) <= 2 THEN " +
+      "WHEN (x LIKE 'x%' OR x LIKE 'X%') AND length(ltrim(lower(substr(x, 2)), '0')) <= 2 THEN " +
       s"CASE WHEN $hv IN (9, 10, 13) OR $hv BETWEEN 32 AND 255 THEN chr($hv) " +
       s"ELSE $passthrough END " +
       s"ELSE $passthrough END), 'string_agg', '')"
   }
+
+  /** DuckDB twin of the NAMED-entity pass — GENERATED from the same
+    * table the JVM expression decodes with
+    * ([[graft.functions.expressions.DecodeNamedEntitiesUtil.duckSql]]),
+    * so the two engines cannot drift entity by entity.
+    */
+  private def duckDecodeNamedEntities(c: String): String =
+    graft.functions.expressions.DecodeNamedEntitiesUtil.duckSql(c)
 
   /** The shared 30-token passage q174 plants at variable offsets — one
     * literal, interpolated into BOTH the Spark plan and the oracle SQL.

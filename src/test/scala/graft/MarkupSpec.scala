@@ -27,7 +27,7 @@ class MarkupSpec extends SparkSpec {
     // entities decode AFTER tag removal: escaped markup stays text
     assert(strip("<p>Tom &amp; Jerry say &quot;hi&quot;&nbsp;&lt;b&gt;</p>")
       === "Tom & Jerry say \"hi\" <b>")
-    // double-escaped decodes ONE level (&amp; replaced last)
+    // double-escaped decodes ONE level (single pass, no output re-scan)
     assert(strip("&amp;lt;") === "&lt;")
     // whitespace collapse + trim
     assert(strip("  <div>\n\n  spaced   out \t</div>  ") === "spaced out")
@@ -45,12 +45,14 @@ class MarkupSpec extends SparkSpec {
     assert(strip("say &#039;hi&#39;") === "say 'hi'") // old literal subsumed
     // decoded control whitespace (9/10/13) normalizes in the collapse
     assert(strip("a&#9;b&#10;c&#13;d") === "a b c d")
-    // pass-through: out-of-range (above Latin-1), uppercase X, malformed
-    // decimal (hex letters without the x), below-32 non-whitespace, and
-    // an x with no digits
+    // both hex-marker cases decode (r13 — the spec's case-insensitive
+    // marker; digits case-fold too)
+    assert(strip("&#XE9; &#Xe9; &#xE9;") === "é é é")
+    // pass-through: out-of-range (above Latin-1), malformed decimal
+    // (hex letters without the x), below-32 non-whitespace, and an x
+    // with no digits
     assert(strip("&#x2019;") === "&#x2019;")
     assert(strip("&#8217;") === "&#8217;")
-    assert(strip("&#XE9;") === "&#XE9;")
     assert(strip("&#1e3;") === "&#1e3;")
     assert(strip("&#7;&#x1f;&#x0;") === "&#7;&#x1f;&#x0;")
     assert(strip("&#x;&#;") === "&#x;&#;")
@@ -60,6 +62,30 @@ class MarkupSpec extends SparkSpec {
     // numeric runs BEFORE the named table: a numeric amp can complete a
     // named entity (consistent with the oracle twin's stage order)
     assert(strip("&#38;lt;") === "<")
+  }
+
+  test("stripHtml: named character references — Latin-1 + typography " +
+      "names decode case-sensitively; whitespace names become plain " +
+      "space, zero-width names vanish, unknown names pass through " +
+      "(the bounded r13 contract)") {
+    // Latin-1 names, case-sensitive (É vs é are different entities)
+    assert(strip("&Eacute;clair &eacute;clair") === "Éclair éclair")
+    assert(strip("&EACUTE;") === "&EACUTE;") // not a table name: verbatim
+    assert(strip("se&ntilde;or &copy; 2020 &frac12; &szlig;") ===
+      "señor © 2020 ½ ß")
+    // typography names beyond Latin-1
+    assert(strip("a &mdash; b&hellip; &euro;5 &ldquo;q&rdquo;") ===
+      "a — b… €5 “q”")
+    // zero-width / formatting names vanish: a soft-hyphenated word is
+    // ONE word after extraction
+    assert(strip("hy&shy;phen a&zwj;b &lrm;x") === "hyphen ab x")
+    // whitespace names decode to PLAIN space, so the collapse sees them
+    assert(strip("a&nbsp;&ensp;&emsp;&thinsp;b") === "a b")
+    // unknown names verbatim; bare '&' untouched
+    assert(strip("&unknown; AT&T") === "&unknown; AT&T")
+    // single pass, no output re-scan: the & emitted by &amp; can never
+    // complete a later named entity
+    assert(strip("&amp;eacute;") === "&eacute;")
   }
 
   test("markupStats: exact-integer density signals") {
