@@ -82,7 +82,13 @@ object Curate {
       // "byte" (lower+trim), "canonical" (ASCII CCNet fold), or
       // "folded" (NFC + accent fold + lower — the multilingual key);
       // one dispatch (Dedup.exactKeyFor) shared with the streaming twin
-      exactDedupKey: String = "byte")
+      exactDedupKey: String = "byte",
+      // which normalization the lineDedup stage KEYS on (output lines
+      // stay the original bytes) — Dedup.textKeyFor's forms; "folded"
+      // makes NFC/NFD-variant boilerplate collide (VERDICT r12 #2).
+      // Appended, never inserted mid-list (the r11 invariant). The
+      // streaming twin's frozen lineIndex gate reads this same field.
+      lineDedupKey: String = "byte")
 
   /** Scoped-cache form — the `withMinhashPairs` discipline: the filtered
     * corpus is persisted before the multi-pass tail (DSIR reads it twice,
@@ -212,8 +218,8 @@ object Curate {
       // LINE-level boilerplate scrub first (coarse-to-fine: whole
       // repeated lines before chunk- and window-level spans); a doc
       // that was ALL boilerplate drops with its own fate
-      rewriteStage(Dedup.lineDedup(cur, idCol, textCol, m),
-        "line_dedup_empty")
+      rewriteStage(Dedup.lineDedup(cur, idCol, textCol, m,
+        cfg.lineDedupKey), "line_dedup_empty")
     }
 
     cfg.c4SpanDedupN.foreach { n =>

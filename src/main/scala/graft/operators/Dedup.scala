@@ -69,6 +69,24 @@ object Dedup {
       s"exactKeyFor: key form '$other' must be byte|canonical|folded")
   }
 
+  /** [[exactKeyFor]] extended with the identity form — the dispatch the
+    * FUZZY ladder's hash inputs go through (VERDICT r12 #2): minhash
+    * shingles, line keys, CDC chunk keys and winnow grams historically
+    * hashed the RAW text, so an NFC-vs-NFD republication that
+    * [[exactFolded]] catches still evaded every fuzzy rung (CCNet
+    * normalizes BEFORE hashing for exactly this reason — Wenzek et al.
+    * 2019 §3.1). "raw" keeps each operator's historical bytes (and its
+    * historical plan — the dispatch costs nothing unless asked for);
+    * the other three forms are [[exactKeyFor]]'s, row-local and
+    * stream-safe, so batch and streaming twins inherit identically.
+    */
+  def textKeyFor(form: String, text: Column): Column = form match {
+    case "raw" => text
+    case "byte" | "canonical" | "folded" => exactKeyFor(form, text)
+    case other => throw new IllegalArgumentException(
+      s"textKeyFor: key form '$other' must be raw|byte|canonical|folded")
+  }
+
   /** Exact dedup by normalized text (hash-groupBy): one shuffle on the
     * group key; keeps the smallest id as the canonical representative.
     * Output: (id, norm_text, group_size) for every KEPT row of a dup group.
@@ -148,15 +166,18 @@ object Dedup {
     * document (a fully-boilerplate doc keeps an empty clean_text).
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, keyForm: String = "byte"): DataFrame = {
     require(minDocs >= 2, s"lineDedup: minDocs $minDocs must be >= 2")
     // null text coalesces to one blank line so the one-row-per-input-doc
-    // contract holds (posexplode of a null array would drop the doc)
+    // contract holds (posexplode of a null array would drop the doc).
+    // keyForm folds the line KEY only (historical default: "byte" =
+    // lower+trim); output lines stay the ORIGINAL bytes — "folded"
+    // makes NFC/NFD-variant boilerplate collide (q189, VERDICT r12 #2)
     val lines = df
       .select(col(idCol),
         posexplode(split(coalesce(col(textCol), lit("")), "\n"))
           .as(Seq("pos", "line")))
-      .withColumn("lh", md5Low60(exactKey(col("line"))))
+      .withColumn("lh", md5Low60(textKeyFor(keyForm, col("line"))))
     val base = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
     val hot = lines.where(trim(col("line")) =!= "")
       .groupBy(col("lh")).agg(countDistinct(col(idCol)).as("dfreq"))
@@ -184,12 +205,13 @@ object Dedup {
     * [[lineDedup]] on the unioned corpus instead.
     */
   def lineDedupIndex(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int = 2, maxLines: Int = 1 << 20): Array[Long] = {
+      minDocs: Int = 2, maxLines: Int = 1 << 20,
+      keyForm: String = "byte"): Array[Long] = {
     require(minDocs >= 2, s"lineDedupIndex: minDocs $minDocs must be >= 2")
     val lhs = df
       .select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
       .where(trim(col("line")) =!= "")
-      .select(col(idCol), md5Low60(exactKey(col("line"))).as("lh"))
+      .select(col(idCol), md5Low60(textKeyFor(keyForm, col("line"))).as("lh"))
       .groupBy(col("lh")).agg(countDistinct(col(idCol)).as("dfreq"))
       .where(col("dfreq") >= minDocs)
       .select("lh").orderBy("lh").limit(maxLines + 1)
@@ -216,14 +238,17 @@ object Dedup {
     * contract.
     */
   def lineDedupInline(df: DataFrame, idCol: String, textCol: String,
-      index: Array[Long], keepCols: Seq[String] = Nil): DataFrame = {
+      index: Array[Long], keepCols: Seq[String] = Nil,
+      keyForm: String = "byte"): DataFrame = {
     require(index.nonEmpty, "lineDedupInline: empty index")
     import graft.functions.expressions.TextHashExpressions
     val keep = keepCols.map(col)
     val linesDf = df.select(
       col(idCol) +: split(coalesce(col(textCol), lit("")), "\n").as("lines") +:
         keep: _*)
-    val hashes = transform(col("lines"), l => md5Low60(exactKey(l)))
+    // keyForm must match the index build's (the SigMeta discipline is
+    // the caller's here: the line-index artifact predates the dispatch)
+    val hashes = transform(col("lines"), l => md5Low60(textKeyFor(keyForm, l)))
     linesDf
       .withColumn("__hits",
         TextHashExpressions.positionsInSortedSet(hashes, index))
@@ -334,7 +359,7 @@ object Dedup {
     */
   def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, divisor: Int = 8, maxDocFreq: Int = 1,
-      kernel: String = "md5"): DataFrame = {
+      kernel: String = "md5", keyForm: String = "raw"): DataFrame = {
     require(w >= 1, s"cdcChunkDedup: w $w must be >= 1")
     require(divisor >= 2, s"cdcChunkDedup: divisor $divisor must be >= 2")
     require(kernel == "md5" || kernel == "gear",
@@ -348,18 +373,18 @@ object Dedup {
     // the oracle-parity form (one digest per window, q174's DuckDB twin
     // replays it); kernel="gear" is the FastCDC rolling-hash scale form
     // (O(1) per position — different cut positions, same chunk
-    // contract; SCALE.md carries the A/B)
-    val chunksArr =
-      if (kernel == "gear") graft.functions.expressions.TextHashExpressions
-        .cdcChunksGear(col("toks"), w, divisor)
-      else graft.functions.expressions.TextHashExpressions
-        .cdcChunks(col("toks"), w, divisor) // (toks already projected)
-    val withChunks = toks.select(col(idCol), chunksArr.as("chunks"))
+    // contract; SCALE.md carries the A/B). keyForm != "raw" computes
+    // boundaries AND chunk identity on per-token-folded tokens while
+    // output text keeps the ORIGINAL tokens — see [[cdcKeyedChunks]].
+    val withChunks = toks.select(col(idCol),
+      cdcKeyedChunks(col("toks"), w, divisor, kernel, keyForm).as("chunks"))
     val base = withChunks.select(col(idCol),
       size(col("chunks")).cast("long").as("n_chunks"))
     val ex = withChunks
-      .select(col(idCol), posexplode(col("chunks")).as(Seq("pos", "chunk")))
-      .withColumn("ch", md5Low60(col("chunk")))
+      .select(col(idCol), posexplode(col("chunks")).as(Seq("pos", "kc")))
+      .select(col(idCol), col("pos"),
+        md5Low60(col("kc").getField("key")).as("ch"),
+        col("kc").getField("chunk").as("chunk"))
     val hot = ex.groupBy(col("ch"))
       .agg(countDistinct(col(idCol)).as("dfreq"))
       .where(col("dfreq") > maxDocFreq)
@@ -391,14 +416,18 @@ object Dedup {
     */
   def cdcChunkIndex(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, divisor: Int = 8, maxDocFreq: Int = 1,
-      maxChunks: Int = 1 << 20, kernel: String = "md5"): Array[Long] = {
+      maxChunks: Int = 1 << 20, kernel: String = "md5",
+      keyForm: String = "raw"): Array[Long] = {
     require(w >= 1, s"cdcChunkIndex: w $w must be >= 1")
     require(divisor >= 2, s"cdcChunkIndex: divisor $divisor must be >= 2")
     require(maxDocFreq >= 1, s"cdcChunkIndex: maxDocFreq $maxDocFreq must be >= 1")
     require(kernel == "md5" || kernel == "gear",
       s"cdcChunkIndex: kernel '$kernel' must be 'md5' or 'gear'")
+    // index build needs KEY chunks only (no text rebuild): fold tokens,
+    // chunk, hash — the gate probing it must use the same keyForm
     val chunks = df
-      .select(col(idCol), cdcChunksOf(col(textCol), w, divisor, kernel)
+      .select(col(idCol), cdcKernelChunks(
+          cdcKeyToks(wsTokens(col(textCol)), keyForm), w, divisor, kernel)
         .as("chunks"))
       .select(col(idCol), explode(col("chunks")).as("chunk"))
       .select(col(idCol), md5Low60(col("chunk")).as("ch"))
@@ -428,39 +457,93 @@ object Dedup {
     * (id, n_chunks, n_dropped, clean_text) — [[cdcChunkDedup]]'s
     * contract.
     */
-  /** The kernel dispatch both CDC entry points share — chunks must be
+  /** The kernel dispatch every CDC entry point shares — chunks must be
     * built under the SAME kernel as the index that gates them.
     */
-  private def cdcChunksOf(text: Column, w: Int, divisor: Int,
-      kernel: String): Column = {
-    val toks = wsTokens(text)
+  private def cdcKernelChunks(toks: Column, w: Int, divisor: Int,
+      kernel: String): Column =
     if (kernel == "gear")
       graft.functions.expressions.TextHashExpressions
         .cdcChunksGear(toks, w, divisor)
     else graft.functions.expressions.TextHashExpressions
       .cdcChunks(toks, w, divisor)
+
+  /** The per-token key the CDC fold path hashes — [[textKeyFor]] with
+    * any whitespace the form could mint stripped ("canonical" maps a
+    * punctuation run INSIDE a token to a space; a key token containing
+    * a space would break the chunk→token-count recovery below, so
+    * within-token punctuation drops instead — byte/folded are
+    * whitespace-free already and unaffected).
+    */
+  private def cdcTokenKey(form: String, tok: Column): Column =
+    if (form == "raw") tok
+    else regexp_replace(textKeyFor(form, tok), "\\s+", "")
+
+  /** The folded token stream ("raw" passes the array through untouched —
+    * zero plan change on the default path).
+    */
+  private def cdcKeyToks(toks: Column, keyForm: String): Column =
+    if (keyForm == "raw") toks
+    else transform(toks, t => cdcTokenKey(keyForm, t))
+
+  /** (key, chunk) pairs for the CDC family: boundaries and chunk
+    * IDENTITY are computed on the `keyForm`-folded token stream (fold
+    * preserves token arity, so NFC/NFD-variant documents produce
+    * byte-identical key streams → identical cut positions → identical
+    * chunk keys — the whole point), while `chunk` keeps the ORIGINAL
+    * tokens (the rewrite stages must emit the document's own text, the
+    * [[lineDedup]] key-vs-output discipline). Token counts per key
+    * chunk are recovered from the kernel's space-join contract
+    * (separators between ALL written tokens, so `split(key, " ", -1)`
+    * is exact even for empty folded tokens), and the original chunk is
+    * the matching token-index slice. "raw" short-circuits to
+    * key == chunk — no extra arrays, no behavior change.
+    */
+  private def cdcKeyedChunks(toks: Column, w: Int, divisor: Int,
+      kernel: String, keyForm: String): Column = {
+    if (keyForm == "raw") {
+      transform(cdcKernelChunks(toks, w, divisor, kernel),
+        c => struct(c.as("key"), c.as("chunk")))
+    } else {
+      val kchunks = cdcKernelChunks(cdcKeyToks(toks, keyForm), w, divisor,
+        kernel)
+      // start offsets: running sum of per-chunk token counts (offs has
+      // size n+1; slice keeps the n starts)
+      val offs = aggregate(
+        transform(kchunks, c => size(split(c, " ", -1))),
+        array(lit(0)),
+        (acc, x) => concat(acc, array(element_at(acc, -1) + x)))
+      zip_with(kchunks, slice(offs, lit(1), size(kchunks)),
+        (kc, o) => struct(kc.as("key"),
+          array_join(slice(toks, o + 1, size(split(kc, " ", -1))), " ")
+            .as("chunk")))
+    }
   }
 
   def cdcChunkDedupInline(df: DataFrame, idCol: String, textCol: String,
       w: Int, divisor: Int, index: Array[Long],
-      keepCols: Seq[String] = Nil, kernel: String = "md5"): DataFrame = {
+      keepCols: Seq[String] = Nil, kernel: String = "md5",
+      keyForm: String = "raw"): DataFrame = {
     require(index.nonEmpty, "cdcChunkDedupInline: empty index")
     require(kernel == "md5" || kernel == "gear",
       s"cdcChunkDedupInline: kernel '$kernel' must be 'md5' or 'gear'")
     import graft.functions.expressions.TextHashExpressions
     val keep = keepCols.map(col)
+    // keyForm (and w/divisor/kernel) must match the index build's —
+    // probe keys, rebuild from the original-token halves of the pairs
     val chunksDf = df.select(
-      col(idCol) +: cdcChunksOf(col(textCol), w, divisor, kernel)
-        .as("chunks") +: keep: _*)
-    val hashes = transform(col("chunks"), c => md5Low60(c))
+      col(idCol) +: cdcKeyedChunks(wsTokens(col(textCol)), w, divisor,
+        kernel, keyForm).as("chunks") +: keep: _*)
+    val hashes = transform(col("chunks"), c => md5Low60(c.getField("key")))
     chunksDf
       .withColumn("__hits",
         TextHashExpressions.positionsInSortedSet(hashes, index))
       .select(col(idCol) +:
         size(col("chunks")).cast("long").as("n_chunks") +:
         size(col("__hits")).cast("long").as("n_dropped") +:
-        array_join(filter(col("chunks"), (c: Column, i: Column) =>
-          !array_contains(col("__hits"), i)), " ").as("clean_text") +:
+        array_join(transform(filter(col("chunks"), (c: Column, i: Column) =>
+          !array_contains(col("__hits"), i)), c => c.getField("chunk")), " ")
+          .as("clean_text") +:
         keep: _*)
   }
 
@@ -930,14 +1013,20 @@ object Dedup {
     * Output: (id, shingles, sig, bands). The signature is the codegen
     * [[graft.functions.expressions.MinHashSig]] — bit-identical to the
     * declarative `minhashSignature` fold (cross-checked in tests) at a
-    * native H×n loop instead of H×n interpreted lambdas.
+    * native H×n loop instead of H×n interpreted lambdas. `keyForm`
+    * ([[textKeyFor]]) normalizes the text BEFORE shingling — "folded"
+    * makes NFC/NFD and diacritic-variant republications shingle
+    * identically (q188); the "raw" default keeps the historical bytes
+    * and plan.
     */
   def minhashed(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      keyForm: String = "raw"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val r = numHashes / bands
     df.select(col(idCol),
-        graft.functions.expressions.CharShinglesExpr(col(textCol), shingleN).as("shingles"))
+        graft.functions.expressions.CharShinglesExpr(
+          textKeyFor(keyForm, col(textCol)), shingleN).as("shingles"))
       .withColumn("sig", graft.functions.expressions.TextHashExpressions
         .minhashSigFromStrings(col("shingles"), numHashes))
       .withColumn("bands", bandKeys(col("sig"), bands, r))
@@ -956,9 +1045,10 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4,
       persistIntermediates: Boolean = true,
-      maxBucketSize: Option[Int] = None): DataFrame =
+      maxBucketSize: Option[Int] = None,
+      keyForm: String = "raw"): DataFrame =
     minhashPairsImpl(df, idCol, textCol, shingleN, numHashes, bands,
-      persistIntermediates, maxBucketSize)._1
+      persistIntermediates, maxBucketSize, keyForm)._1
 
   /** [[minhashPairs]] with OWNED cache lifetime: persists the signature
     * relation, runs `use`, and unpersists in finally — nothing stays
@@ -967,9 +1057,10 @@ object Dedup {
     */
   def withMinhashPairs[T](df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4,
-      maxBucketSize: Option[Int] = None)(use: DataFrame => T): T = {
+      maxBucketSize: Option[Int] = None, keyForm: String = "raw")
+      (use: DataFrame => T): T = {
     val (pairs, cached) = minhashPairsImpl(df, idCol, textCol, shingleN,
-      numHashes, bands, persistIntermediates = true, maxBucketSize)
+      numHashes, bands, persistIntermediates = true, maxBucketSize, keyForm)
     try use(pairs) finally cached.foreach(_.unpersist())
   }
 
@@ -1226,9 +1317,12 @@ object Dedup {
     */
   def minhashPairsAgainst(newDf: DataFrame, oldDf: DataFrame,
       idCol: String, textCol: String,
-      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val newMh = minhashed(newDf, idCol, textCol, shingleN, numHashes, bands)
-    val oldMh = minhashed(oldDf, idCol, textCol, shingleN, numHashes, bands)
+      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      keyForm: String = "raw"): DataFrame = {
+    val newMh = minhashed(newDf, idCol, textCol, shingleN, numHashes, bands,
+      keyForm)
+    val oldMh = minhashed(oldDf, idCol, textCol, shingleN, numHashes, bands,
+      keyForm)
     val ob = oldMh.select(col(idCol).as("b"), col("shingles").as("shb"),
       posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
     crossPairsAgainst(newMh, ob, idCol)
@@ -1269,7 +1363,8 @@ object Dedup {
   private def sigMetaFile(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_minhash_meta.json")
 
-  private case class SigMeta(shingleN: Int, numHashes: Int, bands: Int)
+  private case class SigMeta(shingleN: Int, numHashes: Int, bands: Int,
+      keyForm: String = "raw")
 
   private def writeSigMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, m: SigMeta): Unit = {
@@ -1277,7 +1372,8 @@ object Dedup {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(
-      s"""{"shingleN":${m.shingleN},"numHashes":${m.numHashes},"bands":${m.bands}}"""
+      (s"""{"shingleN":${m.shingleN},"numHashes":${m.numHashes},""" +
+        s""""bands":${m.bands},"keyForm":"${m.keyForm}"}""")
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -1296,7 +1392,11 @@ object Dedup {
       require(m.isDefined, s"signature-index meta at $p is missing '$name'")
       m.get.group(1).toInt
     }
-    SigMeta(field("shingleN"), field("numHashes"), field("bands"))
+    // keyForm landed in r13: a pre-r13 sidecar has no field and means
+    // the historical raw-byte shingles — NOT an error, the default
+    val keyForm = """"keyForm"\s*:\s*"([a-z]+)"""".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("raw")
+    SigMeta(field("shingleN"), field("numHashes"), field("bands"), keyForm)
   }
 
   /** Persist the corpus's banded signature rows — (id, shingles,
@@ -1306,12 +1406,14 @@ object Dedup {
     */
   def buildSignatureIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, shingleN: Int = 5, numHashes: Int = 16,
-      bands: Int = 4): Unit = {
-    minhashed(df, idCol, textCol, shingleN, numHashes, bands)
+      bands: Int = 4, keyForm: String = "raw"): Unit = {
+    textKeyFor(keyForm, lit("")) // fail-loud on an unknown form, pre-write
+    minhashed(df, idCol, textCol, shingleN, numHashes, bands, keyForm)
       .select(col(idCol).as("id"), col("shingles"),
         posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
       .write.partitionBy("band_idx").mode("overwrite").parquet(path)
-    writeSigMeta(df.sparkSession, path, SigMeta(shingleN, numHashes, bands))
+    writeSigMeta(df.sparkSession, path,
+      SigMeta(shingleN, numHashes, bands, keyForm))
   }
 
   /** Index a NEW batch into the persisted signature index at ingest —
@@ -1321,7 +1423,7 @@ object Dedup {
   def appendToSignatureIndex(df: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val m = readSigMeta(df.sparkSession, path)
-    minhashed(df, idCol, textCol, m.shingleN, m.numHashes, m.bands)
+    minhashed(df, idCol, textCol, m.shingleN, m.numHashes, m.bands, m.keyForm)
       .select(col(idCol).as("id"), col("shingles"),
         posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
       .write.partitionBy("band_idx").mode("append").parquet(path)
@@ -1382,7 +1484,8 @@ object Dedup {
       s"rebandSignatureIndex: index rows at $path do not parse back to " +
         s"${m.numHashes} signature slots (geometry drift or a corrupt key)")
     rebanded.write.partitionBy("band_idx").mode("overwrite").parquet(outPath)
-    writeSigMeta(spark, outPath, SigMeta(m.shingleN, m.numHashes, newBands))
+    writeSigMeta(spark, outPath,
+      SigMeta(m.shingleN, m.numHashes, newBands, m.keyForm))
   }
 
   /** [[minhashPairsAgainst]] served from the PERSISTED index: the corpus
@@ -1396,7 +1499,7 @@ object Dedup {
     val spark = newDf.sparkSession
     val m = readSigMeta(spark, path)
     val newMh = minhashed(newDf, idCol, textCol, m.shingleN, m.numHashes,
-      m.bands)
+      m.bands, m.keyForm)
     val ob = spark.read.parquet(path)
       .select(col("id").as("b"), col("shingles").as("shb"),
         col("band_idx"), col("band_key"))
@@ -1406,8 +1509,9 @@ object Dedup {
   private def minhashPairsImpl(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int,
       persistIntermediates: Boolean,
-      maxBucketSize: Option[Int]): (DataFrame, Option[DataFrame]) = {
-    val mh0 = minhashed(df, idCol, textCol, shingleN, numHashes, bands)
+      maxBucketSize: Option[Int],
+      keyForm: String = "raw"): (DataFrame, Option[DataFrame]) = {
+    val mh0 = minhashed(df, idCol, textCol, shingleN, numHashes, bands, keyForm)
     val mh = if (persistIntermediates) mh0.persist() else mh0
     val banded0 = mh.select(col(idCol),
       posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
@@ -2118,11 +2222,16 @@ object Dedup {
     * the position bits — the paper's document-positioned form.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4): DataFrame = {
+      k: Int = 5, w: Int = 4, keyForm: String = "raw"): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowing needs k >= 1, w >= 1 (got $k, $w)")
+    // keyForm folds the text BEFORE gram hashing (the minhashed
+    // discipline) — fingerprint positions then index the FOLDED text,
+    // fine for content matching (overlap pairs divide positions out);
+    // [[overlapSpans]] stays raw-only because its spans are offsets
+    // into the caller's original text
     df.select(col(idCol),
       explode(graft.functions.expressions.TextHashExpressions
-        .winnowFps(col(textCol), k, w)).as("fp"))
+        .winnowFps(textKeyFor(keyForm, col(textCol)), k, w)).as("fp"))
   }
 
   /** The declarative fold twin of [[winnowFingerprints]] — posexplode →
@@ -2215,14 +2324,17 @@ object Dedup {
     */
   def winnowF1Pairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, maxDocFreq: Int = 20,
-      minShared: Long = 2L): DataFrame = {
-    val cand = winnowOverlapPairs(df, idCol, textCol, k, w, maxDocFreq)
+      minShared: Long = 2L, keyForm: String = "raw"): DataFrame = {
+    val cand = winnowOverlapPairs(df, idCol, textCol, k, w, maxDocFreq,
+      keyForm)
       .where(col("n_shared") >= minShared)
       .select("a", "b")
-    val count = greatest(length(col(textCol)).cast("long") - (k - 1), lit(1L))
-    val sets = df.select(col(idCol),
+    // verify sets fold under the SAME key form as the candidates
+    val count = greatest(length(col("__kt")).cast("long") - (k - 1), lit(1L))
+    val sets = df.select(col(idCol), textKeyFor(keyForm, col(textCol)).as("__kt"))
+      .select(col(idCol),
         array_distinct(transform(sequence(lit(1L), count),
-          p => md5Low32(col(textCol).substr(p.cast("int"), lit(k))))).as("set"))
+          p => md5Low32(col("__kt").substr(p.cast("int"), lit(k))))).as("set"))
       .select(col(idCol), sort_array(col("set")).as("set"))
     cand
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
@@ -2245,12 +2357,13 @@ object Dedup {
     * Output: (a, b, n_shared) with a < b.
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4, maxDocFreq: Int = 20): DataFrame = {
+      k: Int = 5, w: Int = 4, maxDocFreq: Int = 20,
+      keyForm: String = "raw"): DataFrame = {
     // NOT persisted, unlike the q98 element relation: measured at sf0.1
     // the cache write of the ~3M-row fingerprint frame costs more than
     // the recompute it saves (the gram pipeline here is one explode +
     // one windowed min — cheap; q98's five-leg tokenize+gram+md5 isn't)
-    val hs = winnowFingerprints(df, idCol, textCol, k, w)
+    val hs = winnowFingerprints(df, idCol, textCol, k, w, keyForm)
       .select(col(idCol), expr("fp div 1048576").as("h"))
       .distinct()
     val cool = hs.groupBy("h")

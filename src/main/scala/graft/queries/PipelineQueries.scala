@@ -17,8 +17,9 @@ import graft.operators.{C4, Decontaminate, Dedup, Graph, Knn, Pq, Rank, Similari
 object PipelineQueries {
 
   /** Shared DuckDB fragments, kept in lockstep with TextFunctions. */
-  private val duckShingles =
-    "list_distinct(list_transform(range(0, greatest(length(text)-4, 1)), i -> substr(text, CAST(i+1 AS INT), 5)))"
+  private def duckShinglesOf(c: String) =
+    s"list_distinct(list_transform(range(0, greatest(length($c)-4, 1)), i -> substr($c, CAST(i+1 AS INT), 5)))"
+  private val duckShingles = duckShinglesOf("text")
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
   private def duckMarker(words: Seq[String]) =
     s"CAST(length(list_filter(toks, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x))) AS INT)"
@@ -3406,7 +3407,105 @@ object PipelineQueries {
         |  FROM synth)
         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, folded,
         |  CAST(count(*) AS BIGINT) AS group_size
-        |FROM f GROUP BY folded ORDER BY doc_id""".stripMargin))
+        |FROM f GROUP BY folded ORDER BY doc_id""".stripMargin)),
+
+    // Fold-aware FUZZY dedup (r13, VERDICT r12 #2): q17's full
+    // MinHash+LSH machinery run on the FOLDED text (NFC + accent fold +
+    // lower — Dedup.textKeyFor's "folded", the q187 key applied before
+    // shingling, the CCNet normalize-then-hash order). Each did%250
+    // group shares a long accented preamble in three byte-DIFFERENT
+    // renditions (NFC, NFD combining marks, uppercase NFD) plus an
+    // md5-derived group body (high cross-group entropy keeps band
+    // buckets group-local) and a per-doc unique suffix, so the planted
+    // variant pairs surface as the top near-dups ONLY because the fold
+    // runs first — the raw-byte contrast is ScalaTest-pinned
+    // (DedupSpec); the oracle replays fold → shingle → minhash → bands
+    // → exact Jaccard, arithmetic step for step.
+    QueryDef("q188_folded_minhash",
+      (s, d) => {
+        val did = col("doc_id")
+        val synth = Tables.documents(s, d).select(did,
+          concat(
+            when(did % 3 === 0, lit("Caf\u00e9 s\u00e9ance d\u00e9j\u00e0 " +
+              "cr\u00e8me br\u00fbl\u00e9e "))
+              .when(did % 3 === 1, lit("Cafe\u0301 se\u0301ance " +
+                "de\u0301ja\u0300 cre\u0300me bru\u0302le\u0301e "))
+              .otherwise(lit("CAFE\u0301 SE\u0301ANCE DE\u0301JA\u0300 " +
+                "CRE\u0300ME BRU\u0302LE\u0301E ")),
+            md5((did % 250).cast("string")),
+            lit(" u"), did.cast("string")).as("text"))
+        Dedup.minhashPairs(synth, "doc_id", "text", keyForm = "folded")
+          .orderBy(col("jac").desc, col("a").asc, col("b").asc)
+          .limit(10)
+      },
+      Some(s"""WITH synth AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'Caf'||chr(233)||' s'||chr(233)||'ance d'||chr(233)||'j'||chr(224)||' cr'||chr(232)||'me br'||chr(251)||'l'||chr(233)||'e '
+        |        WHEN doc_id % 3 = 1 THEN 'Cafe'||chr(769)||' se'||chr(769)||'ance de'||chr(769)||'ja'||chr(768)||' cre'||chr(768)||'me bru'||chr(770)||'le'||chr(769)||'e '
+        |        ELSE 'CAFE'||chr(769)||' SE'||chr(769)||'ANCE DE'||chr(769)||'JA'||chr(768)||' CRE'||chr(768)||'ME BRU'||chr(770)||'LE'||chr(769)||'E ' END)
+        |  || md5(CAST(doc_id % 250 AS VARCHAR)) || ' u' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, lower(strip_accents(nfc_normalize(text))) AS ftext FROM synth),
+        |sh AS (SELECT doc_id, ${duckShinglesOf("ftext")} AS shingles FROM f),
+        |hv AS (SELECT doc_id, shingles, list_transform(shingles, s -> CAST('0x'||substr(md5(s),25,8) AS BIGINT)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, list_transform(range(0,16), k -> list_min(list_transform(hs, x -> (x*(2*k+1) + (1000000007*k+17)) % 4294967311))) AS sg FROM hv),
+        |bands AS (SELECT doc_id, j AS band_idx,
+        |  CAST(sg[4*CAST(j AS INT)+1] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+2] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+3] AS VARCHAR)||':'||CAST(sg[4*CAST(j AS INT)+4] AS VARCHAR) AS band_key
+        |  FROM sig, range(0,4) t(j)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+        |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT c.a, c.b,
+        |  CAST(length(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |    (length(sa.shingles) + length(sb.shingles) - length(list_intersect(sa.shingles, sb.shingles))) AS jac
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
+        |SELECT a, b, jac FROM pairs ORDER BY jac DESC, a ASC, b ASC LIMIT 10""".stripMargin)),
+
+    // Fold-aware LINE dedup (r13, VERDICT r12 #2): q166's boilerplate
+    // scrub with the line KEY folded (Dedup.lineDedup keyForm="folded")
+    // \u2014 the three byte-different renditions of the planted banner (NFC,
+    // NFD, uppercase NFD) hash to ONE key, so the banner is removed
+    // from EVERY doc while output lines keep each doc's original bytes.
+    // The byte-key contrast (each rendition would otherwise dedup only
+    // within its own %3 class) is DedupSpec-pinned; the oracle replays
+    // the folded key line for line.
+    QueryDef("q189_folded_line_dedup",
+      (s, d) => {
+        val did = col("doc_id")
+        val synth = Tables.documents(s, d).select(did,
+          concat_ws("\n",
+            col("text"),
+            when(did % 3 === 0,
+              lit("Abonnez-vous \u00e0 notre newsletter d\u00e8s maintenant"))
+              .when(did % 3 === 1,
+                lit("Abonnez-vous a\u0300 notre newsletter de\u0300s maintenant"))
+              .otherwise(
+                lit("ABONNEZ-VOUS A\u0300 NOTRE NEWSLETTER DE\u0300S MAINTENANT")),
+            when(did % 17 === 0, concat(lit("ref code "), did)))
+            .as("text"))
+        Dedup.lineDedup(synth, "doc_id", "text", minDocs = 2,
+            keyForm = "folded")
+          .orderBy("doc_id")
+      },
+      Some("""WITH synth AS (SELECT doc_id, concat_ws(chr(10), text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Abonnez-vous '||chr(224)||' notre newsletter d'||chr(232)||'s maintenant'
+        |         WHEN doc_id % 3 = 1 THEN 'Abonnez-vous a'||chr(768)||' notre newsletter de'||chr(768)||'s maintenant'
+        |         ELSE 'ABONNEZ-VOUS A'||chr(768)||' NOTRE NEWSLETTER DE'||chr(768)||'S MAINTENANT' END,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'ref code ' || CAST(doc_id AS VARCHAR) END) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, CAST(generate_subscripts(ls, 1) - 1 AS INT) AS pos, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth)),
+        |h AS (SELECT doc_id, pos, line,
+        |  CAST('0x'||substr(md5(lower(strip_accents(nfc_normalize(line)))),18,15) AS BIGINT) AS lh FROM l),
+        |hot AS (SELECT lh FROM h WHERE trim(line) <> ''
+        |  GROUP BY lh HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT * FROM h WHERE lh NOT IN (SELECT lh FROM hot)),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM h GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_lines,
+        |  b.n_lines - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS removed_lines,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of [[graft.functions.expressions.DecodeNumericEntities]]

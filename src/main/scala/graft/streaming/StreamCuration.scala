@@ -137,7 +137,12 @@ object StreamCuration {
       // an index built under w=5 probed with a defaulted w=3 would cut
       // differently and silently miss everything (ADVICE r11)
       cdcIndex: Option[(Int, Int, String, Array[Long])] = None,
-      cdcIndexDir: Option[String] = None): DataFrame = {
+      cdcIndexDir: Option[String] = None,
+      // keyForm of the frozen CDC index's build (Dedup.cdcChunkIndex's
+      // keyForm) — the line gate reads cfg.lineDedupKey, but the CDC
+      // artifact's meta int has no free bits for a form tag, so the
+      // caller carries it (appended param, the r11 invariant)
+      cdcKeyForm: String = "raw"): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
       cfg.lineDedupMinDocs.isEmpty && cfg.c4SpanDedupN.isEmpty &&
@@ -257,7 +262,8 @@ object StreamCuration {
           "collide with the line scrub's output names — rename them " +
           "upstream of the gate")
       cur = graft.operators.Dedup
-        .lineDedupInline(cur, idCol, textCol, index, keepCols = others)
+        .lineDedupInline(cur, idCol, textCol, index, keepCols = others,
+          keyForm = cfg.lineDedupKey)
         .where(col("clean_text") =!= "")
         .withColumnRenamed("clean_text", textCol)
         .select((idCol +: textCol +: others).map(col): _*)
@@ -285,7 +291,7 @@ object StreamCuration {
           "upstream of the gate")
       cur = graft.operators.Dedup
         .cdcChunkDedupInline(cur, idCol, textCol, w, divisor, index,
-          keepCols = others, kernel = kernel)
+          keepCols = others, kernel = kernel, keyForm = cdcKeyForm)
         .where(col("clean_text") =!= "")
         .withColumnRenamed("clean_text", textCol)
         .select((idCol +: textCol +: others).map(col): _*)

@@ -30,6 +30,123 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 1.0)
   }
 
+  test("minhashPairs keyForm=folded: an NFC-vs-NFD republication pairs " +
+      "at jaccard 1.0 where the raw byte form misses it (VERDICT r12 #2)") {
+    val nfc = "séance résumé café crème " +
+      "brûlée déjà vu encore une fois ce soir"
+    val nfd = java.text.Normalizer.normalize(nfc,
+      java.text.Normalizer.Form.NFD)
+    assert(nfc != nfd, "fixture must be byte-different")
+    val df = Seq((1L, nfc), (2L, nfd),
+      (3L, "totally unrelated text about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    val folded = Dedup.minhashPairs(df, "doc_id", "text",
+        persistIntermediates = false, keyForm = "folded")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(folded.get((1L, 2L)).contains(1.0), folded.toString)
+    // the raw form shingles different bytes: the pair is absent or < 1.0
+    val raw = Dedup.minhashPairs(df, "doc_id", "text",
+        persistIntermediates = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(raw.get((1L, 2L)).forall(_ < 1.0), raw.toString)
+    // unknown form fails loud at plan build
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(df, "doc_id", "text", keyForm = "nfkc")
+    }
+    assert(ex.getMessage.contains("raw|byte|canonical|folded"), ex.getMessage)
+  }
+
+  test("lineDedup keyForm=folded: NFC/NFD-variant boilerplate lines " +
+      "collide on the folded KEY while output lines keep original bytes") {
+    val bp = "Abonnez-vous à notre newsletter dès maintenant"
+    val bpNfd = java.text.Normalizer.normalize(bp,
+      java.text.Normalizer.Form.NFD)
+    val df = Seq(
+      (1L, "alpha body\n" + bp),
+      (2L, "beta body\n" + bpNfd),
+      (3L, "gamma body"))
+      .toDF("doc_id", "text")
+    val folded = Dedup.lineDedup(df, "doc_id", "text", minDocs = 2,
+        keyForm = "folded")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(folded(1L) === ((1L, "alpha body")), folded.toString)
+    assert(folded(2L) === ((1L, "beta body")), folded.toString)
+    assert(folded(3L) === ((0L, "gamma body")), folded.toString)
+    // the byte default sees two distinct keys — nothing removed
+    val byte = Dedup.lineDedup(df, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byte === Map(1L -> 0L, 2L -> 0L, 3L -> 0L), byte.toString)
+  }
+
+  test("cdcChunkDedup keyForm=folded: NFC/NFD variants of a shared " +
+      "passage chunk identically (boundaries + identity on folded " +
+      "tokens) while clean_text keeps each doc's ORIGINAL bytes") {
+    val passage = (0 until 30).map(i => s"café$i").mkString(" ")
+    val passageNfd = java.text.Normalizer.normalize(passage,
+      java.text.Normalizer.Form.NFD)
+    val df = Seq(
+      (1L, "intro1 unique1 opener1 " + passage),
+      (2L, "different2 caféA2 words2 also2 " + passageNfd),
+      (3L, "unrelated3 filler3 tokens3 here3 now3 more3"))
+      .toDF("id", "text")
+    val folded = Dedup.cdcChunkDedup(df, "id", "text", w = 3, divisor = 4,
+        keyForm = "folded")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getString(3))).toMap
+    // interior passage chunks matched cross-doc and were cut from BOTH
+    assert(folded(1L)._1 > 0L, folded.toString)
+    assert(folded(2L)._1 > 0L, folded.toString)
+    assert(folded(3L)._1 === 0L, folded.toString)
+    // output text is the doc's own original bytes (NFD survives for
+    // doc 2's unique token; no folded/lowercased text leaks out)
+    assert(folded(2L)._2.contains("caféA2"), folded(2L)._2)
+    assert(folded(1L)._2.startsWith("intro1 unique1 opener1"), folded(1L)._2)
+    // the raw form sees byte-different chunks: nothing cut anywhere
+    val raw = Dedup.cdcChunkDedup(df, "id", "text", w = 3, divisor = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw === Map(1L -> 0L, 2L -> 0L, 3L -> 0L), raw.toString)
+  }
+
+  test("cdcChunkIndex + cdcChunkDedupInline keyForm=folded: a frozen " +
+      "NFC reference index gates arriving NFD republications row-locally") {
+    val passage = (0 until 30).map(i => s"théme$i").mkString(" ")
+    val passageNfd = java.text.Normalizer.normalize(passage,
+      java.text.Normalizer.Form.NFD)
+    val ref = Seq((1L, "refA " + passage), (2L, "refB " + passage))
+      .toDF("id", "text")
+    val index = Dedup.cdcChunkIndex(ref, "id", "text", w = 3, divisor = 4,
+      keyForm = "folded")
+    assert(index.nonEmpty)
+    val incoming = Seq((10L, "new10 fresh10 " + passageNfd),
+      (11L, "clean11 doc11 tokens11 only11 here11"))
+      .toDF("id", "text")
+    val got = Dedup.cdcChunkDedupInline(incoming, "id", "text",
+        w = 3, divisor = 4, index, keyForm = "folded")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(10L)._1 > 0L, got.toString)   // NFD copy gated by NFC index
+    assert(got(11L)._1 === 0L, got.toString) // clean doc untouched
+    assert(got(10L)._2.startsWith("new10 fresh10"), got(10L)._2)
+  }
+
+  test("winnowOverlapPairs keyForm=folded: NFC/NFD copies share " +
+      "fingerprints; the raw form sees none") {
+    val nfc = "le café près du musée est déjà " +
+      "fermé depuis hier soir malheureusement pour nous tous"
+    val nfd = java.text.Normalizer.normalize(nfc,
+      java.text.Normalizer.Form.NFD)
+    val df = Seq((1L, nfc), (2L, nfd)).toDF("doc_id", "text")
+    val folded = Dedup.winnowOverlapPairs(df, "doc_id", "text",
+        keyForm = "folded")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(folded.get((1L, 2L)).exists(_ >= 2L), folded.toString)
+    // the raw form loses every fingerprint whose gram touches an accent
+    // (accent-free runs may still share) — strictly weaker evidence
+    val raw = Dedup.winnowOverlapPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(raw.getOrElse((1L, 2L), 0L) < folded((1L, 2L)),
+      s"raw $raw vs folded $folded")
+  }
+
   test("minhash LSH candidate pairs never include self or reversed pairs") {
     val got = Dedup.minhashPairs(docs, "doc_id", "text").collect()
     got.foreach(r => assert(r.getLong(0) < r.getLong(1)))
