@@ -3424,6 +3424,12 @@ object PipelineQueries {
     QueryDef("q188_folded_minhash",
       (s, d) => {
         val did = col("doc_id")
+        // group modulus scales WITH the corpus (n/20 \u2192 ~20 docs per
+        // near-dup group at every SF): a fixed modulus made group size
+        // \u2014 and the fixed-geometry band join's candidates \u2014 grow
+        // quadratically with the fixture (the r13 sweep flagged it);
+        // the oracle derives the same modulus from its own count(*)
+        val groups = math.max(Tables.documents(s, d).count() / 20L, 1L)
         val synth = Tables.documents(s, d).select(did,
           concat(
             when(did % 3 === 0, lit("Caf\u00e9 s\u00e9ance d\u00e9j\u00e0 " +
@@ -3432,7 +3438,7 @@ object PipelineQueries {
                 "de\u0301ja\u0300 cre\u0300me bru\u0302le\u0301e "))
               .otherwise(lit("CAFE\u0301 SE\u0301ANCE DE\u0301JA\u0300 " +
                 "CRE\u0300ME BRU\u0302LE\u0301E ")),
-            md5((did % 250).cast("string")),
+            md5((did % groups).cast("string")),
             lit(" u"), did.cast("string")).as("text"))
         Dedup.minhashPairs(synth, "doc_id", "text", keyForm = "folded")
           .orderBy(col("jac").desc, col("a").asc, col("b").asc)
@@ -3442,7 +3448,7 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 3 = 0 THEN 'Caf'||chr(233)||' s'||chr(233)||'ance d'||chr(233)||'j'||chr(224)||' cr'||chr(232)||'me br'||chr(251)||'l'||chr(233)||'e '
         |        WHEN doc_id % 3 = 1 THEN 'Cafe'||chr(769)||' se'||chr(769)||'ance de'||chr(769)||'ja'||chr(768)||' cre'||chr(768)||'me bru'||chr(770)||'le'||chr(769)||'e '
         |        ELSE 'CAFE'||chr(769)||' SE'||chr(769)||'ANCE DE'||chr(769)||'JA'||chr(768)||' CRE'||chr(768)||'ME BRU'||chr(770)||'LE'||chr(769)||'E ' END)
-        |  || md5(CAST(doc_id % 250 AS VARCHAR)) || ' u' || CAST(doc_id AS VARCHAR) AS text
+        |  || md5(CAST(doc_id % (SELECT greatest(count(*) // 20, 1) FROM documents) AS VARCHAR)) || ' u' || CAST(doc_id AS VARCHAR) AS text
         |  FROM documents),
         |f AS (SELECT doc_id, lower(strip_accents(nfc_normalize(text))) AS ftext FROM synth),
         |sh AS (SELECT doc_id, ${duckShinglesOf("ftext")} AS shingles FROM f),
@@ -3505,7 +3511,98 @@ object PipelineQueries {
         |  b.n_lines - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS removed_lines,
         |  coalesce(a.clean_text, '') AS clean_text
         |FROM base b LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // RETUNED twins of the fixed-geometry LSH baselines (r13, VERDICT
+    // r12 #5). q64/q121/q148/q152 keep their 16-hash/4-band forms as
+    // the ORACLE-CHECKED correctness baselines (a runtime-chosen band
+    // geometry is not DuckDB-replayable — the q180 rule), and these
+    // four run the SAME downstream operators under the geometry the
+    // calibration loop actually chooses (minhashPairsRetuned at target
+    // 0.95 = near-exact dups, the production dedup target; SCALE.md
+    // measured the 4×4→2×8 retune collapsing 10× candidates −99.5%).
+    // The 10× sweep now measures THESE as the scale rows; the fixed
+    // forms stay oracle/spec-pinned but are no longer sweep rows.
+    // Rows-only (no oracle) by the q180 precedent; the q17/q64-family
+    // oracles already pin the shared machinery's arithmetic.
+    QueryDef("q190_dedup_clusters_retuned",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val f = math.min(1.0, 4000.0 / math.max(n, 1L))
+        val (pairs, _) = Dedup.minhashPairsRetuned(docs, "doc_id", "text",
+          targetJaccard = 0.95, candidateBudget = 50000000L,
+          sampleFraction = f)
+        Graph.dedupClusters(pairs.where(col("jac") >= 0.5), "a", "b")
+          .orderBy(col("component").asc)
+      },
+      None),
+
+    // q121's leakage-safe split under retuned geometry — same
+    // cluster-then-bucket policy, production band load.
+    QueryDef("q191_leakage_split_retuned",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val f = math.min(1.0, 4000.0 / math.max(n, 1L))
+        val (pairs, _) = Dedup.minhashPairsRetuned(docs, "doc_id", "text",
+          targetJaccard = 0.95, candidateBudget = 50000000L,
+          sampleFraction = f)
+        val cc = Graph.connectedComponents(
+          pairs.where(col("jac") >= 0.5), "a", "b")
+        val clustered = docs.select(col("doc_id"))
+          .join(cc.select(col("id").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster"))
+        val b = graft.functions.TextFunctions.md5Bucket(
+          col("cluster").cast("string"), 100, salt = "leak:")
+        clustered
+          .groupBy(when(b < 80, "train").otherwise("heldout").as("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"))
+          .orderBy("split")
+      },
+      None),
+
+    // q148's best-representative selection under retuned geometry.
+    QueryDef("q192_cluster_best_rep_retuned",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val f = math.min(1.0, 4000.0 / math.max(n, 1L))
+        val (pairs, _) = Dedup.minhashPairsRetuned(docs, "doc_id", "text",
+          targetJaccard = 0.95, candidateBudget = 50000000L,
+          sampleFraction = f)
+        val cc = Graph.connectedComponents(
+          pairs.where(col("jac") >= 0.5), "a", "b")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))
+          .orderBy(col("n_chars").desc, col("id").asc)
+        cc.join(docs.select(col("doc_id").as("id"),
+            col("n_chars").cast("long").as("n_chars")), "id")
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("component"))
+          .agg(max(when(col("rn") === 1, col("id"))).as("rep_id"),
+            max(when(col("rn") === 1, col("n_chars"))).as("rep_chars"),
+            count(lit(1)).as("n_members"))
+          .orderBy("component")
+      },
+      None),
+
+    // q152's calibration run the way the scaladoc prescribes for scale:
+    // on a SAMPLE (the histogram's diagonal shape is sampling-stable),
+    // budget-guarded — the tool's production form. The sample is
+    // Spark-seeded (not DuckDB-replayable) → rows-only.
+    QueryDef("q193_calibration_sampled",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val f = math.min(1.0, 4000.0 / math.max(n, 1L))
+        Dedup.minhashCalibration(docs, "doc_id", "text",
+          sampleFraction = Some(f), maxCandidates = Some(50000000L))
+      },
+      None)
   )
 
   /** DuckDB twin of [[graft.functions.expressions.DecodeNumericEntities]]

@@ -110,10 +110,15 @@ object StreamDedup {
   }
 
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4): Dataset[Candidate] = {
+      shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      keyForm: String = "raw"): Dataset[Candidate] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Dedup.minhashed(docs, idCol, textCol, shingleN, numHashes, bands)
+    // keyForm = Dedup.textKeyFor's forms (row-local, stream-safe): the
+    // streaming candidates inherit the batch fold dispatch, so a
+    // folded-key batch pass and its live twin can never drift
+    Dedup.minhashed(docs, idCol, textCol, shingleN, numHashes, bands,
+        keyForm)
       // plain posexplode (NOT the _outer batch variant): a null bands
       // array must not inject a null-keyed row into the typed groupByKey
       // state; the inferred-size-filter cost it avoids is a batch

@@ -80,6 +80,42 @@ class StreamDedupSpec extends SparkSpec {
       s"streaming emitted pairs the batch band join never generates: ${pairs -- batchPairs}")
   }
 
+  test("streaming LSH candidates under keyForm=folded catch an NFC-vs-NFD " +
+      "republication arriving in a LATER wave (the batch dispatch, live)") {
+    val dir = Files.createTempDirectory("graft-sdfold-").toString
+    val nfc = "séance résumé café crème " +
+      "brûlée déjà vu encore une fois"
+    val nfd = java.text.Normalizer.normalize(nfc,
+      java.text.Normalizer.Form.NFD)
+    def put(name: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
+      val json = rows.map { case (id, text) =>
+        s"""{"doc_id":$id,"text":"$text","ts":$id}"""
+      }.mkString("", "\n", "\n")
+      val p = Paths.get(s"$dir/$name")
+      // explicit UTF-8: the platform default would mangle the accents
+      // into invalid JSON -> PERMISSIVE null text -> zero candidates
+      Files.write(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    put("w1.json", Seq((1L, nfc),
+      (2L, "totally unrelated text about spark shuffles and joins")), t0)
+    put("w2.json", Seq((3L, nfd)), t0 + 30000)
+    val cands = StreamDedup.minhashCandidates(docStream(dir),
+      "doc_id", "text", keyForm = "folded")
+    val q = cands.writeStream.format("memory").queryName("sd_fold")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdfold-ckpt-").toString).start()
+    q.awaitTermination(60000)
+    val pairs = spark.table("sd_fold").select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), s"folded stream missed the NFD dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated doc paired: $pairs")
+  }
+
   test("bloom dedup drops cross-wave duplicates with bounded state and no fp at this load") {
     val dir = writeDocs()
     val out = StreamDedup.bloomKeepFirst(docStream(dir), "doc_id", "text",

@@ -371,5 +371,9 @@ class StreamSketchSpec extends SparkSpec {
       .crossSourceContainmentSketch(batchDf, "src", "text", n = n, k = k)
       .collect().map(_.toSeq)
     assert(live.toSeq === batchM.toSeq)
+    // every pair present explicitly (3 sources -> 3 rows), INCLUDING the
+    // two pairs anchored by the 0-gram source — full-row equality above
+    // already covers the asymmetric containment columns (VERDICT r12 #6)
+    assert(live.length === 3, live.mkString("; "))
   }
 }
