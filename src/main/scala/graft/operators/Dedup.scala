@@ -376,15 +376,30 @@ object Dedup {
     // contract; SCALE.md carries the A/B). keyForm != "raw" computes
     // boundaries AND chunk identity on per-token-folded tokens while
     // output text keeps the ORIGINAL tokens — see [[cdcKeyedChunks]].
-    val withChunks = toks.select(col(idCol),
-      cdcKeyedChunks(col("toks"), w, divisor, kernel, keyForm).as("chunks"))
-    val base = withChunks.select(col(idCol),
-      size(col("chunks")).cast("long").as("n_chunks"))
-    val ex = withChunks
-      .select(col(idCol), posexplode(col("chunks")).as(Seq("pos", "kc")))
-      .select(col(idCol), col("pos"),
-        md5Low60(col("kc").getField("key")).as("ch"),
-        col("kc").getField("chunk").as("chunk"))
+    // raw keeps the pre-r13 direct-explode plan (key == chunk — no
+    // struct duplication of the chunk bytes through the explode;
+    // VERDICT r13 #4); keyed forms pay the (key, chunk) pairing only
+    // when asked for
+    val (base, ex) = if (keyForm == "raw") {
+      val withChunks = toks.select(col(idCol),
+        cdcKernelChunks(col("toks"), w, divisor, kernel).as("chunks"))
+      (withChunks.select(col(idCol),
+        size(col("chunks")).cast("long").as("n_chunks")),
+        withChunks
+          .select(col(idCol), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+          .select(col(idCol), col("pos"),
+            md5Low60(col("chunk")).as("ch"), col("chunk")))
+    } else {
+      val withChunks = toks.select(col(idCol),
+        cdcKeyedChunks(col("toks"), w, divisor, kernel, keyForm).as("chunks"))
+      (withChunks.select(col(idCol),
+        size(col("chunks")).cast("long").as("n_chunks")),
+        withChunks
+          .select(col(idCol), posexplode(col("chunks")).as(Seq("pos", "kc")))
+          .select(col(idCol), col("pos"),
+            md5Low60(col("kc").getField("key")).as("ch"),
+            col("kc").getField("chunk").as("chunk")))
+    }
     val hot = ex.groupBy(col("ch"))
       .agg(countDistinct(col(idCol)).as("dfreq"))
       .where(col("dfreq") > maxDocFreq)
@@ -496,28 +511,28 @@ object Dedup {
     * chunk are recovered from the kernel's space-join contract
     * (separators between ALL written tokens, so `split(key, " ", -1)`
     * is exact even for empty folded tokens), and the original chunk is
-    * the matching token-index slice. "raw" short-circuits to
-    * key == chunk — no extra arrays, no behavior change.
+    * the matching token-index slice.
     */
   private def cdcKeyedChunks(toks: Column, w: Int, divisor: Int,
       kernel: String, keyForm: String): Column = {
-    if (keyForm == "raw") {
-      transform(cdcKernelChunks(toks, w, divisor, kernel),
-        c => struct(c.as("key"), c.as("chunk")))
-    } else {
-      val kchunks = cdcKernelChunks(cdcKeyToks(toks, keyForm), w, divisor,
-        kernel)
-      // start offsets: running sum of per-chunk token counts (offs has
-      // size n+1; slice keeps the n starts)
-      val offs = aggregate(
-        transform(kchunks, c => size(split(c, " ", -1))),
-        array(lit(0)),
-        (acc, x) => concat(acc, array(element_at(acc, -1) + x)))
-      zip_with(kchunks, slice(offs, lit(1), size(kchunks)),
-        (kc, o) => struct(kc.as("key"),
-          array_join(slice(toks, o + 1, size(split(kc, " ", -1))), " ")
-            .as("chunk")))
-    }
+    // KEYED FORMS ONLY (r14): the "raw" path lives at the call sites as
+    // the pre-r13 direct-explode plan (key == chunk — wrapping raw
+    // chunks in struct(c, c) here rode every chunk's bytes twice
+    // through the explode, the VERDICT r13 #4 plan regression)
+    require(keyForm != "raw",
+      "cdcKeyedChunks: raw takes the direct cdcKernelChunks path")
+    val kchunks = cdcKernelChunks(cdcKeyToks(toks, keyForm), w, divisor,
+      kernel)
+    // start offsets: running sum of per-chunk token counts (offs has
+    // size n+1; slice keeps the n starts)
+    val offs = aggregate(
+      transform(kchunks, c => size(split(c, " ", -1))),
+      array(lit(0)),
+      (acc, x) => concat(acc, array(element_at(acc, -1) + x)))
+    zip_with(kchunks, slice(offs, lit(1), size(kchunks)),
+      (kc, o) => struct(kc.as("key"),
+        array_join(slice(toks, o + 1, size(split(kc, " ", -1))), " ")
+          .as("chunk")))
   }
 
   def cdcChunkDedupInline(df: DataFrame, idCol: String, textCol: String,
@@ -530,19 +545,28 @@ object Dedup {
     import graft.functions.expressions.TextHashExpressions
     val keep = keepCols.map(col)
     // keyForm (and w/divisor/kernel) must match the index build's —
-    // probe keys, rebuild from the original-token halves of the pairs
+    // probe keys, rebuild from the original-token halves of the pairs.
+    // raw keeps the pre-r13 direct plan (key == chunk, no struct
+    // duplication — VERDICT r13 #4).
+    val (chunksCol, hashesOf, chunkOf) =
+      if (keyForm == "raw")
+        (cdcKernelChunks(wsTokens(col(textCol)), w, divisor, kernel),
+          (c: Column) => transform(c, x => md5Low60(x)),
+          (c: Column) => c)
+      else
+        (cdcKeyedChunks(wsTokens(col(textCol)), w, divisor, kernel, keyForm),
+          (c: Column) => transform(c, x => md5Low60(x.getField("key"))),
+          (c: Column) => c.getField("chunk"))
     val chunksDf = df.select(
-      col(idCol) +: cdcKeyedChunks(wsTokens(col(textCol)), w, divisor,
-        kernel, keyForm).as("chunks") +: keep: _*)
-    val hashes = transform(col("chunks"), c => md5Low60(c.getField("key")))
+      col(idCol) +: chunksCol.as("chunks") +: keep: _*)
     chunksDf
       .withColumn("__hits",
-        TextHashExpressions.positionsInSortedSet(hashes, index))
+        TextHashExpressions.positionsInSortedSet(hashesOf(col("chunks")), index))
       .select(col(idCol) +:
         size(col("chunks")).cast("long").as("n_chunks") +:
         size(col("__hits")).cast("long").as("n_dropped") +:
         array_join(transform(filter(col("chunks"), (c: Column, i: Column) =>
-          !array_contains(col("__hits"), i)), c => c.getField("chunk")), " ")
+          !array_contains(col("__hits"), i)), c => chunkOf(c)), " ")
           .as("clean_text") +:
         keep: _*)
   }
@@ -577,11 +601,11 @@ object Dedup {
     * Output: (id, n_tokens, n_spans, removed_tokens, clean_text).
     */
   def dupSpanScrub(df: DataFrame, idCol: String, textCol: String, n: Int,
-      posCap: Long = 1L << 20): DataFrame = {
+      posCap: Long = 1L << 20, keyForm: String = "raw"): DataFrame = {
     require(n >= 1, s"dupSpanScrub: n $n must be >= 1")
     require(posCap >= 2, s"dupSpanScrub: posCap $posCap must be >= 2")
     val toks = df.select(col(idCol), wsTokens(col(textCol)).as("units"))
-    spanScrubUnits(toks, idCol, n, posCap, " ", "dupSpanScrub")
+    spanScrubUnits(toks, idCol, n, posCap, " ", "dupSpanScrub", keyForm)
       .withColumnRenamed("n_units", "n_tokens")
       .withColumnRenamed("removed_units", "removed_tokens")
   }
@@ -595,13 +619,23 @@ object Dedup {
     * hash-key shuffle for the (min-occurrence, count) agg, an equi-join
     * back on the same key (SHUFFLE_HASH off size-estimate broadcasts),
     * a duplication-bounded per-doc window, row-local interval rebuild.
+    *
+    * `keyForm` (r14, the [[cdcKeyedChunks]] discipline): gram KEYS are
+    * hashed over the per-unit-folded stream ([[cdcTokenKey]] — fold
+    * preserves unit arity, so window positions in the folded stream
+    * index the ORIGINAL units 1:1), while the rebuild keeps each doc's
+    * own bytes — an NFC/NFD-variant passage now collides at every
+    * offset, and the output text is untouched. "raw" short-circuits to
+    * the historical grams and plan.
     */
   private[operators] def spanScrubUnits(units: DataFrame, idCol: String,
-      n: Int, posCap: Long, sep: String, opName: String): DataFrame = {
+      n: Int, posCap: Long, sep: String, opName: String,
+      keyForm: String = "raw"): DataFrame = {
     val idL = col(idCol).cast("long")
     val grams = units
       .select(col(idCol),
-        posexplode(overlappingGrams(col("units"), n)).as(Seq("pos", "gram")))
+        posexplode(overlappingGrams(cdcKeyToks(col("units"), keyForm), n))
+          .as(Seq("pos", "gram")))
       .withColumn("gh", md5Low60(col("gram")))
       .withColumn("occ",
         when(col("pos") < lit(posCap) && idL >= 0 &&
@@ -658,9 +692,13 @@ object Dedup {
     * full corpus-vs-corpus pass is [[dupSpanScrub]] on the union.
     */
   def dupSpanIndex(df: DataFrame, textCol: String, n: Int,
-      maxGrams: Int = 1 << 20): Array[Long] = {
+      maxGrams: Int = 1 << 20, keyForm: String = "raw"): Array[Long] = {
     require(n >= 1, s"dupSpanIndex: n $n must be >= 1")
-    val ghs = df.select(wsTokens(col(textCol)).as("toks"))
+    // keyForm: grams hash the per-token-folded stream (the
+    // [[spanScrubUnits]] r14 discipline) — the gate probing this index
+    // must use the same form (persist with [[saveSpanIndex]] so the
+    // artifact carries it)
+    val ghs = df.select(cdcKeyToks(wsTokens(col(textCol)), keyForm).as("toks"))
       .select(explode(overlappingGrams(col("toks"), n)).as("gram"))
       .select(md5Low60(col("gram")).as("gh"))
       .distinct()
@@ -681,22 +719,31 @@ object Dedup {
     * signature-index SigMeta rule).
     */
   def saveSpanIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      n: Int, index: Array[Long]): Unit = {
+      n: Int, index: Array[Long], keyForm: String = "raw"): Unit = {
     require(n >= 1, s"saveSpanIndex: n $n must be >= 1")
-    saveLongIndex(spark, dir, SpanIndexMagic, "span_index.bin", n, index)
+    saveLongIndex(spark, dir, SpanIndexMagic, "span_index.bin", n, index,
+      keyForm)
   }
 
   private val SpanIndexMagic = 0x5350414e // "SPAN"
   private val LineIndexMagic = 0x4c494e45 // "LINE"
 
-  /** Shared writer for the hash-index artifact family (span/line): magic
-    * + one meta int + the sorted hashes, committed with a `_SUCCESS`
-    * marker (the embedder-artifact discipline) — a partially written
-    * index must never silently gate.
+  /** Shared writer for the hash-index artifact family (span/line/cdc):
+    * magic + one meta int + the sorted hashes, PLUS an
+    * `index_meta.json` sidecar carrying the key form (the minhash
+    * SigMeta discipline, r14 — ADVICE r13: a folded-built index probed
+    * with a defaulted "raw" silently misses every duplicate, so the
+    * form must ride the artifact, not the caller), committed with a
+    * `_SUCCESS` marker (the embedder-artifact discipline) — a partially
+    * written index must never silently gate. `keyForm` is validated
+    * against the [[textKeyFor]] vocabulary BEFORE any byte is written
+    * (it is also interpolated into JSON — the enum check makes escaping
+    * moot).
     */
   private def saveLongIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, magic: Int, file: String, meta: Int,
-      index: Array[Long]): Unit = {
+      index: Array[Long], keyForm: String): Unit = {
+    textKeyFor(keyForm, lit("")) // fail-loud on an unknown form, pre-write
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
@@ -709,6 +756,11 @@ object Dedup {
       out.writeInt(index.length)
       index.foreach(out.writeLong)
     } finally out.close()
+    val metaOut = fs.create(
+      new org.apache.hadoop.fs.Path(p, "index_meta.json"), true)
+    try metaOut.write(
+      s"""{"keyForm":"$keyForm"}""".getBytes("UTF-8"))
+    finally metaOut.close()
     fs.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
 
@@ -719,8 +771,8 @@ object Dedup {
     * RUNNING query keeps the snapshot it started with).
     */
   private def loadLongIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, magic: Int, file: String,
-      what: String): (Int, Array[Long]) = {
+      dir: String, magic: Int, file: String, what: String,
+      defaultForm: String): (Int, String, Array[Long]) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
@@ -734,7 +786,7 @@ object Dedup {
       case _ =>
         val in = new java.io.DataInputStream(
           fs.open(new org.apache.hadoop.fs.Path(p, file)))
-        val v = try {
+        val (meta, arr) = try {
           require(in.readInt() == magic,
             s"$dir/$file is not a graft $what artifact (bad magic)")
           val meta = in.readInt()
@@ -744,39 +796,61 @@ object Dedup {
           while (i < len) { arr(i) = in.readLong(); i += 1 }
           (meta, arr)
         } finally in.close()
+        // pre-r14 artifacts have no sidecar and load as the key form
+        // their builder defaulted to at the time (the SigMeta
+        // missing-field rule: absence means "what the old code did",
+        // never "whatever the caller says")
+        val metaPath = new org.apache.hadoop.fs.Path(p, "index_meta.json")
+        val form = if (fs.exists(metaPath)) {
+          val src = scala.io.Source.fromInputStream(fs.open(metaPath), "UTF-8")
+          val txt = try src.mkString finally src.close()
+          """"keyForm"\s*:\s*"([a-z]+)"""".r.findFirstMatchIn(txt)
+            .map(_.group(1))
+            .getOrElse(throw new IllegalArgumentException(
+              s"$dir/index_meta.json has no keyForm field"))
+        } else defaultForm
+        textKeyFor(form, lit("")) // fail-loud on a corrupt form, pre-use
+        val v = (meta, form, arr)
         spanIndexCache.put(key, (mtime, v))
         v
     }
   }
 
-  /** Load a persisted span index: (n, sorted hashes). Fails loud on a
-    * missing `_SUCCESS` or wrong magic. Cached per JVM keyed by the
-    * `_SUCCESS` modification time with ONE entry per dir (a re-saved
-    * artifact replaces its stale predecessor — the Embedder.Registry
-    * residency rule), so a RESTARTED stream rebuilding its plan picks up
-    * a regenerated artifact while a RUNNING query keeps the snapshot it
-    * started with (per-run frozen — the reproducibility contract).
+  /** Load a persisted span index: (n, keyForm, sorted hashes). Fails
+    * loud on a missing `_SUCCESS` or wrong magic. Cached per JVM keyed
+    * by the `_SUCCESS` modification time with ONE entry per dir (a
+    * re-saved artifact replaces its stale predecessor — the
+    * Embedder.Registry residency rule), so a RESTARTED stream rebuilding
+    * its plan picks up a regenerated artifact while a RUNNING query
+    * keeps the snapshot it started with (per-run frozen — the
+    * reproducibility contract). A pre-r14 artifact (no sidecar) loads
+    * as "raw" — the only form [[dupSpanIndex]] could build back then.
     */
   def loadSpanIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Array[Long]) =
-    loadLongIndex(spark, dir, SpanIndexMagic, "span_index.bin", "span-index")
+      dir: String): (Int, String, Array[Long]) =
+    loadLongIndex(spark, dir, SpanIndexMagic, "span_index.bin", "span-index",
+      defaultForm = "raw")
 
   /** Persist a [[lineDedupIndex]] artifact — the [[saveSpanIndex]]
     * discipline with minDocs carried inside as the meta int (a loader
     * can report the policy the index was built under).
     */
   def saveLineIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      minDocs: Int, index: Array[Long]): Unit = {
+      minDocs: Int, index: Array[Long], keyForm: String = "byte"): Unit = {
     require(minDocs >= 2, s"saveLineIndex: minDocs $minDocs must be >= 2")
-    saveLongIndex(spark, dir, LineIndexMagic, "line_index.bin", minDocs, index)
+    saveLongIndex(spark, dir, LineIndexMagic, "line_index.bin", minDocs,
+      index, keyForm)
   }
 
-  /** Load a persisted line index: (minDocs, sorted hashes). Same
-    * fail-loud + mtime-cache contract as [[loadSpanIndex]].
+  /** Load a persisted line index: (minDocs, keyForm, sorted hashes).
+    * Same fail-loud + mtime-cache contract as [[loadSpanIndex]]. A
+    * pre-r14 artifact (no sidecar) loads as "byte" — the historical
+    * [[lineDedupIndex]] default.
     */
   def loadLineIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Array[Long]) =
-    loadLongIndex(spark, dir, LineIndexMagic, "line_index.bin", "line-index")
+      dir: String): (Int, String, Array[Long]) =
+    loadLongIndex(spark, dir, LineIndexMagic, "line_index.bin", "line-index",
+      defaultForm = "byte")
 
   private val CdcIndexMagic = 0x43444349 // "CDCI"
 
@@ -789,7 +863,7 @@ object Dedup {
     */
   def saveCdcChunkIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, w: Int, divisor: Int, index: Array[Long],
-      kernel: String = "md5"): Unit = {
+      kernel: String = "md5", keyForm: String = "raw"): Unit = {
     require(w >= 1 && w < (1 << 15),
       s"saveCdcChunkIndex: w $w must be in [1, 32767]")
     require(divisor >= 2 && divisor < (1 << 16),
@@ -797,28 +871,34 @@ object Dedup {
     require(kernel == "md5" || kernel == "gear",
       s"saveCdcChunkIndex: kernel '$kernel' must be 'md5' or 'gear'")
     // kernel rides bit 31 of the meta int (0 = md5, so pre-kernel
-    // artifacts load as the md5 form they were built with)
+    // artifacts load as the md5 form they were built with); keyForm
+    // rides the JSON sidecar (r14 — no free meta bits, and the SigMeta
+    // string form reads better than a packed enum anyway)
     val kBit = if (kernel == "gear") 1 << 31 else 0
     saveLongIndex(spark, dir, CdcIndexMagic, "cdc_chunk_index.bin",
-      kBit | (w << 16) | divisor, index)
+      kBit | (w << 16) | divisor, index, keyForm)
   }
 
-  /** Load a persisted CDC-chunk index: (w, divisor, kernel, sorted
-    * hashes). Same fail-loud + mtime-cache contract as
-    * [[loadSpanIndex]]; the kernel string feeds straight into
-    * [[cdcChunkDedupInline]] so a gear-built index can never be probed
-    * with md5 chunks (different cut positions => silent misses).
+  /** Load a persisted CDC-chunk index: (w, divisor, kernel, keyForm,
+    * sorted hashes). Same fail-loud + mtime-cache contract as
+    * [[loadSpanIndex]]; kernel AND keyForm feed straight into
+    * [[cdcChunkDedupInline]] so a gear-built or folded-built index can
+    * never be probed under md5/raw chunking (different cut positions or
+    * keys => silent misses — ADVICE r13). A pre-r14 artifact (no
+    * sidecar) loads as "raw" — the only form [[cdcChunkIndex]] could
+    * build before the sidecar existed.
     */
   def loadCdcChunkIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Int, String, Array[Long]) = {
-    val (meta, arr) = loadLongIndex(spark, dir, CdcIndexMagic,
-      "cdc_chunk_index.bin", "cdc-chunk-index")
+      dir: String): (Int, Int, String, String, Array[Long]) = {
+    val (meta, form, arr) = loadLongIndex(spark, dir, CdcIndexMagic,
+      "cdc_chunk_index.bin", "cdc-chunk-index", defaultForm = "raw")
     val kernel = if ((meta & (1 << 31)) != 0) "gear" else "md5"
-    ((meta >>> 16) & 0x7fff, meta & 0xffff, kernel, arr)
+    ((meta >>> 16) & 0x7fff, meta & 0xffff, kernel, form, arr)
   }
 
   private val spanIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, (Int, Array[Long]))]
+    scala.collection.concurrent.TrieMap
+      .empty[String, (Long, (Int, String, Array[Long]))]
 
   /** Incremental dup-span scrub of NEW data against a frozen
     * [[dupSpanIndex]]: every overlapping n-token window whose hash is IN
@@ -842,14 +922,19 @@ object Dedup {
     * rather than silently missing dup spans.
     */
   def dupSpanScrubInline(df: DataFrame, idCol: String, textCol: String,
-      n: Int, index: Array[Long], keepCols: Seq[String] = Nil): DataFrame = {
+      n: Int, index: Array[Long], keepCols: Seq[String] = Nil,
+      keyForm: String = "raw"): DataFrame = {
     require(n >= 1, s"dupSpanScrubInline: n $n must be >= 1")
     require(index.nonEmpty, "dupSpanScrubInline: empty index")
     import graft.functions.expressions.TextHashExpressions
     val keep = keepCols.map(col)
     val toksDf = df.select(
       col(idCol) +: wsTokens(col(textCol)).as("toks") +: keep: _*)
-    val hashes = transform(overlappingGrams(col("toks"), n),
+    // keyForm must match the index build's ([[dupSpanIndex]]) — probe
+    // hashes fold per token (arity preserved), the rebuild below keeps
+    // the ORIGINAL tokens at the hit positions' complement
+    val hashes = transform(
+      overlappingGrams(cdcKeyToks(col("toks"), keyForm), n),
       g => md5Low60(g))
     // ascending hit positions (PositionsInSortedSet contract) fold to
     // (island count, union-covered size, running max end): p > me opens
@@ -931,13 +1016,20 @@ object Dedup {
     */
   def maximalDupSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int, maxSpan: Int = 256,
-      maxGramFreq: Option[Long] = None): DataFrame = {
+      maxGramFreq: Option[Long] = None, keyForm: String = "raw"): DataFrame = {
     require(minLen >= 1, s"maximalDupSpans: minLen $minLen must be >= 1")
     require(maxSpan >= minLen,
       s"maximalDupSpans: maxSpan $maxSpan must be >= minLen $minLen")
     require(maxGramFreq.forall(_ >= 2),
       s"maximalDupSpans: maxGramFreq $maxGramFreq must be >= 2")
-    val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+    // keyForm (r14): BOTH the seed grams and the LCP suffix slices run
+    // over the per-token-folded stream — the LCP must compare folded
+    // tokens or an NFC-vs-NFD pair's equality breaks at every position
+    // and r < minLen kills the span. Output is positions only, and the
+    // fold preserves token arity, so folded positions index the
+    // original text 1:1; "raw" is the identity (zero plan change).
+    val toks = df.select(col(idCol),
+      cdcKeyToks(wsTokens(col(textCol)), keyForm).as("toks"))
     val grams = toks
       .select(col(idCol),
         posexplode(overlappingGrams(col("toks"), minLen)).as(Seq("pos", "gram")))
@@ -1605,10 +1697,16 @@ object Dedup {
   /** SimHash values per row (60-bit, from whitespace-token md5s). Codegen
     * [[graft.functions.expressions.SimHash64]] — bit-identical to the
     * declarative `simhashFromHashes` SQL-lambda (cross-checked in tests).
+    * `keyForm` ([[textKeyFor]]) folds the text BEFORE tokenizing (the
+    * minhashed discipline, r14): simhash only reads the token stream —
+    * no positional rebuild — so the whole-text fold is the right grain;
+    * "raw" keeps the historical bytes and plan.
     */
-  def simhashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashed(df: DataFrame, idCol: String, textCol: String,
+      keyForm: String = "raw"): DataFrame =
     df.select(col(idCol),
-      transform(wsTokens(col(textCol)), t => md5Low60(t)).as("hv"))
+      transform(wsTokens(textKeyFor(keyForm, col(textCol))),
+        t => md5Low60(t)).as("hv"))
       .withColumn("sh", graft.functions.expressions.TextHashExpressions.simhash64(col("hv")))
       .drop("hv")
 
@@ -1618,8 +1716,8 @@ object Dedup {
     * path to use at scale.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    val sh = simhashed(df, idCol, textCol)
+      maxHamming: Int, keyForm: String = "raw"): DataFrame = {
+    val sh = simhashed(df, idCol, textCol, keyForm)
     val a = sh.select(col(idCol).as("a"), col("sh").as("sha"))
     val b = sh.select(col(idCol).as("b"), col("sh").as("shb"))
     a.join(b, col("a") < col("b"))
@@ -1643,9 +1741,10 @@ object Dedup {
     * identical docs belong in exact dedup first).
     */
   def simhashPairsBucketed(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, maxBucketSize: Option[Int] = None): DataFrame = {
+      maxHamming: Int, maxBucketSize: Option[Int] = None,
+      keyForm: String = "raw"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60, "maxHamming must be in [0, 60)")
-    hammingPairsBucketed(simhashed(df, idCol, textCol), idCol, "sh",
+    hammingPairsBucketed(simhashed(df, idCol, textCol, keyForm), idCol, "sh",
       bits = 60, maxHamming = maxHamming, maxBucketSize = maxBucketSize)
   }
 
@@ -2064,14 +2163,20 @@ object Dedup {
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       tNum: Int, tDen: Int, gramN: Int = 1,
-      maxPrefixFreq: Int = 10000): DataFrame = {
+      maxPrefixFreq: Int = 10000, keyForm: String = "raw"): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold $tNum/$tDen must be a rational in (0, 1]")
     require(gramN >= 1, s"gramN $gramN must be >= 1")
     require(maxPrefixFreq >= 1, s"maxPrefixFreq $maxPrefixFreq must be >= 1")
+    // keyForm ([[textKeyFor]]) folds the text BEFORE the set elements
+    // are built (the minhashed discipline, r14): the join's output is
+    // (a, b, jac) — no text rebuild — so the whole-text fold is the
+    // right grain, and an NFC/NFD republication shares its full gram
+    // set instead of none. "raw" keeps the historical bytes and plan.
+    val keyed = textKeyFor(keyForm, col(textCol))
     val elems =
-      if (gramN == 1) array_distinct(wsTokens(col(textCol)))
-      else array_distinct(ngramsOfTokens(wsTokens(col(textCol)), gramN))
+      if (gramN == 1) array_distinct(wsTokens(keyed))
+      else array_distinct(ngramsOfTokens(wsTokens(keyed), gramN))
     // elements shuffle as 60-bit md5 hashes, never strings (the
     // chunkDedup discipline): every downstream join/window/intersect
     // keys on longs. The oracle mirrors the hash, so set sizes and

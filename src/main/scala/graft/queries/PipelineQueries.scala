@@ -3602,31 +3602,199 @@ object PipelineQueries {
         Dedup.minhashCalibration(docs, "doc_id", "text",
           sampleFraction = Some(f), maxCandidates = Some(50000000L))
       },
-      None)
+      None),
+
+    // Fold-aware SIMHASH (r14, VERDICT r13 #1): q33's lossless
+    // pigeonhole-bucketed hamming join run on the FOLDED token stream
+    // (Dedup.textKeyFor "folded" before tokenizing — simhash needs no
+    // positional rebuild, so the whole-text fold is the right grain).
+    // Each did%(n/20) group carries one of three byte-DIFFERENT
+    // renditions of an accented preamble (NFC / NFD combining marks /
+    // uppercase NFD) plus a group-shared md5 body, so within-group
+    // pairs fold to IDENTICAL text → hamming 0 — only because the fold
+    // runs first (the raw contrast is DedupSpec-pinned). The oracle
+    // replays fold → token md5s → 60-bit simhash bits → full quadratic
+    // hamming, so the hash match also re-proves bucketing losslessness
+    // under the fold.
+    QueryDef("q194_folded_simhash",
+      (s, d) => {
+        val did = col("doc_id")
+        val groups = math.max(Tables.documents(s, d).count() / 20L, 1L)
+        val synth = Tables.documents(s, d).select(did,
+          concat(
+            when(did % 3 === 0, lit("s\u00e9ance d\u00e9j\u00e0 " +
+              "caf\u00e9 cr\u00e8me br\u00fbl\u00e9e tr\u00e8s "))
+              .when(did % 3 === 1, lit("se\u0301ance de\u0301ja\u0300 " +
+                "cafe\u0301 cre\u0300me bru\u0302le\u0301e tre\u0300s "))
+              .otherwise(lit("SE\u0301ANCE DE\u0301JA\u0300 CAFE\u0301 " +
+                "CRE\u0300ME BRU\u0302LE\u0301E TRE\u0300S ")),
+            md5((did % groups).cast("string"))).as("text"))
+        Dedup.simhashPairsBucketed(synth, "doc_id", "text",
+            maxHamming = 2, keyForm = "folded")
+          .orderBy(col("ham").asc, col("a").asc, col("b").asc)
+          .limit(20)
+      },
+      Some("""WITH synth AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 's'||chr(233)||'ance d'||chr(233)||'j'||chr(224)||' caf'||chr(233)||' cr'||chr(232)||'me br'||chr(251)||'l'||chr(233)||'e tr'||chr(232)||'s '
+        |        WHEN doc_id % 3 = 1 THEN 'se'||chr(769)||'ance de'||chr(769)||'ja'||chr(768)||' cafe'||chr(769)||' cre'||chr(768)||'me bru'||chr(770)||'le'||chr(769)||'e tre'||chr(768)||'s '
+        |        ELSE 'SE'||chr(769)||'ANCE DE'||chr(769)||'JA'||chr(768)||' CAFE'||chr(769)||' CRE'||chr(768)||'ME BRU'||chr(770)||'LE'||chr(769)||'E TRE'||chr(768)||'S ' END)
+        |  || md5(CAST(doc_id % (SELECT greatest(count(*) // 20, 1) FROM documents) AS VARCHAR)) AS text
+        |  FROM documents),
+        |hv AS (SELECT doc_id, list_transform(
+        |  regexp_split_to_array(trim(lower(strip_accents(nfc_normalize(text)))), '\s+'),
+        |  t -> CAST('0x'||substr(md5(t),18,15) AS BIGINT)) AS hv FROM synth),
+        |sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,60), j ->
+        |  CASE WHEN CAST(list_sum(list_transform(hv, h -> CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+        |  THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)) AS BIGINT) AS sh FROM hv)
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS ham
+        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sh, y.sh)) <= 2
+        |ORDER BY ham ASC, a ASC, b ASC LIMIT 20""".stripMargin)),
+
+    // Fold-aware SPAN SCRUB (r14, VERDICT r13 #1): q153's keep-first
+    // overlapping-window machine with gram KEYS hashed over the
+    // per-token-folded stream (Dedup.cdcTokenKey \u2014 fold preserves token
+    // arity, so folded window positions index the ORIGINAL tokens 1:1)
+    // while clean_text keeps each doc's own bytes. Every doc plants one
+    // of three renditions of an 8-token accented passage behind a
+    // variable-length unique prefix (offsets differ, so chunk-aligned
+    // dedup would miss it); did%7=3 rows are short clean controls. Only
+    // the fold makes the three renditions one gram key \u2014 the corpus-
+    // wide first occurrence survives, every other copy is cut. The
+    // oracle replays fold \u2192 positioned grams \u2192 first-occurrence \u2192
+    // island merge \u2192 interval rebuild, step for step.
+    QueryDef("q195_folded_span_scrub",
+      (s, d) => {
+        val did = col("doc_id")
+        val passage = Seq(
+          "s\u00e9ance d\u00e9j\u00e0 caf\u00e9 cr\u00e8me " +
+            "br\u00fbl\u00e9e tr\u00e8s pr\u00e8s voil\u00e0",
+          "se\u0301ance de\u0301ja\u0300 cafe\u0301 cre\u0300me " +
+            "bru\u0302le\u0301e tre\u0300s pre\u0300s voila\u0300",
+          "SE\u0301ANCE DE\u0301JA\u0300 CAFE\u0301 CRE\u0300ME " +
+            "BRU\u0302LE\u0301E TRE\u0300S PRE\u0300S VOILA\u0300")
+        val synth = Tables.documents(s, d).select(did,
+          when(did % 7 === 3,
+            concat(lit("clean only here now c"), did.cast("string")))
+            .otherwise(concat(
+              expr("repeat(concat('p', CAST(doc_id AS STRING), ' '), " +
+                "CAST(doc_id % 4 + 1 AS INT))"),
+              when(did % 3 === 0, lit(passage(0)))
+                .when(did % 3 === 1, lit(passage(1)))
+                .otherwise(lit(passage(2))),
+              lit(" u"), did.cast("string"))).as("text"))
+        Dedup.dupSpanScrub(synth, "doc_id", "text", n = 8,
+            keyForm = "folded")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH synth AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN 'clean only here now c' || CAST(doc_id AS VARCHAR)
+        |  ELSE repeat('p' || CAST(doc_id AS VARCHAR) || ' ', CAST(doc_id % 4 + 1 AS INT)) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 's'||chr(233)||'ance d'||chr(233)||'j'||chr(224)||' caf'||chr(233)||' cr'||chr(232)||'me br'||chr(251)||'l'||chr(233)||'e tr'||chr(232)||'s pr'||chr(232)||'s voil'||chr(224)
+        |          WHEN doc_id % 3 = 1 THEN 'se'||chr(769)||'ance de'||chr(769)||'ja'||chr(768)||' cafe'||chr(769)||' cre'||chr(768)||'me bru'||chr(770)||'le'||chr(769)||'e tre'||chr(768)||'s pre'||chr(768)||'s voila'||chr(768)
+        |          ELSE 'SE'||chr(769)||'ANCE DE'||chr(769)||'JA'||chr(768)||' CAFE'||chr(769)||' CRE'||chr(768)||'ME BRU'||chr(770)||'LE'||chr(769)||'E TRE'||chr(768)||'S PRE'||chr(768)||'S VOILA'||chr(768) END)
+        |    || ' u' || CAST(doc_id AS VARCHAR) END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM synth),
+        |kt AS (SELECT doc_id, toks, list_transform(toks,
+        |  x -> regexp_replace(lower(strip_accents(nfc_normalize(x))), '\s+', '', 'g')) AS ktoks FROM t),
+        |c AS (SELECT doc_id, toks, list_transform(range(0, greatest(length(ktoks)-7, 0)),
+        |  i -> array_to_string(list_slice(ktoks, CAST(i+1 AS INT), CAST(i+8 AS INT)), ' ')) AS grams FROM kt),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(grams, 1) - 1 AS INT) AS pos, unnest(grams) AS gram FROM c),
+        |h AS (SELECT doc_id, pos, CAST('0x'||substr(md5(gram),18,15) AS BIGINT) AS gh FROM e),
+        |f AS (SELECT gh, min(doc_id*1048576 + pos) AS fo, count(*) AS cnt FROM h GROUP BY gh),
+        |rem AS (SELECT h.doc_id, h.pos, h.pos + 8 AS e FROM h JOIN f ON h.gh = f.gh
+        |  WHERE f.cnt >= 2 AND h.doc_id*1048576 + h.pos > f.fo),
+        |w AS (SELECT doc_id, pos, e, max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM rem),
+        |i0 AS (SELECT doc_id, pos, e, CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS ni FROM w),
+        |i1 AS (SELECT doc_id, pos, e, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i0),
+        |isl AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS en FROM i1 GROUP BY doc_id, isl),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(en - s) AS BIGINT) AS removed_tokens FROM isl GROUP BY doc_id),
+        |tp AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS tpos, unnest(toks) AS tok FROM t),
+        |keep AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp WHERE NOT EXISTS
+        |  (SELECT 1 FROM isl WHERE isl.doc_id = tp.doc_id AND tp.tpos >= isl.s AND tp.tpos < isl.en)),
+        |k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(length(t.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(d.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        |  coalesce(d.removed_tokens, CAST(0 AS BIGINT)) AS removed_tokens,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // Fold-aware PPJOIN (r14, VERDICT r13 #1): q98's lossless prefix-
+    // filtered set-similarity join over FOLDED word sets. Each
+    // did%(n/20) group shares a 10-token accented preamble in three
+    // byte-different renditions plus a group md5 body token; each doc
+    // adds one unique token \u2014 within-group folded sets intersect 11 of
+    // union 13 (jac 11/13 \u2265 4/5, all-integer arithmetic), cross-group
+    // 10 of 14 (< 4/5), so the qualifying set is exactly the planted
+    // groups and ONLY under the fold. The oracle is the full quadratic
+    // folded-set join \u2014 the hash match re-proves prefix-filter
+    // losslessness on the folded stream.
+    QueryDef("q196_folded_ppjoin",
+      (s, d) => {
+        val did = col("doc_id")
+        val groups = math.max(Tables.documents(s, d).count() / 20L, 1L)
+        val synth = Tables.documents(s, d).select(did,
+          concat(
+            when(did % 3 === 0, lit("s\u00e9ance d\u00e9j\u00e0 " +
+              "caf\u00e9 cr\u00e8me br\u00fbl\u00e9e tr\u00e8s " +
+              "pr\u00e8s voil\u00e0 \u00e9l\u00e8ve h\u00f4tel "))
+              .when(did % 3 === 1, lit("se\u0301ance de\u0301ja\u0300 " +
+                "cafe\u0301 cre\u0300me bru\u0302le\u0301e tre\u0300s " +
+                "pre\u0300s voila\u0300 e\u0301le\u0300ve ho\u0302tel "))
+              .otherwise(lit("SE\u0301ANCE DE\u0301JA\u0300 CAFE\u0301 " +
+                "CRE\u0300ME BRU\u0302LE\u0301E TRE\u0300S PRE\u0300S " +
+                "VOILA\u0300 E\u0301LE\u0300VE HO\u0302TEL ")),
+            md5((did % groups).cast("string")),
+            lit(" u"), did.cast("string")).as("text"))
+        Dedup.jaccardPairsPrefix(synth, "doc_id", "text",
+            tNum = 4, tDen = 5, keyForm = "folded")
+          .orderBy(col("jac").desc, col("a").asc, col("b").asc)
+          .limit(20)
+      },
+      Some("""WITH synth AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 's'||chr(233)||'ance d'||chr(233)||'j'||chr(224)||' caf'||chr(233)||' cr'||chr(232)||'me br'||chr(251)||'l'||chr(233)||'e tr'||chr(232)||'s pr'||chr(232)||'s voil'||chr(224)||' '||chr(233)||'l'||chr(232)||'ve h'||chr(244)||'tel '
+        |        WHEN doc_id % 3 = 1 THEN 'se'||chr(769)||'ance de'||chr(769)||'ja'||chr(768)||' cafe'||chr(769)||' cre'||chr(768)||'me bru'||chr(770)||'le'||chr(769)||'e tre'||chr(768)||'s pre'||chr(768)||'s voila'||chr(768)||' e'||chr(769)||'le'||chr(768)||'ve ho'||chr(770)||'tel '
+        |        ELSE 'SE'||chr(769)||'ANCE DE'||chr(769)||'JA'||chr(768)||' CAFE'||chr(769)||' CRE'||chr(768)||'ME BRU'||chr(770)||'LE'||chr(769)||'E TRE'||chr(768)||'S PRE'||chr(768)||'S VOILA'||chr(768)||' E'||chr(769)||'LE'||chr(768)||'VE HO'||chr(770)||'TEL ' END)
+        |  || md5(CAST(doc_id % (SELECT greatest(count(*) // 20, 1) FROM documents) AS VARCHAR)) || ' u' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_distinct(list_transform(
+        |  regexp_split_to_array(trim(lower(strip_accents(nfc_normalize(text)))), '\s+'),
+        |  x -> CAST('0x' || substr(md5(x), 18, 15) AS BIGINT))) AS toks FROM synth),
+        |s AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS sz FROM h WHERE length(toks) > 0),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb,
+        |    CAST(length(list_intersect(x.toks, y.toks)) AS BIGINT) AS inter
+        |  FROM s x JOIN s y ON x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(inter AS DOUBLE) / (sa + sb - inter) AS jac
+        |FROM p WHERE inter * 5 >= 4 * (sa + sb - inter)
+        |ORDER BY jac DESC, a ASC, b ASC LIMIT 20""".stripMargin))
   )
 
   /** DuckDB twin of [[graft.functions.expressions.DecodeNumericEntities]]
-    * over column `c` — the q182/q183 oracle's numeric-reference stage.
+    * over column `c` \u2014 the q182/q183 oracle's numeric-reference stage.
     * Single-pass semantics replayed exactly: one global regexp_replace
     * wraps every candidate body in chr(1) sentinels, str_split makes
     * bodies the even (1-based) list slots, and a list_transform lambda
     * decodes each body under the SAME bounded contract (decimal or
-    * lowercase-x hex, target in {9,10,13} ∪ [32,255], else the original
-    * text verbatim) — output is never re-scanned, so `&amp;#60;` style
-    * double-escapes behave identically on both engines. Hex→int is pure
-    * strpos arithmetic on the ≤ 2 significant digits an in-range value
+    * lowercase-x hex, target in {9,10,13} \u222a [32,255], else the original
+    * text verbatim) \u2014 output is never re-scanned, so `&amp;#60;` style
+    * double-escapes behave identically on both engines. Hex\u2192int is pure
+    * strpos arithmetic on the \u2264 2 significant digits an in-range value
     * can have (DuckDB has no hex-parse for VARCHAR). Built by plain
     * string concat so the regex backslash survives every interpolation
-    * context. A def — the init-order discipline of [[CdcPassage]].
+    * context. A def \u2014 the init-order discipline of [[CdcPassage]].
     */
   private def duckDecodeNumEntities(c: String): String = {
     // value of a lowercase-x hex body x: strip the x, drop leading
-    // zeros, left-pad back to 2 digits, then 16·hi + lo via strpos
+    // zeros, left-pad back to 2 digits, then 16\u00b7hi + lo via strpos
     val pad = "substr(lpad(ltrim(lower(substr(x, 2)), '0'), 2, '0')"
     val hv = s"CAST((strpos('0123456789abcdef', $pad, 1, 1)) - 1) * 16 + " +
       s"(strpos('0123456789abcdef', $pad, 2, 1)) - 1) AS INT)"
     val passthrough = "'&#' || x || ';'"
-    // [xX]? + the two LIKEs: both hex-marker cases decode (r13 — the
+    // [xX]? + the two LIKEs: both hex-marker cases decode (r13 \u2014 the
     // HTML spec's case-insensitive marker; `lower(substr(x, 2))` above
     // already case-folds the digits)
     "list_aggregate(list_transform(str_split(regexp_replace(" + c +
@@ -3641,7 +3809,7 @@ object PipelineQueries {
       s"ELSE $passthrough END), 'string_agg', '')"
   }
 
-  /** DuckDB twin of the NAMED-entity pass — GENERATED from the same
+  /** DuckDB twin of the NAMED-entity pass \u2014 GENERATED from the same
     * table the JVM expression decodes with
     * ([[graft.functions.expressions.DecodeNamedEntitiesUtil.duckSql]]),
     * so the two engines cannot drift entity by entity.
@@ -3649,7 +3817,7 @@ object PipelineQueries {
   private def duckDecodeNamedEntities(c: String): String =
     graft.functions.expressions.DecodeNamedEntitiesUtil.duckSql(c)
 
-  /** The shared 30-token passage q174 plants at variable offsets — one
+  /** The shared 30-token passage q174 plants at variable offsets \u2014 one
     * literal, interpolated into BOTH the Spark plan and the oracle SQL.
     * A `def` (not `val`): the `all` list interpolates it during object
     * init, and a later-declared val would still be null there.
@@ -3657,7 +3825,7 @@ object PipelineQueries {
   private def CdcPassage: String =
     (0 until 30).map(i => s"cdc$i").mkString(" ")
 
-  /** q178's NEW-half-only passage — duplicated across the arriving
+  /** q178's NEW-half-only passage \u2014 duplicated across the arriving
     * batch but absent from the frozen reference index, so it must
     * SURVIVE the inline gate (the B-internal-dup contract). Same
     * def-not-val init-order discipline as [[CdcPassage]].
@@ -3665,14 +3833,14 @@ object PipelineQueries {
   private def CdcNewPassage: String =
     (0 until 30).map(i => s"new$i").mkString(" ")
 
-  /** q181's two planted cross-source passages — different lengths so
+  /** q181's two planted cross-source passages \u2014 different lengths so
     * each source pair's containment denominators differ. Defs, not
     * vals: the init-order discipline.
     */
   private def ShareA: String = (0 until 12).map(i => s"sharea$i").mkString(" ")
   private def ShareB: String = (0 until 9).map(i => s"shareb$i").mkString(" ")
 
-  /** q183's shared landing page — LONG (80 tokens) so it outranks real
+  /** q183's shared landing page \u2014 LONG (80 tokens) so it outranks real
     * documents in the per-domain length window and reaches the dedup
     * stage (a short shared page would be domain-capped first and the
     * exact_dup path would carry no mass). Def, not val: init order.
@@ -3681,11 +3849,11 @@ object PipelineQueries {
     (0 until 80).map(i => s"landing$i").mkString(" ")
 
   /** Per-user event-value series as fixed-length vectors: first 8 values
-    * in (ts, event_id, value) order — value as the final tie-break key so
+    * in (ts, event_id, value) order \u2014 value as the final tie-break key so
     * the order is TOTAL on both engines even under (ts, event_id)
-    * collisions — users with fewer than 8 events dropped (vector ops
+    * collisions \u2014 users with fewer than 8 events dropped (vector ops
     * need equal dims; DuckDB would NULL-pad a short zip while Spark's
-    * distance returns null — a latent parity break). Kept in ONE place,
+    * distance returns null \u2014 a latent parity break). Kept in ONE place,
     * with [[duckSeries]] as its SQL twin, so q46 and its q47 scale path
     * can never drift apart.
     */
@@ -3699,7 +3867,7 @@ object PipelineQueries {
       .select(col("user_id"),
         transform(slice(col("evs"), 1, 8), e => e.getField("value")).as("series"))
 
-  /** SQL twin of [[seriesVectors]] — same order keys, same length guard. */
+  /** SQL twin of [[seriesVectors]] \u2014 same order keys, same length guard. */
   private lazy val duckSeries =
     """SELECT user_id, list_slice(array_agg(value ORDER BY ts, event_id, value), 1, 8) AS series
       |  FROM events GROUP BY user_id HAVING COUNT(*) >= 8""".stripMargin
@@ -3710,17 +3878,17 @@ object PipelineQueries {
     * fusion, including a==b runs) emitted per merge round. Stage i:
     * p_i counts adjacent symbol pairs of state s_{i-1} weighted by word
     * frequency (same vocab cut, same minPairCount>=2 HAVING as
-    * Bpe.train); m_i takes the (count desc, pair asc) argmax — the
+    * Bpe.train); m_i takes the (count desc, pair asc) argmax \u2014 the
     * trainer's exact tie-break; s_i applies the merge. An empty m_i
     * (no pair reaches 2) empties every later stage via the cross join,
     * mirroring the trainer's early stop. The final UNION ALL is the
-    * rank-by-rank argmax trace — (rows, schema, hash) against the real
+    * rank-by-rank argmax trace \u2014 (rows, schema, hash) against the real
     * driver loop.
     */
   /** The shared training CTE chain of the unrolled BPE oracles: word
-    * counts → wrapped-symbol vocab (s0) → pair-count argmax m_i per
+    * counts \u2192 wrapped-symbol vocab (s0) \u2192 pair-count argmax m_i per
     * round, with apply stages s_1..s_{n-1} BETWEEN rounds only (m_n
-    * needs no apply after it, so s_n is never emitted — consumers that
+    * needs no apply after it, so s_n is never emitted \u2014 consumers that
     * need the merges applied to something build their own apply stages
     * over m1..mn, as [[bpeTokenizeOracle]]'s d-stages do).
     */
@@ -3758,8 +3926,8 @@ object PipelineQueries {
 
   /** Unrolled BPE APPLY oracle: learn the n merges (same training CTEs),
     * then wrap every DOCUMENT as word-boundary-separated symbols
-    * (chr(3) between words — no merge crosses it) and replay each merge
-    * as one left-to-right `replace` in rank order — byte-identical to
+    * (chr(3) between words \u2014 no merge crosses it) and replay each merge
+    * as one left-to-right `replace` in rank order \u2014 byte-identical to
     * [[graft.operators.Bpe.tokenizeInPlan]]. Token count = number of
     * chr(1) symbol-open markers left standing.
     */
@@ -3769,7 +3937,7 @@ object PipelineQueries {
        |  AS n_bpe_tokens FROM d$n ORDER BY doc_id""".stripMargin
 
   /** The shared train + wrap + replay CTE chain ending in `d\$n(doc_id, s)`
-    * — factored so every BPE-apply-derived oracle (q132 per-doc counts,
+    * \u2014 factored so every BPE-apply-derived oracle (q132 per-doc counts,
     * q154 per-lang fertility) replays the identical byte-level pipeline.
     */
   private def bpeApplyStages(n: Int): String = {

@@ -129,20 +129,20 @@ object StreamCuration {
       spanIndex: Option[Array[Long]] = None,
       spanIndexN: Int = 8,
       spanIndexDir: Option[String] = None,
+      // keyForm of the LITERAL spanIndex's build (Dedup.dupSpanIndex's
+      // keyForm); the dir form reads it from the artifact's sidecar
+      // and this param must stay at its default there (fail-loud below)
+      spanKeyForm: String = "raw",
       lineIndex: Option[Array[Long]] = None,
       lineIndexDir: Option[String] = None,
-      // the literal form takes the FULL (w, divisor, kernel, index)
-      // tuple — exactly what Dedup.loadCdcChunkIndex returns — so chunk
-      // geometry can never be defaulted independently of the artifact:
-      // an index built under w=5 probed with a defaulted w=3 would cut
-      // differently and silently miss everything (ADVICE r11)
-      cdcIndex: Option[(Int, Int, String, Array[Long])] = None,
-      cdcIndexDir: Option[String] = None,
-      // keyForm of the frozen CDC index's build (Dedup.cdcChunkIndex's
-      // keyForm) — the line gate reads cfg.lineDedupKey, but the CDC
-      // artifact's meta int has no free bits for a form tag, so the
-      // caller carries it (appended param, the r11 invariant)
-      cdcKeyForm: String = "raw"): DataFrame = {
+      // the literal form takes the FULL (w, divisor, kernel, keyForm,
+      // index) tuple — exactly what Dedup.loadCdcChunkIndex returns —
+      // so neither chunk geometry NOR the key form can be defaulted
+      // independently of the artifact: an index built under w=5 probed
+      // with a defaulted w=3 (or folded-built probed raw) would cut or
+      // key differently and silently miss everything (ADVICE r11/r13)
+      cdcIndex: Option[(Int, Int, String, String, Array[Long])] = None,
+      cdcIndexDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cfg.spanDedupK.isEmpty && cfg.dupSpanN.isEmpty &&
       cfg.lineDedupMinDocs.isEmpty && cfg.c4SpanDedupN.isEmpty &&
@@ -163,12 +163,17 @@ object StreamCuration {
       "StreamCuration.run: pass EITHER cdcIndex (a literal array) OR " +
         "cdcIndexDir (a persisted Dedup.saveCdcChunkIndex artifact), not both")
     // dir form: resolved at PLAN-BUILD time through the mtime-keyed
-    // registry (Dedup.loadSpanIndex) and carrying its own window size —
-    // a RESTARTED stream picks up a regenerated artifact, a RUNNING one
-    // keeps the snapshot it started with (per-run frozen), and the
-    // geometry can never silently mismatch the artifact
-    val resolvedIndex: Option[(Int, Array[Long])] =
-      spanIndex.map(a => (spanIndexN, a))
+    // registry (Dedup.loadSpanIndex) and carrying its own window size
+    // AND key form — a RESTARTED stream picks up a regenerated
+    // artifact, a RUNNING one keeps the snapshot it started with
+    // (per-run frozen), and neither geometry nor key form can silently
+    // mismatch the artifact (ADVICE r13)
+    require(spanKeyForm == "raw" || spanIndexDir.isEmpty,
+      "StreamCuration.run: spanKeyForm is the LITERAL spanIndex's form; " +
+        "the dir form reads it from the artifact's sidecar — don't pass " +
+        "both")
+    val resolvedIndex: Option[(Int, String, Array[Long])] =
+      spanIndex.map(a => (spanIndexN, spanKeyForm, a))
         .orElse(spanIndexDir.map(dir =>
           graft.operators.Dedup.loadSpanIndex(docs.sparkSession, dir)))
     var cur = docs
@@ -243,9 +248,23 @@ object StreamCuration {
       }
     }
 
+    // literal form: the probe key is cfg.lineDedupKey (the batch-stage
+    // config field). Dir form: the artifact's sidecar names the form it
+    // was BUILT under — it must agree with the config, or this one
+    // config would mean two different pipelines (fail loud, the
+    // mismatched-probe rule — ADVICE r13's silent-miss class).
     val resolvedLineIndex: Option[Array[Long]] =
-      lineIndex.orElse(lineIndexDir.map(dir =>
-        graft.operators.Dedup.loadLineIndex(docs.sparkSession, dir)._2))
+      lineIndex.orElse(lineIndexDir.map { dir =>
+        val (_, artifactForm, arr) =
+          graft.operators.Dedup.loadLineIndex(docs.sparkSession, dir)
+        require(artifactForm == cfg.lineDedupKey,
+          s"StreamCuration.run: line index at $dir was built with " +
+            s"keyForm '$artifactForm' but cfg.lineDedupKey is " +
+            s"'${cfg.lineDedupKey}' — probing with a different form " +
+            "silently misses every duplicate; rebuild the index or fix " +
+            "the config")
+        arr
+      })
     resolvedLineIndex.foreach { index =>
       // incremental boilerplate-LINE scrub against a frozen reference
       // index (Dedup.lineDedupIndex, built batch-side) — the same
@@ -270,12 +289,13 @@ object StreamCuration {
     }
 
     // dir form resolves at plan-build through the mtime-keyed registry
-    // and carries its own (w, divisor) — the geometry can never silently
-    // mismatch the artifact (the spanIndexDir contract)
-    val resolvedCdc: Option[(Int, Int, String, Array[Long])] =
+    // and carries its own (w, divisor, kernel, keyForm) — neither the
+    // geometry nor the key form can silently mismatch the artifact
+    // (the spanIndexDir contract; keyForm read-from-artifact since r14)
+    val resolvedCdc: Option[(Int, Int, String, String, Array[Long])] =
       cdcIndex.orElse(cdcIndexDir.map(dir =>
         graft.operators.Dedup.loadCdcChunkIndex(docs.sparkSession, dir)))
-    resolvedCdc.foreach { case (w, divisor, kernel, index) =>
+    resolvedCdc.foreach { case (w, divisor, kernel, cdcKeyForm, index) =>
       // incremental CDC-chunk scrub against a frozen reference hot-chunk
       // index (Dedup.cdcChunkIndex, built batch-side) — the granularity
       // ladder's middle rung: after the coarse line gate, before the
@@ -297,7 +317,7 @@ object StreamCuration {
         .select((idCol +: textCol +: others).map(col): _*)
     }
 
-    resolvedIndex.foreach { case (idxN, index) =>
+    resolvedIndex.foreach { case (idxN, idxForm, index) =>
       // incremental dup-span scrub against a FROZEN reference-corpus
       // gram index (Dedup.dupSpanIndex, built batch-side): row-local
       // PositionsInSortedSet probe + in-row island fold — stateless, no
@@ -317,7 +337,7 @@ object StreamCuration {
           "upstream of the gate")
       cur = graft.operators.Dedup
         .dupSpanScrubInline(cur, idCol, textCol, idxN, index,
-          keepCols = others)
+          keepCols = others, keyForm = idxForm)
         .where(col("clean_text") =!= "")
         .withColumnRenamed("clean_text", textCol)
         .select((idCol +: textCol +: others).map(col): _*)

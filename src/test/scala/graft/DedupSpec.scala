@@ -147,6 +147,151 @@ class DedupSpec extends SparkSpec {
       s"raw $raw vs folded $folded")
   }
 
+  test("simhashPairsBucketed keyForm=folded: an NFC-vs-NFD republication " +
+      "lands at hamming 0 where the raw byte form finds no pair (r14)") {
+    val nfc = "séance déjà café crème brûlée élève " +
+      "fenêtre hôtel théâtre où ça très près"
+    val nfd = java.text.Normalizer.normalize(nfc,
+      java.text.Normalizer.Form.NFD)
+    assert(nfc != nfd, "fixture must be byte-different")
+    val df = Seq((1L, nfc), (2L, nfd)).toDF("doc_id", "text")
+    val folded = Dedup.simhashPairsBucketed(df, "doc_id", "text",
+        maxHamming = 4, keyForm = "folded")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(folded.get((1L, 2L)).contains(0), folded.toString)
+    // every token carries an accent, so the raw token md5 sets are
+    // disjoint — no bucket collision survives the hamming re-check
+    val raw = Dedup.simhashPairsBucketed(df, "doc_id", "text",
+        maxHamming = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(!raw.contains((1L, 2L)), raw.toString)
+    // quadratic and bucketed forms agree under the fold
+    val quad = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 4,
+        keyForm = "folded")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(quad === folded, s"quad $quad vs bucketed $folded")
+  }
+
+  test("jaccardPairsPrefix keyForm=folded: NFC/NFD copies qualify at " +
+      "jaccard 1.0 where the raw form generates no candidate (r14)") {
+    val nfc = "séance déjà café crème brûlée élève " +
+      "fenêtre hôtel théâtre où ça très près"
+    val nfd = java.text.Normalizer.normalize(nfc,
+      java.text.Normalizer.Form.NFD)
+    val df = Seq((1L, nfc), (2L, nfd),
+      (3L, "entièrement différent détaché apré unrelated möglich"))
+      .toDF("doc_id", "text")
+    val folded = Dedup.jaccardPairsPrefix(df, "doc_id", "text",
+        tNum = 1, tDen = 2, keyForm = "folded")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(folded.get((1L, 2L)).contains(1.0), folded.toString)
+    // all-accented vocabulary: the raw word sets are disjoint, so the
+    // prefix index yields no candidate for the pair at all
+    val raw = Dedup.jaccardPairsPrefix(df, "doc_id", "text",
+        tNum = 1, tDen = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(!raw.contains((1L, 2L)), raw.toString)
+  }
+
+  test("dupSpanScrub keyForm=folded: an NFD re-quote of an NFC passage " +
+      "is cut (keep-first) while clean_text keeps original bytes (r14)") {
+    val passage = "café crème brûlée déjà vu ce soir là"  // 8 tokens
+    val passageNfd = java.text.Normalizer.normalize(passage,
+      java.text.Normalizer.Form.NFD)
+    val df = Seq(
+      (1L, "intro one two three " + passage),
+      (2L, "other words here " + passageNfd + " tail9"))
+      .toDF("doc_id", "text")
+    val folded = Dedup.dupSpanScrub(df, "doc_id", "text", n = 8,
+        keyForm = "folded")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    // doc 1 holds the first occurrence (min id·posCap+pos) and keeps it
+    assert(folded(1L)._1 === 0L, folded.toString)
+    assert(folded(2L) === ((8L, "other words here tail9")), folded.toString)
+    // the raw form hashes byte-different windows — nothing is cut
+    val raw = Dedup.dupSpanScrub(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(raw === Map(1L -> 0L, 2L -> 0L), raw.toString)
+  }
+
+  test("dupSpanIndex + dupSpanScrubInline keyForm=folded: a frozen NFC " +
+      "gram index gates arriving NFD republications row-locally (r14)") {
+    val passage = "café crème brûlée déjà vu ce soir là"
+    val passageNfd = java.text.Normalizer.normalize(passage,
+      java.text.Normalizer.Form.NFD)
+    val ref = Seq((1L, "refA starts here " + passage)).toDF("doc_id", "text")
+    val index = Dedup.dupSpanIndex(ref, "text", n = 8, keyForm = "folded")
+    assert(index.nonEmpty)
+    val incoming = Seq(
+      (10L, "fresh new doc " + passageNfd + " ending"),
+      (11L, "clean eleven tokens only here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanScrubInline(incoming, "doc_id", "text", n = 8,
+        index, keyForm = "folded")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(got(10L) === ((8L, "fresh new doc ending")), got.toString)
+    assert(got(11L)._1 === 0L, got.toString)
+    // raw probe of the folded index misses (the silent-miss class the
+    // artifact sidecar exists to prevent — ADVICE r13)
+    val rawProbe = Dedup.dupSpanScrubInline(incoming, "doc_id", "text",
+        n = 8, index)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rawProbe(10L) === 0L, rawProbe.toString)
+  }
+
+  test("maximalDupSpans keyForm=folded: the full NFC/NFD-shared run is " +
+      "reported with exact boundaries; raw reports none (r14)") {
+    val run = (0 until 10).map(i => s"café$i").mkString(" ")  // 10 tokens
+    val runNfd = java.text.Normalizer.normalize(run,
+      java.text.Normalizer.Form.NFD)
+    val df = Seq(
+      (1L, "aA bB cC " + run + " dD"),
+      (2L, "xX yY " + runNfd))
+      .toDF("doc_id", "text")
+    val folded = Dedup.maximalDupSpans(df, "doc_id", "text", minLen = 8,
+        maxSpan = 64, keyForm = "folded")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+      .sortBy(x => (x._1, x._2))
+    assert(folded === Seq((1L, 3L, 10L), (2L, 2L, 10L)), folded.toString)
+    val raw = Dedup.maximalDupSpans(df, "doc_id", "text", minLen = 8,
+      maxSpan = 64).count()
+    assert(raw === 0L, s"raw form must see no duplicated run, got $raw")
+  }
+
+  test("span/cdc index artifacts carry keyForm in the sidecar; a " +
+      "pre-r14 artifact (no sidecar) loads as its historical default") {
+    val passage = "café crème brûlée déjà vu ce soir là"
+    val ref = Seq((1L, "refA starts here " + passage)).toDF("doc_id", "text")
+    val idx = Dedup.dupSpanIndex(ref, "text", n = 8, keyForm = "folded")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spanform-")
+    Dedup.saveSpanIndex(spark, tmp.toString, n = 8, idx, keyForm = "folded")
+    val (n1, f1, a1) = Dedup.loadSpanIndex(spark, tmp.toString)
+    assert(n1 === 8 && f1 === "folded" && a1.toSeq === idx.toSeq)
+    // unknown form fails loud BEFORE any byte is written
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.saveSpanIndex(spark, tmp.toString, n = 8, idx, keyForm = "nfkc")
+    }
+    assert(ex.getMessage.contains("raw|byte|canonical|folded"), ex.getMessage)
+    // pre-r14 compat: strip the sidecar, bust the mtime cache — the
+    // loader must fall back to the historical default ("raw" for span)
+    java.nio.file.Files.delete(tmp.resolve("index_meta.json"))
+    java.nio.file.Files.setLastModifiedTime(tmp.resolve("_SUCCESS"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 2000))
+    val (n2, f2, a2) = Dedup.loadSpanIndex(spark, tmp.toString)
+    assert(n2 === 8 && f2 === "raw" && a2.toSeq === idx.toSeq)
+    // cdc family: keyForm rides next to the packed (w, divisor, kernel)
+    val cdcIdx = Dedup.cdcChunkIndex(
+      Seq((1L, passage), (2L, passage)).toDF("doc_id", "text"),
+      "doc_id", "text", w = 3, divisor = 4, keyForm = "folded")
+    val tmpC = java.nio.file.Files.createTempDirectory("graft-cdcform-")
+    Dedup.saveCdcChunkIndex(spark, tmpC.toString, w = 3, divisor = 4,
+      cdcIdx, keyForm = "folded")
+    val (wC, dC, kC, fC, aC) = Dedup.loadCdcChunkIndex(spark, tmpC.toString)
+    assert(wC === 3 && dC === 4 && kC === "md5" && fC === "folded" &&
+      aC.toSeq === cdcIdx.toSeq)
+  }
+
   test("minhash LSH candidate pairs never include self or reversed pairs") {
     val got = Dedup.minhashPairs(docs, "doc_id", "text").collect()
     got.foreach(r => assert(r.getLong(0) < r.getLong(1)))
@@ -1177,8 +1322,8 @@ class DedupSpec extends SparkSpec {
     // artifact round-trip: minDocs rides inside, hashes bit-identical
     val tmp = java.nio.file.Files.createTempDirectory("graft-lineidx-").toString
     Dedup.saveLineIndex(spark, tmp, minDocs = 2, index)
-    val (md, loaded) = Dedup.loadLineIndex(spark, tmp)
-    assert(md === 2 && loaded.toSeq === index.toSeq)
+    val (md, lform, loaded) = Dedup.loadLineIndex(spark, tmp)
+    assert(md === 2 && lform === "byte" && loaded.toSeq === index.toSeq)
     assertThrows[Exception] {
       Dedup.loadSpanIndex(spark, tmp) // wrong family: no span_index.bin here
     }
@@ -1445,8 +1590,9 @@ class DedupSpec extends SparkSpec {
     // artifact round-trip: the (w, divisor, kernel) geometry rides inside
     val tmp = java.nio.file.Files.createTempDirectory("graft-cdcidx-").toString
     Dedup.saveCdcChunkIndex(spark, tmp, w = 3, divisor = 4, index)
-    val (w2, d2, k2, idx2) = Dedup.loadCdcChunkIndex(spark, tmp)
-    assert(w2 === 3 && d2 === 4 && k2 === "md5" && idx2.toSeq === index.toSeq)
+    val (w2, d2, k2, f2, idx2) = Dedup.loadCdcChunkIndex(spark, tmp)
+    assert(w2 === 3 && d2 === 4 && k2 === "md5" && f2 === "raw" &&
+      idx2.toSeq === index.toSeq)
     // gear-kernel end to end: index, persist, load, gate — the kernel
     // travels with the artifact so the probe can never mismatch the cuts
     val gearIdx = Dedup.cdcChunkIndex(ref, "id", "text", w = 3,
@@ -1454,8 +1600,9 @@ class DedupSpec extends SparkSpec {
     val tmpG = java.nio.file.Files.createTempDirectory("graft-cdcidxg-").toString
     Dedup.saveCdcChunkIndex(spark, tmpG, w = 3, divisor = 4, gearIdx,
       kernel = "gear")
-    val (wg, dg, kg, idxG) = Dedup.loadCdcChunkIndex(spark, tmpG)
-    assert(wg === 3 && dg === 4 && kg === "gear" && idxG.toSeq === gearIdx.toSeq)
+    val (wg, dg, kg, fg, idxG) = Dedup.loadCdcChunkIndex(spark, tmpG)
+    assert(wg === 3 && dg === 4 && kg === "gear" && fg === "raw" &&
+      idxG.toSeq === gearIdx.toSeq)
     val gearOut = Dedup.cdcChunkDedupInline(fresh, "id", "text",
         wg, dg, idxG, kernel = kg)
       .select("id", "n_dropped").as[(Long, Long)].collect().sortBy(_._1)

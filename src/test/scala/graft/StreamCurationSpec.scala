@@ -377,7 +377,7 @@ class StreamCurationSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
     val cfg = Curate.Config(exactDedup = false)
     val curated = StreamCuration.run(stream, "doc_id", "text", cfg,
-      cdcIndex = Some((3, 4, "md5", index)))
+      cdcIndex = Some((3, 4, "md5", "raw", index)))
     assert(curated.isStreaming)
     val q = curated.writeStream.format("memory").queryName("cdc_out")
       .trigger(Trigger.AvailableNow())
@@ -386,7 +386,7 @@ class StreamCurationSpec extends SparkSpec {
     val streamed = spark.table("cdc_out").select("doc_id", "text")
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     val batch = StreamCuration.run(docs, "doc_id", "text", cfg,
-        cdcIndex = Some((3, 4, "md5", index)))
+        cdcIndex = Some((3, 4, "md5", "raw", index)))
       .select("doc_id", "text")
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(streamed === batch, s"stream $streamed != batch $batch")
@@ -404,9 +404,62 @@ class StreamCurationSpec extends SparkSpec {
     // both-forms misuse fails loud
     val ex = intercept[IllegalArgumentException] {
       StreamCuration.run(docs, "doc_id", "text", cfg,
-        cdcIndex = Some((3, 4, "md5", index)), cdcIndexDir = Some(idxDir))
+        cdcIndex = Some((3, 4, "md5", "raw", index)), cdcIndexDir = Some(idxDir))
     }
     assert(ex.getMessage.contains("not both"), ex.getMessage)
+  }
+
+  test("folded-key CDC index round-trips from disk with NO hand-carried " +
+      "params; a form-mismatched line-index probe fails loud (r14)") {
+    import graft.operators.{Curate, Dedup}
+    val tmp = Files.createTempDirectory("graft-cdcfold-").toString
+    val passage = (0 until 24).map(i => s"café$i").mkString(" ")
+    val passageNfd = java.text.Normalizer.normalize(passage,
+      java.text.Normalizer.Form.NFD)
+    // reference corpus is NFC; index built under keyForm=folded and
+    // persisted — the sidecar carries the form, the caller carries
+    // NOTHING but the dir
+    val index = Dedup.cdcChunkIndex(
+      Seq((1L, passage), (2L, passage)).toDF("doc_id", "text"),
+      "doc_id", "text", w = 3, divisor = 4, keyForm = "folded")
+    val idxDir = s"$tmp/cdc_idx"
+    Dedup.saveCdcChunkIndex(spark, idxDir, w = 3, divisor = 4, index,
+      keyForm = "folded")
+    val docs = Seq(
+      (10L, passageNfd, 100L),                      // NFD republication -> drops whole
+      (11L, "clean doc stays intact", 300L))
+      .toDF("doc_id", "text", "ts")
+    val cfg = Curate.Config(exactDedup = false)
+    val got = StreamCuration.run(docs, "doc_id", "text", cfg,
+        cdcIndexDir = Some(idxDir))
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((11L, "clean doc stays intact")),
+      s"the NFD republication must be consumed whole via the artifact's " +
+        s"own keyForm: $got")
+    // and streaming, same artifact, same verdicts
+    docs.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$tmp/in")
+    val q = StreamCuration.run(stream, "doc_id", "text", cfg,
+        cdcIndexDir = Some(idxDir))
+      .writeStream.format("memory").queryName("cdc_fold_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cdc_fold_out").select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed === got, s"stream $streamed != batch $got")
+    // a line index built folded but probed under cfg's byte default is
+    // the ADVICE r13 silent-miss class — must fail loud instead
+    val lineIdxDir = s"$tmp/line_idx"
+    Dedup.saveLineIndex(spark, lineIdxDir, minDocs = 2,
+      Array(1L, 2L, 3L), keyForm = "folded")
+    val ex = intercept[IllegalArgumentException] {
+      StreamCuration.run(docs, "doc_id", "text", cfg,
+        lineIndexDir = Some(lineIdxDir))
+    }
+    assert(ex.getMessage.contains("keyForm 'folded'") &&
+      ex.getMessage.contains("'byte'"), ex.getMessage)
   }
 
   test("span-index swap contract: a restarted stream picks up the " +
