@@ -91,17 +91,32 @@ object BenchLocal {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val wall0 = System.nanoTime()
+    // the settle() polls sleep >= 2x200 ms per pass-1 query; that time
+    // is part of wall but deliberately outside every query window, so
+    // it must leave the ambient numerator too or the committed ratio
+    // reads ~0.4s/query of the harness's own sleeping as "load"
+    // (ADVICE r13)
+    var settleNanos = 0L
+    def settled(): (Long, Long, Long) = {
+      val s0 = System.nanoTime()
+      val v = acc.settle()
+      settleNanos += System.nanoTime() - s0
+      v
+    }
     // pass 1 measures time AND shuffle traffic per query
     val pass1 = ordered.map { case (name, fn) =>
-      acc.settle(); acc.reset()
+      settled(); acc.reset()
       val t = runOnce(name, fn)
-      val (w, r, in) = acc.settle()
+      val (w, r, in) = settled()
       println(f"[benchlocal] p1 $name%-30s ${t}%7.2f s  write=${w / 1024}%8d KiB")
       (t, w, r, in)
     }
-    // pass 2, a half-suite apart (Bench's interleave rationale)
+    // pass 2: the whole suite re-runs after pass 1 completes, so the
+    // two samples of any query sit a FULL suite apart — transient
+    // contention at one wall-clock moment cannot poison both, and the
+    // min-of-two keeps the clean sample (Bench's interleave rationale)
     val pass2 = ordered.map { case (name, fn) => runOnce(name, fn) }
-    val wall = (System.nanoTime() - wall0) / 1e9
+    val wall = (System.nanoTime() - wall0 - settleNanos) / 1e9
     spark.stop()
 
     val rows = ordered.zip(pass1.zip(pass2)).map {

@@ -76,7 +76,11 @@ object ScaleBench {
     // measures the production band geometry (VERDICT r12 #5)
     "q188_folded_minhash", "q189_folded_line_dedup",
     "q190_dedup_clusters_retuned", "q191_leakage_split_retuned",
-    "q192_cluster_best_rep_retuned", "q193_calibration_sampled")
+    "q192_cluster_best_rep_retuned", "q193_calibration_sampled",
+    // round-14 additions: the fold ladder's last rungs (simhash /
+    // span scrub / PPJoin under the folded key)
+    "q194_folded_simhash", "q195_folded_span_scrub",
+    "q196_folded_ppjoin")
     // q185_sketch_accuracy is DELIBERATELY not swept: it is the one-time
     // evidence audit that recomputes BOTH q181 and q184 (each swept
     // individually above) just to difference them — sweeping it would

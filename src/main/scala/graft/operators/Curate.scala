@@ -68,15 +68,18 @@ object Curate {
       // raw URL column — canonicalizeUrl → hostOf → the full-PSL
       // registeredDomainPsl — then cap on it. The production form of
       // `domainCap`, which takes a caller-prepared domain column;
-      // mutually exclusive with it. JUNK-DOMAIN POLICY (ADVICE r12):
-      // canonicalizeUrl fail-softs non-URL input to an empty host, so a
-      // malformed-URL doc's derived key is '' (or a dot-less fragment) —
-      // NOT a real shared domain. Such rows are EXEMPT from the cap
-      // (passed through unkept-but-uncapped) instead of being lumped
-      // into one capped '' bucket that would silently drop docs with
-      // fine text and junk URL metadata. The caller-prepared `domainCap`
-      // form keeps delegating that filter to the caller (its column,
-      // its policy).
+      // mutually exclusive with it. JUNK-DOMAIN POLICY (ADVICE r12,
+      // narrowed r13): canonicalizeUrl fail-softs non-URL input to an
+      // EMPTY host, so a malformed/null-URL doc's derived key is '' —
+      // NOT a real shared domain. Exactly those empty-key rows are
+      // EXEMPT from the cap (passed through uncapped) instead of being
+      // lumped into one capped '' bucket that would silently drop docs
+      // with fine text and junk URL metadata. A dot-less but NON-empty
+      // key (single-label host: localhost, an intranet name, a bare
+      // TLD) IS a real host and stays capped as its own bucket — the
+      // crawl-skew rule must bind there. The caller-prepared
+      // `domainCap` form keeps delegating that filter to the caller
+      // (its column, its policy).
       domainCapFromUrl: Option[(String, Int)] = None,
       // which normalization the exactDedup stage keys on:
       // "byte" (lower+trim), "canonical" (ASCII CCNet fold), or
@@ -176,10 +179,15 @@ object Curate {
         })
     capStage.foreach { case (keyed, domainCol, cap, exemptJunk) =>
       require(cap >= 1, s"Curate: domainCap $cap must be >= 1")
-      // a real registered domain has at least one dot (the fail-soft
-      // contracts of canonicalizeUrl/registeredDomainPsl can only emit
-      // a dot-less key for junk input: empty host, bare label, null)
-      val junk = !coalesce(col(domainCol).contains("."), lit(false))
+      // junk = the EMPTY derived key only (canonicalizeUrl's fail-soft
+      // output for unparseable/null URLs) — those rows share no real
+      // domain and must not be lumped into one capped '' bucket
+      // (ADVICE r12). A dot-less but NON-empty key (a single-label
+      // host: localhost, an intranet name, a bare TLD) IS a real host
+      // and stays capped as its own bucket (ADVICE r13 — exempting it
+      // would let one flood-y single-label host bypass the crawl-skew
+      // rule entirely).
+      val junk = coalesce(col(domainCol), lit("")) === ""
       val capped = if (exemptJunk) keyed.where(!junk) else keyed
       val kept = Web.domainCap(capped, domainCol, cap,
           length(col(textCol)).desc, col(idCol).asc)

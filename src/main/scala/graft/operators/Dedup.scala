@@ -2430,17 +2430,9 @@ object Dedup {
   def winnowF1Pairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, maxDocFreq: Int = 20,
       minShared: Long = 2L, keyForm: String = "raw"): DataFrame = {
-    val cand = winnowOverlapPairs(df, idCol, textCol, k, w, maxDocFreq,
-      keyForm)
-      .where(col("n_shared") >= minShared)
-      .select("a", "b")
-    // verify sets fold under the SAME key form as the candidates
-    val count = greatest(length(col("__kt")).cast("long") - (k - 1), lit(1L))
-    val sets = df.select(col(idCol), textKeyFor(keyForm, col(textCol)).as("__kt"))
-      .select(col(idCol),
-        array_distinct(transform(sequence(lit(1L), count),
-          p => md5Low32(col("__kt").substr(p.cast("int"), lit(k))))).as("set"))
-      .select(col(idCol), sort_array(col("set")).as("set"))
+    val cand = winnowCandidates(df, idCol, textCol, k, w, maxDocFreq,
+      minShared, keyForm)
+    val sets = candidateShingleSets(df, idCol, textCol, cand, k, keyForm)
     cand
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
@@ -2449,6 +2441,51 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"),
         (col("inter") * 2 / (size(col("sa")) + size(col("sb"))).cast("double"))
           .as("f1"))
+  }
+
+  /** The winnow-candidate pair list shared by the verify-stage callers
+    * ([[winnowF1Pairs]], [[containmentPairs]]): overlap pairs at
+    * `n_shared >= minShared`, MATERIALIZED (eager localCheckpoint) —
+    * the list is duplication-bounded, and both downstream legs (the
+    * candidate-doc semi-join and the verification join) read it, so
+    * without the checkpoint the whole fingerprint pipeline would run
+    * once per leg.
+    */
+  private def winnowCandidates(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, maxDocFreq: Int, minShared: Long,
+      keyForm: String): DataFrame =
+    winnowOverlapPairs(df, idCol, textCol, k, w, maxDocFreq, keyForm)
+      .where(col("n_shared") >= minShared)
+      .select("a", "b")
+      .localCheckpoint(true)
+
+  /** Exact char-k-gram shingle sets for CANDIDATE DOCS ONLY — the r14
+    * verify-leg fix (VERDICT r13 #2): the pre-r14 form built the
+    * shingle array (one md5 per character position) for EVERY corpus
+    * doc and let the candidate join discard all but the ~|cand| rows —
+    * at 10× that full-corpus pass WAS most of the q118 bill, and at
+    * 100 TB it re-scans the corpus to verify a duplication-bounded pair
+    * list. The candidate ids broadcast into a semi-join (bounded: the
+    * `maxDocFreq` cap bounds pairs per fingerprint bucket at
+    * C(cap, 2); a corpus whose candidate set outgrows a broadcast is
+    * one where verification itself is corpus-scale — run the batch
+    * scrub family instead), so the expensive per-char shingle transform
+    * touches only docs that actually need verifying. Sets fold under
+    * the SAME `keyForm` as the candidates.
+    */
+  private def candidateShingleSets(df: DataFrame, idCol: String,
+      textCol: String, cand: DataFrame, k: Int,
+      keyForm: String): DataFrame = {
+    val candIds = cand.select(col("a").as(idCol))
+      .unionByName(cand.select(col("b").as(idCol)))
+      .distinct()
+    val count = greatest(length(col("__kt")).cast("long") - (k - 1), lit(1L))
+    df.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol), textKeyFor(keyForm, col(textCol)).as("__kt"))
+      .select(col(idCol),
+        array_distinct(transform(sequence(lit(1L), count),
+          p => md5Low32(col("__kt").substr(p.cast("int"), lit(k))))).as("set"))
+      .select(col(idCol), sort_array(col("set")).as("set"))
   }
 
   /** Winnowing overlap pairs — MOSS's actual report: documents ranked by
@@ -2500,15 +2537,14 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, maxDocFreq: Int = 20,
-      minShared: Long = 2L, minMille: Long = 500L): DataFrame = {
-    val cand = winnowOverlapPairs(df, idCol, textCol, k, w, maxDocFreq)
-      .where(col("n_shared") >= minShared)
-      .select("a", "b")
-    val count = greatest(length(col(textCol)).cast("long") - (k - 1), lit(1L))
-    val sets = df.select(col(idCol),
-        array_distinct(transform(sequence(lit(1L), count),
-          p => md5Low32(col(textCol).substr(p.cast("int"), lit(k))))).as("set"))
-      .select(col(idCol), sort_array(col("set")).as("set"))
+      minShared: Long = 2L, minMille: Long = 500L,
+      keyForm: String = "raw"): DataFrame = {
+    val cand = winnowCandidates(df, idCol, textCol, k, w, maxDocFreq,
+      minShared, keyForm)
+    // candidate-docs-only verify sets (the winnowF1Pairs r14 shape);
+    // keyForm folds candidates AND verify sets identically (r14 — this
+    // entry point was the one winnow verifier still raw-only)
+    val sets = candidateShingleSets(df, idCol, textCol, cand, k, keyForm)
     val verified = cand
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")

@@ -3052,7 +3052,11 @@ object PipelineQueries {
             when(did % 7 === 2,
               lit("<p>&Eacute;clair &eacute;clair &mdash; yes&hellip; " +
                 "&copy; 2020 &frac12; price &unknown; stays " +
-                "hy&shy;phen&nbsp;&euro;5 &amp;lt;tag</p>"))
+                "hy&shy;phen&nbsp;&euro;5 &amp;lt;tag " +
+                // the r14 WHATWG-tail names: Greek (case-sensitive),
+                // arrows, math operators, card suits
+                "&alpha;&beta;&Omega; a&rarr;b x&ne;y n&le;m " +
+                "&sum;&infin; &hearts;&spades;</p>"))
               .otherwise(lit("")),
             lit("<!-- hidden comment --></body></html>")).as("html"))
         graft.operators.Markup.markupStats(synth, "doc_id", "html")
@@ -3065,7 +3069,7 @@ object PipelineQueries {
         |  || '<h1>Title ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p>'
         |  || CASE WHEN doc_id % 4 = 0 THEN '<p>Tom &amp; Jerry say &quot;hi&quot;&nbsp;&lt;always&gt;.</p>' ELSE '' END
         |  || CASE WHEN doc_id % 5 = 0 THEN '<p>Caf&#233; r&#xE9;sum&#x00E9; says &#039;hi&#039; &#x2019;smart&#x2019; &#XE9; &#1e3; a&#9;b.</p>' ELSE '' END
-        |  || CASE WHEN doc_id % 7 = 2 THEN '<p>&Eacute;clair &eacute;clair &mdash; yes&hellip; &copy; 2020 &frac12; price &unknown; stays hy&shy;phen&nbsp;&euro;5 &amp;lt;tag</p>' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 2 THEN '<p>&Eacute;clair &eacute;clair &mdash; yes&hellip; &copy; 2020 &frac12; price &unknown; stays hy&shy;phen&nbsp;&euro;5 &amp;lt;tag &alpha;&beta;&Omega; a&rarr;b x&ne;y n&le;m &sum;&infin; &hearts;&spades;</p>' ELSE '' END
         |  || '<!-- hidden comment --></body></html>' AS html FROM documents),
         |c1 AS (SELECT doc_id, html, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS s FROM synth),
         |c2 AS (SELECT doc_id, html, regexp_replace(s, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM c1),
@@ -3620,6 +3624,17 @@ object PipelineQueries {
       (s, d) => {
         val did = col("doc_id")
         val groups = math.max(Tables.documents(s, d).count() / 20L, 1L)
+        // the per-group body is SIX md5 tokens, not one: simhash is a
+        // per-token majority vote, so a 6-token shared preamble with a
+        // 1-token body left every group's hash near-identical and the
+        // pigeonhole buckets corpus-wide (the first cut measured 81x at
+        // 10x — quadratic bucket density, the q188 fixed-modulus class);
+        // six body tokens out-vote the preamble on most bits, so
+        // buckets stay group-local and the sweep measures the engine,
+        // not the fixture. Explicit \u escapes (the q188 rule).
+        val g = (did % groups).cast("string")
+        val body = concat_ws(" ", (0 until 6).map(i =>
+          md5(concat(g, lit(s"-$i")))): _*)
         val synth = Tables.documents(s, d).select(did,
           concat(
             when(did % 3 === 0, lit("s\u00e9ance d\u00e9j\u00e0 " +
@@ -3628,18 +3643,19 @@ object PipelineQueries {
                 "cafe\u0301 cre\u0300me bru\u0302le\u0301e tre\u0300s "))
               .otherwise(lit("SE\u0301ANCE DE\u0301JA\u0300 CAFE\u0301 " +
                 "CRE\u0300ME BRU\u0302LE\u0301E TRE\u0300S ")),
-            md5((did % groups).cast("string"))).as("text"))
+            body).as("text"))
         Dedup.simhashPairsBucketed(synth, "doc_id", "text",
             maxHamming = 2, keyForm = "folded")
           .orderBy(col("ham").asc, col("a").asc, col("b").asc)
           .limit(20)
       },
-      Some("""WITH synth AS (SELECT doc_id,
+      Some("""WITH gcnt AS (SELECT greatest(count(*) // 20, 1) AS g FROM documents),
+        |synth AS (SELECT doc_id,
         |  (CASE WHEN doc_id % 3 = 0 THEN 's'||chr(233)||'ance d'||chr(233)||'j'||chr(224)||' caf'||chr(233)||' cr'||chr(232)||'me br'||chr(251)||'l'||chr(233)||'e tr'||chr(232)||'s '
         |        WHEN doc_id % 3 = 1 THEN 'se'||chr(769)||'ance de'||chr(769)||'ja'||chr(768)||' cafe'||chr(769)||' cre'||chr(768)||'me bru'||chr(770)||'le'||chr(769)||'e tre'||chr(768)||'s '
         |        ELSE 'SE'||chr(769)||'ANCE DE'||chr(769)||'JA'||chr(768)||' CAFE'||chr(769)||' CRE'||chr(768)||'ME BRU'||chr(770)||'LE'||chr(769)||'E TRE'||chr(768)||'S ' END)
-        |  || md5(CAST(doc_id % (SELECT greatest(count(*) // 20, 1) FROM documents) AS VARCHAR)) AS text
-        |  FROM documents),
+        |  || array_to_string(list_transform(range(0, 6), i -> md5(CAST(doc_id % gcnt.g AS VARCHAR) || '-' || CAST(i AS VARCHAR))), ' ') AS text
+        |  FROM documents, gcnt),
         |hv AS (SELECT doc_id, list_transform(
         |  regexp_split_to_array(trim(lower(strip_accents(nfc_normalize(text)))), '\s+'),
         |  t -> CAST('0x'||substr(md5(t),18,15) AS BIGINT)) AS hv FROM synth),

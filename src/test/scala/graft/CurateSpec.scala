@@ -184,29 +184,37 @@ class CurateSpec extends SparkSpec {
     assert(ex.getMessage.contains("not both"), ex.getMessage)
   }
 
-  test("domainCapFromUrl: junk-domain rows (malformed URL → empty or " +
-      "dot-less derived key) are exempt from the cap, not lumped into " +
-      "one capped bucket") {
+  test("domainCapFromUrl: junk-domain rows (malformed URL → EMPTY " +
+      "derived key) are exempt from the cap, not lumped into one " +
+      "capped bucket — while a single-label host stays capped as its " +
+      "own bucket") {
     // three real docs on ONE domain (cap 2 drops the shortest) plus
     // three docs with fine text and junk URL metadata — under the old
     // policy all three junk rows shared the single '' domain and the
-    // cap silently dropped one (ADVICE r12); now they pass through
+    // cap silently dropped one (ADVICE r12); now they pass through.
+    // Three more docs on a SINGLE-LABEL host (dot-less but non-empty
+    // key): a real host, so the crawl-skew cap must bind (ADVICE r13 —
+    // the r13 dot-less exemption let such a host flood uncapped)
     val docs = Seq(
       (1L, "capped site doc one padding", Some("https://site.com/a")),
       (2L, "capped site doc two more padding", Some("https://site.com/b")),
       (3L, "capped site doc three even more padding", Some("https://site.com/c")),
       (4L, "fine text junk url", Some("not a url at all")),
       (5L, "fine text other junk", Some("also::junk")),
-      (6L, "fine text null url", None))
+      (6L, "fine text null url", None),
+      (7L, "intranet doc one padding", Some("https://localhost/a")),
+      (8L, "intranet doc two more padding", Some("https://localhost/b")),
+      (9L, "intranet doc three even more padding", Some("https://localhost/c")))
       .toDF("doc_id", "text", "url")
     val cfg = Curate.Config(exactDedup = false,
       domainCapFromUrl = Some(("url", 2)))
     val got = Curate.run(docs, "doc_id", "text", cfg)
       .select("doc_id").as[Long].collect().toSet
-    assert(got === Set(2L, 3L, 4L, 5L, 6L), got.toString)
+    assert(got === Set(2L, 3L, 4L, 5L, 6L, 8L, 9L), got.toString)
     val fates = Curate.explain(docs, "doc_id", "text", cfg)
       .as[(Long, String)].collect().toMap
     assert(fates(1L) === "domain_capped")
+    assert(fates(7L) === "domain_capped", fates.toString)
     assert(Seq(4L, 5L, 6L).forall(fates(_) === "kept"), fates.toString)
   }
 

@@ -88,6 +88,30 @@ class MarkupSpec extends SparkSpec {
     assert(strip("&amp;eacute;") === "&eacute;")
   }
 
+  test("stripHtml: the r14 WHATWG-tail names — Greek, arrows, math " +
+      "operators, delimiters, card suits — decode case-sensitively") {
+    // Greek, case-sensitive three ways: Σ vs σ vs final-form ς
+    assert(strip("&Sigma;&sigma;&sigmaf;") === "Σσς")
+    assert(strip("&alpha;&beta;&gamma; &Omega;") === "αβγ Ω")
+    // arrows, both case forms (&rarr; → vs &rArr; ⇒)
+    assert(strip("a &rarr; b &rArr; c &harr; d") === "a → b ⇒ c ↔ d")
+    // math operators
+    assert(strip("x &ne; y, n &le; m &and; p &ge; q") === "x ≠ y, n ≤ m ∧ p ≥ q")
+    assert(strip("&sum; &prod; &int; &infin; &radic;2 &asymp; 1.414") ===
+      "∑ ∏ ∫ ∞ √2 ≈ 1.414")
+    assert(strip("A &sub; B &isin; C &empty; &forall;x &exist;y") ===
+      "A ⊂ B ∈ C ∅ ∀x ∃y")
+    // technical delimiters + suits + letterlike
+    // &lang;/&rang; are U+2329/U+232A (HTML4's angle brackets), which
+    // render identically to the CJK U+3008/U+3009 — escape them
+    assert(strip("&lceil;x&rceil; &lang;k,v&rang; &hearts;&spades;") ===
+      "⌈x⌉ 〈k,v〉 ♥♠")
+    assert(strip("&real;(z) &image;(z) &weierp; &alefsym;") === "ℜ(z) ℑ(z) ℘ ℵ")
+    // short operator names stay case-sensitive lookups, not prefixes:
+    // &pi; decodes, &Pi; decodes differently, &PI; is unknown-verbatim
+    assert(strip("&pi; &Pi; &PI;") === "π Π &PI;")
+  }
+
   test("markupStats: exact-integer density signals") {
     val html = "<html><body><a href=\"/\">x</a><A HREF=\"/y\">y</A>" +
       "<p>ten chars.</p></body></html>"
