@@ -80,7 +80,10 @@ object ScaleBench {
     // round-14 additions: the fold ladder's last rungs (simhash /
     // span scrub / PPJoin under the folded key)
     "q194_folded_simhash", "q195_folded_span_scrub",
-    "q196_folded_ppjoin")
+    "q196_folded_ppjoin",
+    // round-15 addition: the fold ladder's final rung (fixed-k chunks
+    // under the per-token folded key)
+    "q197_folded_chunk_dedup")
     // q185_sketch_accuracy is DELIBERATELY not swept: it is the one-time
     // evidence audit that recomputes BOTH q181 and q184 (each swept
     // individually above) just to difference them — sweeping it would

@@ -181,10 +181,16 @@ object DecodeNamedEntitiesUtil {
     java.util.regex.Pattern.compile("&([a-zA-Z][a-zA-Z0-9]{1,31});")
 
   def decode(input: UTF8String): UTF8String = {
-    val s = input.toString
-    if (s.indexOf('&') < 0) return input
+    val s0 = input.toString
+    // U+0001 stripped before scanning on BOTH engines (r15) — see
+    // [[DecodeNumericEntitiesUtil.decode]]; makes [[duckSql]] total.
+    val hadSentinel = s0.indexOf('\u0001') >= 0
+    val s = if (hadSentinel) s0.replace("\u0001", "") else s0
+    def passThrough: UTF8String =
+      if (hadSentinel) UTF8String.fromString(s) else input
+    if (s.indexOf('&') < 0) return passThrough
     val m = Candidate.matcher(s)
-    if (!m.find()) return input
+    if (!m.find()) return passThrough
     val sb = new java.lang.StringBuilder(s.length)
     var last = 0
     do {
@@ -205,21 +211,18 @@ object DecodeNamedEntitiesUtil {
     * branch — never a quoted literal, so no SQL-escaping edge), with
     * unknown names re-emitted verbatim. Output never re-scanned.
     *
-    * SENTINEL CONTRACT (ADVICE r13): input containing a literal U+0001
-    * corrupts ONLY the oracle side (the sentinel split sees extra
-    * slots) — the JVM pass is sentinel-free, so the result is a
-    * spurious engine/oracle mismatch, never a wrong engine answer. The
-    * q182/q183 corpora that consume this twin are synthesized in-plan
-    * and control-character-free by construction (the same contract the
-    * numeric twin carries); a caller pointing it at arbitrary bytes
-    * must pre-strip U+0001 on BOTH sides or accept the mismatch class.
+    * TOTAL over arbitrary bytes (r15): both engines strip U+0001 —
+    * the split sentinel, a forbidden HTML text character — before
+    * scanning (`replace(c, chr(1), '')` here, the same strip in
+    * [[decode]]), so no input can corrupt the sentinel split.
     */
   def duckSql(c: String): String = {
     val cases = Entities.map { case (n, cp) =>
       if (cp < 0) s"WHEN x = '$n' THEN ''"
       else s"WHEN x = '$n' THEN chr($cp)"
     }.mkString(" ")
-    "list_aggregate(list_transform(str_split(regexp_replace(" + c +
+    "list_aggregate(list_transform(str_split(regexp_replace(" +
+      s"replace($c, chr(1), '')" +
       ", '&([a-zA-Z][a-zA-Z0-9]{1,31});', chr(1) || '" + "\\1" +
       "' || chr(1), 'g'), chr(1)), (x, i) -> CASE WHEN i % 2 = 1 THEN x " +
       cases + " ELSE '&' || x || ';' END), 'string_agg', '')"

@@ -97,11 +97,21 @@ object DecodeNumericEntitiesUtil {
   }
 
   def decode(input: UTF8String): UTF8String = {
-    val s = input.toString
+    val s0 = input.toString
+    // U+0001 is stripped BEFORE scanning (r15): it is a forbidden HTML
+    // text character (the WHATWG control-character parse-error class),
+    // and it doubles as the DuckDB twin's split sentinel — stripping it
+    // on BOTH engines (the twin wraps its input in replace(c, chr(1),
+    // '')) makes the sentinel-split oracle total over arbitrary bytes
+    // instead of a documented spurious-mismatch class.
+    val hadSentinel = s0.indexOf('\u0001') >= 0
+    val s = if (hadSentinel) s0.replace("\u0001", "") else s0
+    def passThrough: UTF8String =
+      if (hadSentinel) UTF8String.fromString(s) else input
     // fast path: no '&' at all (most prose after tag stripping)
-    if (s.indexOf('&') < 0) return input
+    if (s.indexOf('&') < 0) return passThrough
     val m = Candidate.matcher(s)
-    if (!m.find()) return input
+    if (!m.find()) return passThrough
     val sb = new java.lang.StringBuilder(s.length)
     var last = 0
     do {

@@ -121,14 +121,12 @@ object Dedup {
     * clean_text rather than vanishing).
     */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String, k: Int,
-      maxDocFreq: Int = 1): DataFrame = {
+      maxDocFreq: Int = 1, keyForm: String = "raw"): DataFrame = {
     val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
     val base = toks.select(col(idCol),
       greatest(((size(col("toks")) + (k - 1)) / k).cast("long"), lit(1L))
         .as("n_chunks"))
-    val chunks = toks
-      .select(col(idCol), posexplode(chunksOfTokens(col("toks"), k)).as(Seq("pos", "chunk")))
-      .withColumn("ch", md5Low60(col("chunk")))
+    val chunks = chunkExplode(toks, idCol, k, keyForm)
     val hot = chunks.groupBy(col("ch"))
       .agg(countDistinct(col(idCol)).as("dfreq"))
       .where(col("dfreq") > maxDocFreq)
@@ -143,6 +141,36 @@ object Dedup {
       .select(col(idCol), col("n_chunks"),
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** (pos, chunk, ch) rows for the fixed-k chunk family: `ch` hashes
+    * the `keyForm`-folded chunk (per-token fold, [[cdcTokenKey]] — the
+    * [[cdcKeyedChunks]] key-vs-output discipline at fixed-k
+    * granularity; fold preserves token arity so the keyed slices align
+    * with the original slices position for position) while `chunk`
+    * keeps the ORIGINAL tokens for the rebuild. "raw" takes the
+    * historical single-array plan (zero plan change — the
+    * cdcChunkDedup r14 rule). The folded array is projected as an
+    * ATTRIBUTE before slicing (chunksOfTokens slices inside a
+    * per-chunk lambda — an inline fold would re-run the whole
+    * per-token fold once per chunk position, the ngramsOfTokens trap).
+    */
+  private def chunkExplode(toks: DataFrame, idCol: String, k: Int,
+      keyForm: String): DataFrame = {
+    if (keyForm == "raw")
+      toks.select(col(idCol),
+          posexplode(chunksOfTokens(col("toks"), k)).as(Seq("pos", "chunk")))
+        .withColumn("ch", md5Low60(col("chunk")))
+    else
+      toks.select(col(idCol), col("toks"),
+          cdcKeyToks(col("toks"), keyForm).as("ktoks"))
+        .select(col(idCol), posexplode(arrays_zip(
+          chunksOfTokens(col("toks"), k).as("c"),
+          chunksOfTokens(col("ktoks"), k).as("kc")))
+          .as(Seq("pos", "zc")))
+        .select(col(idCol), col("pos"),
+          col("zc").getField("c").as("chunk"),
+          md5Low60(col("zc").getField("kc")).as("ch"))
   }
 
   /** LINE-level exact dedup — the RefinedWeb / MassiveText boilerplate
@@ -303,7 +331,7 @@ object Dedup {
     * n_dropped, clean_text) — [[chunkDedup]]'s contract.
     */
   def chunkDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
-      k: Int, posCap: Long = 1L << 20): DataFrame = {
+      k: Int, posCap: Long = 1L << 20, keyForm: String = "raw"): DataFrame = {
     require(k >= 1, s"chunkDedupKeepFirst: k $k must be >= 1")
     require(posCap >= 2, s"chunkDedupKeepFirst: posCap $posCap must be >= 2")
     val toks = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
@@ -311,9 +339,7 @@ object Dedup {
       greatest(((size(col("toks")) + (k - 1)) / k).cast("long"), lit(1L))
         .as("n_chunks"))
     val idL = col(idCol).cast("long")
-    val chunks = toks
-      .select(col(idCol), posexplode(chunksOfTokens(col("toks"), k)).as(Seq("pos", "chunk")))
-      .withColumn("ch", md5Low60(col("chunk")))
+    val chunks = chunkExplode(toks, idCol, k, keyForm)
       .withColumn("occ",
         when(col("pos") < lit(posCap) && idL >= 0 &&
             idL < lit(Long.MaxValue / posCap),
@@ -632,9 +658,19 @@ object Dedup {
       n: Int, posCap: Long, sep: String, opName: String,
       keyForm: String = "raw"): DataFrame = {
     val idL = col(idCol).cast("long")
-    val grams = units
+    // Project the folded units as an ATTRIBUTE before gram building:
+    // overlappingGrams references its array inside a per-element lambda,
+    // so an inline fold would re-run the NFC+strip+lower pipeline once
+    // per gram position — O(L^2) per doc (the ngramsOfTokens trap,
+    // TextFunctions.scala; same shape as [[dupSpanIndex]]). "raw" keeps
+    // the historical single-select plan untouched.
+    val gramSrc =
+      if (keyForm == "raw") units
+      else units.select(col(idCol),
+        cdcKeyToks(col("units"), keyForm).as("units"))
+    val grams = gramSrc
       .select(col(idCol),
-        posexplode(overlappingGrams(cdcKeyToks(col("units"), keyForm), n))
+        posexplode(overlappingGrams(col("units"), n))
           .as(Seq("pos", "gram")))
       .withColumn("gh", md5Low60(col("gram")))
       .withColumn("occ",
@@ -772,7 +808,8 @@ object Dedup {
     */
   private def loadLongIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, magic: Int, file: String, what: String,
-      defaultForm: String): (Int, String, Array[Long]) = {
+      defaultForm: String,
+      assumeForm: Option[String] = None): (Int, String, Array[Long]) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
@@ -781,8 +818,8 @@ object Dedup {
       s"no complete $what artifact at $dir (missing _SUCCESS)")
     val mtime = fs.getFileStatus(marker).getModificationTime
     val key = s"$magic:$dir"
-    spanIndexCache.get(key) match {
-      case Some((m, v)) if m == mtime => v
+    val v = spanIndexCache.get(key) match {
+      case Some((m, cached)) if m == mtime => cached
       case _ =>
         val in = new java.io.DataInputStream(
           fs.open(new org.apache.hadoop.fs.Path(p, file)))
@@ -799,7 +836,9 @@ object Dedup {
         // pre-r14 artifacts have no sidecar and load as the key form
         // their builder defaulted to at the time (the SigMeta
         // missing-field rule: absence means "what the old code did",
-        // never "whatever the caller says")
+        // never "whatever the caller says") — UNLESS the caller asserts
+        // the build form (assumeForm, the loadLineIndex r15 escape
+        // hatch for pre-r14 line artifacts built non-default)
         val metaPath = new org.apache.hadoop.fs.Path(p, "index_meta.json")
         val form = if (fs.exists(metaPath)) {
           val src = scala.io.Source.fromInputStream(fs.open(metaPath), "UTF-8")
@@ -808,12 +847,22 @@ object Dedup {
             .map(_.group(1))
             .getOrElse(throw new IllegalArgumentException(
               s"$dir/index_meta.json has no keyForm field"))
-        } else defaultForm
+        } else assumeForm.getOrElse(defaultForm)
         textKeyFor(form, lit("")) // fail-loud on a corrupt form, pre-use
-        val v = (meta, form, arr)
-        spanIndexCache.put(key, (mtime, v))
-        v
+        val fresh = (meta, form, arr)
+        spanIndexCache.put(key, (mtime, fresh))
+        fresh
     }
+    // a caller ASSERTING the build form must agree with the resolved one
+    // (sidecar, a prior caller's assertion now cached, or the default) —
+    // a disagreement means the caller's config drifted from the
+    // artifact, the silent-miss class the sidecar exists to kill. The
+    // check sits OUTSIDE the mtime cache so a cache hit cannot skip it.
+    assumeForm.filter(_ != v._2).foreach(a =>
+      throw new IllegalArgumentException(
+        s"$dir resolves to keyForm '${v._2}' but the caller asserted " +
+          s"'$a' — rebuild the artifact or fix the caller"))
+    v
   }
 
   /** Load a persisted span index: (n, keyForm, sorted hashes). Fails
@@ -843,14 +892,26 @@ object Dedup {
   }
 
   /** Load a persisted line index: (minDocs, keyForm, sorted hashes).
-    * Same fail-loud + mtime-cache contract as [[loadSpanIndex]]. A
-    * pre-r14 artifact (no sidecar) loads as "byte" — the historical
-    * [[lineDedupIndex]] default.
+    * Same fail-loud + mtime-cache contract as [[loadSpanIndex]].
+    *
+    * CAVEAT (r15, unlike span/cdc): sidecar ABSENCE does NOT uniquely
+    * determine a line index's build form — [[lineDedupIndex]] accepted
+    * `keyForm` (byte/canonical/folded) BEFORE the r14 sidecar existed,
+    * so a pre-r14 artifact built non-byte is indistinguishable from a
+    * byte one. Absent a sidecar this loads as "byte" (the builder
+    * default — right for the overwhelmingly common case); a caller who
+    * KNOWS the pre-r14 build form must assert it via `assumeForm`
+    * (`Some("folded")` etc.), which also cross-checks against the
+    * RESOLVED form — the sidecar when one exists, or a prior caller's
+    * cached resolution — and fails loud on disagreement. The
+    * durable fix is re-saving the artifact once with the current
+    * [[saveLineIndex]], which writes the sidecar.
     */
   def loadLineIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, String, Array[Long]) =
+      dir: String,
+      assumeForm: Option[String] = None): (Int, String, Array[Long]) =
     loadLongIndex(spark, dir, LineIndexMagic, "line_index.bin", "line-index",
-      defaultForm = "byte")
+      defaultForm = "byte", assumeForm = assumeForm)
 
   private val CdcIndexMagic = 0x43444349 // "CDCI"
 
@@ -928,14 +989,20 @@ object Dedup {
     require(index.nonEmpty, "dupSpanScrubInline: empty index")
     import graft.functions.expressions.TextHashExpressions
     val keep = keepCols.map(col)
-    val toksDf = df.select(
+    val toksDf0 = df.select(
       col(idCol) +: wsTokens(col(textCol)).as("toks") +: keep: _*)
     // keyForm must match the index build's ([[dupSpanIndex]]) — probe
     // hashes fold per token (arity preserved), the rebuild below keeps
-    // the ORIGINAL tokens at the hit positions' complement
-    val hashes = transform(
-      overlappingGrams(cdcKeyToks(col("toks"), keyForm), n),
-      g => md5Low60(g))
+    // the ORIGINAL tokens at the hit positions' complement. The folded
+    // array is projected as an attribute FIRST (overlappingGrams
+    // references it per gram position — an inline fold re-evaluates
+    // O(L^2) per doc, the ngramsOfTokens trap); "raw" keeps the
+    // historical plan with no extra projection.
+    val (toksDf, gramToks) =
+      if (keyForm == "raw") (toksDf0, col("toks"))
+      else (toksDf0.withColumn("__ktoks", cdcKeyToks(col("toks"), keyForm)),
+        col("__ktoks"))
+    val hashes = transform(overlappingGrams(gramToks, n), g => md5Low60(g))
     // ascending hit positions (PositionsInSortedSet contract) fold to
     // (island count, union-covered size, running max end): p > me opens
     // an island (p == me touches the covered run — q153's merge rule);
@@ -1805,9 +1872,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, persistIntermediates: Boolean = true,
-      maxDocFreq: Option[Int] = None): DataFrame =
+      maxDocFreq: Option[Int] = None, keyForm: String = "raw"): DataFrame =
     ngramJaccardPairsImpl(df, idCol, textCol, n, persistIntermediates,
-      maxDocFreq)._1
+      maxDocFreq, keyForm)._1
 
   /** [[ngramJaccardPairs]] with OWNED cache lifetime — see
     * [[withMinhashPairs]].
@@ -1833,8 +1900,12 @@ object Dedup {
 
   private def ngramJaccardPairsImpl(df: DataFrame, idCol: String, textCol: String,
       n: Int, persistIntermediates: Boolean,
-      maxDocFreq: Option[Int]): (DataFrame, Seq[DataFrame]) = {
-    val g0 = df.select(col(idCol), wsTokens(col(textCol)).as("toks"))
+      maxDocFreq: Option[Int],
+      keyForm: String = "raw"): (DataFrame, Seq[DataFrame]) = {
+    // keyForm folds the text BEFORE tokenizing (the jaccardPairsPrefix
+    // r14 grain: no rebuild, whole-text fold)
+    val g0 = df.select(col(idCol),
+      wsTokens(textKeyFor(keyForm, col(textCol))).as("toks"))
       .select(col(idCol), ngramsOfTokens(col("toks"), n).as("grams"))
       .withColumn("sz", size(col("grams")))
     // persisted by default: the regex tokenize + shingle pipeline feeds
@@ -2426,12 +2497,17 @@ object Dedup {
     * candidate to two collected gram-hash sets, the q98 shape. F1 is one
     * exact division of exact Long counts — portable. Output:
     * (a, b, inter, f1).
+    *
+    * BATCH-ONLY EAGER: the candidate list materializes at call time
+    * ([[winnowCandidates]]); pass `checkpointDir` on a real cluster so
+    * the materialized candidates survive executor loss.
     */
   def winnowF1Pairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, maxDocFreq: Int = 20,
-      minShared: Long = 2L, keyForm: String = "raw"): DataFrame = {
+      minShared: Long = 2L, keyForm: String = "raw",
+      checkpointDir: Option[String] = None): DataFrame = {
     val cand = winnowCandidates(df, idCol, textCol, k, w, maxDocFreq,
-      minShared, keyForm)
+      minShared, keyForm, checkpointDir)
     val sets = candidateShingleSets(df, idCol, textCol, cand, k, keyForm)
     cand
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
@@ -2445,19 +2521,29 @@ object Dedup {
 
   /** The winnow-candidate pair list shared by the verify-stage callers
     * ([[winnowF1Pairs]], [[containmentPairs]]): overlap pairs at
-    * `n_shared >= minShared`, MATERIALIZED (eager localCheckpoint) —
-    * the list is duplication-bounded, and both downstream legs (the
-    * candidate-doc semi-join and the verification join) read it, so
-    * without the checkpoint the whole fingerprint pipeline would run
-    * once per leg.
+    * `n_shared >= minShared`, MATERIALIZED eagerly — the list is
+    * duplication-bounded, and both downstream legs (the candidate-doc
+    * semi-join and the verification join) read it, so without the
+    * checkpoint the whole fingerprint pipeline would run once per leg.
+    *
+    * Materialization is [[Graph.materialize]] (r15): `checkpointDir`
+    * routes to a RELIABLE `checkpoint` whose blocks live on the shared
+    * filesystem and survive executor decommission — the cluster
+    * contract; `None` keeps the local default (`localCheckpoint` —
+    * executor-storage blocks, zero fs round-trip, lost with a lost
+    * executor, which on `local[n]` means lost with the JVM). Either way
+    * the eager cut makes the verify entry points BATCH-ONLY EAGER
+    * operators: they run the fingerprint job at call time, so they are
+    * not lazy plan builders and cannot be applied to streaming frames.
     */
   private def winnowCandidates(df: DataFrame, idCol: String,
       textCol: String, k: Int, w: Int, maxDocFreq: Int, minShared: Long,
-      keyForm: String): DataFrame =
-    winnowOverlapPairs(df, idCol, textCol, k, w, maxDocFreq, keyForm)
-      .where(col("n_shared") >= minShared)
-      .select("a", "b")
-      .localCheckpoint(true)
+      keyForm: String, checkpointDir: Option[String]): DataFrame =
+    Graph.materialize(
+      winnowOverlapPairs(df, idCol, textCol, k, w, maxDocFreq, keyForm)
+        .where(col("n_shared") >= minShared)
+        .select("a", "b"),
+      checkpointDir)
 
   /** Exact char-k-gram shingle sets for CANDIDATE DOCS ONLY — the r14
     * verify-leg fix (VERDICT r13 #2): the pre-r14 form built the
@@ -2534,13 +2620,18 @@ object Dedup {
     * Candidates come from the capped fingerprint join (never all
     * pairs); both directions reuse ONE verification join. Output:
     * (src, dst, inter, n_src, containment).
+    *
+    * BATCH-ONLY EAGER: the candidate list materializes at call time
+    * ([[winnowCandidates]]); pass `checkpointDir` on a real cluster so
+    * the materialized candidates survive executor loss.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, maxDocFreq: Int = 20,
       minShared: Long = 2L, minMille: Long = 500L,
-      keyForm: String = "raw"): DataFrame = {
+      keyForm: String = "raw",
+      checkpointDir: Option[String] = None): DataFrame = {
     val cand = winnowCandidates(df, idCol, textCol, k, w, maxDocFreq,
-      minShared, keyForm)
+      minShared, keyForm, checkpointDir)
     // candidate-docs-only verify sets (the winnowF1Pairs r14 shape);
     // keyForm folds candidates AND verify sets identically (r14 — this
     // entry point was the one winnow verifier still raw-only)

@@ -38,8 +38,10 @@ object Graph {
     * blocks live on the shared filesystem, survive executor loss, and the
     * plan holds no lineage to re-run), `localCheckpoint` otherwise (the
     * right local/dev tool: executor-storage blocks, zero fs round-trip).
+    * Shared with [[Dedup]]'s winnow-verify candidate materialization
+    * (r15) — same local-vs-cluster contract there.
     */
-  private def materialize(df: DataFrame,
+  private[operators] def materialize(df: DataFrame,
       checkpointDir: Option[String]): DataFrame = checkpointDir match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext

@@ -3786,7 +3786,71 @@ object PipelineQueries {
         |  FROM s x JOIN s y ON x.doc_id < y.doc_id)
         |SELECT a, b, CAST(inter AS DOUBLE) / (sa + sb - inter) AS jac
         |FROM p WHERE inter * 5 >= 4 * (sa + sb - inter)
-        |ORDER BY jac DESC, a ASC, b ASC LIMIT 20""".stripMargin))
+        |ORDER BY jac DESC, a ASC, b ASC LIMIT 20""".stripMargin)),
+
+    // Fold-aware FIXED-K CHUNK dedup (r15, VERDICT r14 #1 — the last
+    // raw-only rung): q52's delete-everywhere chunk machine with chunk
+    // KEYS hashed over the per-token-folded stream (Dedup.cdcTokenKey;
+    // fold preserves token arity, so the keyed k-slices align with the
+    // original slices position for position) while clean_text keeps
+    // each doc's own bytes. Groups of exactly THREE docs (doc_id div 3)
+    // each carry ONE rendition — NFC / NFD combining marks / uppercase
+    // NFD — of a group-parameterized 8-token passage at chunk 0, so the
+    // folded chunk key appears in 3 distinct docs (hot, cut everywhere)
+    // while every RAW rendition appears exactly once per group (kept) —
+    // the fold is load-bearing in the OUTPUT, not just the key bytes;
+    // did%7=3 rows are short clean controls. The oracle replays fold →
+    // aligned k-slices → folded-key hotness → original-chunk rebuild.
+    QueryDef("q197_folded_chunk_dedup",
+      (s, d) => {
+        val did = col("doc_id")
+        val g = expr("CAST(doc_id div 3 AS STRING)")
+        // explicit \u escapes (the q188 rule): NFC \u00e9 / NFD
+        // e+U+0301 / uppercase NFD E+U+0301 — byte-different,
+        // fold-identical
+        def tok(i: Int): org.apache.spark.sql.Column =
+          when(did % 3 === 0, concat(lit("caf\u00e9"), g, lit(s"x$i")))
+            .when(did % 3 === 1, concat(lit("cafe\u0301"), g, lit(s"x$i")))
+            .otherwise(concat(lit("CAFE\u0301"), g, lit(s"X$i")))
+        val passage = concat_ws(" ", (0 until 8).map(tok): _*)
+        val synth = Tables.documents(s, d).select(did,
+          when(did % 7 === 3,
+            concat(lit("clean only here now c"), did.cast("string")))
+            .otherwise(concat(passage, lit(" u"), did.cast("string")))
+            .as("text"))
+        Dedup.chunkDedup(synth, "doc_id", "text", k = 8,
+            keyForm = "folded")
+          .where(col("doc_id") < 500)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH synth AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN 'clean only here now c' || CAST(doc_id AS VARCHAR)
+        |  ELSE array_to_string(list_transform(range(0, 8), i ->
+        |    CASE WHEN doc_id % 3 = 0 THEN 'caf'||chr(233)||CAST(doc_id // 3 AS VARCHAR)||'x'||CAST(i AS VARCHAR)
+        |         WHEN doc_id % 3 = 1 THEN 'cafe'||chr(769)||CAST(doc_id // 3 AS VARCHAR)||'x'||CAST(i AS VARCHAR)
+        |         ELSE 'CAFE'||chr(769)||CAST(doc_id // 3 AS VARCHAR)||'X'||CAST(i AS VARCHAR) END), ' ')
+        |    || ' u' || CAST(doc_id AS VARCHAR) END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM synth),
+        |kt AS (SELECT doc_id, toks, list_transform(toks,
+        |  x -> regexp_replace(lower(strip_accents(nfc_normalize(x))), '\s+', '', 'g')) AS ktoks FROM t),
+        |c AS (SELECT doc_id,
+        |  list_transform(range(0, greatest(CAST(ceil(length(toks)/8.0) AS BIGINT), 1)),
+        |    i -> array_to_string(list_slice(toks, CAST(i*8+1 AS INT), CAST(i*8+8 AS INT)), ' ')) AS chunks,
+        |  list_transform(range(0, greatest(CAST(ceil(length(ktoks)/8.0) AS BIGINT), 1)),
+        |    i -> array_to_string(list_slice(ktoks, CAST(i*8+1 AS INT), CAST(i*8+8 AS INT)), ' ')) AS kchunks FROM kt),
+        |e AS (SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS pos,
+        |  unnest(chunks) AS chunk, unnest(kchunks) AS kchunk FROM c),
+        |h AS (SELECT doc_id, pos, chunk, CAST('0x'||substr(md5(kchunk),18,15) AS BIGINT) AS ch FROM e),
+        |hot AS (SELECT ch FROM h GROUP BY ch HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (SELECT * FROM h WHERE ch NOT IN (SELECT ch FROM hot)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(length(c.chunks) AS BIGINT) AS n_chunks,
+        |  CAST(length(c.chunks) AS BIGINT) - coalesce(a.n_kept, 0) AS n_dropped,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM c LEFT JOIN agg a USING (doc_id)
+        |WHERE c.doc_id < 500
+        |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of [[graft.functions.expressions.DecodeNumericEntities]]
@@ -3813,7 +3877,10 @@ object PipelineQueries {
     // [xX]? + the two LIKEs: both hex-marker cases decode (r13 \u2014 the
     // HTML spec's case-insensitive marker; `lower(substr(x, 2))` above
     // already case-folds the digits)
-    "list_aggregate(list_transform(str_split(regexp_replace(" + c +
+    // replace(c, chr(1), ''): both engines strip the sentinel before
+    // scanning (r15) — the twin is total over arbitrary bytes
+    "list_aggregate(list_transform(str_split(regexp_replace(" +
+      s"replace($c, chr(1), '')" +
       ", '&#([xX]?[0-9a-fA-F]{1,6});', chr(1) || '" + "\\1" + "' || chr(1), 'g'), chr(1)), " +
       "(x, i) -> CASE WHEN i % 2 = 1 THEN x " +
       "WHEN regexp_matches(x, '^[0-9]{1,6}$') THEN " +

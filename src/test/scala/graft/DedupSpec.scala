@@ -292,6 +292,69 @@ class DedupSpec extends SparkSpec {
       aC.toSeq === cdcIdx.toSeq)
   }
 
+  test("chunkDedup keyForm=folded: aligned NFC/NFD boilerplate chunks " +
+      "collide on the folded key; clean_text keeps original bytes (r14)") {
+    val passage = (0 until 8).map(i => s"caf\u00e9$i").mkString(" ")
+    val passageNfd = java.text.Normalizer.normalize(passage,
+      java.text.Normalizer.Form.NFD)
+    // k = 4 and the passage starts at pos 0 in both docs, so its two
+    // fixed-k chunks are position-ALIGNED — the fixed-k family's
+    // requirement (unaligned offsets are the CDC family's job)
+    val df = Seq(
+      (1L, passage + " tail1a tail1b tail1c tail1d"),
+      (2L, passageNfd + " tail2a tail2b tail2c tail2d"),
+      (3L, "other3a other3b other3c other3d other3e other3f other3g other3h"))
+      .toDF("id", "text")
+    val folded = Dedup.chunkDedup(df, "id", "text", k = 4, maxDocFreq = 1,
+        keyForm = "folded")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(folded(1L) === ((2L, "tail1a tail1b tail1c tail1d")), folded.toString)
+    assert(folded(2L) === ((2L, "tail2a tail2b tail2c tail2d")), folded.toString)
+    assert(folded(3L)._1 === 0L, folded.toString)
+    val raw = Dedup.chunkDedup(df, "id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw === Map(1L -> 0L, 2L -> 0L, 3L -> 0L), raw.toString)
+  }
+
+  test("chunkDedupKeepFirst keyForm=folded: the NFD copy is cut, the " +
+      "NFC first occurrence survives with its own bytes (r14)") {
+    val passage = (0 until 4).map(i => s"th\u00e9me$i").mkString(" ")
+    val passageNfd = java.text.Normalizer.normalize(passage,
+      java.text.Normalizer.Form.NFD)
+    val df = Seq(
+      (1L, passage + " u1a u1b u1c u1d"),
+      (2L, passageNfd + " u2a u2b u2c u2d"))
+      .toDF("id", "text")
+    val folded = Dedup.chunkDedupKeepFirst(df, "id", "text", k = 4,
+        keyForm = "folded")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(folded(1L)._1 === 0L, folded.toString)
+    assert(folded(1L)._2 startsWith "th\u00e9me0", folded.toString)
+    assert(folded(2L) === ((1L, "u2a u2b u2c u2d")), folded.toString)
+    val raw = Dedup.chunkDedupKeepFirst(df, "id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw === Map(1L -> 0L, 2L -> 0L), raw.toString)
+  }
+
+  test("ngramJaccardPairs keyForm=folded: NFC/NFD copies score jac 1.0 " +
+      "where raw shares no gram (r14)") {
+    val nfc = "s\u00e9ance d\u00e9j\u00e0 caf\u00e9 cr\u00e8me " +
+      "br\u00fbl\u00e9e tr\u00e8s pr\u00e8s voil\u00e0"
+    val nfd = java.text.Normalizer.normalize(nfc,
+      java.text.Normalizer.Form.NFD)
+    val df = Seq((1L, nfc), (2L, nfd)).toDF("doc_id", "text")
+    val folded = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+        persistIntermediates = false, keyForm = "folded")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(folded.get((1L, 2L)).contains(1.0), folded.toString)
+    // every token is accented, so raw 3-gram sets are disjoint and the
+    // inverted index emits no pair at all (jac > 0 contract)
+    val raw = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3,
+        persistIntermediates = false)
+      .collect()
+    assert(raw.isEmpty, raw.mkString("; "))
+  }
+
   test("minhash LSH candidate pairs never include self or reversed pairs") {
     val got = Dedup.minhashPairs(docs, "doc_id", "text").collect()
     got.foreach(r => assert(r.getLong(0) < r.getLong(1)))
@@ -744,6 +807,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
     assert(got((1L, 2L)) === 1.0) // identical gram sets
     assert(got.get((1L, 3L)).exists(f => f > 0.0 && f < 1.0))
+  }
+
+  test("winnowF1Pairs/containmentPairs accept a reliable checkpointDir " +
+      "(r15): same answers, candidate blocks on the shared filesystem") {
+    val shared = "the winnowing fingerprints select shared substrings reliably"
+    val d = Seq(
+      (1L, shared),
+      (2L, shared),
+      (3L, s"prefix text then $shared and then a long unrelated tail of words"))
+      .toDF("doc_id", "text")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-winnow-ckpt-").toString
+    val got = Dedup.winnowF1Pairs(d, "doc_id", "text",
+        checkpointDir = Some(ckpt))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got((1L, 2L)) === 1.0, got.toString)
+    assert(got.get((1L, 3L)).exists(f => f > 0.0 && f < 1.0), got.toString)
+    // the candidate materialization actually landed in the dir (the
+    // cluster contract: blocks survive executor loss)
+    def filesUnder(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      finally s.close()
+    }
+    assert(filesUnder(java.nio.file.Paths.get(ckpt)) > 0,
+      s"no checkpoint files under $ckpt")
+    val cont = Dedup.containmentPairs(d, "doc_id", "text",
+        checkpointDir = Some(ckpt))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(cont((1L, 2L)) === 1.0, cont.toString)
   }
 
   test("overlapSpans: identical docs report identical covering spans") {
@@ -1327,6 +1420,42 @@ class DedupSpec extends SparkSpec {
     assertThrows[Exception] {
       Dedup.loadSpanIndex(spark, tmp) // wrong family: no span_index.bin here
     }
+  }
+
+  test("loadLineIndex assumeForm (r15): cross-checks the sidecar, fails " +
+      "loud on disagreement, and resolves a sidecar-less pre-r14 artifact") {
+    val lines = Seq((1L, "shared line\na"), (2L, "shared line\nb"))
+      .toDF("doc_id", "text")
+    val index = Dedup.lineDedupIndex(lines, "doc_id", "text", minDocs = 2,
+      keyForm = "folded")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lineform-")
+    Dedup.saveLineIndex(spark, tmp.toString, minDocs = 2, index,
+      keyForm = "folded")
+    // sidecar present: agreeing assertion is a no-op, disagreement fails
+    val (_, f1, _) = Dedup.loadLineIndex(spark, tmp.toString,
+      assumeForm = Some("folded"))
+    assert(f1 === "folded")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.loadLineIndex(spark, tmp.toString, assumeForm = Some("byte"))
+    }
+    assert(ex.getMessage.contains("asserted"), ex.getMessage)
+    // sidecar-less (pre-r14): absence does NOT determine a LINE index's
+    // form (the builder accepted keyForm before the sidecar existed) —
+    // the caller's assertion wins; no assertion falls back to "byte"
+    java.nio.file.Files.delete(tmp.resolve("index_meta.json"))
+    java.nio.file.Files.setLastModifiedTime(tmp.resolve("_SUCCESS"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 2000))
+    val (_, f2, a2) = Dedup.loadLineIndex(spark, tmp.toString,
+      assumeForm = Some("folded"))
+    assert(f2 === "folded" && a2.toSeq === index.toSeq)
+    // bust the mtime cache again so the no-assertion load re-reads
+    java.nio.file.Files.setLastModifiedTime(tmp.resolve("_SUCCESS"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 4000))
+    val (_, f3, _) = Dedup.loadLineIndex(spark, tmp.toString)
+    assert(f3 === "byte")
   }
 
   test("semanticDedup keeps the LEAST-centroid-similar member of each dup group") {

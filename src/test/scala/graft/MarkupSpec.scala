@@ -112,6 +112,29 @@ class MarkupSpec extends SparkSpec {
     assert(strip("&pi; &Pi; &PI;") === "π Π &PI;")
   }
 
+  test("entity decodes strip U+0001 before scanning (r15): the twin " +
+      "sentinel cannot corrupt either engine, and a reference split by " +
+      "the control char still decodes") {
+    import graft.functions.expressions.{DecodeNamedEntitiesUtil,
+      DecodeNumericEntitiesUtil}
+    import org.apache.spark.unsafe.types.UTF8String
+    def named(s: String): String =
+      DecodeNamedEntitiesUtil.decode(UTF8String.fromString(s)).toString
+    def num(s: String): String =
+      DecodeNumericEntitiesUtil.decode(UTF8String.fromString(s)).toString
+    // the control char vanishes even with no entity present
+    assert(named("a\u0001b") === "ab")
+    assert(num("a\u0001b") === "ab")
+    // stripping happens BEFORE the scan: a reference torn apart by the
+    // sentinel reassembles and decodes
+    assert(named("&am\u0001p;") === "&")
+    assert(num("&#\u00016\u00010;") === "<")
+    // and entity-free text with the char still normalizes
+    assert(named("\u0001") === "")
+    // U+0001 inside otherwise-decoding text
+    assert(named("x &lt;\u0001 y") === "x < y")
+  }
+
   test("markupStats: exact-integer density signals") {
     val html = "<html><body><a href=\"/\">x</a><A HREF=\"/y\">y</A>" +
       "<p>ten chars.</p></body></html>"

@@ -7,6 +7,13 @@ between same-code sessions — so a wall delta with unchanged bytes is
 session wobble (the measured ±10% band), while a bytes delta is a real
 plan change that must match an intentional code change.
 
+CAVEAT (r14's q93): AQE partition coalescing is runtime-adaptive, so a
+stage's shuffle BYTES can move between same-code sessions when AQE
+picks a different coalesced partition count (159 -> 95 KiB on q93 with
+flat wall and no code change). A "BYTES MOVED" verdict therefore still
+needs a matching intentional change before it's adjudicated a plan
+change — bytes-with-flat-wall and no candidate commit is AQE wobble.
+
 Usage: python3 tools/bench_delta.py BENCH_local_r13.json BENCH_local_r14.json [topN]
 """
 import sys, json
