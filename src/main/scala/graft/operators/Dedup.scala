@@ -1200,6 +1200,13 @@ object Dedup {
     * (two band-join sides, two shingle-verify sides); persisting computes
     * it once but the cached blocks live until the caller clears the cache
     * — use [[withMinhashPairs]] for owned cache lifetime.
+    *
+    * BATCH-ONLY EAGER since r15: the duplication-bounded candidate list
+    * materializes at call time (`localCheckpoint`; the winnow-verify
+    * contract) so the shingle-verify legs can be semi-joined down to
+    * candidate endpoints instead of shuffling every doc's shingle array.
+    * Streaming pipelines use [[minhashed]] /
+    * [[graft.streaming.StreamDedup]], never this entry point.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 16, bands: Int = 4,
@@ -1220,7 +1227,14 @@ object Dedup {
       (use: DataFrame => T): T = {
     val (pairs, cached) = minhashPairsImpl(df, idCol, textCol, shingleN,
       numHashes, bands, persistIntermediates = true, maxBucketSize, keyForm)
-    try use(pairs) finally cached.foreach(_.unpersist())
+    // the r15 candidate materialization's blocks are owned here too:
+    // freed with the signature cache, so `use` must CONSUME pairs inside
+    // the block (the long-standing contract of this form)
+    try use(pairs)
+    finally {
+      cached.foreach(_.unpersist(blocking = true))
+      Graph.freeMaterialized(pairs, blocking = true)
+    }
   }
 
   /** MinHash ESTIMATOR CALIBRATION — the report that justifies the
@@ -1695,11 +1709,29 @@ object Dedup {
     val bandedBuild =
       if (maxBucketSize.isDefined) banded.hint("SHUFFLE_HASH")
       else banded.hint("MERGE")
-    val cand = banded.as("x").join(bandedBuild.as("y"),
+    val cand0 = banded.as("x").join(bandedBuild.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    // r15 (guide §2.3 "shuffle fewer bytes", the r14 candidateShingleSets
+    // discipline applied to THIS family): the verify joins below used to
+    // shuffle EVERY doc's shingle array even though only candidate-pair
+    // endpoints are ever joined — at sf0.1 that full-corpus array
+    // exchange was most of q64/q121/q148's 84 MiB shuffle, and at 100 TB
+    // it re-shuffles the corpus to verify a duplication-bounded pair
+    // list. Materialize the bounded candidates once (the winnowCandidates
+    // shape; makes this a BATCH-ONLY EAGER operator — streaming uses
+    // [[minhashed]]/[[graft.streaming.StreamDedup]], never this), then
+    // semi-join the shingle relation down to candidate endpoints before
+    // it crosses an exchange. The broadcast id set is bounded by
+    // 2·|candidates| — a corpus whose candidate endpoints outgrow a
+    // broadcast is one being asked to verify corpus-scale duplication;
+    // retune bands first (minhashRetune) or run the scrub family.
+    val cand = Graph.materialize(cand0, None)
+    val candIds = cand.select(col("a").as(idCol))
+      .unionByName(cand.select(col("b").as(idCol)))
       .distinct()
     // The shingle relation is |docs| rows of shingle ARRAYS — never
     // broadcast-safe at scale, but it reads from the cached `mh` whose
@@ -1709,7 +1741,9 @@ object Dedup {
     // here). Pin both verify joins SHUFFLE_HASH: the build side has
     // UNIQUE keys (one row per doc), so per-partition hash maps are
     // bounded by |docs|/partitions — the capped-band-join discipline.
-    val sh = mh.select(col(idCol), col("shingles")).hint("SHUFFLE_HASH")
+    val sh = mh.select(col(idCol), col("shingles"))
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
+      .hint("SHUFFLE_HASH")
     val inter = size(array_intersect(col("sa"), col("sb")))
     val pairs = cand
       .join(sh.withColumnRenamed(idCol, "a").withColumnRenamed("shingles", "sa"), "a")
@@ -2267,11 +2301,18 @@ object Dedup {
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
     val wOrd = Window.partitionBy(col(idCol))
       .orderBy(col("dfreq").asc, col("tok").asc)
+    // persisted (r15): the prefix relation feeds THREE legs — both sides
+    // of the candidate self-join and the hot-token aggregate — and the
+    // rank window + two joins behind it were measured running once PER
+    // LEG (AQE materializes independent subtrees through the cache race,
+    // no cross-leg exchange reuse). The hotStats collect below doubles as
+    // the cache materializer, so the legs always read a populated cache.
     val prefixAll = toks.join(dfreq, "tok").join(sized, idCol)
       .withColumn("pos", row_number().over(wOrd))
       .where(col("pos") <=
         col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
       .select(col(idCol), col("tok"), col("sz"), col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew cap: tokens in too many PREFIXES leave the index. The hot set
     // is tiny by pigeonhole (≤ total-prefix-rows / maxPrefixFreq), so the
     // anti-join broadcasts; the count is an eager action over the already
@@ -2307,7 +2348,8 @@ object Dedup {
     // the ceil. Cuts candidates that collide only deep in their
     // prefixes — exactly the near-threshold false positives whose
     // verification dominated q98.
-    val cand = prefix.as("x").join(prefix.as("y"),
+    val cand = Graph.materialize(
+      prefix.as("x").join(prefix.as("y"),
         col("x.tok") === col("y.tok") &&
           col(s"x.$idCol") < col(s"y.$idCol") &&
           col("y.sz") * tDen >= col("x.sz") * tNum &&
@@ -2315,9 +2357,21 @@ object Dedup {
           (lit(1L) + least(col("x.sz") - col("x.pos"),
               col("y.sz") - col("y.pos"))) * (tNum + tDen) >=
             (col("x.sz") + col("y.sz")) * tNum)
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+        .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+        .distinct(),
+      None)
+    // r15 (the minhashPairsImpl/candidateShingleSets discipline): the
+    // candidate list is duplication-bounded and already paid for —
+    // materialize it once, then build the sorted verification sets ONLY
+    // for candidate endpoints instead of collect_set-ing every doc in
+    // the corpus (the verify count stage dominated q98's bill; at 100 TB
+    // an all-docs set build is a corpus-wide sort to verify a bounded
+    // pair list). Output unchanged: non-candidate sets could never join.
+    val candIds = cand.select(col("a").as(idCol))
+      .unionByName(cand.select(col("b").as(idCol)))
       .distinct()
-    val sets = toks.groupBy(idCol)
+    val sets = toks.join(broadcast(candIds), Seq(idCol), "left_semi")
+      .groupBy(idCol)
       .agg(sort_array(collect_set(col("tok"))).as("set"))
     val out = cand
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
@@ -2330,6 +2384,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize the bounded pair list, then free the big input
     toks.unpersist()
+    prefixAll.unpersist()
     out
   }
 

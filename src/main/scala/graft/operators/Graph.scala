@@ -62,10 +62,11 @@ object Graph {
     * on the data — harmless either way. Only call on frames no LIVE frame
     * derives from lazily (i.e. after the successor was eagerly copied).
     */
-  private def freeMaterialized(df: DataFrame): Unit =
+  private[operators] def freeMaterialized(df: DataFrame,
+      blocking: Boolean = false): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
+        lr.rdd.unpersist(blocking)
       case _ => ()
     }
 

@@ -202,7 +202,7 @@ object OlapQueries {
     // grid engine-portable, so even the estimates hash-match.
     QueryDef("q71_countmin_heavy_hitters",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val toks = Tables.documentsPar(s, d)
           .select(explode(wsTokens(col("text"))).as("tok"))
         val sk = Sketch.countMin(toks, "tok", depth = 4, width = 64)
         val top = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))

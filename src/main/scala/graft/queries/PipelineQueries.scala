@@ -146,6 +146,11 @@ object PipelineQueries {
         val docs = Tables.documents(s, d)
         val src = docs.select(col("doc_id"), col("source"))
         Dedup.withMinhashPairs(docs, "doc_id", "text") { pairs =>
+          // materialize INSIDE the owned-cache block (the q162 pattern):
+          // the scoped form frees the signature cache and the candidate
+          // materialization in finally, so a lazily escaping frame would
+          // re-run the whole minhash pipeline cache-cold (and, since the
+          // r15 candidate checkpoint, fail loud instead)
           pairs.where(col("jac") >= 0.5)
             .join(src.select(col("doc_id").as("a"), col("source").as("sa")),
               Seq("a"))
@@ -154,6 +159,7 @@ object PipelineQueries {
             .groupBy(least(col("sa"), col("sb")).as("source_a"),
               greatest(col("sa"), col("sb")).as("source_b"))
             .agg(count(lit(1)).as("n_pairs"))
+            .localCheckpoint(true)
         }.orderBy("source_a", "source_b")
       },
       Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS shingles FROM documents),
@@ -231,7 +237,7 @@ object PipelineQueries {
     // SimHash near-dup: 60-bit simhash of token md5s; 10 pairs with the
     // smallest hamming distance.
     QueryDef("q18_simhash_dedup",
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+      (s, d) => Dedup.simhashPairs(Tables.documentsPar(s, d), "doc_id", "text",
           maxHamming = 60)
         .orderBy(col("ham").asc, col("a").asc, col("b").asc)
         .limit(10),
@@ -264,7 +270,7 @@ object PipelineQueries {
     // Word-3-gram Jaccard similarity join (exact quadratic baseline for the
     // LSH path above); 10 most-similar pairs.
     QueryDef("q19_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3)
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documentsPar(s, d), "doc_id", "text", n = 3)
         .orderBy(col("jac").desc, col("a").asc, col("b").asc)
         .limit(10),
       Some("""WITH g AS (SELECT doc_id, list_distinct(list_transform(
@@ -343,7 +349,7 @@ object PipelineQueries {
       (s, d) => {
         // project tokens once: marker lambdas re-evaluate any inline
         // expression per element, so tokenization must be materialized
-        val toked = Tables.documents(s, d)
+        val toked = Tables.documentsPar(s, d)
           .select(col("doc_id"), wsTokens(col("text")).as("toks"))
         val counts = LangMarkers.map { case (lang, words) =>
           markerCount(col("toks"), words).as(s"c_$lang")
@@ -762,7 +768,7 @@ object PipelineQueries {
     // tiny docs), so the ratio hash-matches.
     QueryDef("q43_repetition_score",
       (s, d) => {
-        val toked = Tables.documents(s, d)
+        val toked = Tables.documentsPar(s, d)
           .select(col("doc_id"), wsTokens(col("text")).as("toks"))
         toked.select(col("doc_id"),
             size(col("toks")).as("n_toks"),
@@ -879,7 +885,7 @@ object PipelineQueries {
     // (eval sets are tiny vs a corpus), one corpus scan + map-side join.
     QueryDef("q50_decontaminate",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documentsPar(s, d)
         Decontaminate.sharedGramCounts(
             docs.where(col("doc_id") % 10 =!= 7),
             docs.where(col("doc_id") % 10 === 7),
@@ -1011,7 +1017,7 @@ object PipelineQueries {
     // keep the qualifying pairs to the true near-dups (256 at sf0.1).
     QueryDef("q98_jaccard_prefix",
       (s, d) => graft.operators.Dedup.jaccardPairsPrefix(
-          Tables.documents(s, d), "doc_id", "text", tNum = 1, tDen = 2,
+          Tables.documentsPar(s, d), "doc_id", "text", tNum = 1, tDen = 2,
           gramN = 3)
         .orderBy(col("jac").desc, col("a").asc, col("b").asc)
         .limit(20),
@@ -1037,7 +1043,7 @@ object PipelineQueries {
     // before the pair join, the q36 discipline. Shuffles carry longs.
     QueryDef("q97_winnow_overlap",
       (s, d) => graft.operators.Dedup.winnowOverlapPairs(
-          Tables.documents(s, d), "doc_id", "text", k = 5, w = 4,
+          Tables.documentsPar(s, d), "doc_id", "text", k = 5, w = 4,
           maxDocFreq = 20)
         .orderBy(col("n_shared").desc, col("a").asc, col("b").asc)
         .limit(10),
@@ -1236,7 +1242,7 @@ object PipelineQueries {
     // the whole BPE lifecycle hash-pinned: learn -> apply -> count.
     QueryDef("q132_bpe_tokenize",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documentsPar(s, d)
         val merges = graft.operators.Bpe.train(docs, "text", numMerges = 8)
         graft.operators.Bpe.tokenizeInPlan(docs, "doc_id", "text", merges)
           .orderBy("doc_id")
@@ -1657,7 +1663,7 @@ object PipelineQueries {
     // to q97's yes/no.
     QueryDef("q111_winnow_f1",
       (s, d) => graft.operators.Dedup.winnowF1Pairs(
-          Tables.documents(s, d), "doc_id", "text", k = 5, w = 4,
+          Tables.documentsPar(s, d), "doc_id", "text", k = 5, w = 4,
           maxDocFreq = 20, minShared = 2L)
         .orderBy(col("f1").desc, col("a").asc, col("b").asc)
         .limit(20),
@@ -1806,7 +1812,7 @@ object PipelineQueries {
     // (1000·inter >= 500·|src|); the division happens once, at output.
     QueryDef("q118_containment",
       (s, d) => graft.operators.Dedup.containmentPairs(
-          Tables.documents(s, d), "doc_id", "text", k = 5, w = 4,
+          Tables.documentsPar(s, d), "doc_id", "text", k = 5, w = 4,
           maxDocFreq = 20, minShared = 2L, minMille = 500L)
         .orderBy(col("containment").desc, col("src").asc, col("dst").asc)
         .limit(20),
@@ -1983,7 +1989,7 @@ object PipelineQueries {
     // extra text passes.
     QueryDef("q122_overlap_spans",
       (s, d) => graft.operators.Dedup.overlapSpans(
-          Tables.documents(s, d), "doc_id", "text", k = 5, w = 4,
+          Tables.documentsPar(s, d), "doc_id", "text", k = 5, w = 4,
           maxDocFreq = 20, minShared = 2L)
         .orderBy(col("n_shared").desc, col("a").asc, col("b").asc)
         .limit(20),
@@ -2073,7 +2079,10 @@ object PipelineQueries {
     // replays the checksum digit-by-digit.
     QueryDef("q151_card_scrub",
       (s, d) => {
-        val synth = Tables.orders(s, d).select(col("o_orderpriority"),
+        // parFloor: the regex+Luhn pass is heavy row-local work over a
+        // single-row-group file (one 3.7 s task at sf0.1 unfloored)
+        val synth = Tables.parFloor(Tables.orders(s, d))
+          .select(col("o_orderpriority"),
           concat(lit("order ref "),
             lpad((col("o_orderkey") % 1000000007L * 1234567L %
               10000000000000000L).cast("string"), 16, "0"),
@@ -2842,7 +2851,7 @@ object PipelineQueries {
     // filter-before-join, broadcast 1-row N, TakeOrdered top-50.
     QueryDef("q176_collocations",
       (s, d) => graft.operators.Profile.collocations(
-        Tables.documents(s, d), "text", minCount = 5, topK = 50),
+        Tables.documentsPar(s, d), "text", minCount = 5, topK = 50),
       Some("""WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |u AS (SELECT unnest(toks) AS tok FROM t),
         |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
@@ -2979,7 +2988,7 @@ object PipelineQueries {
     QueryDef("q181_cross_source_containment",
       (s, d) => {
         val did = col("doc_id")
-        val synth = Tables.documents(s, d).select(col("source"),
+        val synth = Tables.documentsPar(s, d).select(col("source"),
           concat_ws(" ",
             col("text"),
             when(did % 4 === 0, lit(ShareA)),
@@ -3022,7 +3031,7 @@ object PipelineQueries {
     QueryDef("q182_html_extract",
       (s, d) => {
         val did = col("doc_id")
-        val synth = Tables.documents(s, d).select(did,
+        val synth = Tables.documentsPar(s, d).select(did,
           concat(
             lit("<HTML><head><title>Doc "), did.cast("string"),
             lit("</title><style type=\"text/css\">p { color: red; }" +
@@ -3170,7 +3179,7 @@ object PipelineQueries {
     QueryDef("q184_containment_sketch",
       (s, d) => {
         val did = col("doc_id")
-        val synth = Tables.documents(s, d).select(col("source"),
+        val synth = Tables.documentsPar(s, d).select(col("source"),
           concat_ws(" ",
             col("text"),
             when(did % 4 === 0, lit(ShareA)),
@@ -3229,7 +3238,7 @@ object PipelineQueries {
     QueryDef("q185_sketch_accuracy",
       (s, d) => {
         val did = col("doc_id")
-        val synth = Tables.documents(s, d).select(col("source"),
+        val synth = Tables.documentsPar(s, d).select(col("source"),
           concat_ws(" ",
             col("text"),
             when(did % 4 === 0, lit(ShareA)),

@@ -66,7 +66,7 @@ object SelectionQueries {
     // target count, smoothed integer ratio. Top-20 most target-
     // distinctive buckets; state is <= 4096 rows at ANY corpus size.
     QueryDef("q128_dsir_buckets",
-      (s, d) => Dsir.bucketScoreTable(Tables.documents(s, d), "text",
+      (s, d) => Dsir.bucketScoreTable(Tables.documentsPar(s, d), "text",
           col("lang") === "en", buckets = B, scale = SCALE)
         .orderBy(col("score").desc, col("bucket").asc)
         .limit(20),
@@ -82,7 +82,7 @@ object SelectionQueries {
     // has zero Exchange (plan-pinned in DsirSpec).
     QueryDef("q129_dsir_weights",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documentsPar(s, d)
         val table = Dsir.bucketScoreTable(docs, "text",
           col("lang") === "en", buckets = B, scale = SCALE)
         val scores = Dsir.collectScores(table, B, SCALE)
@@ -101,7 +101,7 @@ object SelectionQueries {
     // reproducible Gumbel-top-k step). 10 winners; `priority` is the
     // selection evidence, reproduced bit-for-bit by the oracle.
     QueryDef("q130_dsir_select",
-      (s, d) => Dsir.select(Tables.documents(s, d), "doc_id", "text",
+      (s, d) => Dsir.select(Tables.documentsPar(s, d), "doc_id", "text",
           col("lang") === "en", n = 10, buckets = B, scale = SCALE)
         .orderBy(col("priority").desc, col("doc_id").asc),
       Some(s"""WITH $duckGramBuckets,
@@ -306,7 +306,7 @@ object SelectionQueries {
     // identical survivor set (same md5-low60 gram space as q50).
     QueryDef("q147_inline_decontam",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documentsPar(s, d)
         // the eval set is FIXED-SIZE by nature (the whole premise of the
         // inline literal gate): pin it to the base id range so a scaled
         // fixture grows the CORPUS, not the benchmark — without the cap
@@ -613,7 +613,7 @@ object SelectionQueries {
     // hash-match the oracle's nine independently re-derived relations.
     QueryDef("q165_repetition_rules",
       (s, d) => {
-        val synth = Tables.documents(s, d).select(col("doc_id"),
+        val synth = Tables.documentsPar(s, d).select(col("doc_id"),
           when(col("doc_id") % 5 === 0,
             concat(col("text"), lit(" "), expr(
               "repeat('rpt0 rpt1 rpt2 rpt3 rpt4 rpt5 ', CAST(2 + doc_id % 6 AS INT))")))

@@ -30,6 +30,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 1.0)
   }
 
+  test("minhash verify legs bounded to candidate endpoints (r15): " +
+      "unique fillers change no pair and no jac") {
+    // the r15 semi-join restricts the shingle-verify joins to candidate
+    // endpoints; the pair set and every exact jac must be byte-identical
+    // with and without a sea of non-candidate docs around the dups
+    val fillers = (100L until 160L)
+      .map(i => (i, s"unique filler document number $i with its own " +
+        s"content ${i * 37} and nothing shared ${i * 101}"))
+    val mixed = docs.union(fillers.toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val base = rows(Dedup.minhashPairs(docs, "doc_id", "text",
+      persistIntermediates = false))
+    val withFillers = rows(Dedup.minhashPairs(mixed, "doc_id", "text",
+      persistIntermediates = false))
+    // every base pair survives with identical jac (fillers may add their
+    // own accidental band collisions, so compare on the base keys)
+    base.foreach { case (k, jac) =>
+      assert(withFillers.get(k).contains(jac), s"pair $k drifted")
+    }
+    assert(withFillers.contains((1L, 2L)) && withFillers((1L, 2L)) === 1.0)
+  }
+
   test("minhashPairs keyForm=folded: an NFC-vs-NFD republication pairs " +
       "at jaccard 1.0 where the raw byte form misses it (VERDICT r12 #2)") {
     val nfc = "séance résumé café crème " +
@@ -447,19 +470,23 @@ class DedupSpec extends SparkSpec {
   }
 
   test("withMinhashPairs / withNgramJaccardPairs leave no cached blocks behind") {
-    // earlier tests in this suite use the unscoped form (which leaks by
-    // design); start from a clean slate so the delta is this test's own
+    // earlier tests in this suite use the unscoped form (which leaks its
+    // candidate checkpoint until the ContextCleaner GCs it — by design);
+    // compare ID SETS, not sizes: a stale leak may be cleaned mid-test
+    // (shrinking the map), so the leak-free invariant is "this test's own
+    // calls registered NO id that outlives them"
     spark.catalog.clearCache()
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val n1 = Dedup.withMinhashPairs(docs, "doc_id", "text") { pairs =>
       val c = pairs.count() // materializes the pinned cache
-      assert(spark.sparkContext.getPersistentRDDs.size > before)
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
       c
     }
     assert(n1 > 0)
     val n2 = Dedup.withNgramJaccardPairs(docs, "doc_id", "text") { _.count() }
     assert(n2 > 0)
-    assert(spark.sparkContext.getPersistentRDDs.size === before)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"scoped forms leaked persistent RDDs: $leaked")
   }
 
   test("ngram jaccard: exact dup at 1.0, near-dup partial, disjoint absent") {
@@ -950,8 +977,13 @@ class DedupSpec extends SparkSpec {
         assert("ShuffledHashJoin \\[a".r.findFirstIn(plan).isDefined &&
           "ShuffledHashJoin \\[b".r.findFirstIn(plan).isDefined,
           plan.take(4000))
-        // and no broadcast exchange anywhere carries shingle arrays
-        assert(!plan.contains("BroadcastExchange"), plan.take(4000))
+        // the only broadcasts are the r15 candidate-endpoint id sets
+        // feeding the LeftSemi restriction — bounded long ids, never
+        // shingle arrays. Every INNER join on the shingle relation must
+        // stay shuffled-hash; a BuildRight/BuildLeft inner broadcast
+        // would be the 10× OOM shape again.
+        assert(!"BroadcastHashJoin .*Inner".r.findFirstIn(plan).isDefined,
+          plan.take(4000))
         // the pin must not change results: pairs still find the planted
         // near-dups this fixture's q17/q64 rely on
         assert(pairs.where(col("jac") >= 0.5).count() > 0L)
